@@ -1,0 +1,31 @@
+"""fulltextindexer_spark — a PySpark-native inverted-index + scoring engine.
+
+A brand-new, Spark-first implementation of the query/data-processing
+capabilities of the reference full-text indexing library
+(ProductiveRage/FullTextIndexer, C#): token breaking, string
+normalisation (default + English-plurality stemming), weighted
+per-field postings, partial-match prefix expansion, multi-term AND-sum
+scoring, positional phrase matching, and a structured query language
+(``+term -term "phrase" (nested)``) — re-expressed as DataFrame
+operations and vectorized pandas/Arrow UDFs so the same semantics run
+on a multi-executor cluster over very large corpora.
+
+Design notes (scale-first):
+
+- Index build is *shuffle-free*: documents are tokenised, normalised,
+  weighted and combined into final per-(term, doc) postings inside a
+  single ``mapInPandas`` pass (each doc lives in exactly one partition,
+  so per-partition combination is already global for that doc).
+- The only build-time shuffle is the optional term-dictionary
+  construction (``distinct`` over terms) used for the compact artifact.
+- Queries broadcast the (tiny) tokenised query against the postings
+  table; scoring is one ``groupBy(doc_id)`` shuffle; top-k is Spark's
+  TakeOrdered.
+- float32 score parity with the reference is maintained by performing
+  ordered float32 folds (JVM-side ``aggregate`` expressions or
+  ``np.add.reduceat``) instead of order-nondeterministic sums.
+"""
+
+__version__ = "0.1.0"
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig  # noqa: F401

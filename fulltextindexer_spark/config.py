@@ -1,0 +1,80 @@
+"""Index configuration.
+
+Mirrors the extension points of the reference engine
+(`/root/reference/FullTextIndexer.Core/IndexGenerators/IndexGenerator.cs:26-42`,
+`/root/reference/FullTextIndexer.Helpers/AutomatedIndexGeneratorFactoryBuilder.cs:373-460`)
+as a plain declarative config instead of delegates/reflection: fields are
+named DataFrame columns with weight multipliers; the stop-word set is
+down-weighted (×0.01), never dropped; the normaliser and break-char set
+are pinned to the reference defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+# Default break characters treated as whitespace before token splitting.
+# Reference: FullTextIndexer.Core/Indexes/IndexData_Extensions_PartialMatches.cs:147-155
+DEFAULT_BREAK_CHARS: str = '<>[](){}.,:;"?!/\\@+|='
+
+# English stop words, down-weighted ×0.01 at index time (never removed).
+# Reference: FullTextIndexer.Core/Constants.cs:20-22
+ENGLISH_STOP_WORDS: frozenset[str] = frozenset(
+    {
+        "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+        "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+        "such", "that", "the", "their", "then", "there", "these", "they",
+        "this", "to", "was", "will", "with",
+    }
+)
+
+STOP_WORD_WEIGHT: float = 0.01
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """One indexed field: a string column plus its weight multiplier.
+
+    Mirrors ContentRetriever (reference ContentRetriever.cs:9-37); the
+    position in ``IndexConfig.fields`` is the field index used in
+    source locations (reference IndexGenerator.cs:135-148).
+    """
+
+    column: str
+    weight: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixExpansionConfig:
+    """Partial-match prefix expansion (``fromStartOfTokenOnly`` mode of the
+    reference's PartialMatchingTokenBreaker.cs:70-176).
+
+    Every prefix of each token with length in [min_len, max_len] (other
+    than the full token itself) is additionally indexed with
+    ``weight_multiplier`` applied on top of the token's weight.
+    """
+
+    min_len: int = 3
+    max_len: int = 255
+    weight_multiplier: float = 1.0
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for one inverted index build."""
+
+    key_column: str
+    fields: tuple[FieldConfig, ...]
+    # 'english_plurality' (lenient, default) or 'default' (strict — used for
+    # the precise/phrase index). Reference default:
+    # AutomatedIndexGeneratorFactoryBuilder.cs:411-416.
+    normaliser: str = "english_plurality"
+    break_chars: str = DEFAULT_BREAK_CHARS
+    stop_words: frozenset[str] = ENGLISH_STOP_WORDS
+    stop_word_weight: float = STOP_WORD_WEIGHT
+    capture_positions: bool = True
+    prefix_expansion: Optional[PrefixExpansionConfig] = None
+
+    def field_columns(self) -> list[str]:
+        return [f.column for f in self.fields]

@@ -1,0 +1,12 @@
+from fulltextindexer_spark.functions.normalize import (  # noqa: F401
+    default_normalise,
+    default_normalise_series,
+    english_plurality_normalise,
+    english_plurality_normalise_series,
+    normalise_series,
+    stem_sql_case_expr,
+)
+from fulltextindexer_spark.functions.tokenize import (  # noqa: F401
+    break_tokens,
+    tokenize_frame,
+)

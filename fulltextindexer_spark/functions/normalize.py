@@ -1,0 +1,240 @@
+"""String normalisers (vectorized pandas + scalar + SQL renderings).
+
+Semantics reproduced from the reference library:
+
+- default normaliser — NFKD, drop punctuation (Unicode category P*),
+  CR/LF/TAB → space, enclosing/non-spacing/spacing-combining marks →
+  space, collapse runs of spaces, trim, lowercase.
+  (reference: FullTextIndexer.Core/Indexes/TernarySearchTree/
+  DefaultStringNormaliser.cs:23-68)
+
+- English-plurality stemming normaliser — trim + lower (unless the
+  pre-normaliser already did), then an *ordered* rule table; the first
+  matching rule wins; matched suffixes are removed (SuffixOnly, which
+  requires ``len(word) > len(suffix)``) or the whole word is mapped to
+  the group's first value (WholeWord); the result always gains a ``'~'``
+  suffix for idempotence, and values already ending ``'~'`` pass through
+  unchanged.
+  (reference: .../TernarySearchTree/StemmingStringNormaliser.cs:63-156,
+  .../EnglishPluralityStringNormaliser.cs:46-83)
+
+Every function here is pure pandas/Python — no Spark imports — so the
+same code path backs the Spark pandas UDFs, the pure-Python oracle, and
+driver-side query normalisation.  ``stem_sql_case_expr`` additionally
+renders the *identical* rule table as an ANSI-SQL CASE expression that
+both Spark SQL and DuckDB can evaluate, which lets hot index paths stay
+JVM-side (whole-stage codegen) and lets the DuckDB correctness oracle
+share one source of truth with the engine.
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Default normaliser
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def _default_translate_table() -> dict[int, str | None]:
+    """Char translation table replicating the reference's per-char loop.
+
+    Built over the BMP (the reference operates on UTF-16 code units, so
+    astral chars are handled there as surrogate pairs which are never
+    punctuation/marks; code points above the BMP therefore pass through
+    in both implementations).
+    """
+    table: dict[int, str | None] = {}
+    for cp in range(0x10000):
+        ch = chr(cp)
+        if 0xD800 <= cp <= 0xDFFF:  # surrogates: pass through
+            continue
+        cat = unicodedata.category(ch)
+        if cat.startswith("P"):
+            table[cp] = None  # drop punctuation entirely
+        elif ch in "\r\n\t":
+            table[cp] = " "
+        elif cat in ("Me", "Mn", "Mc"):
+            table[cp] = " "  # marks (post-NFKD accents) become spaces
+    return table
+
+
+def default_normalise(value: str) -> str:
+    """Scalar default normaliser (reference DefaultStringNormaliser.cs:23-68)."""
+    s = unicodedata.normalize("NFKD", value)
+    s = s.translate(_default_translate_table())
+    # Collapse runs of *spaces* only (the reference's loop collapses ' '
+    # chars — other whitespace like \f was never converted and is kept).
+    out = []
+    last_space = True  # leading spaces are skipped (gotContent logic)
+    for ch in s:
+        if ch == " ":
+            if not last_space:
+                out.append(" ")
+                last_space = True
+            continue
+        out.append(ch.lower())
+        last_space = False
+    result = "".join(out)
+    return result[:-1] if result.endswith(" ") else result
+
+
+def default_normalise_series(s: pd.Series) -> pd.Series:
+    """Vectorized default normaliser over a string Series."""
+    s = s.str.normalize("NFKD")
+    s = s.str.translate(_default_translate_table())
+    s = s.str.replace(" +", " ", regex=True)
+    s = s.str.strip(" ")
+    return s.str.lower()
+
+
+# ---------------------------------------------------------------------------
+# English plurality stemming
+# ---------------------------------------------------------------------------
+
+# (values, match_type) in reference order; first match wins; within a
+# group, values are tried in order. Reference:
+# EnglishPluralityStringNormaliser.cs:46-83
+SUFFIX_ONLY = "suffix"
+WHOLE_WORD = "whole"
+
+DEFAULT_PLURAL_RULES: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("ula", "ulae", "ulas"), SUFFIX_ONLY),
+    (("y", "ies"), SUFFIX_ONLY),
+    (("us", "ii"), SUFFIX_ONLY),
+    (("ld", "ldren"), SUFFIX_ONLY),
+    (("ium", "ia"), SUFFIX_ONLY),
+    (("ne", "nes"), SUFFIX_ONLY),
+    (("me", "mes"), SUFFIX_ONLY),
+    (("ue", "ues"), SUFFIX_ONLY),
+    (("index", "indexes", "indices"), WHOLE_WORD),
+    (("matrix", "matrices"), WHOLE_WORD),
+    (("vertex", "vertices"), WHOLE_WORD),
+    (("ses", "es", "s"), SUFFIX_ONLY),
+    (("datum", "data"), WHOLE_WORD),
+    (("man", "men"), WHOLE_WORD),
+    (("woman", "women"), WHOLE_WORD),
+)
+
+
+def _stem(value: str) -> str:
+    """Apply the ordered plural rule table to an already trimmed+lowered
+    value. Reference: StemmingStringNormaliser.cs:84-156."""
+    if value == "":
+        return ""
+    if value.endswith("~"):
+        return value
+    for values, match_type in DEFAULT_PLURAL_RULES:
+        if match_type == WHOLE_WORD:
+            if value in values:
+                return values[0] + "~"
+        else:
+            for suffix in values:
+                if len(value) > len(suffix) and value.endswith(suffix):
+                    return value[: -len(suffix)] + "~"
+    return value + "~"
+
+
+def english_plurality_normalise(value: str) -> str:
+    """Scalar lenient normaliser: default normalise → plural stem.
+
+    Matches the reference's automated-factory default
+    (AutomatedIndexGeneratorFactoryBuilder.cs:411-416): an
+    EnglishPluralityStringNormaliser with DefaultStringNormaliser as
+    pre-normaliser which already lower-cases and trims.
+    """
+    return _stem(default_normalise(value))
+
+
+def _stem_series(s: pd.Series) -> pd.Series:
+    """Vectorized ordered plural rule table over trimmed+lowered values."""
+    result = s.copy()
+    # remaining = values not yet matched by any rule
+    remaining = ~(s.str.endswith("~") | (s == ""))
+    for values, match_type in DEFAULT_PLURAL_RULES:
+        if not remaining.any():
+            break
+        if match_type == WHOLE_WORD:
+            hit = remaining & s.isin(values)
+            if hit.any():
+                result[hit] = values[0] + "~"
+                remaining &= ~hit
+        else:
+            for suffix in values:
+                hit = remaining & s.str.endswith(suffix) & (
+                    s.str.len() > len(suffix)
+                )
+                if hit.any():
+                    result[hit] = s[hit].str.slice(0, -len(suffix)) + "~"
+                    remaining &= ~hit
+    if remaining.any():
+        result[remaining] = s[remaining] + "~"
+    return result
+
+
+def english_plurality_normalise_series(s: pd.Series) -> pd.Series:
+    return _stem_series(default_normalise_series(s))
+
+
+def normalise_series(s: pd.Series, normaliser: str) -> pd.Series:
+    if normaliser == "english_plurality":
+        return english_plurality_normalise_series(s)
+    if normaliser == "default":
+        return default_normalise_series(s)
+    raise ValueError(f"unknown normaliser: {normaliser}")
+
+
+def normalise_scalar(value: str, normaliser: str) -> str:
+    if normaliser == "english_plurality":
+        return english_plurality_normalise(value)
+    if normaliser == "default":
+        return default_normalise(value)
+    raise ValueError(f"unknown normaliser: {normaliser}")
+
+
+# ---------------------------------------------------------------------------
+# SQL rendering (shared by Spark SQL and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def stem_sql_case_expr(col: str) -> str:
+    """Render the plural rule table as an ANSI-SQL CASE expression.
+
+    ``col`` must be an expression yielding an already lower-cased,
+    trimmed token.  The rendered SQL is valid in both Spark SQL and
+    DuckDB, so the engine's JVM-side fast path and the DuckDB
+    correctness oracle evaluate literally the same rule chain.
+    """
+    whens: list[str] = [
+        f"WHEN {col} = '' THEN ''",
+        f"WHEN {col} LIKE '%~' THEN {col}",
+    ]
+    for values, match_type in DEFAULT_PLURAL_RULES:
+        if match_type == WHOLE_WORD:
+            alts = " OR ".join(f"{col} = '{v}'" for v in values)
+            whens.append(f"WHEN {alts} THEN '{values[0]}~'")
+        else:
+            for suffix in values:
+                n = len(suffix)
+                whens.append(
+                    f"WHEN length({col}) > {n} AND {col} LIKE '%{suffix}' "
+                    f"THEN substr({col}, 1, length({col}) - {n}) || '~'"
+                )
+    body = "\n  ".join(whens)
+    return f"(CASE\n  {body}\n  ELSE {col} || '~'\nEND)"
+
+
+def self_test() -> None:
+    """Quick invariants used by the test-suite and at import in tests."""
+    assert _stem("cats") == "cat~"
+    assert _stem(_stem("cats")) == "cat~"  # idempotence via '~'
+
+
+if __name__ == "__main__":  # pragma: no cover
+    self_test()
+    print("ok", file=sys.stderr)

@@ -1,0 +1,137 @@
+"""Token breaking (vectorized pandas + scalar).
+
+Reproduces the reference's whitespace token breaker wrapped in the
+whitespace-*extending* breaker (configured break characters are replaced
+by spaces before splitting; the replacement is length-preserving so char
+offsets stay aligned with the original string):
+
+- ``WhiteSpaceTokenBreaker`` — split on whitespace, drop empties, emit a
+  per-token source location (cumulative token index within the content
+  string, char offset, length).
+  (reference: FullTextIndexer.Core/TokenBreaking/WhiteSpaceTokenBreaker.cs:25-81)
+- ``WhiteSpaceExtendingTokenBreaker`` — replace the configured char set
+  with ``' '`` then delegate.
+  (reference: .../WhiteSpaceExtendingTokenBreaker.cs:25-34)
+- prefix expansion (``PartialMatchingTokenBreaker`` with
+  ``fromStartOfTokenOnly=true``) — for each token also emit every prefix
+  with length in [min_len, min(len(token), max_len)] except the full
+  token itself, keeping the parent token's source location.
+  (reference: .../PartialMatchingTokenBreaker.cs:70-176)
+
+All functions are pure pandas/numpy (no Spark imports); the Spark engine
+calls them from inside Arrow-batched UDFs, the oracle and driver-side
+query tokenisation call them directly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from fulltextindexer_spark.config import DEFAULT_BREAK_CHARS
+
+_PIECES_RE = r"\s+|\S+"  # alternation consumes every char exactly once
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _break_translate_table(break_chars: str) -> dict[int, str]:
+    return {ord(c): " " for c in break_chars}
+
+
+def break_tokens(
+    value: str, break_chars: str = DEFAULT_BREAK_CHARS
+) -> list[tuple[str, int, int, int]]:
+    """Scalar token breaker: returns (token, token_idx, src_idx, src_len).
+
+    Offsets refer to the *original* string (the break-char replacement is
+    length-preserving).
+    """
+    translated = value.translate(_break_translate_table(break_chars))
+    out = []
+    for token_idx, m in enumerate(_TOKEN_RE.finditer(translated)):
+        out.append((m.group(0), token_idx, m.start(), m.end() - m.start()))
+    return out
+
+
+def tokenize_frame(
+    content: pd.Series, break_chars: str = DEFAULT_BREAK_CHARS
+) -> pd.DataFrame:
+    """Vectorized token breaker over a Series of content strings.
+
+    Returns a DataFrame with columns ``row`` (the input Series' positional
+    index 0..n-1), ``token``, ``token_idx``, ``src_idx``, ``src_len`` —
+    one row per token, in document order.
+    """
+    content = content.reset_index(drop=True)
+    translated = content.str.translate(_break_translate_table(break_chars))
+    pieces = translated.str.findall(_PIECES_RE)
+    exploded = pieces.explode().dropna()
+    if exploded.empty:
+        return pd.DataFrame(
+            {
+                "row": pd.Series([], dtype=np.int64),
+                "token": pd.Series([], dtype=object),
+                "token_idx": pd.Series([], dtype=np.int32),
+                "src_idx": pd.Series([], dtype=np.int32),
+                "src_len": pd.Series([], dtype=np.int32),
+            }
+        )
+    rows = exploded.index.to_numpy(dtype=np.int64)
+    lengths = exploded.str.len().to_numpy(dtype=np.int64)
+    # start offset = cumulative length of preceding pieces within the row
+    cum = np.cumsum(lengths) - lengths
+    row_change = np.empty(len(rows), dtype=bool)
+    row_change[0] = True
+    row_change[1:] = rows[1:] != rows[:-1]
+    # subtract the running total at each row start to restart per row
+    row_base = np.where(row_change, cum, 0)
+    np.maximum.accumulate(row_base, out=row_base)
+    starts = cum - row_base
+
+    is_token = ~exploded.str.match(r"\s").to_numpy(dtype=bool)
+    frame = pd.DataFrame(
+        {
+            "row": rows[is_token],
+            "token": exploded.to_numpy()[is_token],
+            "src_idx": starts[is_token].astype(np.int32),
+            "src_len": lengths[is_token].astype(np.int32),
+        }
+    )
+    # cumulative token index per row (reference WhiteSpaceTokenBreaker.cs:52)
+    frame["token_idx"] = frame.groupby("row").cumcount().astype(np.int32)
+    return frame[["row", "token", "token_idx", "src_idx", "src_len"]]
+
+
+def expand_prefixes(
+    tokens: pd.DataFrame,
+    min_len: int,
+    max_len: int,
+) -> pd.DataFrame:
+    """Generate prefix variations for a ``tokenize_frame`` output.
+
+    Returns rows with the same columns: each prefix of ``token`` with
+    length in [min_len, min(len, max_len)] *excluding* the full token,
+    keeping the parent's token_idx / src_idx / src_len (reference
+    PartialMatchingTokenBreaker.cs:99-107 — the source location is the
+    parent word's so that highlighting marks the whole word).
+    """
+    if tokens.empty:
+        return tokens.iloc[0:0]
+    tok = tokens["token"].to_numpy()
+    lens = tokens["token"].str.len().to_numpy(dtype=np.int64)
+    hi = np.minimum(lens, max_len)
+    counts = np.maximum(hi - min_len + 1, 0)
+    # exclude the prefix equal to the whole token (length == len(token))
+    counts = counts - ((lens <= max_len) & (lens >= min_len)).astype(np.int64)
+    counts = np.maximum(counts, 0)
+    if counts.sum() == 0:
+        return tokens.iloc[0:0]
+    parent_idx = np.repeat(np.arange(len(tokens)), counts)
+    # per-parent prefix lengths: min_len, min_len+1, ...
+    offsets = np.concatenate([np.arange(c) for c in counts if c > 0])
+    plens = min_len + offsets
+    out = tokens.iloc[parent_idx].copy().reset_index(drop=True)
+    out["token"] = [t[:n] for t, n in zip(tok[parent_idx], plens)]
+    return out

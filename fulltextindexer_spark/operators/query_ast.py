@@ -1,0 +1,161 @@
+"""Structured query language parser.
+
+Grammar (reference FullTextIndexer.Querier):
+
+- whitespace-separated terms are OR'd;
+- ``+seg`` marks the next single segment compulsory (AND);
+- ``-seg`` marks it excluded (NOT);
+- ``(...)`` groups segments (nesting allowed; an unmatched ``)`` at the
+  top level is ignored);
+- ``"..."`` is a precise/phrase match;
+- ``\\`` escapes the next character (including inside quotes);
+- empty content yields a NoMatch segment.
+
+Port of the recursive-descent analyser at
+FullTextIndexer.Querier/QueryAnalysers/ContentAnalysers/
+BreakPointCharacterAnalyser.cs:57-171 and
+ContentSectionCharacterAnalyser.cs:29-70; segment flattening per
+NonNullImmutableList_IQuerySegment_Extensions.cs:10-28.
+
+The parser runs driver-side only — query strings are tiny; no Spark
+involvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+class QuerySegment:
+    pass
+
+
+@dataclass(frozen=True)
+class Standard(QuerySegment):
+    value: str
+
+
+@dataclass(frozen=True)
+class Precise(QuerySegment):
+    value: str
+
+
+@dataclass(frozen=True)
+class Compulsory(QuerySegment):
+    segment: QuerySegment
+
+
+@dataclass(frozen=True)
+class Excluding(QuerySegment):
+    segment: QuerySegment
+
+
+@dataclass(frozen=True)
+class Combining(QuerySegment):
+    segments: tuple[QuerySegment, ...]
+
+
+@dataclass(frozen=True)
+class NoMatch(QuerySegment):
+    pass
+
+
+def _to_single_segment(segments: list[QuerySegment]) -> QuerySegment:
+    significant = [s for s in segments if not isinstance(s, NoMatch)]
+    if not significant:
+        return NoMatch()
+    if len(significant) == 1:
+        return significant[0]
+    return Combining(tuple(significant))
+
+
+def _parse_content_section(
+    text: str, pos: int, termination_chars: set[str], precise: bool
+) -> tuple[QuerySegment, int]:
+    """ContentSectionCharacterAnalyser.Process — accumulate content until a
+    termination char (or end), honouring backslash escapes."""
+    out: list[str] = []
+    strictly_content = False
+    while pos < len(text):
+        ch = text[pos]
+        if strictly_content:
+            strictly_content = False
+        else:
+            if ch == "\\":
+                strictly_content = True
+                pos += 1
+                continue
+            if ch in termination_chars:
+                break
+        out.append(ch)
+        pos += 1
+    content = "".join(out)
+    if content == "":
+        return NoMatch(), pos
+    return (Precise(content) if precise else Standard(content)), pos
+
+
+_WHITESPACE_TERMINATORS = None
+
+
+def _whitespace_terminators() -> set[str]:
+    global _WHITESPACE_TERMINATORS
+    if _WHITESPACE_TERMINATORS is None:
+        _WHITESPACE_TERMINATORS = {
+            chr(c) for c in range(0x10000) if chr(c).isspace()
+        }
+    return _WHITESPACE_TERMINATORS
+
+
+def _parse(
+    text: str, pos: int, bracketing_level: int, single_segment_only: bool
+) -> tuple[QuerySegment, int]:
+    segments: list[QuerySegment] = []
+    strictly_content = False
+    while pos < len(text):
+        if single_segment_only and segments:
+            break
+        ch = text[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        if strictly_content:
+            strictly_content = False
+        else:
+            if ch == "\\":
+                strictly_content = True
+                pos += 1
+                continue
+            if ch == "+":
+                seg, pos = _parse(text, pos + 1, 0, True)
+                segments.append(Compulsory(seg))
+                continue
+            if ch == "-":
+                seg, pos = _parse(text, pos + 1, 0, True)
+                segments.append(Excluding(seg))
+                continue
+            if ch == "(":
+                seg, pos = _parse(text, pos + 1, bracketing_level + 1, False)
+                segments.append(seg)
+                pos += 1  # skip the closing bracket (safe at end of input)
+                continue
+            if ch == ")":
+                if bracketing_level > 0:
+                    break
+                pos += 1  # unmatched close bracket at top level: ignore
+                continue
+            if ch == '"':
+                seg, pos = _parse_content_section(text, pos + 1, {'"'}, True)
+                segments.append(seg)
+                pos += 1  # skip the closing quote
+                continue
+        terminators = _whitespace_terminators() | {"(", ")"}
+        seg, pos = _parse_content_section(text, pos, terminators, False)
+        segments.append(seg)
+    return _to_single_segment(segments), pos
+
+
+def parse_query(search_term: str) -> QuerySegment:
+    """Parse a structured query string into its segment AST."""
+    segment, _ = _parse(search_term, 0, 0, False)
+    return segment

@@ -1,0 +1,407 @@
+"""Pure-Python oracle: the reference engine's semantics, verbatim, in float32.
+
+This module is the correctness anchor for the Spark engine: it
+re-implements index generation, exact / partial / consecutive matching
+and the structured-query translator as straightforward single-process
+Python with numpy float32 arithmetic, so every Spark result can be
+checked for rank- AND score-identity against it (and it, in turn, is
+validated against the reference's own unit-test assertions ported into
+``tests/``).
+
+Reference files reproduced here:
+- IndexGenerators/IndexGenerator.cs:56-195 (generate)
+- Indexes/IndexData.cs:52-62 (GetMatches)
+- Indexes/IndexData_Extensions_PartialMatches.cs:17-137
+- Indexes/IndexData_Extensions_ConsecutiveMatches.cs:27-230
+- Querier/QueryTranslators/QueryTranslator.cs:103-189
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from fulltextindexer_spark.config import IndexConfig
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.functions.tokenize import break_tokens
+from fulltextindexer_spark.operators import query_ast as ast
+
+F32 = np.float32
+
+
+def f32_sum(values: Iterable[float]) -> np.float32:
+    """Sequential left-to-right float32 sum (C# ``IEnumerable<float>.Sum()``
+    accumulates in float32 in document order)."""
+    acc = F32(0.0)
+    for v in values:
+        acc = F32(acc + F32(v))
+    return acc
+
+
+@dataclass(frozen=True)
+class Location:
+    """SourceFieldLocation (reference Indexes/SourceFieldLocation.cs:13-39)."""
+
+    field_idx: int
+    token_idx: int
+    src_idx: int
+    src_len: int
+    contribution: np.float32
+
+
+@dataclass(frozen=True)
+class Entry:
+    """WeightedEntry (reference Indexes/WeightedEntry.cs:7-37)."""
+
+    key: int
+    weight: np.float32
+    locations: Optional[tuple[Location, ...]]
+
+
+class OracleIndex:
+    """IndexData: normalised term → per-key combined entries."""
+
+    def __init__(
+        self,
+        data: dict[str, dict[int, Entry]],
+        normaliser: str,
+        break_chars: str,
+        positions_available: bool,
+    ):
+        self.data = data
+        self.normaliser = normaliser
+        self.break_chars = break_chars
+        self.positions_available = positions_available
+
+    def get_matches(self, source: str) -> list[Entry]:
+        """Exact lookup after normalising the whole source string
+        (reference IndexData.cs:52-62)."""
+        term = normalise_scalar(source, self.normaliser)
+        per_key = self.data.get(term)
+        if not per_key:
+            return []
+        return list(per_key.values())
+
+
+def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
+    """IndexGenerator.Generate (reference IndexGenerator.cs:56-195).
+
+    ``docs`` is a sequence of dicts with the key column and field columns.
+    Each field column contributes one content section; None is treated as
+    an empty section (the field index is still consumed, preserving the
+    reference's guarantee that field index i belongs to fields[i]).
+    """
+    # token → key → list of per-occurrence entries, in scan order
+    index_content: dict[str, dict[int, list[Entry]]] = {}
+    for doc in docs:
+        key = doc[config.key_column]
+        for field_idx, fld in enumerate(config.fields):
+            content = doc.get(fld.column) or ""
+            tokens = break_tokens(content, config.break_chars)
+            if config.prefix_expansion is not None:
+                pe = config.prefix_expansion
+                expanded = []
+                for tok, tidx, sidx, slen in tokens:
+                    expanded.append((tok, tidx, sidx, slen, F32(1.0)))
+                    if len(tok) >= pe.min_len:
+                        hi = min(len(tok), pe.max_len)
+                        for n in range(pe.min_len, hi + 1):
+                            if n == len(tok):
+                                continue
+                            expanded.append(
+                                (tok[:n], tidx, sidx, slen,
+                                 F32(pe.weight_multiplier))
+                            )
+                token_stream = expanded
+            else:
+                token_stream = [
+                    (tok, tidx, sidx, slen, F32(1.0))
+                    for tok, tidx, sidx, slen in tokens
+                ]
+            for tok, tidx, sidx, slen, tok_mult in token_stream:
+                norm = normalise_scalar(tok, config.normaliser)
+                if norm == "":
+                    continue
+                stop_mult = (
+                    config.stop_word_weight
+                    if norm in _normalised_stop_words(config)
+                    else 1.0
+                )
+                # matchWeight = TokenWeightDeterminer(norm) × token multiplier
+                # (reference IndexGenerator.cs:114)
+                weight = F32(F32(F32(fld.weight) * F32(stop_mult)) * tok_mult)
+                loc = Location(field_idx, tidx, sidx, slen, weight)
+                per_key = index_content.setdefault(norm, {})
+                per_key.setdefault(key, []).append(
+                    Entry(key, weight, (loc,))
+                )
+
+    combined: dict[str, dict[int, Entry]] = {}
+    for term, per_key in index_content.items():
+        combined[term] = {}
+        for key, entries in per_key.items():
+            locations = tuple(
+                loc for e in entries for loc in (e.locations or ())
+            )
+            combined[term][key] = Entry(
+                key,
+                f32_sum(e.weight for e in entries),
+                locations if config.capture_positions else None,
+            )
+    return OracleIndex(
+        combined, config.normaliser, config.break_chars,
+        config.capture_positions,
+    )
+
+
+def _normalised_stop_words(config: IndexConfig) -> frozenset[str]:
+    return frozenset(
+        normalise_scalar(w, config.normaliser) for w in config.stop_words
+    )
+
+
+# ---------------------------------------------------------------------------
+# GetPartialMatches — multi-term AND-sum scoring
+# ---------------------------------------------------------------------------
+
+
+def get_partial_matches(index: OracleIndex, source: str) -> list[Entry]:
+    """Reference IndexData_Extensions_PartialMatches.cs:17-81 with the
+    DefaultWeightCombiner (every query token index must match at least
+    once, else 0; otherwise float32 sum in match-list order). The query
+    tokens' weight multipliers are NOT applied (reference :42-47)."""
+    query_tokens = break_tokens(source, index.break_chars)
+    matches: list[tuple[Entry, int]] = []
+    for token_idx, (tok, _, _, _) in enumerate(query_tokens):
+        for entry in index.get_matches(tok):
+            matches.append((entry, token_idx))
+
+    n_terms = len(query_tokens)
+    results: list[Entry] = []
+    seen_order: list[int] = []
+    grouped: dict[int, list[tuple[Entry, int]]] = {}
+    for entry, tidx in matches:
+        if entry.key not in grouped:
+            seen_order.append(entry.key)
+        grouped.setdefault(entry.key, []).append((entry, tidx))
+    for key in seen_order:
+        group = grouped[key]
+        token_idxs = {tidx for _, tidx in group}
+        if any(t not in token_idxs for t in range(n_terms)):
+            continue
+        weight = f32_sum(e.weight for e, _ in group)
+        if weight <= 0:
+            continue
+        locations = (
+            None
+            if any(e.locations is None for e, _ in group)
+            else tuple(loc for e, _ in group for loc in e.locations)
+        )
+        results.append(Entry(key, weight, locations))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# GetConsecutiveMatches — positional phrase matching
+# ---------------------------------------------------------------------------
+
+
+def _split_entry(entry: Entry) -> list[Entry]:
+    """BreakWeightedEntryIntoIndividualSourceLocations (reference
+    IndexData_Extensions_ConsecutiveMatches.cs:204-230)."""
+    assert entry.locations is not None
+    if len(entry.locations) == 1:
+        return [entry]
+    return [
+        Entry(entry.key, loc.contribution, (loc,))
+        for loc in entry.locations
+    ]
+
+
+def get_consecutive_matches(index: OracleIndex, source: str) -> list[Entry]:
+    """Reference IndexData_Extensions_ConsecutiveMatches.cs:27-137 with the
+    default combiners (run weight = float32 sum × 2^(n-1); final per-key
+    weight = float32 sum of run weights)."""
+    if not index.positions_available:
+        raise ValueError("index must record source locations")
+    query_tokens = break_tokens(source, index.break_chars)
+    if len(query_tokens) == 1:
+        return index.get_matches(source)
+
+    # per query term: entries with the query token's weight multiplier
+    # applied (reference :55-64 — multiplier IS applied here; it is 1.0
+    # for the whitespace breaker)
+    matches_per_term: list[list[Entry]] = []
+    for tok, _, _, _ in query_tokens:
+        matches_per_term.append(
+            [
+                Entry(e.key, F32(e.weight * F32(1.0)), e.locations)
+                for e in index.get_matches(tok)
+            ]
+        )
+
+    runs: list[Entry] = []
+    first_units = [
+        u for e in matches_per_term[0] for u in _split_entry(e)
+    ]
+    for first in first_units:
+        run = [first]
+        f_loc = first.locations[0]
+        for term_idx in range(1, len(query_tokens)):
+            candidate = None
+            for e in matches_per_term[term_idx]:
+                for u in _split_entry(e):
+                    loc = u.locations[0]
+                    if (
+                        u.key == first.key
+                        and loc.field_idx == f_loc.field_idx
+                        and loc.token_idx == f_loc.token_idx + term_idx
+                    ):
+                        candidate = u
+                        break
+                if candidate is not None:
+                    break
+            if candidate is None:
+                break
+            run.append(candidate)
+        if len(run) < len(query_tokens):
+            continue
+        run_weight = F32(
+            f32_sum(u.weight for u in run) * F32(2 ** (len(run) - 1))
+        )
+        first_loc = run[0].locations[0]
+        last_loc = run[-1].locations[0]
+        runs.append(
+            Entry(
+                first.key,
+                run_weight,
+                (
+                    Location(
+                        first_loc.field_idx,
+                        first_loc.token_idx,
+                        first_loc.src_idx,
+                        (last_loc.src_idx + last_loc.src_len)
+                        - first_loc.src_idx,
+                        run_weight,
+                    ),
+                ),
+            )
+        )
+
+    # group by key, final combine = sum (reference :126-136, :174-180)
+    seen_order: list[int] = []
+    grouped: dict[int, list[Entry]] = {}
+    for r in runs:
+        if r.key not in grouped:
+            seen_order.append(r.key)
+        grouped.setdefault(r.key, []).append(r)
+    return [
+        Entry(
+            key,
+            f32_sum(r.weight for r in grouped[key]),
+            tuple(loc for r in grouped[key] for loc in r.locations),
+        )
+        for key in seen_order
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Structured query translator
+# ---------------------------------------------------------------------------
+
+
+class OracleQuerier:
+    """QueryTranslator over a lenient (standard) and a strict+positional
+    (precise) index. Reference QueryTranslator.cs:103-189."""
+
+    def __init__(self, standard: OracleIndex, precise: OracleIndex):
+        if not precise.positions_available:
+            raise ValueError("precise index must record source locations")
+        self.standard = standard
+        self.precise = precise
+        self._std_cache: dict[str, list[Entry]] = {}
+        self._precise_cache: dict[str, list[Entry]] = {}
+
+    def get_matches(self, search_term: str) -> list[Entry]:
+        segment = ast.parse_query(search_term)
+        if isinstance(segment, ast.Combining):
+            return self._reduce(list(segment.segments))
+        return self._reduce([segment])
+
+    def _std(self, value: str) -> list[Entry]:
+        if value not in self._std_cache:
+            self._std_cache[value] = self.standard.get_matches(value)
+        return self._std_cache[value]
+
+    def _prec(self, value: str) -> list[Entry]:
+        if value not in self._precise_cache:
+            self._precise_cache[value] = get_consecutive_matches(
+                self.precise, value
+            )
+        return self._precise_cache[value]
+
+    def _reduce(self, segments: list[ast.QuerySegment]) -> list[Entry]:
+        compulsory_keys: Optional[set[int]] = None
+        exclusion_keys: set[int] = set()
+        all_matches: list[Entry] = []
+        for seg in segments:
+            if isinstance(seg, ast.Combining):
+                all_matches.extend(self._reduce(list(seg.segments)))
+            elif isinstance(seg, ast.Compulsory):
+                seg_matches = self._reduce_single(seg.segment)
+                keys = {e.key for e in seg_matches}
+                if compulsory_keys is None:
+                    compulsory_keys = keys
+                else:
+                    compulsory_keys &= keys
+                all_matches.extend(seg_matches)
+            elif isinstance(seg, ast.Excluding):
+                exclusion_keys |= {
+                    e.key for e in self._reduce_single(seg.segment)
+                }
+            elif isinstance(seg, ast.NoMatch):
+                continue
+            elif isinstance(seg, ast.Precise):
+                all_matches.extend(self._prec(seg.value))
+            elif isinstance(seg, ast.Standard):
+                all_matches.extend(self._std(seg.value))
+            else:  # pragma: no cover
+                raise TypeError(f"unsupported segment {seg!r}")
+
+        filtered = [e for e in all_matches if e.key not in exclusion_keys]
+        if compulsory_keys is not None:
+            filtered = [e for e in filtered if e.key in compulsory_keys]
+
+        seen_order: list[int] = []
+        grouped: dict[int, list[Entry]] = {}
+        for e in filtered:
+            if e.key not in grouped:
+                seen_order.append(e.key)
+            grouped.setdefault(e.key, []).append(e)
+        return [
+            Entry(
+                key,
+                f32_sum(e.weight for e in grouped[key]),
+                None
+                if any(e.locations is None for e in grouped[key])
+                else tuple(
+                    loc for e in grouped[key] for loc in e.locations
+                ),
+            )
+            for key in seen_order
+        ]
+
+    def _reduce_single(self, seg: ast.QuerySegment) -> list[Entry]:
+        if isinstance(seg, ast.Combining):
+            return self._reduce(list(seg.segments))
+        return self._reduce([seg])
+
+
+def ranked(entries: list[Entry]) -> list[tuple[int, float]]:
+    """Deterministic presentation order: weight desc, key asc."""
+    return sorted(
+        ((e.key, float(e.weight)) for e in entries),
+        key=lambda kv: (-kv[1], kv[0]),
+    )

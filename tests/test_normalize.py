@@ -1,0 +1,99 @@
+"""Normaliser parity tests, ported from the reference unit tests.
+
+Sources:
+- UnitTests/FullTextIndexer/Indexes/TernarySearchTree/
+  EnglishPluarityStringNormaliserTests.cs:19-136
+- UnitTests/FullTextIndexer/Indexes/TernarySearchTree/
+  DefaultStringNormaliserTests.cs:19-28
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from fulltextindexer_spark.functions.normalize import (
+    default_normalise,
+    default_normalise_series,
+    english_plurality_normalise,
+    english_plurality_normalise_series,
+    stem_sql_case_expr,
+)
+
+PLURAL_PAIRS = [
+    ("cat", "cats"),
+    ("category", "categories"),
+    ("child", "children"),
+    ("medium", "media"),
+    ("cactus", "cactii"),
+    ("formula", "formulae"),
+    ("formula", "formulas"),
+    ("index", "indexes"),
+    ("index", "indices"),
+    ("matrix", "matrices"),
+    ("vertex", "vertices"),
+    ("datum", "data"),
+    ("man", "men"),
+    ("woman", "women"),
+    ("one", "ones"),
+    ("rune", "runes"),
+    ("tome", "tomes"),
+    ("technique", "techniques"),
+]
+
+
+def test_cat_to_cat_tilde():
+    assert english_plurality_normalise("cat") == "cat~"
+    assert english_plurality_normalise("cats") == "cat~"
+
+
+@pytest.mark.parametrize("singular,plural", PLURAL_PAIRS)
+def test_plural_pairs_match(singular, plural):
+    assert english_plurality_normalise(singular) == english_plurality_normalise(plural)
+
+
+def test_idempotence():
+    # StemmingStringNormaliser.cs:98-100 — '~' marker gives stability
+    for w in ["cats", "categories", "indices", "running", "cat~"]:
+        once = english_plurality_normalise(w)
+        assert english_plurality_normalise(once) == once
+
+
+def test_default_normaliser_lowercases_and_strips_accents():
+    # DefaultStringNormaliserTests.cs:19-28
+    assert default_normalise("Cat") == "cat"
+    assert default_normalise("mangé") == "mange"
+
+
+def test_default_normaliser_punctuation_and_whitespace():
+    assert default_normalise("cat.") == "cat"
+    assert default_normalise("  a\r\nb\tc  ") == "a b c"
+    assert default_normalise("don't") == "dont"
+
+
+def test_series_matches_scalar():
+    words = ["Cats", "categories", "mangé", "Indexes", "the", "", "cat~", "x"]
+    series_out = english_plurality_normalise_series(pd.Series(words)).tolist()
+    scalar_out = [english_plurality_normalise(w) for w in words]
+    assert series_out == scalar_out
+
+    d_series = default_normalise_series(pd.Series(words)).tolist()
+    d_scalar = [default_normalise(w) for w in words]
+    assert d_series == d_scalar
+
+
+def test_sql_stem_expr_matches_python_in_duckdb():
+    """The SQL rendering of the rule table (used by the Spark fast path
+    and the DuckDB oracle) must agree with the Python implementation."""
+    words = (
+        [s for s, _ in PLURAL_PAIRS]
+        + [p for _, p in PLURAL_PAIRS]
+        + ["running", "abacuses", "glasses", "monkeys", "x", "y", "ya",
+           "es", "ses", "s", "ii", "us", "cat~", "tome", "me", "ne"]
+    )
+    expr = stem_sql_case_expr("w")
+    df = pd.DataFrame({"w": words})
+    got = duckdb.sql(f"SELECT {expr} AS n FROM df").fetchall()
+    expected = [
+        (english_plurality_normalise(w),) for w in words
+    ]
+    assert got == expected

@@ -1,0 +1,204 @@
+"""Oracle end-to-end tests, ported from the reference's own assertions.
+
+Sources:
+- UnitTests/FullTextIndexer/IndexGenerators/IndexGeneratorTests.cs:16-155
+- UnitTests/Querier/QuerierTests.cs:19-61
+- README.md:36-55 ('cat posts' example)
+"""
+
+import numpy as np
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark import oracle
+
+# -- fixtures ---------------------------------------------------------------
+
+PRODUCTS_CONFIG = IndexConfig(
+    key_column="key",
+    fields=(FieldConfig("name", 1.0), FieldConfig("description", 1.0)),
+    normaliser="english_plurality",
+    stop_words=frozenset(),  # IndexGeneratorTests uses no stop words
+)
+
+POSTS_CONFIG = IndexConfig(
+    key_column="id",
+    fields=(FieldConfig("title", 1.0), FieldConfig("content", 1.0)),
+)
+
+PRECISE_POSTS_CONFIG = IndexConfig(
+    key_column="id",
+    fields=(FieldConfig("title", 1.0), FieldConfig("content", 1.0)),
+    normaliser="default",
+    break_chars="<>[](){}.,",  # QuerierTests.cs precise-index break set
+)
+
+# QuerierTests.cs:51-61 — copy verbatim
+POSTS_B = [
+    {
+        "id": 30,
+        "title": "The Full Text Indexer",
+        "content": (
+            "I started out on a journey a few months ago being "
+            "frustrated by the Lucene.net integration we had with one of our "
+            "products at work (I'm not badmouthing the Lucene project, I'm "
+            "wholeheartedly blaming the integration I inherited!)"
+        ),
+    },
+    {
+        "id": 31,
+        "title": "The Full Text Indexer - Adding and Subtracting",
+        "content": (
+            "The Full Text Indexer that I talked about last time took a "
+            "definition for an Index Generator for a specific TSource type "
+            "and produced an IndexData instance, using that generator, for "
+            "a TSource set."
+        ),
+    },
+    {
+        "id": 32,
+        "title": "The Full Text Indexer - Going International!",
+        "content": (
+            "Pushing on with the Full Text Indexer series I'm been posting "
+            "about (see Full Text Indexer and Full Text Indexer - Adding "
+            "and Subtracting) I want to demonstrate how it can work with "
+            "multi-lingual content"
+        ),
+    },
+]
+
+# README.md:37-40
+POSTS_A = [
+    {"id": 1, "title": "One", "content": "This is a post about a cat."},
+    {
+        "id": 2,
+        "title": "Two",
+        "content": "A follow-up post, also about cats. Cats are the best.",
+    },
+    {"id": 3, "title": "Three", "content": "Today I talk about dogs."},
+]
+
+
+# -- IndexGenerator tests ---------------------------------------------------
+
+
+def test_single_doc_single_field_match():
+    # IndexGeneratorTests.cs:16-43
+    idx = oracle.generate_index(
+        [{"key": 1, "name": "Product", "description": None}], PRODUCTS_CONFIG
+    )
+    matches = idx.get_matches("Product")
+    assert len(matches) == 1
+    e = matches[0]
+    assert e.key == 1
+    assert float(e.weight) == 1.0
+    assert e.locations == (
+        oracle.Location(0, 0, 0, 7, np.float32(1.0)),
+    )
+
+
+def test_cross_field_weight_summing():
+    # IndexGeneratorTests.cs:46-84 — 1+1=2 across field indexes 0 and 1
+    idx = oracle.generate_index(
+        [{"key": 1, "name": "Product", "description": "Product"}],
+        PRODUCTS_CONFIG,
+    )
+    matches = idx.get_matches("Product")
+    assert len(matches) == 1
+    e = matches[0]
+    assert float(e.weight) == 2.0
+    assert [loc.field_idx for loc in e.locations] == [0, 1]
+
+
+def test_field_index_zero_reservation():
+    # IndexGeneratorTests.cs:91-126 — empty first field still consumes
+    # field index 0, so the description match reports field index 1
+    idx = oracle.generate_index(
+        [{"key": 1, "name": "", "description": "Product"}], PRODUCTS_CONFIG
+    )
+    matches = idx.get_matches("Product")
+    assert len(matches) == 1
+    assert [loc.field_idx for loc in matches[0].locations] == [1]
+
+
+def test_remove_by_key():
+    # IndexGeneratorTests.cs:129-155 — Remove maps to filtering docs out
+    docs = [
+        {"key": 1, "name": "", "description": "Product"},
+        {"key": 2, "name": "", "description": "Product"},
+    ]
+    idx = oracle.generate_index(
+        [d for d in docs if d["key"] != 2], PRODUCTS_CONFIG
+    )
+    assert len(idx.get_matches("Product")) == 1
+
+
+# -- GetPartialMatches ------------------------------------------------------
+
+
+def test_cat_posts_partial_matches():
+    # README.md:19, 42-49 — both posts 1 & 2 match; post 2 ranks higher
+    idx = oracle.generate_index(POSTS_A, POSTS_CONFIG)
+    results = oracle.ranked(oracle.get_partial_matches(idx, "cat posts"))
+    keys = [k for k, _ in results]
+    assert set(keys) == {1, 2}
+    weights = dict(results)
+    assert weights[2] > weights[1]
+
+
+def test_partial_matches_requires_all_terms():
+    idx = oracle.generate_index(POSTS_A, POSTS_CONFIG)
+    # 'dogs cat' — no post contains both
+    assert oracle.get_partial_matches(idx, "dogs cat") == []
+
+
+# -- Querier (structured queries) ------------------------------------------
+
+
+def _querier():
+    standard = oracle.generate_index(POSTS_B, POSTS_CONFIG)
+    precise = oracle.generate_index(POSTS_B, PRECISE_POSTS_CONFIG)
+    return oracle.OracleQuerier(standard, precise)
+
+
+def test_querier_single_term():
+    # QuerierTests.cs:19-25
+    results = _querier().get_matches("Generator")
+    assert len(results) == 1
+    assert results[0].key == 31
+    assert float(results[0].weight) == 2.0
+
+
+def test_querier_two_terms_or():
+    # QuerierTests.cs:32-40
+    results = oracle.ranked(_querier().get_matches("wholeheartedly pushing"))
+    assert results == [(30, 1.0), (32, 1.0)]
+
+
+def test_querier_two_compulsory_terms():
+    # QuerierTests.cs:43-49
+    results = _querier().get_matches("+Adding +TSource")
+    assert len(results) == 1
+    assert results[0].key == 31
+    assert float(results[0].weight) == 3.0
+
+
+def test_querier_exclusion():
+    results = oracle.ranked(_querier().get_matches("indexer -international"))
+    keys = [k for k, _ in results]
+    assert 32 not in keys
+    assert set(keys) == {30, 31}
+
+
+def test_querier_phrase():
+    # '"Full Text Indexer"' must match all three posts via positions
+    results = _querier().get_matches('"Full Text Indexer"')
+    assert {e.key for e in results} == {30, 31, 32}
+
+
+def test_stop_words_downweighted_not_dropped():
+    idx = oracle.generate_index(POSTS_B, POSTS_CONFIG)
+    matches = idx.get_matches("the")
+    assert matches, "stop words must remain searchable"
+    for e in matches:
+        # every occurrence contributes 0.01
+        assert float(e.weight) < 1.0

@@ -1,0 +1,86 @@
+"""Structured query parser tests, ported from
+UnitTests/Querier/QueryAnalysers/ContentAnalysers/BreakPointCharacterAnalyserTests.cs:15-142.
+"""
+
+from fulltextindexer_spark.operators.query_ast import (
+    Combining,
+    Compulsory,
+    Excluding,
+    NoMatch,
+    Precise,
+    Standard,
+    parse_query,
+)
+
+
+def test_leading_and_trailing_whitespace_ignored():
+    assert parse_query(" test ") == Standard("test")
+
+
+def test_quoted_sections_do_not_end_on_whitespace():
+    assert parse_query('"test test"') == Precise("test test")
+
+
+def test_quoted_sections_support_quote_escaping():
+    assert parse_query('"test\\"test"') == Precise('test"test')
+
+
+def test_nested_brackets():
+    assert parse_query("test0 (test1 (test2 test3)) test4") == Combining(
+        (
+            Standard("test0"),
+            Combining(
+                (
+                    Standard("test1"),
+                    Combining((Standard("test2"), Standard("test3"))),
+                )
+            ),
+            Standard("test4"),
+        )
+    )
+
+
+def test_brackets_without_surrounding_whitespace():
+    assert parse_query("test0(test1 test2)") == Combining(
+        (
+            Standard("test0"),
+            Combining((Standard("test1"), Standard("test2"))),
+        )
+    )
+
+
+def test_brackets_can_be_escaped():
+    assert parse_query("test0\\(test1 test2\\)") == Combining(
+        (Standard("test0(test1"), Standard("test2)"))
+    )
+
+
+def test_compulsory_with_quoted_section():
+    assert parse_query('+"test0 test1"') == Compulsory(Precise("test0 test1"))
+
+
+def test_compulsory_with_brackets():
+    assert parse_query("+(test0 test1)") == Compulsory(
+        Combining((Standard("test0"), Standard("test1")))
+    )
+
+
+def test_fruit_nut_example():
+    # BreakPointCharacterAnalyser.cs:10-24 doc example
+    assert parse_query("+fruit +nut +(apples pears bananas) -orange") == Combining(
+        (
+            Compulsory(Standard("fruit")),
+            Compulsory(Standard("nut")),
+            Compulsory(
+                Combining(
+                    (Standard("apples"), Standard("pears"), Standard("bananas"))
+                )
+            ),
+            Excluding(Standard("orange")),
+        )
+    )
+
+
+def test_empty_and_unmatched_close_bracket():
+    assert parse_query("") == NoMatch()
+    assert parse_query(")test") == Standard("test")

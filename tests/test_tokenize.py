@@ -1,0 +1,72 @@
+"""Tokenizer parity tests.
+
+Sources:
+- UnitTests/FullTextIndexer/TokenBreaking/WhiteSpaceTokenBreakerTests.cs:13-29
+- break-char handling: Core/TokenBreaking/WhiteSpaceExtendingTokenBreaker.cs:25-34
+- prefix expansion: Core/TokenBreaking/PartialMatchingTokenBreaker.cs:70-176
+"""
+
+import pandas as pd
+
+from fulltextindexer_spark.functions.tokenize import (
+    break_tokens,
+    expand_prefixes,
+    tokenize_frame,
+)
+
+
+def test_whitespace_breaker_source_locations():
+    # WhiteSpaceTokenBreakerTests.cs:13-29 — exact quadruples
+    value = " one    two\r\nthree four "
+    assert break_tokens(value, break_chars="") == [
+        ("one", 0, 1, 3),
+        ("two", 1, 8, 3),
+        ("three", 2, 13, 5),
+        ("four", 3, 19, 4),
+    ]
+
+
+def test_break_chars_are_treated_as_whitespace_offsets_preserved():
+    value = "a.b(c)"
+    assert break_tokens(value) == [
+        ("a", 0, 0, 1),
+        ("b", 1, 2, 1),
+        ("c", 2, 4, 1),
+    ]
+
+
+def test_tokenize_frame_matches_scalar():
+    values = [
+        " one    two\r\nthree four ",
+        "a.b(c)",
+        "",
+        "   ",
+        "lower-cased content",
+        "x",
+    ]
+    frame = tokenize_frame(pd.Series(values))
+    got = {
+        row: list(g[["token", "token_idx", "src_idx", "src_len"]].itertuples(
+            index=False, name=None))
+        for row, g in frame.groupby("row")
+    }
+    for i, v in enumerate(values):
+        expected = break_tokens(v)
+        assert got.get(i, []) == expected, f"row {i}: {v!r}"
+
+
+def test_prefix_expansion():
+    tokens = tokenize_frame(pd.Series(["alpha be"]))
+    out = expand_prefixes(tokens, min_len=3, max_len=255)
+    # 'alpha' → prefixes alp, alph (not alpha itself); 'be' too short
+    assert sorted(out["token"].tolist()) == ["alp", "alph"]
+    # parent source location preserved
+    assert set(out["src_idx"].tolist()) == {0}
+    assert set(out["src_len"].tolist()) == {5}
+    assert set(out["token_idx"].tolist()) == {0}
+
+
+def test_prefix_expansion_max_len():
+    tokens = tokenize_frame(pd.Series(["abcdefgh"]))
+    out = expand_prefixes(tokens, min_len=2, max_len=4)
+    assert sorted(out["token"].tolist()) == ["ab", "abc", "abcd"]
