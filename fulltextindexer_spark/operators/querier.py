@@ -1,0 +1,148 @@
+"""Structured query evaluation (the reference's Querier/QueryTranslator).
+
+Parses ``+term -term "phrase" (nested)`` on the driver
+(:mod:`query_ast`), then evaluates the AST bottom-up as DataFrames:
+
+- Standard leaves  → exact lookup on the *lenient* index
+- Precise leaves   → consecutive/phrase matching on the *strict*
+  positional index
+- Compulsory       → intersection of key sets (inner joins → left_semi)
+- Excluding        → left_anti join
+- OR/union         → ``unionByName`` + per-doc ordered fold
+
+Reference: Querier/QueryTranslators/QueryTranslator.cs:103-189,
+Querier/Querier.cs:59-70. Per-term results are cached per query
+(CachingResultMatcher, QueryTranslator.cs:191-220) as driver-side
+DataFrame reuse.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import query_ast as ast
+from fulltextindexer_spark.operators.index_build import InvertedIndex
+from fulltextindexer_spark.operators.query import (
+    _f32_fold_sum,
+    get_consecutive_matches,
+    get_matches,
+)
+
+
+class SparkQuerier:
+    """Evaluates structured queries against a lenient + a precise index.
+
+    The two indexes must be built over the same documents; the precise
+    one must record positions (QueryTranslator.cs:48-49).
+    """
+
+    def __init__(self, standard: InvertedIndex, precise: InvertedIndex):
+        if not precise.config.capture_positions:
+            raise ValueError("precise index must record source locations")
+        self.standard = standard
+        self.precise = precise
+        self._std_cache: dict[str, DataFrame] = {}
+        self._precise_cache: dict[str, DataFrame] = {}
+
+    def get_matches(
+        self, search_term: str, k: Optional[int] = None
+    ) -> DataFrame:
+        """Returns (doc_id, score); optionally top-k (score desc, doc asc)."""
+        segment = ast.parse_query(search_term)
+        if isinstance(segment, ast.Combining):
+            result = self._reduce(list(segment.segments))
+        else:
+            result = self._reduce([segment])
+        if k is not None:
+            result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return result
+
+    # -- leaf retrieval (cached per query string) ---------------------------
+
+    def _std(self, value: str) -> DataFrame:
+        if value not in self._std_cache:
+            self._std_cache[value] = get_matches(self.standard, value).select(
+                "doc_id", F.col("weight").alias("score")
+            )
+        return self._std_cache[value]
+
+    def _prec(self, value: str) -> DataFrame:
+        if value not in self._precise_cache:
+            self._precise_cache[value] = get_consecutive_matches(
+                self.precise, value
+            )
+        return self._precise_cache[value]
+
+    # -- AST reduction ------------------------------------------------------
+
+    def _reduce(self, segments: list[ast.QuerySegment]) -> DataFrame:
+        inclusive: list[DataFrame] = []  # each: (doc_id, score)
+        compulsory_sets: list[DataFrame] = []
+        exclusion_sets: list[DataFrame] = []
+        for seg in segments:
+            if isinstance(seg, ast.Combining):
+                inclusive.append(self._reduce(list(seg.segments)))
+            elif isinstance(seg, ast.Compulsory):
+                seg_df = self._reduce_single(seg.segment)
+                compulsory_sets.append(seg_df.select("doc_id").distinct())
+                inclusive.append(seg_df)
+            elif isinstance(seg, ast.Excluding):
+                exclusion_sets.append(
+                    self._reduce_single(seg.segment).select("doc_id").distinct()
+                )
+            elif isinstance(seg, ast.NoMatch):
+                continue
+            elif isinstance(seg, ast.Precise):
+                inclusive.append(self._prec(seg.value))
+            elif isinstance(seg, ast.Standard):
+                inclusive.append(self._std(seg.value))
+            else:  # pragma: no cover
+                raise TypeError(f"unsupported segment {seg!r}")
+
+        if not inclusive:
+            # no inclusive segments → empty result set
+            return self._empty()
+
+        # tag each leaf with its position so the final per-doc combine
+        # folds weights in segment order (float32 parity with the
+        # reference's list-order sum)
+        tagged = [
+            df.select(
+                "doc_id", F.lit(i).alias("ord"), F.col("score")
+            )
+            for i, df in enumerate(inclusive)
+        ]
+        unioned = tagged[0]
+        for df in tagged[1:]:
+            unioned = unioned.unionByName(df)
+
+        # exclusions: left_anti (QueryTranslator.cs:176)
+        for ex in exclusion_sets:
+            unioned = unioned.join(F.broadcast(ex), "doc_id", "left_anti")
+        # compulsory: intersect key sets then left_semi (:132-142, :177-178)
+        if compulsory_sets:
+            keys = compulsory_sets[0]
+            for s in compulsory_sets[1:]:
+                keys = keys.join(s, "doc_id", "inner")
+            unioned = unioned.join(F.broadcast(keys), "doc_id", "left_semi")
+
+        agg = unioned.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("ord", "score"))).alias("lst")
+        )
+        return agg.select(
+            "doc_id",
+            _f32_fold_sum(F.col("lst"), lambda x: x["score"]).alias("score"),
+        )
+
+    def _reduce_single(self, seg: ast.QuerySegment) -> DataFrame:
+        if isinstance(seg, ast.Combining):
+            return self._reduce(list(seg.segments))
+        return self._reduce([seg])
+
+    def _empty(self) -> DataFrame:
+        return self.standard.postings.select(
+            "doc_id", F.col("weight").alias("score")
+        ).limit(0)

@@ -1,0 +1,211 @@
+"""Query evaluation over an :class:`InvertedIndex`.
+
+The reference's query ops are dictionary lookups + set combination; in
+Spark they become broadcast joins against the postings table:
+
+- exact lookup  (IndexData.cs:52-62)           → term-equality filter /
+  broadcast join; parquet min/max stats prune partitions when the index
+  was saved term-range-partitioned.
+- GetPartialMatches (IndexData_Extensions_PartialMatches.cs:17-137)
+  → broadcast the tokenised query, one ``groupBy(doc_id)`` shuffle,
+  AND-filter on matched-token count, ordered double-fold of float32
+  weights cast to float32 (.NET ``Sum(float)`` parity), top-k via
+  ``orderBy().limit()`` (Spark TakeOrdered).
+- GetConsecutiveMatches (IndexData_Extensions_ConsecutiveMatches.cs:27-137)
+  → explode positions, chain of equi-joins on (doc, field,
+  token_idx+i) over the (small) per-term match sets, run weight =
+  sum × 2^(n-1), per-doc final sum ordered by (field, token).
+
+All scoring arithmetic stays JVM-side (whole-stage codegen) — Python is
+used only to tokenise the query string on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.functions.tokenize import break_tokens
+from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+
+def _f32_fold_sum(sorted_list: Column, value=lambda x: x["weight"]) -> Column:
+    """Double-accumulator left fold over a sorted array of structs,
+    cast to float32 at the end (.NET ``Enumerable.Sum(float)``)."""
+    return F.aggregate(
+        sorted_list,
+        F.lit(0.0),
+        lambda acc, x: acc + value(x).cast("double"),
+    ).cast("float")
+
+
+def get_matches(index: InvertedIndex, source: str) -> DataFrame:
+    """Exact single-term lookup. Returns (doc_id, weight[, positions])."""
+    term = normalise_scalar(source, index.config.normaliser)
+    cols = ["doc_id", "weight"] + (
+        ["positions"] if index.config.capture_positions else []
+    )
+    if term == "":
+        return index.postings.select(*cols).limit(0)
+    return index.postings.where(F.col("term") == F.lit(term)).select(*cols)
+
+
+def _query_terms_df(index: InvertedIndex, source: str):
+    """Tokenise + normalise the query on the driver; returns
+    [(term, token_idx)] keeping empty-normalised tokens out but
+    preserving the original token indexes (reference tags matches with
+    the *query* token index, PartialMatches.cs:39-47)."""
+    tokens = break_tokens(source, index.config.break_chars)
+    rows = []
+    for token_idx, (tok, _, _, _) in enumerate(tokens):
+        term = normalise_scalar(tok, index.config.normaliser)
+        rows.append((term, token_idx))
+    return rows, len(tokens)
+
+
+def get_partial_matches(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """Multi-term AND-sum scoring. Returns (doc_id, score), optionally
+    top-k ordered by (score desc, doc_id asc)."""
+    spark = index.postings.sparkSession
+    rows, n_tokens = _query_terms_df(index, source)
+    if n_tokens == 0:
+        return (
+            index.postings.select(
+                F.col("doc_id"), F.col("weight").alias("score")
+            ).limit(0)
+        )
+    qdf = spark.createDataFrame(rows, "term string, token_idx int")
+    matched = index.postings.join(F.broadcast(qdf), "term")
+    agg = matched.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("token_idx", "weight"))
+        ).alias("lst")
+    )
+    # AND semantics: every query token index 0..n-1 matched at least once
+    # (DefaultWeightCombiner, PartialMatches.cs:115-137)
+    n_distinct = F.size(
+        F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+    )
+    result = (
+        agg.where(n_distinct == F.lit(n_tokens))
+        .select(
+            "doc_id",
+            _f32_fold_sum(F.col("lst")).alias("score"),
+        )
+        .where(F.col("score") > 0)
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
+def get_consecutive_matches(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """Positional phrase matching. Returns (doc_id, score)."""
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for consecutive matching"
+        )
+    spark = index.postings.sparkSession
+    tokens = break_tokens(source, index.config.break_chars)
+    if len(tokens) == 1:
+        result = get_matches(index, source).select(
+            "doc_id", F.col("weight").alias("score")
+        )
+        if k is not None:
+            result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return result
+    if not tokens:
+        return (
+            index.postings.select(
+                F.col("doc_id"), F.col("weight").alias("score")
+            ).limit(0)
+        )
+
+    n = len(tokens)
+    rows = [
+        (normalise_scalar(tok, index.config.normaliser), idx)
+        for idx, (tok, _, _, _) in enumerate(tokens)
+    ]
+    qdf = spark.createDataFrame(rows, "term string, term_idx int")
+    units = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            "term_idx",
+            F.explode("positions").alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "term_idx",
+            F.col("pos.field_idx").alias("field_idx"),
+            F.col("pos.token_idx").alias("token_idx"),
+            F.col("pos.src_idx").alias("src_idx"),
+            F.col("pos.src_len").alias("src_len"),
+            F.col("pos.contribution").alias("w"),
+        )
+    )
+
+    run = units.where(F.col("term_idx") == 0).select(
+        "doc_id",
+        "field_idx",
+        F.col("token_idx").alias("anchor_tok"),
+        F.col("w").alias("w0"),
+    )
+    for i in range(1, n):
+        ui = (
+            units.where(F.col("term_idx") == i)
+            .select(
+                F.col("doc_id").alias(f"d{i}"),
+                F.col("field_idx").alias(f"f{i}"),
+                F.col("token_idx").alias(f"t{i}"),
+                F.col("w").alias(f"w{i}"),
+            )
+        )
+        run = run.join(
+            ui,
+            on=[
+                run["doc_id"] == ui[f"d{i}"],
+                run["field_idx"] == ui[f"f{i}"],
+                ui[f"t{i}"] == run["anchor_tok"] + F.lit(i),
+            ],
+            how="inner",
+        ).drop(f"d{i}", f"f{i}", f"t{i}")
+
+    # run weight = float32(sum of the n contributions) × 2^(n-1)
+    # (DefaultConsecutiveRunsWeightCombiner, ConsecutiveMatches.cs:163-169)
+    weights_arr = F.array(*[F.col(f"w{i}" if i else "w0") for i in range(n)])
+    run_weight = (
+        F.aggregate(
+            weights_arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).cast("float")
+        * F.lit(float(2 ** (n - 1)))
+    ).cast("float")
+    runs = run.select(
+        "doc_id", "field_idx", "anchor_tok", run_weight.alias("run_w")
+    )
+
+    # final per-doc combine = sum of run weights in run-enumeration order
+    # (field_idx, anchor token) — DefaultFinalMatchWeightCombiner
+    agg = runs.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("field_idx", "anchor_tok", "run_w"))
+        ).alias("lst")
+    )
+    result = agg.select(
+        "doc_id", _f32_fold_sum(F.col("lst"), lambda x: x["run_w"]).alias("score")
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
+def top_k(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: score desc, doc_id asc (TakeOrdered)."""
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -32,12 +32,12 @@ F32 = np.float32
 
 
 def f32_sum(values: Iterable[float]) -> np.float32:
-    """Sequential left-to-right float32 sum (C# ``IEnumerable<float>.Sum()``
-    accumulates in float32 in document order)."""
-    acc = F32(0.0)
+    """.NET ``Enumerable.Sum(IEnumerable<float>)`` semantics: accumulate in
+    double (left-to-right), cast the result to float32."""
+    acc = 0.0
     for v in values:
-        acc = F32(acc + F32(v))
-    return acc
+        acc += float(v)
+    return F32(acc)
 
 
 @dataclass(frozen=True)

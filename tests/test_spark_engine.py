@@ -1,0 +1,225 @@
+"""Spark engine vs oracle: rank- and float32-score-identity.
+
+The oracle itself is pinned to the reference's unit-test assertions
+(tests/test_oracle.py), so equality here transitively pins the Spark
+engine to the reference semantics.
+"""
+
+import numpy as np
+import pytest
+
+from fulltextindexer_spark.config import (
+    FieldConfig,
+    IndexConfig,
+    PrefixExpansionConfig,
+)
+from fulltextindexer_spark import oracle
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import (
+    InvertedIndex,
+    build_index,
+    build_term_dictionary,
+)
+from fulltextindexer_spark.operators.querier import SparkQuerier
+
+from tests.test_oracle import (
+    POSTS_A,
+    POSTS_B,
+    POSTS_CONFIG,
+    PRECISE_POSTS_CONFIG,
+    PRODUCTS_CONFIG,
+)
+
+
+def _docs_df(spark, docs, schema="id long, title string, content string"):
+    return spark.createDataFrame(
+        [tuple(d.get(c.strip().split(" ")[0]) for c in schema.split(","))
+         for d in docs],
+        schema,
+    )
+
+
+def _scores(df):
+    return sorted(
+        ((r["doc_id"], r["score"]) for r in df.collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+
+
+@pytest.fixture(scope="module")
+def posts_b_index(spark):
+    return build_index(_docs_df(spark, POSTS_B), POSTS_CONFIG)
+
+
+@pytest.fixture(scope="module")
+def posts_b_precise(spark):
+    return build_index(_docs_df(spark, POSTS_B), PRECISE_POSTS_CONFIG)
+
+
+def test_postings_match_oracle_exactly(spark, posts_b_index):
+    """Every (term, doc, weight) pair and every position must equal the
+    oracle index."""
+    oracle_idx = oracle.generate_index(POSTS_B, POSTS_CONFIG)
+    got = {
+        (r["term"], r["doc_id"]): r
+        for r in posts_b_index.postings.collect()
+    }
+    expected = {
+        (term, key): entry
+        for term, per_key in oracle_idx.data.items()
+        for key, entry in per_key.items()
+    }
+    assert set(got) == set(expected)
+    for k, entry in expected.items():
+        row = got[k]
+        assert np.float32(row["weight"]) == entry.weight, k
+        got_pos = [
+            (p["field_idx"], p["token_idx"], p["src_idx"], p["src_len"],
+             np.float32(p["contribution"]))
+            for p in row["positions"]
+        ]
+        exp_pos = [
+            (l.field_idx, l.token_idx, l.src_idx, l.src_len, l.contribution)
+            for l in entry.locations
+        ]
+        assert got_pos == exp_pos, k
+
+
+def test_get_matches_parity(spark, posts_b_index):
+    oracle_idx = oracle.generate_index(POSTS_B, POSTS_CONFIG)
+    for term in ["Generator", "the", "TSource", "missing-term", "Adding"]:
+        got = sorted(
+            (r["doc_id"], np.float32(r["weight"]))
+            for r in q.get_matches(posts_b_index, term).collect()
+        )
+        exp = sorted(
+            (e.key, e.weight) for e in oracle_idx.get_matches(term)
+        )
+        assert got == exp, term
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["cat posts", "dogs cat", "cat", "posts about", "the cat"],
+)
+def test_partial_matches_parity_posts_a(spark, query):
+    idx = build_index(_docs_df(spark, POSTS_A), POSTS_CONFIG)
+    oracle_idx = oracle.generate_index(POSTS_A, POSTS_CONFIG)
+    got = _scores(q.get_partial_matches(idx, query))
+    exp = [
+        (k, float(w))
+        for k, w in oracle.ranked(oracle.get_partial_matches(oracle_idx, query))
+    ]
+    assert got == exp, query
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"Full Text Indexer"',
+        '"full text"',
+        '"Adding and Subtracting"',
+        '"text indexer - adding"',
+        '"nonexistent phrase here"',
+        '"Indexer"',
+    ],
+)
+def test_consecutive_matches_parity(spark, posts_b_precise, query):
+    phrase = query.strip('"')
+    oracle_idx = oracle.generate_index(POSTS_B, PRECISE_POSTS_CONFIG)
+    got = _scores(q.get_consecutive_matches(posts_b_precise, phrase))
+    exp = [
+        (k, float(w))
+        for k, w in oracle.ranked(
+            oracle.get_consecutive_matches(oracle_idx, phrase)
+        )
+    ]
+    assert got == exp, query
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "Generator",
+        "wholeheartedly pushing",
+        "+Adding +TSource",
+        "indexer -international",
+        '"Full Text Indexer"',
+        '+Indexer -(международный generator)',
+        '+(Adding Pushing) -Lucene',
+    ],
+)
+def test_structured_querier_parity(spark, posts_b_index, posts_b_precise, query):
+    querier = SparkQuerier(posts_b_index, posts_b_precise)
+    oracle_querier = oracle.OracleQuerier(
+        oracle.generate_index(POSTS_B, POSTS_CONFIG),
+        oracle.generate_index(POSTS_B, PRECISE_POSTS_CONFIG),
+    )
+    got = _scores(querier.get_matches(query))
+    exp = [
+        (k, float(w))
+        for k, w in oracle.ranked(oracle_querier.get_matches(query))
+    ]
+    assert got == exp, query
+
+
+def test_querier_reference_expectations(spark, posts_b_index, posts_b_precise):
+    """The reference's own QuerierTests values, end-to-end on Spark."""
+    querier = SparkQuerier(posts_b_index, posts_b_precise)
+    assert _scores(querier.get_matches("Generator")) == [(31, 2.0)]
+    assert _scores(querier.get_matches("wholeheartedly pushing")) == [
+        (30, 1.0),
+        (32, 1.0),
+    ]
+    assert _scores(querier.get_matches("+Adding +TSource")) == [(31, 3.0)]
+
+
+def test_prefix_expansion_parity(spark):
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("title", 1.0), FieldConfig("content", 1.0)),
+        prefix_expansion=PrefixExpansionConfig(3, 10, 0.5),
+    )
+    idx = build_index(_docs_df(spark, POSTS_A), cfg)
+    oracle_idx = oracle.generate_index(POSTS_A, cfg)
+    for term in ["cat", "fol", "follow", "abo"]:
+        got = sorted(
+            (r["doc_id"], np.float32(r["weight"]))
+            for r in q.get_matches(idx, term).collect()
+        )
+        exp = sorted((e.key, e.weight) for e in oracle_idx.get_matches(term))
+        assert got == exp, term
+
+
+def test_index_algebra_remove(spark):
+    docs = [
+        {"id": 1, "title": "", "content": "Product"},
+        {"id": 2, "title": "", "content": "Product"},
+    ]
+    idx = build_index(_docs_df(spark, docs), POSTS_CONFIG)
+    removed = idx.remove_keys(
+        spark.createDataFrame([(2,)], "doc_id long")
+    )
+    assert _scores(
+        q.get_matches(removed, "Product").select(
+            "doc_id", q.F.col("weight").alias("score")
+        )
+    ) == [(1, 1.0)]
+
+
+def test_save_load_roundtrip(spark, tmp_path, posts_b_index):
+    path = str(tmp_path / "index")
+    posts_b_index.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    got = _scores(q.get_partial_matches(loaded, "Full Text"))
+    exp = _scores(q.get_partial_matches(posts_b_index, "Full Text"))
+    assert got == exp
+    assert loaded.config == posts_b_index.config
+
+
+def test_term_dictionary_dense_ids(spark, posts_b_index):
+    d = build_term_dictionary(posts_b_index.postings).collect()
+    terms = sorted(r["term"] for r in d)
+    by_id = sorted(d, key=lambda r: r["term_id"])
+    assert [r["term"] for r in by_id] == terms  # ids follow sort order
+    assert sorted(r["term_id"] for r in d) == list(range(len(d)))
