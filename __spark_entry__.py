@@ -1,38 +1,509 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship inverted-index query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline operators (dedup / similarity / text
+analysis); ``oracle_sql()`` carries the equivalent DuckDB SQL for each
+— generated from the same rule tables and constants as the engine so
+both sides share one source of truth.
+
+Float handling for the cross-engine compare: per-doc scores are
+computed by the engine in float32 (reference parity), then cast to
+double and rounded to 4dp; the DuckDB oracle computes in double and
+rounds identically (per-doc sums are tiny so the f32-vs-f64 gap is
+orders of magnitude below the rounding step). Corpus-wide aggregates
+exposed to the gate use exact integer metrics (counts) only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import (
+    ENGLISH_STOP_WORDS,
+    FieldConfig,
+    IndexConfig,
+    PrefixExpansionConfig,
+)
+from fulltextindexer_spark.functions.normalize import (
+    english_plurality_normalise,
+    stem_sql_case_expr,
+)
+from fulltextindexer_spark.operators import dedup, similarity, textstats
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.querier import SparkQuerier
+from fulltextindexer_spark.sources.docs import documents_as_docs
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth with the engine)
+# ---------------------------------------------------------------------------
+
+DOCS_CONFIG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+DOCS_CONFIG_POS = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=True,
+)
+DOCS_CONFIG_PREFIX = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    prefix_expansion=PrefixExpansionConfig(3, 8, 0.25),
+)
+
+STEMMED_STOP = sorted({english_plurality_normalise(w) for w in ENGLISH_STOP_WORDS})
+RAW_STOP = sorted(ENGLISH_STOP_WORDS)
+
+
+def _sql_list(values) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+STOP_IN = _sql_list(STEMMED_STOP)
+RAW_STOP_IN = _sql_list(RAW_STOP)
+STEM_T = stem_sql_case_expr("t")
+
+# DuckDB CTEs shared by the full-text oracle queries: tokenize the
+# documents table (single-spaced text) and build per-(doc, term)
+# postings with the reference's stop-word ×0.01 down-weighting.
+TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, {STEM_T} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+"""
+POST_CTE = f"""
+post AS (
+  SELECT doc_id, term,
+         count(*) * (CASE WHEN term IN ({STOP_IN}) THEN 0.01 ELSE 1.0 END) AS w
+  FROM tok GROUP BY doc_id, term
+)
+"""
+# tokens with 1-based positions (text is single-spaced, so ordinal
+# position == the engine's cumulative token index + 1)
+TOKP_CTE = f"""
+tokp AS (
+  SELECT doc_id, {STEM_T} AS term, pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE t <> ''
+)
+"""
+# distinct word 3-gram shingles
+SH3_CTE = """
+t3 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM documents),
+sh0 AS (SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        FROM t3 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+"""
+SH5_CTE = """
+t5 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM documents),
+sh50 AS (SELECT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                    || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+         FROM t5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh5 AS (SELECT DISTINCT doc_id, shingle FROM sh50 WHERE shingle IS NOT NULL)
+"""
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _docs_index(spark, sf_dir, config=DOCS_CONFIG):
+    docs = _documents(spark, sf_dir)
+    return build_index(docs, config)
+
+
+def _round_score(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 source docs and run
+    the multi-term AND-sum top-k scoring query (reference
+    GetPartialMatches semantics)."""
+    docs = documents_as_docs(_documents(spark, "/root/testdata/sf0.001"))
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("content", 1.0),),
+        capture_positions=False,
+    )
+    idx = build_index(docs, cfg)
+    return q.get_partial_matches(idx, "hash join", k=10)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def q_top_terms(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir)
+    return (
+        idx.postings.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_search_and(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(q.get_partial_matches(idx, "sort tables"))
+
+
+def q_search_or(spark, sf_dir):
+    std = _docs_index(spark, sf_dir)
+    precise = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _round_score(SparkQuerier(std, precise).get_matches("data stream"))
+
+
+def q_search_not(spark, sf_dir):
+    std = _docs_index(spark, sf_dir)
+    precise = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _round_score(SparkQuerier(std, precise).get_matches("+sort -stream"))
+
+
+def q_phrase(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _round_score(q.get_consecutive_matches(idx, "hash join"))
+
+
+def q_prefix(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_PREFIX)
+    return _round_score(
+        q.get_matches(idx, "wind").select(
+            "doc_id", F.col("weight").alias("score")
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), k=3, threshold=0.5)
+
+
+def q_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(_documents(spark, sf_dir), n_hashes=8, k=3)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_band_pairs(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash16(_documents(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    query_vec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    scores = similarity.cosine_scores(emb, list(query_vec))
+    return (
+        scores.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_buckets(_embeddings(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    return textstats.token_stats(_documents(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.quality_score(_documents(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    return textstats.langid(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ftix_top_terms": q_top_terms,
+        "ftix_search_and": q_search_and,
+        "ftix_search_or": q_search_or,
+        "ftix_search_not": q_search_not,
+        "ftix_phrase": q_phrase,
+        "ftix_prefix": q_prefix,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_sig": q_minhash_sig,
+        "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_simhash": q_simhash,
+        "sim_cosine_topk": q_cosine_topk,
+        "sim_lsh_buckets": q_lsh_buckets,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_langid,
+        "text_fingerprint": q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stop_case(col: str) -> str:
+    return f"(CASE WHEN {col} IN ({STOP_IN}) THEN 0.01 ELSE 1.0 END)"
+
+
+def _prefix_sql() -> str:
+    stem_sub = {
+        n: stem_sql_case_expr(f"substr(t, 1, {n})") for n in range(3, 9)
+    }
+    prefix_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, 0.25 * {_stop_case(stem_sub[n])} AS w FROM rawt "
+        f"WHERE length(t) > {n} AND {stem_sub[n]} = 'wind~'"
+        for n in range(3, 9)
+    )
+    return f"""
+WITH rawt AS (
+  SELECT doc_id, t FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+hits AS (
+  SELECT doc_id, 1.0 * {_stop_case(STEM_T)} AS w FROM rawt WHERE {STEM_T} = 'wind~'
+  UNION ALL
+{prefix_selects}
+)
+SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        "sum(CASE WHEN substr(h, {p1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS v{p}".format(
+            p1=p + 1, p=p
+        )
+        for p in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t AS tok, count(*) AS tf, md5(t) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY doc_id, t
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _minhash_sig_exprs(n_hashes: int = 8, table: str = "sh") -> list[str]:
+    return [
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
+    ]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_exprs = ",\n  ".join(_minhash_sig_exprs())
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"min(md5('{2 * b}:' || shingle)) || min(md5('{2 * b + 1}:' || shingle)) "
+        f"AS band_value FROM sh GROUP BY doc_id"
+        for b in range(4)
+    )
+    lsh_bits = " || ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for d in similarity.DEFAULT_LSH_DIMS
+    )
+    lang_hits = ",\n    ".join(
+        f"sum(CASE WHEN tok IN ({_sql_list(words)}) THEN 1 ELSE 0 END) AS hits_{lang}"
+        for lang, words in sorted(textstats.LANG_LEXICONS.items())
+    )
+    langs = sorted(textstats.LANG_LEXICONS)
+    lang_greatest = ", ".join(f"hits_{l}" for l in langs)
+    lang_case = " ".join(
+        f"WHEN hits_{l} = g THEN '{l}'" for l in langs
+    )
+    return {
+        "ftix_top_terms": f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq
+FROM tok GROUP BY term
+ORDER BY doc_freq DESC, term LIMIT 20
+""",
+        "ftix_search_and": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("tables")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "ftix_search_or": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(sum(w), 4) AS score FROM post
+WHERE term IN ('{english_plurality_normalise("data")}',
+               '{english_plurality_normalise("stream")}')
+GROUP BY doc_id
+""",
+        "ftix_search_not": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT p.doc_id, round(p.w, 4) AS score FROM post p
+WHERE p.term = '{english_plurality_normalise("sort")}'
+  AND p.doc_id NOT IN
+      (SELECT doc_id FROM post
+       WHERE term = '{english_plurality_normalise("stream")}')
+""",
+        "ftix_phrase": f"""
+WITH {TOKP_CTE},
+runs AS (
+  SELECT a.doc_id, ({_stop_case('a.term')} + {_stop_case('b.term')}) * 2 AS rw
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{english_plurality_normalise("hash")}'
+    AND b.term = '{english_plurality_normalise("join")}'
+)
+SELECT doc_id, round(sum(rw), 4) AS score FROM runs GROUP BY doc_id
+""",
+        "ftix_prefix": _prefix_sql(),
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_jaccard": f"""
+WITH {SH3_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+""",
+        "dedup_minhash_sig": f"""
+WITH {SH3_CTE}
+SELECT doc_id,
+  {sig_exprs}
+FROM sh GROUP BY doc_id
+""",
+        "dedup_minhash_pairs": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+     AND a.doc_id < b.doc_id
+""",
+        "dedup_simhash": _simhash_sql(),
+        "sim_cosine_topk": """
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
+  FROM embeddings e, qv
+),
+dots AS (SELECT vec_id, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "sim_lsh_buckets": f"""
+SELECT vec_id, {lsh_bits} AS bucket FROM embeddings
+""",
+        "text_stats": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+       round(avg(length(tok)), 4) AS avg_token_len,
+       round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS stopword_ratio
+FROM tok GROUP BY doc_id
+""".format(raw_stop=RAW_STOP_IN),
+        "text_quality": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       round((least(n_tokens / 100.0, 1.0)
+              + n_distinct * 1.0 / n_tokens
+              + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+FROM stats
+""".format(raw_stop=RAW_STOP_IN),
+        "text_langid": f"""
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+votes AS (
+  SELECT doc_id,
+    {lang_hits}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CASE {lang_case} END AS lang_guess, g AS best_hits
+FROM (SELECT *, greatest({lang_greatest}) AS g FROM votes)
+""",
+        "text_fingerprint": f"""
+WITH {SH5_CTE}
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh5 GROUP BY doc_id
+UNION ALL
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
+""",
+    }

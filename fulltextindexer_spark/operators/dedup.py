@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators are pure DataFrame/SQL-function pipelines (JVM-side,
+whole-stage codegen; no Python UDFs), designed so the same semantics are
+expressible as ANSI SQL for the DuckDB correctness oracle:
+
+- exact duplicates        — hash-groupBy on md5(text)
+- word-shingle extraction — array ops (no shuffle until the groupBy)
+- n-gram Jaccard pairs    — shared-shingle equi-join + count ratio
+- MinHash signatures/LSH  — K seeded md5 min-hashes, banded for
+  candidate pairing (the scale path: the band join replaces the
+  quadratic shingle join at 100 TB)
+- SimHash                 — per-term md5-derived bit votes, tf-weighted
+
+Scale notes: the shingle self-join is quadratic in docs-per-hot-shingle
+and exists as the *verification* step; candidate generation at scale is
+the banded MinHash join (linear in docs, shuffle keyed by band value,
+hot buckets bounded by band width). All joins happen on exact-match
+keys so AQE skew handling applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by exact content hash.
+
+    Returns (content_hash, n_docs, min_doc_id) — one row per distinct
+    content; ``n_docs > 1`` rows are the duplicate groups.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (doc_id, shingle).
+
+    Array-based (split → sequence → transform → explode): no window, no
+    shuffle before the ``distinct``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so short documents need an explicit empty array
+    grams = F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    Returns (doc_a, doc_b, jaccard rounded to 4dp) for pairs ≥ threshold.
+    """
+    sh = word_shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min(md5(i || ':' || shingle)).
+
+    md5-on-string keeps the hash function identical across engines
+    (Spark, DuckDB, anything ANSI) — crucial for cross-engine
+    verification; string min is the min-hash.
+    """
+    sh = word_shingles(docs, k, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+            f"sig_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one signature band.
+
+    Bands of ``n_hashes // bands`` consecutive signature values are
+    concatenated; an equi-join on (band_idx, band_value) yields
+    candidates — this is the linear-time scale path for near-dup
+    detection (verify candidates with :func:`ngram_jaccard_pairs`).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, k, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_value"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_value")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_value"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+    )
+    return (
+        a.join(b, ["band_idx", "band_value"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over tf-weighted tokens: (doc_id, simhash).
+
+    Bit p is set when the tf-weighted vote of hex digit p of
+    md5(token) (digit ≥ '8' → +tf, else −tf) is positive. Pure integer/
+    string arithmetic → identical in any engine.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.substring("h", p + 1, 1).isin(list("89abcdef")),
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"v{p}")
+        for p in range(16)
+    ]
+    votes = tf.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for p in range(16):
+        bit = F.when(F.col(f"v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))

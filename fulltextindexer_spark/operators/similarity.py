@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k — the exact baseline: one pass over the
+  table, JVM-side fold for the dot product (``zip_with`` +
+  ``aggregate``), TakeOrdered top-k. Scales linearly; at 100 TB this is
+  the per-partition scoring kernel.
+- Sign-LSH bucketing — the scale path: a deterministic hyperplane-sign
+  bucket (here axis-aligned dims, so any engine can reproduce it)
+  prunes the candidate set before the exact kernel; the same pattern
+  extends to IVF with trained centroids.
+
+All math is double-precision left-to-right folds so results are
+bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_scores(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine similarity of every row against a constant query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = F.col(vec_col)
+    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), cos.alias("cosine")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (desc), vec_id tiebreak."""
+    return (
+        cosine_scores(embeddings, query_vec, vec_col, id_col)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+DEFAULT_LSH_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+
+def lsh_bucket_expr(vec_col: str, dims: tuple[int, ...] = DEFAULT_LSH_DIMS) -> Column:
+    """Sign-bucket string over the chosen dimensions, e.g. '10110010'."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = DEFAULT_LSH_DIMS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket_expr(vec_col, dims).alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dims: tuple[int, ...] = DEFAULT_LSH_DIMS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's sign bucket, then exact
+    cosine within it. Recall depends on bucket width; at scale, probe
+    neighbouring buckets (multi-probe) before the exact kernel."""
+    query_bucket = "".join(
+        "1" if query_vec[d] >= 0 else "0" for d in dims
+    )
+    candidates = embeddings.where(
+        lsh_bucket_expr(vec_col, dims) == F.lit(query_bucket)
+    )
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)

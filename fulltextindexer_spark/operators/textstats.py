@@ -1,0 +1,119 @@
+"""Text analysis operators for corpus curation.
+
+Language ID (function-word lexicon votes), quality scoring
+(length/stopword-ratio heuristics), token counting, and document
+fingerprinting (min-hash of word 5-grams). All JVM-side expression
+pipelines, SQL-expressible for cross-engine verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import ENGLISH_STOP_WORDS
+from fulltextindexer_spark.operators.dedup import word_shingles
+
+# ASCII-only function-word lexicons for the n-gram-free language-ID
+# heuristic (votes = token occurrences found in each lexicon).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein",
+           "eine", "zu", "im", "auf", "dem", "nicht"),
+    "en": ("the", "of", "and", "to", "in", "is", "was", "for", "on", "as",
+           "with", "at", "by", "it", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "las", "por", "con", "para", "no"),
+    "fr": ("le", "la", "les", "des", "et", "en", "un", "une", "est", "dans",
+           "pour", "que", "qui", "au", "du"),
+}
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc token counts: (doc_id, n_tokens, n_distinct, avg_token_len,
+    stopword_ratio) — ratios rounded to 4dp."""
+    toks = _tokens(docs, text_col, id_col)
+    stop = sorted(ENGLISH_STOP_WORDS)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("tok").isin(stop), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic curation score in [0,1]: rewards moderate length and a
+    natural-language stop-word ratio; penalises extreme repetition.
+    (doc_id, quality rounded to 4dp)."""
+    stats = token_stats(docs, text_col, id_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    diversity = F.col("n_distinct") / F.col("n_tokens")
+    stop_term = F.lit(1.0) - F.abs(F.col("stopword_ratio") - F.lit(0.4))
+    quality = F.round(
+        (length_term + diversity + stop_term) / F.lit(3.0), 4
+    )
+    return stats.select("doc_id", quality.alias("quality"))
+
+
+def langid(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Function-word-vote language ID: (doc_id, lang_guess, best_hits).
+
+    The winner is the lexicon with the most token hits; ties break
+    alphabetically (deterministic across engines).
+    """
+    toks = _tokens(docs, text_col, id_col)
+    hit_cols = [
+        F.sum(
+            F.when(F.col("tok").isin(list(words)), 1).otherwise(0)
+        ).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_LEXICONS.items())
+    ]
+    votes = toks.groupBy("doc_id").agg(*hit_cols)
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    guess = F.coalesce(
+        *[
+            F.when(F.col(f"hits_{l}") == best, F.lit(l))
+            for l in langs  # alphabetical → first max wins
+        ]
+    )
+    return votes.select(
+        "doc_id", guess.alias("lang_guess"), best.alias("best_hits")
+    )
+
+
+def fingerprints(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc rolling fingerprint: min md5 over word k-gram shingles
+    (docs shorter than k words fall back to hashing the whole text).
+    (doc_id, fingerprint)."""
+    sh = word_shingles(docs, k, text_col, id_col)
+    fp = sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint")
+    )
+    short = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fp2")
+        )
+        .join(fp, "doc_id", "left_anti")
+        .select("doc_id", F.col("fp2").alias("fingerprint"))
+    )
+    return fp.unionByName(short)
