@@ -180,7 +180,7 @@ def q_top_terms(spark, sf_dir):
 
 def q_search_and(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
-    return _round_score(q.get_partial_matches(idx, "sort tables"))
+    return _round_score(q.get_partial_matches(idx, "sort table"))
 
 
 def q_search_or(spark, sf_dir):
@@ -375,7 +375,7 @@ ORDER BY doc_freq DESC, term LIMIT 20
         "ftix_search_and": f"""
 WITH {TOK_CTE}, {POST_CTE},
 q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
-                              ('{english_plurality_normalise("tables")}', 1)),
+                              ('{english_plurality_normalise("table")}', 1)),
 m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
 SELECT doc_id, round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
@@ -496,7 +496,8 @@ votes AS (
     {lang_hits}
   FROM tok GROUP BY doc_id
 )
-SELECT doc_id, CASE {lang_case} END AS lang_guess, g AS best_hits
+SELECT doc_id, CASE {lang_case} END AS lang_guess,
+       CAST(g AS BIGINT) AS best_hits
 FROM (SELECT *, greatest({lang_greatest}) AS g FROM votes)
 """,
         "text_fingerprint": f"""

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Benchmark harness for the PySpark full-text-index engine.
+
+Default mode (driver contract): runs the headline gate queries from
+``__spark_entry__.queries()`` plus an explicit index-build-throughput
+measurement at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "e2e_wall_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "build_docs_per_sec": ...}
+
+Scaling mode (``--scaling``): evidences the north-rule N→4N scaling
+criterion inside a single machine by running the identical index-build
+job over an identical deterministic synthetic corpus at two
+parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs
+4N executors) in separate JVMs, and reports throughput at both plus
+scaling efficiency = (t_low / t_high) / (cpus_high / cpus_low).
+
+``--one-build`` is the internal subprocess entrypoint for one scaling
+measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_CORPUS = os.environ.get(
+    "FTIX_SCALING_CORPUS", "/tmp/ftix_scaling_corpus"
+)
+SCALING_DOCS = int(os.environ.get("FTIX_SCALING_DOCS", "120000"))
+
+
+def _make_session(cpus: int, app: str = "ftix-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _materialize(df) -> int:
+    """Run the full plan without shipping rows to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic source-code corpus (scaling mode input)
+# ---------------------------------------------------------------------------
+
+def ensure_scaling_corpus(spark, path: str, n_docs: int) -> None:
+    """Generate a seeded docs(repo,path,commit,lang,content) table once.
+
+    Deterministic: content is a pure function of doc index (hash-chain
+    word picks from a fixed vocabulary), so every run and every
+    parallelism level sees byte-identical input.
+    """
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    import numpy as np
+    import pandas as pd
+
+    rng_vocab = [
+        "def", "return", "class", "import", "self", "for", "while", "if",
+        "else", "try", "except", "lambda", "yield", "async", "await",
+        "public", "static", "void", "int", "string", "var", "let", "const",
+        "function", "struct", "impl", "match", "enum", "trait", "mod",
+        "hash", "join", "sort", "merge", "index", "token", "parser",
+        "buffer", "stream", "channel", "mutex", "thread", "atomic",
+        "vector", "matrix", "tensor", "gradient", "optimizer", "layer",
+        "the", "a", "of", "and", "to", "in", "is", "that", "for2",
+        "partition", "shuffle", "broadcast", "executor", "driver",
+    ]
+    vocab = np.array(rng_vocab)
+    langs = np.array(["py", "rs", "go", "java", "cs", "cpp"])
+
+    def gen(batch_ids: np.ndarray) -> pd.DataFrame:
+        # xorshift-ish deterministic word indices per doc
+        n_words = 120 + (batch_ids % 80)
+        texts = []
+        for did, nw in zip(batch_ids, n_words):
+            state = np.uint64(did * 2654435761 + 42)
+            idx = np.empty(nw, dtype=np.int64)
+            s = int(state)
+            for i in range(nw):
+                s ^= (s << 13) & 0xFFFFFFFFFFFFFFFF
+                s ^= s >> 7
+                s ^= (s << 17) & 0xFFFFFFFFFFFFFFFF
+                idx[i] = s % len(vocab)
+            texts.append(" ".join(vocab[idx]))
+        return pd.DataFrame(
+            {
+                "repo": [f"repo-{d % 997}" for d in batch_ids],
+                "path": [f"src/file_{d}.txt" for d in batch_ids],
+                "commit": [f"{d:040x}" for d in batch_ids],
+                "lang": langs[batch_ids % len(langs)],
+                "content": texts,
+            }
+        )
+
+    import pandas as pd  # noqa: F811
+
+    ids = spark.range(n_docs).repartition(64)
+
+    def mapper(batches):
+        for pdf in batches:
+            yield gen(pdf["id"].to_numpy())
+
+    docs = ids.mapInPandas(
+        mapper,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs.write.mode("overwrite").parquet(path)
+
+
+def run_one_build(cpus: int, corpus: str) -> dict:
+    """One timed index build over the scaling corpus at `cpus` threads."""
+    spark = _make_session(cpus, app=f"ftix-scaling-{cpus}")
+    try:
+        ensure_scaling_corpus(spark, corpus, SCALING_DOCS)
+        from fulltextindexer_spark.config import FieldConfig, IndexConfig
+        from fulltextindexer_spark.operators.index_build import build_postings
+        from fulltextindexer_spark.sources.docs import with_doc_identity
+
+        docs = with_doc_identity(spark.read.parquet(corpus))
+        docs = docs.repartition(cpus * 4)
+        n_docs = docs.count()
+        cfg = IndexConfig(
+            key_column="doc_id",
+            fields=(FieldConfig("content", 1.0),),
+            capture_positions=False,
+        )
+        # warm-up: JVM + Arrow + python worker pool on a tiny slice
+        _materialize(build_postings(docs.limit(512), cfg))
+        t0 = time.perf_counter()
+        _materialize(build_postings(docs, cfg))
+        dt = time.perf_counter() - t0
+        return {"cpus": cpus, "n_docs": n_docs, "sec": dt,
+                "docs_per_sec": n_docs / dt}
+    finally:
+        spark.stop()
+
+
+def run_scaling() -> dict:
+    me = os.path.abspath(__file__)
+    out = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, me, "--one-build", str(cpus)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out[cpus] = json.loads(line)
+    t_low, t_high = out[8]["sec"], out[32]["sec"]
+    speedup = t_low / t_high
+    efficiency = speedup / (32 / 8)
+    return {
+        "metric": "index-build scaling efficiency (local[8] -> local[32])",
+        "value": round(efficiency, 4),
+        "unit": "efficiency",
+        "n_docs": out[8]["n_docs"],
+        "low": out[8],
+        "high": out[32],
+        "speedup": round(speedup, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# default per-round bench
+# ---------------------------------------------------------------------------
+
+def run_default() -> dict:
+    spark = _make_session(CPUS)
+    try:
+        import __spark_entry__ as entrymod
+        from fulltextindexer_spark.config import FieldConfig, IndexConfig
+        from fulltextindexer_spark.operators.index_build import build_postings
+        from fulltextindexer_spark.sources.docs import documents_as_docs
+
+        # warm up the python worker pool / Arrow path
+        spark.range(1000).selectExpr("sum(id)").collect()
+
+        docs = documents_as_docs(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        )
+        n_docs = docs.count()
+        cfg = IndexConfig(
+            key_column="doc_id",
+            fields=(FieldConfig("content", 1.0),),
+            capture_positions=False,
+        )
+        _materialize(build_postings(docs.limit(64), cfg))  # warm
+        t0 = time.perf_counter()
+        _materialize(build_postings(docs, cfg))
+        build_sec = time.perf_counter() - t0
+
+        timings: dict[str, float] = {}
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(build_sec + sum(timings.values()), 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        return {
+            "metric": "e2e_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "build_sec": round(build_sec, 3),
+            "build_docs_per_sec": round(n_docs / build_sec, 1),
+            "n_docs": n_docs,
+            "cpus": CPUS,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one-build", type=int, default=None)
+    args = ap.parse_args()
+    if args.one_build is not None:
+        print(json.dumps(run_one_build(args.one_build, SCALING_CORPUS)))
+    elif args.scaling:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))
+
+
+if __name__ == "__main__":
+    main()
