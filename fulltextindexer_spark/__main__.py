@@ -1,0 +1,8 @@
+"""``python -m fulltextindexer_spark`` / spark-submit module entrypoint."""
+
+import sys
+
+from fulltextindexer_spark.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""spark-submit entrypoint for the engine.
+
+Usage (cluster)::
+
+    spark-submit --py-files fulltextindexer_spark.zip -m ...   # or
+    spark-submit cli.py build --input s3://.../docs --output /idx
+    spark-submit cli.py query --index /idx --query "hash join" --k 10
+    spark-submit cli.py query --index /idx --query '+sort -stream' \
+        --mode structured
+    spark-submit cli.py verify --input s3://.../docs --output /idx
+    python -m fulltextindexer_spark build --input ... --output ...
+
+When run under spark-submit the active SparkSession/config comes from
+the submit command (executors, memory, shuffle partitions); the local
+fallback builds a local[*] session so the same commands work in tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _get_spark(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _parse_fields(spec: str):
+    from fulltextindexer_spark.config import FieldConfig
+
+    fields = []
+    for part in spec.split(","):
+        if ":" in part:
+            col, w = part.rsplit(":", 1)
+            fields.append(FieldConfig(col, float(w)))
+        else:
+            fields.append(FieldConfig(part, 1.0))
+    return tuple(fields)
+
+
+def cmd_build(args) -> dict:
+    from fulltextindexer_spark.config import IndexConfig
+    from fulltextindexer_spark.plans.pipeline import run_build_pipeline
+
+    spark = _get_spark("ftix-build")
+    config = IndexConfig(
+        key_column="doc_id",
+        fields=_parse_fields(args.fields),
+        normaliser=args.normaliser,
+        capture_positions=args.positions,
+    )
+    return run_build_pipeline(
+        spark,
+        args.input,
+        args.output,
+        config,
+        term_partitions=args.term_partitions,
+    )
+
+
+def cmd_query(args) -> dict:
+    from fulltextindexer_spark.operators import bm25 as bm25_mod
+    from fulltextindexer_spark.operators import query as q
+    from fulltextindexer_spark.operators.querier import SparkQuerier
+    from fulltextindexer_spark.plans.pipeline import load_pipeline_index
+
+    spark = _get_spark("ftix-query")
+    index = load_pipeline_index(spark, args.index)
+    if args.mode == "partial":
+        result = q.get_partial_matches(index, args.query, k=args.k)
+    elif args.mode == "phrase":
+        result = q.get_consecutive_matches(index, args.query, k=args.k)
+    elif args.mode == "structured":
+        querier = SparkQuerier(index, index)
+        result = querier.get_matches(args.query, k=args.k)
+    elif args.mode == "bm25":
+        result = bm25_mod.bm25_topk(index, args.query, k=args.k)
+    elif args.mode == "bm25-wand":
+        result = bm25_mod.bm25_topk_wand(index, args.query, k=args.k)
+    else:  # pragma: no cover
+        raise ValueError(args.mode)
+    rows = [
+        {"doc_id": r["doc_id"], "score": float(r["score"])}
+        for r in result.collect()
+    ]
+    return {"query": args.query, "mode": args.mode, "results": rows}
+
+
+def cmd_verify(args) -> dict:
+    from fulltextindexer_spark.plans.pipeline import verify_pipeline
+
+    spark = _get_spark("ftix-verify")
+    mismatches = verify_pipeline(spark, args.input, args.output)
+    return {"sha256_mismatches": mismatches, "ok": mismatches == 0}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="fulltextindexer_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build/resume the compact index")
+    b.add_argument("--input", required=True, help="docs parquet/Iceberg path")
+    b.add_argument("--output", required=True, help="index output directory")
+    b.add_argument("--fields", default="content:1.0")
+    b.add_argument(
+        "--normaliser", default="english_plurality",
+        choices=["english_plurality", "default"],
+    )
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--term-partitions", type=int, default=0)
+    b.set_defaults(fn=cmd_build)
+
+    qp = sub.add_parser("query", help="query a built index")
+    qp.add_argument("--index", required=True, help="pipeline output dir")
+    qp.add_argument("--query", required=True)
+    qp.add_argument("--k", type=int, default=10)
+    qp.add_argument(
+        "--mode", default="partial",
+        choices=["partial", "phrase", "structured", "bm25", "bm25-wand"],
+    )
+    qp.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify", help="check the per-row sha256 invariant")
+    v.add_argument("--input", required=True)
+    v.add_argument("--output", required=True)
+    v.set_defaults(fn=cmd_verify)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    report = args.fn(args)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,335 @@
+"""Compact index tier: termID-keyed sorted posting runs with
+delta+varint-compressed positions.
+
+This is the engine's persistent format for the 100 TB scale path,
+mirroring the *idea* of the reference's compact binary serialiser
+(Core/Indexes/IndexDataSerialiser.cs:190-238 — dictionary-encoded keys,
+float32 weights, run-length position payloads) re-expressed columnar:
+
+- the term dictionary ``(term, term_id)`` is a sorted parquet table
+  (dense ids, two-pass partition-offset assignment — no global window);
+- postings become ``(term_id, doc_id, weight, tf, dl, positions_bin)``
+  rows, **range-partitioned by term_id and sorted by (term_id, doc_id)
+  within partitions** — Spark's repartitionByRange + sortWithinPartitions
+  is exactly the distributed sort-merge that turns per-build posting
+  fragments into globally sorted runs; parquet min/max stats on term_id
+  give query-time row-group pruning (the TST-lookup analogue);
+- each posting's source locations are packed into a single ``binary``
+  cell: varint count, then four zigzag+delta varint streams
+  (field_idx, token_idx, src_idx, src_len) followed by ``4·n`` bytes of
+  little-endian float32 contributions. Delta+zigzag makes in-order
+  token positions ~1-2 bytes each; encoding and decoding are
+  vectorized numpy over whole Arrow batches (no per-position Python).
+
+Compression is lossless: ``load_compact`` restores an
+:class:`InvertedIndex` whose postings equal the uncompressed ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import (
+    FieldConfig,
+    IndexConfig,
+    PrefixExpansionConfig,
+)
+from fulltextindexer_spark.operators.index_build import (
+    POSITION_STRUCT,
+    InvertedIndex,
+    build_term_dictionary,
+)
+
+# ---------------------------------------------------------------------------
+# vectorized varint / zigzag primitives
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(vals: np.ndarray) -> np.ndarray:
+    """int64 → uint64 zigzag (small magnitudes → small codes)."""
+    v = vals.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def zigzag_decode(vals: np.ndarray) -> np.ndarray:
+    v = vals.astype(np.uint64)
+    return ((v >> np.uint64(1)).astype(np.int64)) ^ -(
+        (v & np.uint64(1)).astype(np.int64)
+    )
+
+
+def varint_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode uint64 values as LEB128 varints, fully vectorized.
+
+    Returns (flat_bytes: uint8[], byte_len_per_value: int64[]).
+    """
+    v = vals.astype(np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    # bytes needed per value: ceil(bits/7), min 1
+    bits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # write byte slot j of every value that has > j bytes
+    max_b = int(nbytes.max())
+    for j in range(max_b):
+        mask = nbytes > j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(nbytes[mask] > j + 1, 0x80, 0).astype(np.uint8)
+        out[starts[mask] + j] = chunk.astype(np.uint8) | cont
+    return out, nbytes
+
+
+def varint_decode(buf: np.ndarray) -> np.ndarray:
+    """Decode a flat LEB128 uint8 buffer into all its uint64 values."""
+    b = np.asarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    max_b = int((ends - starts).max()) + 1
+    payload = (b & 0x7F).astype(np.uint64)
+    for j in range(max_b):
+        pos = starts + j
+        mask = pos <= ends
+        vals[mask] |= payload[pos[mask]] << np.uint64(7 * j)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# position packing
+# ---------------------------------------------------------------------------
+
+
+def pack_positions_batch(positions: pd.Series) -> pd.Series:
+    """Series of position-struct lists → Series of packed bytes.
+
+    Layout per cell: varint n, then zigzag-delta varint streams
+    field_idx[n], token_idx[n], src_idx[n], src_len[n] (each stream
+    delta-coded against its own previous element), then n float32 LE
+    contributions.
+    """
+    out = []
+    for plist in positions:
+        if plist is None:
+            out.append(None)
+            continue
+        n = len(plist)
+        if n == 0:
+            flat, _ = varint_encode(np.array([0], dtype=np.uint64))
+            out.append(flat.tobytes())
+            continue
+        f = np.fromiter((p["field_idx"] for p in plist), np.int64, n)
+        t = np.fromiter((p["token_idx"] for p in plist), np.int64, n)
+        s = np.fromiter((p["src_idx"] for p in plist), np.int64, n)
+        ln = np.fromiter((p["src_len"] for p in plist), np.int64, n)
+        w = np.fromiter((p["contribution"] for p in plist), np.float32, n)
+        streams = []
+        for arr in (f, t, s, ln):
+            d = np.diff(arr, prepend=0)
+            streams.append(zigzag_encode(d))
+        header = np.array([n], dtype=np.uint64)
+        allvals = np.concatenate([header] + streams)
+        flat, _ = varint_encode(allvals)
+        out.append(flat.tobytes() + w.astype("<f4").tobytes())
+    return pd.Series(out, dtype=object)
+
+
+def unpack_positions_batch(packed: pd.Series) -> pd.Series:
+    """Inverse of :func:`pack_positions_batch`."""
+    out = []
+    for buf in packed:
+        if buf is None:
+            out.append(None)
+            continue
+        b = np.frombuffer(buf, dtype=np.uint8)
+        # peek n from the first varint
+        first_end = int(np.flatnonzero((b & 0x80) == 0)[0])
+        n = int(varint_decode(b[: first_end + 1])[0])
+        if n == 0:
+            out.append([])
+            continue
+        float_bytes = 4 * n
+        varint_part = b[: len(b) - float_bytes]
+        w = np.frombuffer(buf[len(b) - float_bytes :], dtype="<f4")
+        vals = varint_decode(varint_part)
+        assert len(vals) == 1 + 4 * n, "corrupt packed positions"
+        streams = []
+        for i in range(4):
+            d = zigzag_decode(vals[1 + i * n : 1 + (i + 1) * n])
+            streams.append(np.cumsum(d))
+        f, t, s, ln = streams
+        out.append(
+            [
+                {
+                    "field_idx": int(f[i]),
+                    "token_idx": int(t[i]),
+                    "src_idx": int(s[i]),
+                    "src_len": int(ln[i]),
+                    "contribution": float(w[i]),
+                }
+                for i in range(n)
+            ]
+        )
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# compact tier save / load
+# ---------------------------------------------------------------------------
+
+_COMPACT_SCHEMA = (
+    "term_id long, doc_id long, weight float, tf int, dl int, "
+    "positions_bin binary"
+)
+
+
+def compact_postings(
+    index: InvertedIndex, dictionary: Optional[DataFrame] = None
+) -> tuple[DataFrame, DataFrame]:
+    """(compact_postings, dictionary) for an index.
+
+    The term→term_id join broadcasts the dictionary when it is small;
+    at 100 TB the dictionary (~10^8 terms) exceeds broadcast size and
+    Catalyst/AQE picks a sort-merge join — both sides can be bucketed
+    by term to make it shuffle-free on re-runs.
+    """
+    if dictionary is None:
+        dictionary = build_term_dictionary(index.postings)
+    p = index.postings.join(dictionary, "term")
+    cols = [
+        "term_id",
+        "doc_id",
+        F.col("weight").cast("float").alias("weight"),
+        "tf",
+        "dl",
+    ]
+    if index.config.capture_positions:
+
+        def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["positions_bin"] = pack_positions_batch(pdf["positions"])
+                yield pdf.drop(columns=["positions"])
+
+        p = p.select(*cols, "positions").mapInPandas(
+            pack, schema=_COMPACT_SCHEMA
+        )
+    else:
+        p = p.select(*cols).withColumn(
+            "positions_bin", F.lit(None).cast("binary")
+        )
+    return p, dictionary
+
+
+def save_compact(
+    index: InvertedIndex, path: str, term_partitions: int = 0
+) -> None:
+    """Write the compact tier: sorted (term_id, doc_id, …) runs + dict."""
+    compact, dictionary = compact_postings(index)
+    if term_partitions:
+        compact = compact.repartitionByRange(
+            term_partitions, "term_id", "doc_id"
+        )
+    else:
+        compact = compact.repartitionByRange("term_id", "doc_id")
+    (
+        compact.sortWithinPartitions("term_id", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings_compact"))
+    )
+    (
+        dictionary.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "term_dictionary"))
+    )
+    cfg = index.config
+    meta = {
+        "key_column": cfg.key_column,
+        "fields": [{"column": f.column, "weight": f.weight} for f in cfg.fields],
+        "normaliser": cfg.normaliser,
+        "break_chars": cfg.break_chars,
+        "stop_words": sorted(cfg.stop_words),
+        "stop_word_weight": cfg.stop_word_weight,
+        "capture_positions": cfg.capture_positions,
+        "prefix_expansion": (
+            None
+            if cfg.prefix_expansion is None
+            else {
+                "min_len": cfg.prefix_expansion.min_len,
+                "max_len": cfg.prefix_expansion.max_len,
+                "weight_multiplier": cfg.prefix_expansion.weight_multiplier,
+            }
+        ),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "index_config.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+
+
+def load_compact(spark: SparkSession, path: str) -> InvertedIndex:
+    """Restore a full :class:`InvertedIndex` from the compact tier."""
+    with open(os.path.join(path, "index_config.json")) as fh:
+        raw = json.load(fh)
+    config = IndexConfig(
+        key_column=raw["key_column"],
+        fields=tuple(
+            FieldConfig(f["column"], f["weight"]) for f in raw["fields"]
+        ),
+        normaliser=raw["normaliser"],
+        break_chars=raw["break_chars"],
+        stop_words=frozenset(raw["stop_words"]),
+        stop_word_weight=raw["stop_word_weight"],
+        capture_positions=raw["capture_positions"],
+        prefix_expansion=(
+            None
+            if raw["prefix_expansion"] is None
+            else PrefixExpansionConfig(**raw["prefix_expansion"])
+        ),
+    )
+    compact = spark.read.parquet(os.path.join(path, "postings_compact"))
+    dictionary = spark.read.parquet(os.path.join(path, "term_dictionary"))
+    joined = compact.join(dictionary, "term_id")
+    base_cols = ["term", "doc_id", "weight", "tf", "dl"]
+    if config.capture_positions:
+        out_schema = (
+            "term string, doc_id long, weight float, tf int, dl int, "
+            f"positions {POSITION_STRUCT}"
+        )
+
+        def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["positions"] = unpack_positions_batch(
+                    pdf["positions_bin"]
+                )
+                yield pdf.drop(columns=["positions_bin"])
+
+        postings = joined.select(*base_cols, "positions_bin").mapInPandas(
+            unpack, schema=out_schema
+        )
+    else:
+        postings = joined.select(*base_cols)
+    return InvertedIndex(postings, config)

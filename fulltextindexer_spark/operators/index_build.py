@@ -59,10 +59,16 @@ POSITION_STRUCT = (
     "array<struct<field_idx:int,token_idx:int,src_idx:int,"
     "src_len:int,contribution:float>>"
 )
+# tf = occurrences of the term in the doc (the BM25 term frequency);
+# dl = the doc's total token count across all indexed fields (the BM25
+# document length). dl is denormalised onto every posting row — parquet
+# RLE/dictionary encoding makes the redundancy nearly free, and it keeps
+# BM25 scoring a single-table scan (no doc-length side join).
 POSTINGS_SCHEMA = (
-    f"term string, doc_id long, weight float, positions {POSITION_STRUCT}"
+    f"term string, doc_id long, weight float, tf int, dl int, "
+    f"positions {POSITION_STRUCT}"
 )
-POSTINGS_SCHEMA_NO_POS = "term string, doc_id long, weight float"
+POSTINGS_SCHEMA_NO_POS = "term string, doc_id long, weight float, tf int, dl int"
 
 
 def normalised_stop_words(config: IndexConfig) -> frozenset[str]:
@@ -126,6 +132,8 @@ def _batch_postings(
             "term": pd.Series([], dtype=object),
             "doc_id": pd.Series([], dtype=np.int64),
             "weight": pd.Series([], dtype=np.float32),
+            "tf": pd.Series([], dtype=np.int32),
+            "dl": pd.Series([], dtype=np.int32),
         }
         if config.capture_positions:
             cols["positions"] = pd.Series([], dtype=object)
@@ -149,12 +157,23 @@ def _batch_postings(
     sums = np.add.reduceat(
         occ["weight"].to_numpy(dtype=np.float64), starts
     ).astype(np.float32)
+    group_sizes = np.diff(np.append(starts, len(occ)))
+
+    # dl: tokens per document across all fields, counting real tokens
+    # only (variant_rank == 0; prefix variants are index entries, not
+    # document length). Every doc lives entirely inside this batch, so
+    # the count is exact without any shuffle.
+    is_real = occ["variant_rank"].to_numpy() == 0
+    real_rows = row_arr[is_real]
+    dl_per_row = np.bincount(real_rows, minlength=len(keys)).astype(np.int32)
 
     result = pd.DataFrame(
         {
             "term": term_arr[starts],
             "doc_id": keys[row_arr[starts]].astype(np.int64),
             "weight": sums,
+            "tf": group_sizes.astype(np.int32),
+            "dl": dl_per_row[row_arr[starts]],
         }
     )
     if config.capture_positions:
@@ -242,6 +261,11 @@ class InvertedIndex:
         weights summed per (term, key), locations concatenated)."""
         agg = [
             F.sum("weight").cast("float").alias("weight"),
+            F.sum("tf").cast("int").alias("tf"),
+            # dl is a per-doc property; max() is exact when each doc's
+            # postings come from one build (the canonical add/combine
+            # flow) and a safe upper bound otherwise
+            F.max("dl").alias("dl"),
         ]
         if self.config.capture_positions:
             agg.append(

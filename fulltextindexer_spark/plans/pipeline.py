@@ -1,0 +1,132 @@
+"""End-to-end checkpointed index-build pipeline.
+
+Stages (each resumable via :class:`CheckpointManager`):
+
+1. ``docs``     — read the docs table, attach doc_id + content_sha256,
+                  record per-row input-file lineage;
+2. ``postings`` — shuffle-free inverted-index build (tf/dl/weights and,
+                  optionally, positions);
+3. ``compact``  — term dictionary + sorted (term_id, doc_id) runs with
+                  delta+varint-packed positions (the persistent tier).
+
+A crashed run re-executes only the stages whose fingerprint (input
+snapshot + engine stage version + serialised config) is missing or
+stale. ``verify`` re-checks the per-row content-sha256 invariant
+between the source table and the checkpointed docs stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from fulltextindexer_spark.config import IndexConfig
+from fulltextindexer_spark.operators.compact import load_compact, save_compact
+from fulltextindexer_spark.operators.index_build import (
+    InvertedIndex,
+    build_postings,
+)
+from fulltextindexer_spark.plans.checkpoint import (
+    CheckpointManager,
+    input_fingerprint,
+)
+from fulltextindexer_spark.sources.docs import load_docs, verify_sha256
+
+STAGE_VERSION = "1"  # bump to invalidate all checkpoints on engine change
+
+
+def _config_json(config: IndexConfig) -> str:
+    return json.dumps(
+        {
+            "key_column": config.key_column,
+            "fields": [(f.column, f.weight) for f in config.fields],
+            "normaliser": config.normaliser,
+            "break_chars": config.break_chars,
+            "stop_words": sorted(config.stop_words),
+            "stop_word_weight": config.stop_word_weight,
+            "capture_positions": config.capture_positions,
+            "prefix_expansion": (
+                None
+                if config.prefix_expansion is None
+                else [
+                    config.prefix_expansion.min_len,
+                    config.prefix_expansion.max_len,
+                    config.prefix_expansion.weight_multiplier,
+                ]
+            ),
+        },
+        sort_keys=True,
+    )
+
+
+def run_build_pipeline(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    config: IndexConfig,
+    term_partitions: int = 0,
+) -> dict:
+    """Build (or resume building) the compact index for a docs table.
+
+    Returns a report dict with per-stage resume flags and row counts.
+    """
+    cm = CheckpointManager(spark, os.path.join(out_dir, "stages"))
+    raw = spark.read.parquet(docs_path)
+    base_fp = input_fingerprint(raw, extra=STAGE_VERSION + _config_json(config))
+
+    docs_stage = cm.stage(
+        "docs",
+        base_fp,
+        lambda: load_docs(spark, docs_path),
+        lineage_input_col="_input_file",
+    )
+    docs = docs_stage.df.drop("_input_file")
+
+    postings_stage = cm.stage(
+        "postings",
+        base_fp,
+        lambda: build_postings(docs, config),
+    )
+
+    compact_dir = os.path.join(out_dir, "index")
+    compact_fp_path = os.path.join(out_dir, "stages", "_compact_fp")
+    compact_done = (
+        os.path.exists(compact_fp_path)
+        and open(compact_fp_path).read() == base_fp
+        and os.path.exists(
+            os.path.join(compact_dir, "postings_compact", "_SUCCESS")
+        )
+    )
+    if not compact_done:
+        index = InvertedIndex(postings_stage.df, config)
+        save_compact(index, compact_dir, term_partitions=term_partitions)
+        with open(compact_fp_path, "w") as fh:
+            fh.write(base_fp)
+
+    return {
+        "out_dir": out_dir,
+        "index_dir": compact_dir,
+        "docs": {
+            "resumed": docs_stage.resumed,
+            "rows": docs_stage.manifest["total_rows"],
+        },
+        "postings": {
+            "resumed": postings_stage.resumed,
+            "rows": postings_stage.manifest["total_rows"],
+        },
+        "compact": {"resumed": compact_done},
+    }
+
+
+def verify_pipeline(spark: SparkSession, docs_path: str, out_dir: str) -> int:
+    """Per-row content-sha256 equality between source and checkpointed
+    docs (must return 0)."""
+    source = load_docs(spark, docs_path)
+    derived = spark.read.parquet(os.path.join(out_dir, "stages", "docs", "data"))
+    return verify_sha256(source, derived)
+
+
+def load_pipeline_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
+    return load_compact(spark, os.path.join(out_dir, "index"))

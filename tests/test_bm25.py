@@ -1,0 +1,132 @@
+"""BM25 scorer + block-max WAND pruning tests.
+
+The exact BM25 path is verified against an independent numpy oracle;
+the WAND path must be row-identical to the exact path (pruning is a
+physical optimisation only).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.operators import bm25
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick sort and merge sort are sorting algorithms"),
+    (3, "the dog barks at the brown cat"),
+    (4, "merge join hash join sort merge join strategies"),
+    (5, "a fox and a dog and a cat walked home"),
+    (6, "hash tables map keys to buckets via a hash function"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+def _oracle_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent BM25 over DOCS using the same normaliser."""
+    norm_docs = []
+    for doc_id, text in DOCS:
+        terms = [normalise_scalar(t, CFG.normaliser) for t in text.split()]
+        norm_docs.append((doc_id, [t for t in terms if t]))
+    n = len(norm_docs)
+    avgdl = float(np.mean([len(ts) for _, ts in norm_docs]))
+    scores = {}
+    for term in dict.fromkeys(query_terms):  # distinct, ordered
+        nt = normalise_scalar(term, CFG.normaliser)
+        df = sum(1 for _, ts in norm_docs if nt in ts)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for doc_id, ts in norm_docs:
+            tf = ts.count(nt)
+            if tf == 0:
+                continue
+            dl = len(ts)
+            tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            scores[doc_id] = scores.get(doc_id, 0.0) + idf * tfn
+    return scores
+
+
+def test_tf_dl_columns(index):
+    rows = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in index.postings.collect()
+    }
+    sort_term = normalise_scalar("sort", CFG.normaliser)
+    # doc 2: 'sort' ×2 + 'sorting'→sort~? plurality stems 'sorting' differently
+    tf, dl = rows[(sort_term, 2)]
+    assert dl == 8  # 8 tokens in doc 2
+    assert tf >= 2
+    the_term = normalise_scalar("the", CFG.normaliser)
+    assert rows[(the_term, 1)][0] == 2  # 'the' twice in doc 1
+
+
+def test_bm25_matches_oracle(index):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_scores(index, "brown dog").collect()
+    }
+    want = _oracle_bm25(["brown", "dog"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_bm25_topk_order(index):
+    rows = bm25.bm25_topk(index, "hash join", k=3).collect()
+    want = _oracle_bm25(["hash", "join"])
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"]) for r in rows] == [d for d, _ in ranked]
+    # doc 4 (3×join, 1×hash... ) and doc 6 (3×hash) lead
+    assert rows[0]["doc_id"] in (4, 6)
+
+
+def test_wand_identical_to_exact(index):
+    for q in ("brown dog", "hash join sort", "the", "fox cat dog quick"):
+        for k in (1, 2, 5):
+            exact = [
+                (r["doc_id"], round(r["score"], 10))
+                for r in bm25.bm25_topk(index, q, k=k).collect()
+            ]
+            wand = [
+                (r["doc_id"], round(r["score"], 10))
+                for r in bm25.bm25_topk_wand(
+                    index, q, k=k, n_blocks=4, probe_blocks=1
+                ).collect()
+            ]
+            assert wand == exact, f"query={q!r} k={k}"
+
+
+def test_wand_empty_and_missing_terms(index):
+    assert bm25.bm25_topk_wand(index, "zzzzunknown", k=5).count() == 0
+    assert bm25.bm25_topk(index, "", k=5).count() == 0
+
+
+def test_doc_frequencies_salted_equals_plain(index):
+    plain = {
+        r["term"]: r["df"]
+        for r in bm25.doc_frequencies(index.postings, n_salts=1).collect()
+    }
+    salted = {
+        r["term"]: r["df"]
+        for r in bm25.doc_frequencies(index.postings, n_salts=8).collect()
+    }
+    assert plain == salted

@@ -1,0 +1,148 @@
+"""Checkpoint/resume, lineage + metrics, pipeline and CLI tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.cli import main as cli_main
+from fulltextindexer_spark.plans.checkpoint import (
+    CheckpointManager,
+    input_fingerprint,
+)
+from fulltextindexer_spark.plans.pipeline import (
+    load_pipeline_index,
+    run_build_pipeline,
+    verify_pipeline,
+)
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    path = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            ("r1", "a.py", "c0", "py", "def hash join merge"),
+            ("r1", "b.py", "c0", "py", "sort merge join loop"),
+            ("r2", "c.rs", "c1", "rs", "hash table lookup"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stage_runs_then_resumes(spark, tmp_path, docs_parquet):
+    cm = CheckpointManager(spark, str(tmp_path / "ck"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(docs_parquet).select("repo", "path")
+
+    r1 = cm.stage("docs", "fp-v1", build, lineage_input_col="_f")
+    assert not r1.resumed and calls["n"] == 1
+    assert r1.manifest["total_rows"] == 3
+
+    r2 = cm.stage("docs", "fp-v1", build, lineage_input_col="_f")
+    assert r2.resumed and calls["n"] == 1  # build() not re-invoked
+    assert r2.df.count() == 3
+    assert r2.manifest["runs"] == 2
+
+    # changed fingerprint → recompute
+    r3 = cm.stage("docs", "fp-v2", build, lineage_input_col="_f")
+    assert not r3.resumed and calls["n"] == 2
+
+
+def test_lineage_and_metrics_recorded(spark, tmp_path, docs_parquet):
+    cm = CheckpointManager(spark, str(tmp_path / "ck2"))
+    cm.stage(
+        "s",
+        "fp",
+        lambda: spark.read.parquet(docs_parquet),
+        lineage_input_col="_f",
+    )
+    lin = cm.lineage("s").collect()
+    assert sum(r["n_rows"] for r in lin) == 3
+    # every partition's lineage names at least one real input file
+    for r in lin:
+        assert all("docs_src" in f for f in r["input_files"])
+    met = cm.metrics("s").collect()
+    assert {r["stage"] for r in met} == {"s"}
+    assert sum(r["n_rows"] for r in met) == 3
+
+
+def test_input_fingerprint_changes_with_input(spark, tmp_path, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    fp1 = input_fingerprint(df, "v1")
+    assert fp1 == input_fingerprint(spark.read.parquet(docs_parquet), "v1")
+    assert fp1 != input_fingerprint(df, "v2")
+
+
+def test_pipeline_build_verify_resume(spark, tmp_path, docs_parquet):
+    out = str(tmp_path / "pipe")
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("content", 1.0),),
+        capture_positions=True,
+    )
+    rep1 = run_build_pipeline(spark, docs_parquet, out, cfg)
+    assert not rep1["docs"]["resumed"] and not rep1["compact"]["resumed"]
+    assert rep1["docs"]["rows"] == 3
+
+    assert verify_pipeline(spark, docs_parquet, out) == 0
+
+    rep2 = run_build_pipeline(spark, docs_parquet, out, cfg)
+    assert rep2["docs"]["resumed"]
+    assert rep2["postings"]["resumed"]
+    assert rep2["compact"]["resumed"]
+
+    index = load_pipeline_index(spark, out)
+    from fulltextindexer_spark.operators.query import get_partial_matches
+
+    rows = get_partial_matches(index, "hash", k=5).collect()
+    assert len(rows) == 2  # a.py and c.rs contain 'hash'
+
+
+def test_cli_build_query_verify(spark, tmp_path, docs_parquet, capsys):
+    out = str(tmp_path / "cli_out")
+    assert (
+        cli_main(
+            [
+                "build",
+                "--input", docs_parquet,
+                "--output", out,
+                "--fields", "content:1.0",
+                "--positions",
+            ]
+        )
+        == 0
+    )
+    build_rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert build_rep["docs"]["rows"] == 3
+
+    assert (
+        cli_main(
+            ["query", "--index", out, "--query", "merge join", "--k", "5"]
+        )
+        == 0
+    )
+    qrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(qrep["results"]) == 2  # both .py docs contain merge+join
+
+    assert (
+        cli_main(
+            ["query", "--index", out, "--query", "hash join",
+             "--mode", "bm25-wand", "--k", "3"]
+        )
+        == 0
+    )
+    wrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert wrep["results"]  # non-empty
+
+    assert (
+        cli_main(["verify", "--input", docs_parquet, "--output", out]) == 0
+    )
+    vrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vrep["ok"] is True

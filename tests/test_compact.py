@@ -1,0 +1,134 @@
+"""Compact tier tests: varint/zigzag primitives, position packing
+round-trip, and full save/load equality with the uncompressed index."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import compact
+from fulltextindexer_spark.operators.index_build import build_index
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    flat, lens = compact.varint_encode(arr)
+    assert lens.sum() == len(flat)
+    back = compact.varint_decode(flat)
+    assert np.array_equal(back, arr)
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1)))
+@settings(max_examples=50, deadline=None)
+def test_zigzag_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    back = compact.zigzag_decode(compact.zigzag_encode(arr))
+    assert np.array_equal(back, arr)
+
+
+def _pos(f, t, s, ln, c):
+    return {
+        "field_idx": f,
+        "token_idx": t,
+        "src_idx": s,
+        "src_len": ln,
+        "contribution": c,
+    }
+
+
+def test_pack_unpack_positions():
+    cells = pd.Series(
+        [
+            [_pos(0, 0, 0, 5, 1.0), _pos(0, 3, 17, 4, 0.5), _pos(1, 0, 0, 2, 0.25)],
+            [],
+            None,
+            [_pos(2, 100, 1000, 8, 0.0099999998)],
+        ],
+        dtype=object,
+    )
+    packed = compact.pack_positions_batch(cells)
+    assert packed[2] is None
+    assert isinstance(packed[0], bytes)
+    # delta+varint: 3 positions should pack well under the ~60 bytes of
+    # a naive fixed-width (5 × int32 per position) layout
+    assert len(packed[0]) < 36
+    back = compact.unpack_positions_batch(packed)
+    assert back[1] == []
+    assert back[2] is None
+    for orig, rt in zip(cells[0], back[0]):
+        for k in ("field_idx", "token_idx", "src_idx", "src_len"):
+            assert rt[k] == orig[k]
+        assert rt["contribution"] == pytest.approx(
+            np.float32(orig["contribution"])
+        )
+    assert back[3][0]["token_idx"] == 100
+
+
+DOCS = [
+    (1, "alpha beta gamma alpha", "one two"),
+    (2, "beta beta delta", "three"),
+    (3, "gamma epsilon alpha zeta eta theta", ""),
+]
+
+
+@pytest.mark.parametrize("capture_positions", [True, False])
+def test_save_load_roundtrip(spark, tmp_path, capture_positions):
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("title", 5.0), FieldConfig("body", 1.0)),
+        capture_positions=capture_positions,
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, body string")
+    idx = build_index(df, cfg)
+    path = str(tmp_path / f"compact_{capture_positions}")
+    compact.save_compact(idx, path, term_partitions=2)
+
+    loaded = compact.load_compact(spark, path)
+    assert loaded.config == cfg
+
+    def snap(i):
+        rows = {}
+        for r in i.postings.collect():
+            d = r.asDict()
+            pos = d.get("positions")
+            if pos is not None:
+                pos = tuple(
+                    (
+                        p["field_idx"],
+                        p["token_idx"],
+                        p["src_idx"],
+                        p["src_len"],
+                        round(p["contribution"], 6),
+                    )
+                    for p in pos
+                )
+            rows[(d["term"], d["doc_id"])] = (
+                round(d["weight"], 6),
+                d["tf"],
+                d["dl"],
+                pos,
+            )
+        return rows
+
+    assert snap(loaded) == snap(idx)
+
+
+def test_dictionary_sorted_dense(spark, tmp_path):
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("title", 1.0),),
+        capture_positions=False,
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, body string")
+    idx = build_index(df, cfg)
+    path = str(tmp_path / "dict_check")
+    compact.save_compact(idx, path)
+    d = spark.read.parquet(f"{path}/term_dictionary").collect()
+    by_term = sorted((r["term"], r["term_id"]) for r in d)
+    ids = [tid for _, tid in by_term]
+    # dense ids 0..n-1 assigned in term sort order
+    assert ids == list(range(len(ids)))
