@@ -36,7 +36,7 @@ from fulltextindexer_spark.functions.normalize import (
     english_plurality_normalise,
     stem_sql_case_expr,
 )
-from fulltextindexer_spark.operators import dedup, similarity, textstats
+from fulltextindexer_spark.operators import bm25, dedup, similarity, textstats
 from fulltextindexer_spark.operators import query as q
 from fulltextindexer_spark.operators.index_build import build_index
 from fulltextindexer_spark.operators.querier import SparkQuerier
@@ -133,9 +133,19 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+# build-once / query-many: gate queries share one index per
+# (session, corpus, config), postings kept in executor memory
+_INDEX_CACHE: dict = {}
+
+
 def _docs_index(spark, sf_dir, config=DOCS_CONFIG):
-    docs = _documents(spark, sf_dir)
-    return build_index(docs, config)
+    key = (id(spark), sf_dir, config)
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir)
+        idx = build_index(docs, config)
+        idx.postings.persist()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
 
 
 def _round_score(df: DataFrame) -> DataFrame:
@@ -209,6 +219,16 @@ def q_prefix(spark, sf_dir):
     )
 
 
+def q_bm25(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(bm25.bm25_scores(idx, "data stream"))
+
+
+def q_bm25_wand(spark, sf_dir):
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(bm25.bm25_topk_wand(idx, "data stream", k=10))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -246,6 +266,18 @@ def q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embeddings(spark, sf_dir))
 
 
+def q_neardup(spark, sf_dir):
+    # threshold chosen so the synthetic random-embedding corpus yields a
+    # non-trivial pair set (real near-dup pipelines run ≥0.9)
+    return similarity.cosine_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.2
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_counts(_documents(spark, sf_dir))
+
+
 def q_text_stats(spark, sf_dir):
     return textstats.token_stats(_documents(spark, sf_dir))
 
@@ -270,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_not": q_search_not,
         "ftix_phrase": q_phrase,
         "ftix_prefix": q_prefix,
+        "ftix_bm25": q_bm25,
+        "ftix_bm25_wand": q_bm25_wand,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sig": q_minhash_sig,
@@ -277,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
+        "sim_neardup": q_neardup,
+        "text_token_count": q_token_count,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -335,6 +371,37 @@ votes AS (
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _bm25_sql(topk=None) -> str:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) for query 'data stream' — the
+    WAND variant adds the deterministic top-k cut; pruning must be
+    invisible in results, so both share one oracle."""
+    t1 = english_plurality_normalise("data")
+    t2 = english_plurality_normalise("stream")
+    body = f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+"""
+    if topk is None:
+        return body + "SELECT doc_id, round(score, 4) AS score FROM scored"
+    return body + f"""
+SELECT doc_id, round(score, 4) AS score FROM
+  (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {topk}) t
 """
 
 
@@ -406,6 +473,8 @@ runs AS (
 SELECT doc_id, round(sum(rw), 4) AS score FROM runs GROUP BY doc_id
 """,
         "ftix_prefix": _prefix_sql(),
+        "ftix_bm25": _bm25_sql(topk=None),
+        "ftix_bm25_wand": _bm25_sql(topk=10),
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM documents GROUP BY md5(text)
@@ -454,6 +523,25 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
 """,
         "sim_lsh_buckets": f"""
 SELECT vec_id, {lsh_bits} AS bucket FROM embeddings
+""",
+        "sim_neardup": f"""
+WITH b AS (SELECT vec_id, embedding, {lsh_bits} AS bucket FROM embeddings),
+cand AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                a.embedding AS va, c.embedding AS vb
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+pairs AS (SELECT vec_a, vec_b, unnest(va)::DOUBLE AS x,
+                 unnest(vb)::DOUBLE AS y FROM cand),
+dots AS (SELECT vec_a, vec_b, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY vec_a, vec_b)
+SELECT vec_a, vec_b, round(dot / (nx * ny), 4) AS cosine FROM dots
+WHERE round(dot / (nx * ny), 4) >= 0.2
+""",
+        "text_token_count": f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS n_bpe_pieces
+FROM documents
 """,
         "text_stats": """
 WITH tok AS (

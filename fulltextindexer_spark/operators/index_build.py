@@ -291,6 +291,9 @@ class InvertedIndex:
         p.sortWithinPartitions("term", "doc_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "postings"))
+        self._write_config(path)
+
+    def _write_config(self, path: str) -> None:
         cfg = {
             "key_column": self.config.key_column,
             "fields": [
@@ -317,6 +320,18 @@ class InvertedIndex:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "index_config.json"), "w") as fh:
             json.dump(cfg, fh, indent=2)
+
+    def save_json(self, path: str) -> None:
+        """Debug/fixture sink: postings as JSON lines + the config.
+
+        Mirrors the reference's JSON serialisation role (test fixtures,
+        human inspection — Serialisation.Json/IndexDataJsonSerialiser.cs:17-47);
+        the compact parquet tier is the production format.
+        """
+        self.postings.write.mode("overwrite").json(
+            os.path.join(path, "postings_json")
+        )
+        self._write_config(path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":

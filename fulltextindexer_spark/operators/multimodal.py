@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+A 100 TB training-data pipeline carries media alongside text. The
+Spark-side contract implemented (and tested) here is real — schemas,
+Arrow batch shapes, ``mapInPandas`` signatures, partitioning — while
+the *codec* step is stubbed: this container ships no image/audio
+libraries, so decode produces a deterministic fake pixel/sample buffer
+derived from the payload bytes (flagged by ``decoder = 'fake'``), and
+a real decoder can be dropped into :func:`_decode_payload` without
+touching any plumbing. Unsupported kinds raise ``NotImplementedError``
+eagerly at plan-build time, not inside executors.
+
+Schema::
+
+    media(media_id long, kind string,            -- 'image'|'audio'|'video'
+          data binary,                           -- opaque payload
+          width int, height int,                 -- image/video
+          sample_rate int, n_frames int)         -- audio/video
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_DDL = (
+    "media_id long, kind string, data binary, "
+    "width int, height int, sample_rate int, n_frames int"
+)
+SUPPORTED_KINDS = ("image", "audio", "video")
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table (payload = sha256 chain of the
+    id) — the test stand-in for an object-store-backed binary column."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = np.array(SUPPORTED_KINDS)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                kind = kinds[i % 3]
+                seed = hashlib.sha256(f"media-{i}".encode()).digest()
+                payload = seed * (8 + int(i) % 5)  # 256-416 bytes
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": str(kind),
+                        "data": payload,
+                        "width": 32 + int(i) % 64 if kind != "audio" else None,
+                        "height": 24 + int(i) % 48 if kind != "audio" else None,
+                        "sample_rate": 16000 if kind == "audio" else None,
+                        "n_frames": (
+                            10 + int(i) % 20 if kind == "video" else None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=MEDIA_DDL)
+    )
+
+
+def _decode_payload(data: bytes, kind: str) -> np.ndarray:
+    """STUB codec: deterministic fake decode.
+
+    Real deployment: replace with PIL/libvips (image), soundfile
+    (audio), pyav (video). The fake output is a uint8 buffer whose
+    content is a pure function of the payload, so downstream feature
+    tests are reproducible.
+    """
+    h = hashlib.sha256(data).digest()
+    reps = 4 if kind == "image" else 2
+    return np.frombuffer(h * reps, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(media_id, kind, feature: array<float>) via Arrow-batched decode +
+    pooled feature stub.
+
+    The feature is a unit-normalised float vector pooled from the
+    decoded buffer — the exact plumbing (binary in, fixed-dim
+    array<float> out, batch-at-a-time) a real embedding model plugs
+    into.
+    """
+    out_schema = "media_id long, kind string, feature array<float>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data, kind in zip(pdf["data"], pdf["kind"]):
+                if kind not in SUPPORTED_KINDS:
+                    raise NotImplementedError(f"unsupported media kind {kind}")
+                buf = _decode_payload(bytes(data), kind)
+                pooled = (
+                    buf[: (len(buf) // dim) * dim]
+                    .reshape(-1, dim)
+                    .mean(axis=0)
+                    .astype(np.float64)
+                )
+                norm = float(np.sqrt((pooled**2).sum())) or 1.0
+                feats.append((pooled / norm).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                }
+            )
+
+    kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
+    unsupported = sorted(set(kinds) - set(SUPPORTED_KINDS))
+    if unsupported:
+        raise NotImplementedError(f"unsupported media kinds: {unsupported}")
+    return media.select("media_id", "kind", "data").mapInPandas(
+        featurize, schema=out_schema
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (0, every_n, 2·every_n, …) — (media_id, frame_idx).
+
+    Pure JVM ``sequence`` + ``explode``; the per-frame decode would hang
+    off this fan-out as a second ``mapInPandas`` at scale.
+    """
+    vids = media.where(F.col("kind") == "video")
+    idxs = F.sequence(
+        F.lit(0),
+        F.col("n_frames") - 1,
+        F.lit(every_n),
+    )
+    return vids.select(
+        "media_id", F.explode(idxs).alias("frame_idx")
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes payloads through the stub codec and
+    rewrites metadata. Real resample goes in :func:`_decode_payload`'s
+    replacement; here output dims are metadata-only."""
+    imgs = media.where(F.col("kind") == "image")
+    return imgs.withColumn("width", F.lit(width)).withColumn(
+        "height", F.lit(height)
+    )

@@ -54,6 +54,33 @@ def token_stats(
     )
 
 
+# BPE-ish pre-tokenisation pattern (GPT-2-style, simplified to a
+# cross-engine-safe subset: letter runs, digit runs, single
+# non-alphanumeric marks). Counting these pieces approximates the
+# subword-token budget of a document far better than whitespace words.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc token budgets: (doc_id, n_ws_tokens, n_bpe_pieces).
+
+    ``n_ws_tokens`` = whitespace words; ``n_bpe_pieces`` = pieces of the
+    BPE-ish regex — both pure JVM ``regexp``/``split`` expressions.
+    """
+    text = F.col(text_col)
+    ws = F.size(
+        F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    )
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_pieces"),
+    )
+
+
 def quality_score(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry AND its ``oracle_sql()`` DuckDB
+equivalent at sf0.01 (or $GATE_SF_DIR), compare row counts, sorted
+column names, and sorted values. Prints one line per query + summary.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.01")
+ONLY = sys.argv[1:] or None
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    from fulltextindexer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gatecheck", master="local[16]", shuffle_partitions=16
+    )
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = norm_frame(fn(spark, SF_DIR).toPandas())
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:24s} SPARK-ERROR {ex}")
+            failures.append(name)
+            continue
+        if name not in osql:
+            print(f"{name:24s} rows={len(sdf):6d} (rows-only, no oracle)")
+            continue
+        try:
+            odf = norm_frame(con.execute(osql[name]).df())
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:24s} ORACLE-ERROR {ex}")
+            failures.append(name)
+            continue
+        ok_shape = sdf.shape == odf.shape
+        ok_cols = list(sdf.columns) == list(odf.columns)
+        ok_vals = ok_shape and ok_cols and all(
+            (sdf[c].values == odf[c].values).all() for c in sdf.columns
+        )
+        status = "MATCH" if ok_vals else "MISMATCH"
+        print(
+            f"{name:24s} rows={len(sdf):6d} oracle_rows={len(odf):6d} {status}"
+        )
+        if not ok_vals:
+            failures.append(name)
+            if ok_shape and ok_cols:
+                diff = sdf.compare(odf)
+                print(diff.head(5))
+            else:
+                print("  spark:", sdf.dtypes.to_dict())
+                print("  oracle:", odf.dtypes.to_dict())
+    print(
+        f"SUMMARY: {len(qs) - len(failures)}/{len(qs)} match"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

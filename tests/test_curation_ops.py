@@ -1,0 +1,48 @@
+"""Unit tests for curation operators added alongside the gate queries:
+BPE-ish token counting and embedding-cosine near-dup pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import similarity, textstats
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "foo_bar v2.1 (beta)"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert rows[1]["n_ws_tokens"] == 2
+    assert rows[1]["n_bpe_pieces"] == 2  # hello, world
+    assert rows[2]["n_ws_tokens"] == 3
+    # foo _ bar v 2 . 1 ( beta )  → 10 pieces
+    assert rows[2]["n_bpe_pieces"] == 10
+    assert rows[3]["n_ws_tokens"] == 0 and rows[3]["n_bpe_pieces"] == 0
+
+
+def test_cosine_neardup_pairs(spark):
+    # vectors 1 and 2 are parallel (cos=1); 3 is orthogonal to both;
+    # 4 is in a different sign bucket entirely (never a candidate)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0] * 64),
+            (2, [2.0] * 64),
+            (3, [1.0, -1.0] * 32),
+            (4, [-1.0] * 64),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in rows] == [
+        (1, 2, 1.0)
+    ]
+    # lower threshold still excludes cross-bucket pairs (LSH is the
+    # candidate generator, not a post-filter)
+    all_rows = similarity.cosine_neardup_pairs(emb, threshold=-1.0).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in all_rows}
+    assert (1, 4) not in pairs and (2, 4) not in pairs

@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schema, determinism, batch shape,
+frame sampling, unsupported-kind failure."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import multimodal as mm
+from fulltextindexer_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = mm.synth_media(spark, 30)
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_media_schema_and_kinds(media):
+    assert set(media.columns) == {
+        "media_id", "kind", "data", "width", "height",
+        "sample_rate", "n_frames",
+    }
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    audio = media.where(F.col("kind") == "audio").first()
+    assert audio["sample_rate"] == 16000 and audio["width"] is None
+
+
+def test_features_deterministic_unit_norm(spark, media):
+    f1 = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert f1 == f2  # bit-deterministic across runs
+    for vec in f1.values():
+        assert len(vec) == mm.FEATURE_DIM
+        assert np.linalg.norm(vec) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_features_feed_similarity_ops(spark, media):
+    feats = mm.extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    qv = feats.where(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.cosine_topk(feats, list(qv), k=3).collect()
+    assert top[0]["vec_id"] == 0  # self-match first
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_frame_sampling(media):
+    rows = mm.sample_frames(media, every_n=5).collect()
+    assert rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    meta = {
+        r["media_id"]: r["n_frames"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    for mid, idxs in by_id.items():
+        expect = list(range(0, meta[mid], 5))
+        assert sorted(idxs) == expect
+
+
+def test_unsupported_kind_fails_fast(spark):
+    bad = spark.createDataFrame(
+        [(1, "hologram", bytearray(b"xx"), None, None, None, None)],
+        mm.MEDIA_DDL,
+    )
+    with pytest.raises(NotImplementedError, match="hologram"):
+        mm.extract_features(bad)

@@ -1,0 +1,98 @@
+"""Incremental (Structured Streaming) index maintenance tests.
+
+The invariant: streaming N batches of documents through the
+foreachBatch merge produces postings identical to one batch build over
+the union of all documents.
+"""
+
+import os
+
+import pytest
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.sources.docs import with_doc_identity
+from fulltextindexer_spark.streaming import incremental
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("content", 1.0),),
+    capture_positions=False,
+)
+
+DOCS_DDL = incremental.DOCS_DDL
+
+BATCH1 = [
+    ("r1", "a.py", "c0", "py", "hash join merge sort"),
+    ("r1", "b.py", "c0", "py", "the quick brown fox"),
+]
+BATCH2 = [
+    ("r2", "c.rs", "c1", "rs", "hash table bucket probe"),
+    ("r2", "d.rs", "c1", "rs", "sort merge join plan"),
+]
+
+
+def _postings_snapshot(idx):
+    return {
+        (r["term"], r["doc_id"]): (round(r["weight"], 6), r["tf"], r["dl"])
+        for r in idx.postings.collect()
+    }
+
+
+def test_streaming_matches_batch_build(spark, tmp_path):
+    input_dir = str(tmp_path / "stream_in")
+    index_dir = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    # batch 1 lands, stream drains it
+    spark.createDataFrame(BATCH1, DOCS_DDL).write.mode("append").parquet(
+        input_dir
+    )
+    q = incremental.start_incremental_index(
+        spark, input_dir, index_dir, CFG, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    v1 = incremental.current_version(index_dir)
+    assert v1 >= 0
+
+    # batch 2 lands, second drain picks up ONLY the new files (exactly-once)
+    spark.createDataFrame(BATCH2, DOCS_DDL).write.mode("append").parquet(
+        input_dir
+    )
+    q = incremental.start_incremental_index(
+        spark, input_dir, index_dir, CFG, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    v2 = incremental.current_version(index_dir)
+    assert v2 > v1
+
+    streamed = incremental.load_latest(spark, index_dir, CFG)
+    all_docs = with_doc_identity(
+        spark.createDataFrame(BATCH1 + BATCH2, DOCS_DDL)
+    )
+    batch = build_index(all_docs, CFG)
+    assert _postings_snapshot(streamed) == _postings_snapshot(batch)
+
+
+def test_merge_batch_is_replayable(spark, tmp_path):
+    index_dir = str(tmp_path / "replay_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    v = incremental.merge_batch(spark, b1, index_dir, CFG)
+    assert v == 0
+    snap_before = _postings_snapshot(
+        incremental.load_latest(spark, index_dir, CFG)
+    )
+    # replaying the same batch re-aggregates duplicate doc postings:
+    # weights/tf double for those docs (combine semantics) — merge_batch
+    # itself must not corrupt or lose rows
+    v2 = incremental.merge_batch(spark, b1, index_dir, CFG)
+    assert v2 == 1
+    snap_after = _postings_snapshot(
+        incremental.load_latest(spark, index_dir, CFG)
+    )
+    assert set(snap_after) == set(snap_before)
+    for k, (w, tf, dl) in snap_before.items():
+        w2, tf2, dl2 = snap_after[k]
+        assert tf2 == 2 * tf and w2 == pytest.approx(2 * w) and dl2 == dl
