@@ -126,7 +126,12 @@ sh5 AS (SELECT DISTINCT doc_id, shingle FROM sh50 WHERE shingle IS NOT NULL)
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # the test parquet is a single file/row group; spread it so the
+    # tokenise/build UDFs and aggregations use every core
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,6 +224,41 @@ def q_prefix(spark, sf_dir):
     )
 
 
+def q_remove(spark, sf_dir):
+    """Index algebra Remove (reference IndexData.cs:147-186): drop every
+    doc with doc_id % 10 == 0, return the surviving per-term doc_freq."""
+    idx = _docs_index(spark, sf_dir)
+    removed = _documents(spark, sf_dir).where(
+        F.col("doc_id") % 10 == 0
+    ).select("doc_id")
+    pruned = idx.remove_keys(removed)
+    return (
+        pruned.postings.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_combine(spark, sf_dir):
+    """Index algebra Combine (reference IndexData.cs:69-116): build two
+    half-corpus indexes, merge them, and score — must equal a
+    single-build index's scores over the full corpus (the oracle scores
+    the full corpus directly)."""
+    docs = _documents(spark, sf_dir)
+    from fulltextindexer_spark.operators.index_build import (
+        InvertedIndex,
+        build_postings,
+    )
+
+    lo = build_postings(docs.where(F.col("doc_id") % 2 == 0), DOCS_CONFIG)
+    hi = build_postings(docs.where(F.col("doc_id") % 2 == 1), DOCS_CONFIG)
+    merged = InvertedIndex(lo, DOCS_CONFIG).combine(
+        InvertedIndex(hi, DOCS_CONFIG)
+    )
+    return _round_score(q.get_partial_matches(merged, "sort table"))
+
+
 def q_bm25(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
     return _round_score(bm25.bm25_scores(idx, "data stream"))
@@ -304,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_prefix": q_prefix,
         "ftix_bm25": q_bm25,
         "ftix_bm25_wand": q_bm25_wand,
+        "ftix_remove": q_remove,
+        "ftix_combine": q_combine,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sig": q_minhash_sig,
@@ -475,6 +517,20 @@ SELECT doc_id, round(sum(rw), 4) AS score FROM runs GROUP BY doc_id
         "ftix_prefix": _prefix_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_wand": _bm25_sql(topk=10),
+        "ftix_remove": f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq
+FROM tok WHERE doc_id % 10 <> 0
+GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20
+""",
+        "ftix_combine": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM documents GROUP BY md5(text)

@@ -181,12 +181,37 @@ def english_plurality_normalise_series(s: pd.Series) -> pd.Series:
     return _stem_series(default_normalise_series(s))
 
 
-def normalise_series(s: pd.Series, normaliser: str) -> pd.Series:
+def _normalise_series_raw(s: pd.Series, normaliser: str) -> pd.Series:
     if normaliser == "english_plurality":
         return english_plurality_normalise_series(s)
     if normaliser == "default":
         return default_normalise_series(s)
     raise ValueError(f"unknown normaliser: {normaliser}")
+
+
+def normalise_series(s: pd.Series, normaliser: str) -> pd.Series:
+    """Vectorized normalisation with unique-value memoisation.
+
+    Token streams are Zipf-distributed — a batch of ~10^6 tokens holds
+    far fewer distinct strings — so the (relatively expensive) NFKD +
+    rule-table pipeline runs once per *distinct* token and fans back
+    out through the factorize codes. This is the single biggest CPU
+    lever in the whole build (the rule table costs ~20 vector passes).
+    """
+    if len(s) <= 64:
+        return _normalise_series_raw(s, normaliser)
+    import numpy as np
+
+    codes, uniques = pd.factorize(s.to_numpy())
+    uniq_norm = _normalise_series_raw(
+        pd.Series(uniques, dtype=object), normaliser
+    ).to_numpy()
+    # factorize never yields -1 here (no NaNs in token streams), but be
+    # safe: map missing to ''
+    if (codes < 0).any():
+        uniq_norm = np.append(uniq_norm, "")
+        codes = np.where(codes < 0, len(uniq_norm) - 1, codes)
+    return pd.Series(uniq_norm[codes], index=s.index, dtype=object)
 
 
 def normalise_scalar(value: str, normaliser: str) -> str:

@@ -55,6 +55,199 @@ def break_tokens(
     return out
 
 
+_EMPTY_TOKENS = {
+    "row": pd.Series([], dtype=np.int64),
+    "token": pd.Series([], dtype=object),
+    "token_idx": pd.Series([], dtype=np.int32),
+    "src_idx": pd.Series([], dtype=np.int32),
+    "src_len": pd.Series([], dtype=np.int32),
+}
+
+
+def _whitespace_codepoints() -> np.ndarray:
+    """All codepoints the regex ``\\s`` (== ``str.isspace``) separates on.
+
+    sre's CATEGORY_UNI_SPACE and ``str.isspace`` share one table; the
+    equivalence over the BMP is pinned by a test.
+    """
+    return np.fromiter(
+        (cp for cp in range(0x110000) if chr(cp).isspace()), dtype=np.int64
+    )
+
+
+_SEP_TABLE_CACHE: dict[str, np.ndarray] = {}
+
+
+def _separator_table(break_chars: str) -> np.ndarray:
+    """Boolean lookup over all codepoints: True = token separator
+    (whitespace ∪ the configured break chars)."""
+    table = _SEP_TABLE_CACHE.get(break_chars)
+    if table is None:
+        table = np.zeros(0x110000, dtype=bool)
+        table[_whitespace_codepoints()] = True
+        for c in break_chars:
+            table[ord(c)] = True
+        _SEP_TABLE_CACHE[break_chars] = table
+    return table
+
+
+# odd multipliers (invertible mod 2^64) for the two segmented
+# polynomial hashes; 128 bits total makes token-content collisions
+# vanishingly unlikely (~1e-20 for 10^9 distinct tokens)
+_HASH_R1 = np.uint64(0x9E3779B97F4A7C15)
+_HASH_R2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_HASH_INV1 = np.uint64(pow(int(_HASH_R1), -1, 2**64))
+_HASH_INV2 = np.uint64(pow(int(_HASH_R2), -1, 2**64))
+
+
+_POWER_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers_of(r: np.uint64, n: int) -> np.ndarray:
+    """Cached [1, r, r², …] mod 2^64 — data-independent, reused across
+    batches (grown geometrically on demand)."""
+    cached = _POWER_CACHE.get(int(r))
+    if cached is None or len(cached) < n:
+        size = max(n, 2 * len(cached) if cached is not None else n, 1 << 20)
+        out = np.empty(size, np.uint64)
+        out[0] = 1
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(size - 1, r, np.uint64), out=out[1:])
+        _POWER_CACHE[int(r)] = out
+        cached = out
+    return cached[:n]
+
+
+def _segment_hashes(
+    buf: np.ndarray, s_pos: np.ndarray, e_pos: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash (two uint64 arrays) of each [s, e] codepoint
+    segment, fully vectorized: prefix sums of c_i·r^i, divided (via
+    modular inverse) by r^s — all arithmetic wraps mod 2^64 naturally."""
+    n = len(buf)
+    seg_len = (e_pos - s_pos + 1).astype(np.uint64)
+    outs = []
+    with np.errstate(over="ignore"):
+        c = buf.astype(np.uint64) + np.uint64(1)  # avoid NUL-absorbing 0
+        for r, inv in (
+            (_HASH_R1, _HASH_INV1),
+            (_HASH_R2, _HASH_INV2),
+        ):
+            powers = _powers_of(r, n)
+            inv_powers = _powers_of(inv, n)
+            prefix = np.cumsum(c * powers)  # wraps mod 2^64
+            prev = np.concatenate((np.zeros(1, np.uint64), prefix[:-1]))
+            seg = (prefix[e_pos] - prev[s_pos]) * inv_powers[s_pos]
+            # mix in the length so "aa|a" != "a|aa" style splits differ
+            outs.append(seg ^ (seg_len * r))
+    return outs[0], outs[1]
+
+
+def _dedupe_codes(
+    ha: np.ndarray, hb: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(first_idx, codes) grouping equal (ha, hb) pairs.
+
+    lexsort + run-length instead of np.unique on a structured dtype
+    (whose void-comparison sort is ~10× slower)."""
+    n = len(ha)
+    order = np.lexsort((hb, ha))
+    sa, sb = ha[order], hb[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+    group_sorted = np.cumsum(new) - 1
+    codes = np.empty(n, dtype=np.int64)
+    codes[order] = group_sorted
+    first_idx = order[np.flatnonzero(new)]
+    return first_idx, codes
+
+
+def tokenize_frame_coded(
+    content: pd.Series, break_chars: str = DEFAULT_BREAK_CHARS
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Vectorized token breaker with token dedup — the hot path.
+
+    Returns ``(frame, uniques)`` where ``frame`` has columns ``row``,
+    ``code``, ``token_idx``, ``src_idx``, ``src_len`` (one row per
+    token, document order) and ``uniques[code]`` is the token string.
+    Only *distinct* tokens are ever materialised as Python strings
+    (via a segmented 128-bit polynomial hash over the batch's UTF-32
+    codepoint view) — on Zipf-shaped corpora this removes the
+    dominant allocation cost of tokenisation.
+
+    Char offsets into the UTF-32 view are exactly Python string
+    indices, so source locations stay reference-accurate for any
+    Unicode content.
+    """
+    texts = content.reset_index(drop=True).to_numpy()
+    n_docs = len(texts)
+    empty = pd.DataFrame(
+        {
+            "row": pd.Series([], dtype=np.int64),
+            "code": pd.Series([], dtype=np.int64),
+            "token_idx": pd.Series([], dtype=np.int32),
+            "src_idx": pd.Series([], dtype=np.int32),
+            "src_len": pd.Series([], dtype=np.int32),
+        }
+    )
+    if n_docs == 0:
+        return empty, np.empty(0, dtype=object)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+    joined = "".join(texts)
+    if not joined:
+        return empty, np.empty(0, dtype=object)
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    sep = _separator_table(break_chars)[buf]
+
+    doc_starts = np.cumsum(lens) - lens
+    n_chars = len(buf)
+    at_doc_start = np.zeros(n_chars, dtype=bool)
+    at_doc_start[doc_starts[lens > 0]] = True
+    prev_sep = np.empty(n_chars, dtype=bool)
+    prev_sep[0] = True
+    prev_sep[1:] = sep[:-1]
+    next_sep = np.empty(n_chars, dtype=bool)
+    next_sep[-1] = True
+    next_sep[:-1] = sep[1:]
+    at_doc_end = np.zeros(n_chars, dtype=bool)
+    at_doc_end[doc_starts[lens > 0] + lens[lens > 0] - 1] = True
+
+    tok_start = ~sep & (prev_sep | at_doc_start)
+    tok_end = ~sep & (next_sep | at_doc_end)
+    s_pos = np.flatnonzero(tok_start)
+    e_pos = np.flatnonzero(tok_end)
+    if len(s_pos) == 0:
+        return empty, np.empty(0, dtype=object)
+
+    ha, hb = _segment_hashes(buf, s_pos, e_pos)
+    first_idx, codes = _dedupe_codes(ha, hb)
+    uniques = np.array(
+        [joined[s_pos[i] : e_pos[i] + 1] for i in first_idx], dtype=object
+    )
+
+    rows = np.searchsorted(doc_starts, s_pos, side="right") - 1
+    src_idx = s_pos - doc_starts[rows]
+    src_len = e_pos - s_pos + 1
+    row_change = np.empty(len(rows), dtype=bool)
+    row_change[0] = True
+    row_change[1:] = rows[1:] != rows[:-1]
+    first_of_row = np.where(row_change, np.arange(len(rows)), 0)
+    np.maximum.accumulate(first_of_row, out=first_of_row)
+    token_idx = np.arange(len(rows)) - first_of_row
+
+    frame = pd.DataFrame(
+        {
+            "row": rows,
+            "code": codes.astype(np.int64),
+            "token_idx": token_idx.astype(np.int32),
+            "src_idx": src_idx.astype(np.int32),
+            "src_len": src_len.astype(np.int32),
+        }
+    )
+    return frame, uniques
+
+
 def tokenize_frame(
     content: pd.Series, break_chars: str = DEFAULT_BREAK_CHARS
 ) -> pd.DataFrame:
@@ -62,46 +255,15 @@ def tokenize_frame(
 
     Returns a DataFrame with columns ``row`` (the input Series' positional
     index 0..n-1), ``token``, ``token_idx``, ``src_idx``, ``src_len`` —
-    one row per token, in document order.
+    one row per token, in document order. Thin wrapper over
+    :func:`tokenize_frame_coded` that materialises token strings.
     """
-    content = content.reset_index(drop=True)
-    translated = content.str.translate(_break_translate_table(break_chars))
-    pieces = translated.str.findall(_PIECES_RE)
-    exploded = pieces.explode().dropna()
-    if exploded.empty:
-        return pd.DataFrame(
-            {
-                "row": pd.Series([], dtype=np.int64),
-                "token": pd.Series([], dtype=object),
-                "token_idx": pd.Series([], dtype=np.int32),
-                "src_idx": pd.Series([], dtype=np.int32),
-                "src_len": pd.Series([], dtype=np.int32),
-            }
-        )
-    rows = exploded.index.to_numpy(dtype=np.int64)
-    lengths = exploded.str.len().to_numpy(dtype=np.int64)
-    # start offset = cumulative length of preceding pieces within the row
-    cum = np.cumsum(lengths) - lengths
-    row_change = np.empty(len(rows), dtype=bool)
-    row_change[0] = True
-    row_change[1:] = rows[1:] != rows[:-1]
-    # subtract the running total at each row start to restart per row
-    row_base = np.where(row_change, cum, 0)
-    np.maximum.accumulate(row_base, out=row_base)
-    starts = cum - row_base
-
-    is_token = ~exploded.str.match(r"\s").to_numpy(dtype=bool)
-    frame = pd.DataFrame(
-        {
-            "row": rows[is_token],
-            "token": exploded.to_numpy()[is_token],
-            "src_idx": starts[is_token].astype(np.int32),
-            "src_len": lengths[is_token].astype(np.int32),
-        }
-    )
-    # cumulative token index per row (reference WhiteSpaceTokenBreaker.cs:52)
-    frame["token_idx"] = frame.groupby("row").cumcount().astype(np.int32)
-    return frame[["row", "token", "token_idx", "src_idx", "src_len"]]
+    frame, uniques = tokenize_frame_coded(content, break_chars)
+    if frame.empty:
+        return pd.DataFrame(_EMPTY_TOKENS)
+    out = frame.drop(columns=["code"]).copy()
+    out.insert(1, "token", uniques[frame["code"].to_numpy()])
+    return out
 
 
 def expand_prefixes(

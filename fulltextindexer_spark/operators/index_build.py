@@ -53,6 +53,7 @@ from fulltextindexer_spark.functions.normalize import (
 from fulltextindexer_spark.functions.tokenize import (
     expand_prefixes,
     tokenize_frame,
+    tokenize_frame_coded,
 )
 
 POSITION_STRUCT = (
@@ -83,14 +84,19 @@ def _batch_postings(
     """Turn one pandas batch of documents into final (term, doc) postings."""
     keys = pdf[config.key_column].to_numpy()
     frames: list[pd.DataFrame] = []
+    term_vocab: list[np.ndarray] = []  # per-frame normalised-term lookup
+    vocab_offset = 0
     for field_idx, fld in enumerate(config.fields):
         content = pdf[fld.column].fillna("").astype(str)
-        toks = tokenize_frame(content, config.break_chars)
-        if toks.empty:
-            continue
-        toks["variant_rank"] = np.int32(0)
-        toks["tok_mult"] = np.float32(1.0)
         if config.prefix_expansion is not None:
+            # prefix path: token strings are needed to generate prefix
+            # variants, so materialise them (normalise_series memoises
+            # per distinct token internally)
+            toks = tokenize_frame(content, config.break_chars)
+            if toks.empty:
+                continue
+            toks["variant_rank"] = np.int32(0)
+            toks["tok_mult"] = np.float32(1.0)
             pe = config.prefix_expansion
             pre = expand_prefixes(toks, pe.min_len, pe.max_len)
             if not pre.empty:
@@ -99,33 +105,68 @@ def _batch_postings(
                 pre["variant_rank"] = pre["token"].str.len().astype(np.int32)
                 pre["tok_mult"] = np.float32(pe.weight_multiplier)
                 toks = pd.concat([toks, pre], ignore_index=True)
-        toks["term"] = normalise_series(toks["token"], config.normaliser)
-        toks = toks[toks["term"] != ""]
-        if toks.empty:
+            terms = normalise_series(
+                toks["token"], config.normaliser
+            ).to_numpy()
+            codes, uniq_terms = pd.factorize(terms)
+            tok_mult = toks["tok_mult"].to_numpy(np.float32)
+            variant_rank = toks["variant_rank"].to_numpy(np.int32)
+        else:
+            # hot path: all per-token work stays in integer code space;
+            # only *distinct* tokens are normalised (and only distinct
+            # terms ever become strings again, at output time)
+            toks, uniq_tokens = tokenize_frame_coded(
+                content, config.break_chars
+            )
+            if toks.empty:
+                continue
+            uniq_terms = normalise_series(
+                pd.Series(uniq_tokens, dtype=object), config.normaliser
+            ).to_numpy()
+            codes = toks["code"].to_numpy()
+            tok_mult = np.float32(1.0)
+            variant_rank = np.int32(0)
+
+        # per-distinct-term properties, fanned out through the codes
+        uniq_is_empty = np.fromiter(
+            (t == "" for t in uniq_terms), bool, len(uniq_terms)
+        )
+        uniq_stop = np.fromiter(
+            (t in stop_set for t in uniq_terms), bool, len(uniq_terms)
+        )
+        keep = ~uniq_is_empty[codes]
+        if not keep.all():
+            toks = toks[keep]
+            codes = codes[keep]
+            if isinstance(tok_mult, np.ndarray):
+                tok_mult = tok_mult[keep]
+            if isinstance(variant_rank, np.ndarray):
+                variant_rank = variant_rank[keep]
+        if not len(toks):
             continue
         stop_mult = np.where(
-            toks["term"].isin(stop_set),
+            uniq_stop[codes],
             np.float32(config.stop_word_weight),
             np.float32(1.0),
         ).astype(np.float32)
         # matchWeight = (field weight × stop multiplier) × token multiplier,
         # float32 at each step (reference IndexGenerator.cs:114)
-        weight = (
-            np.float32(fld.weight) * stop_mult
-        ) * toks["tok_mult"].to_numpy(dtype=np.float32)
+        weight = (np.float32(fld.weight) * stop_mult) * tok_mult
         out = pd.DataFrame(
             {
                 "row": toks["row"].to_numpy(),
-                "term": toks["term"].to_numpy(),
-                "weight": weight,
+                "gcode": codes.astype(np.int64) + vocab_offset,
+                "weight": weight.astype(np.float32),
                 "field_idx": np.int32(field_idx),
                 "token_idx": toks["token_idx"].to_numpy(np.int32),
                 "src_idx": toks["src_idx"].to_numpy(np.int32),
                 "src_len": toks["src_len"].to_numpy(np.int32),
-                "variant_rank": toks["variant_rank"].to_numpy(np.int32),
+                "variant_rank": variant_rank,
             }
         )
         frames.append(out)
+        term_vocab.append(np.asarray(uniq_terms, dtype=object))
+        vocab_offset += len(uniq_terms)
 
     if not frames:
         cols = {
@@ -135,23 +176,47 @@ def _batch_postings(
             "tf": pd.Series([], dtype=np.int32),
             "dl": pd.Series([], dtype=np.int32),
         }
+        empty = pd.DataFrame(cols)
         if config.capture_positions:
-            cols["positions"] = pd.Series([], dtype=object)
-        return pd.DataFrame(cols)
+            pos_flat = {
+                "field_idx": np.empty(0, np.int32),
+                "token_idx": np.empty(0, np.int32),
+                "src_idx": np.empty(0, np.int32),
+                "src_len": np.empty(0, np.int32),
+                "contribution": np.empty(0, np.float32),
+            }
+            return empty, pos_flat, np.zeros(1, np.int32)
+        return empty
 
     occ = pd.concat(frames, ignore_index=True)
+    # unify the per-field term vocabularies (distinct normalised terms,
+    # a *small* array) into one code space
+    vocab = np.concatenate(term_vocab)
+    vocab_codes, term_uniques = pd.factorize(vocab)
+    term_codes = vocab_codes[occ["gcode"].to_numpy()]
     # document-scan order: doc → field → token stream (parent before its
-    # prefix variants) — required for exact combine-order parity
-    occ = occ.sort_values(
-        ["row", "term", "field_idx", "token_idx", "variant_rank"],
-        kind="stable",
-        ignore_index=True,
+    # prefix variants) — required for exact combine-order parity.
+    # Sort on integer keys only: np.lexsort over int arrays is ~10×
+    # cheaper than a pandas object-string sort, and grouping only needs
+    # *equal terms adjacent*, not alphabetical order.
+    order = np.lexsort(
+        (
+            occ["variant_rank"].to_numpy(),
+            occ["token_idx"].to_numpy(),
+            occ["field_idx"].to_numpy(),
+            term_codes,
+            occ["row"].to_numpy(),
+        )
     )
+    occ = occ.take(order)
+    term_codes = term_codes[order]
     row_arr = occ["row"].to_numpy()
-    term_arr = occ["term"].to_numpy()
+    term_arr = term_uniques[term_codes]
     change = np.empty(len(occ), dtype=bool)
     change[0] = True
-    change[1:] = (row_arr[1:] != row_arr[:-1]) | (term_arr[1:] != term_arr[:-1])
+    change[1:] = (row_arr[1:] != row_arr[:-1]) | (
+        term_codes[1:] != term_codes[:-1]
+    )
     starts = np.flatnonzero(change)
     # double accumulator over float32 contributions, cast to float32
     sums = np.add.reduceat(
@@ -177,44 +242,104 @@ def _batch_postings(
         }
     )
     if config.capture_positions:
-        ends = np.append(starts[1:], len(occ))
-        f_idx = occ["field_idx"].to_numpy()
-        t_idx = occ["token_idx"].to_numpy()
-        s_idx = occ["src_idx"].to_numpy()
-        s_len = occ["src_len"].to_numpy()
-        w = occ["weight"].to_numpy()
-        result["positions"] = [
-            [
-                {
-                    "field_idx": int(f_idx[j]),
-                    "token_idx": int(t_idx[j]),
-                    "src_idx": int(s_idx[j]),
-                    "src_len": int(s_len[j]),
-                    "contribution": float(w[j]),
-                }
-                for j in range(s, e)
-            ]
-            for s, e in zip(starts, ends)
-        ]
+        # flat per-occurrence arrays + group offsets; the Arrow writer
+        # assembles list<struct> zero-copy (no per-position Python)
+        pos_flat = {
+            "field_idx": occ["field_idx"].to_numpy(np.int32),
+            "token_idx": occ["token_idx"].to_numpy(np.int32),
+            "src_idx": occ["src_idx"].to_numpy(np.int32),
+            "src_len": occ["src_len"].to_numpy(np.int32),
+            "contribution": occ["weight"].to_numpy(np.float32),
+        }
+        offsets = np.append(starts, len(occ)).astype(np.int32)
+        return result, pos_flat, offsets
     return result
 
 
 def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
-    """Documents DataFrame → postings DataFrame, with no shuffle."""
+    """Documents DataFrame → postings DataFrame, with no shuffle.
+
+    Without positions: plain ``mapInPandas``. With positions: the
+    ``list<struct>`` column is assembled with ``mapInArrow`` directly
+    from the kernel's flat occurrence arrays (zero-copy ListArray over
+    a StructArray) — materialising millions of per-position Python
+    dicts would dominate the build otherwise.
+    """
     stop_set = normalised_stop_words(config)
     needed = [config.key_column] + config.field_columns()
     projected = docs.select(*needed)  # column pruning reaches the scan
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = _batch_postings(pdf, config, stop_set)
-            if len(out):
-                yield out
+    if not config.capture_positions:
 
-    schema = (
-        POSTINGS_SCHEMA if config.capture_positions else POSTINGS_SCHEMA_NO_POS
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = _batch_postings(pdf, config, stop_set)
+                if len(out):
+                    yield out
+
+        return projected.mapInPandas(gen, schema=POSTINGS_SCHEMA_NO_POS)
+
+    import pyarrow as pa
+
+    pos_type = pa.list_(
+        pa.struct(
+            [
+                ("field_idx", pa.int32()),
+                ("token_idx", pa.int32()),
+                ("src_idx", pa.int32()),
+                ("src_len", pa.int32()),
+                ("contribution", pa.float32()),
+            ]
+        )
     )
-    return projected.mapInPandas(gen, schema=schema)
+    arrow_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("weight", pa.float32()),
+            ("tf", pa.int32()),
+            ("dl", pa.int32()),
+            ("positions", pos_type),
+        ]
+    )
+
+    def gen_arrow(batches: "Iterator[pa.RecordBatch]"):
+        for rb in batches:
+            pdf = rb.to_pandas()
+            result, pos_flat, offsets = _batch_postings(
+                pdf, config, stop_set
+            )
+            if not len(result):
+                continue
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(pos_flat["field_idx"], pa.int32()),
+                    pa.array(pos_flat["token_idx"], pa.int32()),
+                    pa.array(pos_flat["src_idx"], pa.int32()),
+                    pa.array(pos_flat["src_len"], pa.int32()),
+                    pa.array(pos_flat["contribution"], pa.float32()),
+                ],
+                names=[
+                    "field_idx", "token_idx", "src_idx", "src_len",
+                    "contribution",
+                ],
+            )
+            positions = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(result["term"].to_numpy(), pa.string()),
+                    pa.array(result["doc_id"].to_numpy(), pa.int64()),
+                    pa.array(result["weight"].to_numpy(), pa.float32()),
+                    pa.array(result["tf"].to_numpy(), pa.int32()),
+                    pa.array(result["dl"].to_numpy(), pa.int32()),
+                    positions,
+                ],
+                schema=arrow_schema,
+            )
+
+    return projected.mapInArrow(gen_arrow, schema=POSTINGS_SCHEMA)
 
 
 @dataclass

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Machine-capacity probe backing the scaling-bench methodology.
+
+Runs a fixed single-threaded numpy kernel in 1/4/8/16/32 parallel
+processes and prints aggregate + per-process throughput. On the
+benchmark sandbox this shows linear scaling to 8, ~0.88/core at 16,
+and *falling aggregate* at 32 — i.e. the hypervisor grants fewer
+effective cores than the 32 advertised vCPUs. That is why
+``bench.py --scaling`` measures N→4N as taskset-pinned local[4] →
+local[16] by default: a 32-wide run measures the VM quota, not the
+job's scalability.
+"""
+
+import multiprocessing as mp
+import os
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+
+def burn(_):
+    import numpy as np
+
+    a = np.random.rand(200000)
+    t_end = time.perf_counter() + 6
+    it = 0
+    while time.perf_counter() < t_end:
+        np.sqrt(a * a + 1.0).sum()
+        it += 1
+    return it
+
+
+def main() -> None:
+    results = {}
+    for procs in (1, 4, 8, 16, 32):
+        with mp.Pool(procs) as p:
+            res = p.map(burn, range(procs))
+        results[procs] = sum(res)
+        print(
+            f"procs={procs:2d}: aggregate={sum(res):6d} iters/6s, "
+            f"per-proc={sum(res) / procs:6.0f}"
+        )
+    base = results[1]
+    for procs in (4, 8, 16, 32):
+        eff = results[procs] / (base * procs)
+        print(f"efficiency vs 1-proc at {procs:2d} procs: {eff:.2f}")
+
+
+if __name__ == "__main__":
+    main()

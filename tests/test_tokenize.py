@@ -70,3 +70,54 @@ def test_prefix_expansion_max_len():
     tokens = tokenize_frame(pd.Series(["abcdefgh"]))
     out = expand_prefixes(tokens, min_len=2, max_len=4)
     assert sorted(out["token"].tolist()) == ["ab", "abc", "abcd"]
+
+
+def test_separator_table_matches_regex_bmp():
+    """The numpy separator table must agree with re \\s over the BMP
+    (the tokenizer's correctness rests on this equivalence)."""
+    import re
+
+    import numpy as np
+
+    from fulltextindexer_spark.functions.tokenize import _separator_table
+
+    table = _separator_table("")
+    ws_re = re.compile(r"\s")
+    for cp in range(0x10000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        assert table[cp] == bool(ws_re.match(chr(cp))), hex(cp)
+
+
+def test_tokenize_frame_matches_scalar_random():
+    """Batch tokenizer ≡ scalar tokenizer on adversarial unicode rows."""
+    import numpy as np
+    import pandas as pd
+
+    from fulltextindexer_spark.functions.tokenize import (
+        break_tokens,
+        tokenize_frame,
+    )
+
+    rows = [
+        "",
+        "   ",
+        "a",
+        "ab cd  ef\tgh\n",
+        "x.y,z(a)b",
+        "mangé café naïve",
+        " line sep　ideo",
+        "edge|case=last",
+        "🙂 emoji 🚀go",
+        "tail-no-sep",
+    ]
+    frame = tokenize_frame(pd.Series(rows))
+    got = {
+        r: [
+            (t["token"], t["token_idx"], t["src_idx"], t["src_len"])
+            for _, t in frame[frame["row"] == r].iterrows()
+        ]
+        for r in range(len(rows))
+    }
+    for r, text in enumerate(rows):
+        assert got[r] == break_tokens(text), (r, text)
