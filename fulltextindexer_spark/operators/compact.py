@@ -42,6 +42,7 @@ from fulltextindexer_spark.config import (
     IndexConfig,
     PrefixExpansionConfig,
 )
+from fulltextindexer_spark.functions.gcctl import gc_paused
 from fulltextindexer_spark.operators.index_build import (
     POSITION_STRUCT,
     InvertedIndex,
@@ -228,10 +229,13 @@ def compact_postings(
     if index.config.capture_positions:
 
         def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["positions_bin"] = pack_positions_batch(pdf["positions"])
-                yield pdf.drop(columns=["positions"])
+            with gc_paused():
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["positions_bin"] = pack_positions_batch(
+                        pdf["positions"]
+                    )
+                    yield pdf.drop(columns=["positions"])
 
         p = p.select(*cols, "positions").mapInPandas(
             pack, schema=_COMPACT_SCHEMA
@@ -320,12 +324,13 @@ def load_compact(spark: SparkSession, path: str) -> InvertedIndex:
         )
 
         def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["positions"] = unpack_positions_batch(
-                    pdf["positions_bin"]
-                )
-                yield pdf.drop(columns=["positions_bin"])
+            with gc_paused():
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["positions"] = unpack_positions_batch(
+                        pdf["positions_bin"]
+                    )
+                    yield pdf.drop(columns=["positions_bin"])
 
         postings = joined.select(*base_cols, "positions_bin").mapInPandas(
             unpack, schema=out_schema

@@ -46,6 +46,7 @@ from fulltextindexer_spark.config import (
     IndexConfig,
     PrefixExpansionConfig,
 )
+from fulltextindexer_spark.functions.gcctl import gc_paused
 from fulltextindexer_spark.functions.normalize import (
     normalise_scalar,
     normalise_series,
@@ -272,10 +273,11 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
     if not config.capture_positions:
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = _batch_postings(pdf, config, stop_set)
-                if len(out):
-                    yield out
+            with gc_paused():
+                for pdf in batches:
+                    out = _batch_postings(pdf, config, stop_set)
+                    if len(out):
+                        yield out
 
         return projected.mapInPandas(gen, schema=POSTINGS_SCHEMA_NO_POS)
 
@@ -304,6 +306,7 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
     )
 
     def gen_arrow(batches: "Iterator[pa.RecordBatch]"):
+      with gc_paused():
         for rb in batches:
             pdf = rb.to_pandas()
             result, pos_flat, offsets = _batch_postings(
