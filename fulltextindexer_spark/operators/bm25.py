@@ -67,6 +67,16 @@ def corpus_stats(postings: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
+def _cached_corpus_stats(index: InvertedIndex) -> tuple[int, float]:
+    """corpus_stats memoised per index instance — the (N, avgdl) scan
+    is corpus-wide and identical for every query against the index."""
+    cached = getattr(index, "_bm25_stats", None)
+    if cached is None:
+        cached = corpus_stats(index.postings)
+        object.__setattr__(index, "_bm25_stats", cached)
+    return cached
+
+
 def doc_frequencies(postings: DataFrame, n_salts: int = 16) -> DataFrame:
     """Per-term document frequency ``(term, df)`` via salted two-phase agg.
 
@@ -161,7 +171,7 @@ def bm25_scores(
     terms = _query_terms(index, source)
     if not terms:
         return _empty(index)
-    n_docs, avgdl = corpus_stats(index.postings)
+    n_docs, avgdl = _cached_corpus_stats(index)
     if n_docs == 0 or avgdl == 0.0:
         return _empty(index)
     idf_rows = _idf_rows(index, terms, n_docs)
@@ -213,7 +223,7 @@ def bm25_topk_wand(
     terms = _query_terms(index, source)
     if not terms:
         return _empty(index)
-    n_docs, avgdl = corpus_stats(index.postings)
+    n_docs, avgdl = _cached_corpus_stats(index)
     if n_docs == 0 or avgdl == 0.0:
         return _empty(index)
     idf_rows = _idf_rows(index, terms, n_docs)

@@ -1,0 +1,145 @@
+"""Randomized engine-vs-oracle parity on a seeded synthetic corpus.
+
+The fixture tests pin exact reference values on tiny corpora; this
+module drives the same code paths over a 150-doc seeded random corpus
+(multi-field, punctuation, plurals, stop words, unicode) and requires
+the Spark engine's float32 scores to equal the pure-Python oracle's
+bit-for-bit across many random queries.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from fulltextindexer_spark import oracle
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.querier import SparkQuerier
+
+VOCAB = [
+    "cat", "cats", "dog", "dogs", "index", "indices", "matrix", "matrices",
+    "the", "a", "and", "of", "query", "queries", "formula", "formulae",
+    "sort", "sorting", "merge", "hash", "join", "mangé", "café", "naïve",
+    "foo.bar", "x=y", "a(b)", "data", "datum", "child", "children",
+    "vertex", "vertices", "stream", "streams", "window", "windows",
+]
+
+CFG = IndexConfig(
+    key_column="id",
+    fields=(FieldConfig("title", 5.0), FieldConfig("body", 1.0)),
+    capture_positions=True,
+)
+
+
+def _make_corpus(seed=1234, n=150):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n):
+        title = " ".join(rng.choices(VOCAB, k=rng.randint(1, 6)))
+        body = " ".join(rng.choices(VOCAB, k=rng.randint(5, 60)))
+        docs.append({"id": i, "title": title, "body": body})
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _make_corpus()
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, corpus):
+    df = spark.createDataFrame(
+        [(d["id"], d["title"], d["body"]) for d in corpus],
+        "id long, title string, body string",
+    ).repartition(4)
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    return oracle.generate_index(corpus, CFG)
+
+
+def _spark_scores(df):
+    return {r["doc_id"]: np.float32(r["score"]) for r in df.collect()}
+
+
+def _oracle_scores(entries):
+    return {e.key: np.float32(e.weight) for e in entries}
+
+
+def test_postings_identical(spark_index, oracle_index, corpus):
+    got = {
+        (r["term"], r["doc_id"]): np.float32(r["weight"])
+        for r in spark_index.postings.collect()
+    }
+    want = {}
+    for term, by_key in oracle_index.data.items():
+        for key, entry in by_key.items():
+            want[(term, key)] = np.float32(entry.weight)
+    assert got == want
+
+
+def test_partial_matches_random_queries(spark_index, oracle_index):
+    rng = random.Random(99)
+    for _ in range(15):
+        query = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
+        got = _spark_scores(
+            q.get_partial_matches(spark_index, query).withColumnRenamed(
+                "score", "score"
+            )
+        )
+        want = _oracle_scores(
+            oracle.get_partial_matches(oracle_index, query)
+        )
+        assert got == want, f"query={query!r}"
+
+
+def test_consecutive_matches_random_queries(spark_index, oracle_index):
+    rng = random.Random(7)
+    for _ in range(10):
+        query = " ".join(rng.choices(VOCAB, k=rng.randint(2, 3)))
+        got = _spark_scores(q.get_consecutive_matches(spark_index, query))
+        want = _oracle_scores(
+            oracle.get_consecutive_matches(oracle_index, query)
+        )
+        assert got == want, f"query={query!r}"
+
+
+def test_structured_queries_random(spark_index, oracle_index):
+    querier = SparkQuerier(spark_index, spark_index)
+    oq = oracle.OracleQuerier(oracle_index, oracle_index)
+    rng = random.Random(5)
+    for _ in range(10):
+        parts = []
+        for _ in range(rng.randint(1, 3)):
+            w = rng.choice(VOCAB)
+            prefix = rng.choice(["", "", "+", "-"])
+            parts.append(prefix + w)
+        # ensure at least one inclusive segment
+        if all(p.startswith("-") for p in parts):
+            parts.append(rng.choice(VOCAB))
+        query = " ".join(parts)
+        got = _spark_scores(querier.get_matches(query))
+        want = _oracle_scores(oq.get_matches(query))
+        assert got == want, f"query={query!r}"
+
+
+def test_topk_rank_identity(spark_index, oracle_index):
+    """Rank identity: (score desc, doc asc) ordering matches the oracle."""
+    for query in ("cat dog", "the index", "sort merge hash"):
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in q.get_partial_matches(spark_index, query, k=10).collect()
+        ]
+        entries = oracle.get_partial_matches(oracle_index, query)
+        want = sorted(
+            ((e.key, np.float32(e.weight)) for e in entries),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert got == want, f"query={query!r}"
