@@ -462,10 +462,24 @@ class InvertedIndex:
         self._write_config(path)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+    def load_json(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        """Inverse of :meth:`save_json` (schema enforced, not inferred)."""
+        config = cls._read_config(path)
+        schema = (
+            POSTINGS_SCHEMA
+            if config.capture_positions
+            else POSTINGS_SCHEMA_NO_POS
+        )
+        postings = spark.read.schema(schema).json(
+            os.path.join(path, "postings_json")
+        )
+        return cls(postings, config)
+
+    @staticmethod
+    def _read_config(path: str) -> IndexConfig:
         with open(os.path.join(path, "index_config.json")) as fh:
             raw = json.load(fh)
-        config = IndexConfig(
+        return IndexConfig(
             key_column=raw["key_column"],
             fields=tuple(
                 FieldConfig(f["column"], f["weight"]) for f in raw["fields"]
@@ -481,6 +495,10 @@ class InvertedIndex:
                 else PrefixExpansionConfig(**raw["prefix_expansion"])
             ),
         )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        config = cls._read_config(path)
         postings = spark.read.parquet(os.path.join(path, "postings"))
         return cls(postings, config)
 

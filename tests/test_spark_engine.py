@@ -223,3 +223,22 @@ def test_term_dictionary_dense_ids(spark, posts_b_index):
     by_id = sorted(d, key=lambda r: r["term_id"])
     assert [r["term"] for r in by_id] == terms  # ids follow sort order
     assert sorted(r["term_id"] for r in d) == list(range(len(d)))
+
+
+def test_save_load_json_roundtrip(spark, tmp_path, posts_b_index):
+    """JSON debug sink round-trips postings + config (reference
+    Serialisation.Json/IndexDataJsonSerialiser.cs:17-47 role)."""
+    path = str(tmp_path / "json_idx")
+    posts_b_index.save_json(path)
+    from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+    loaded = InvertedIndex.load_json(spark, path)
+    assert loaded.config == posts_b_index.config
+
+    def snap(i):
+        return {
+            (r["term"], r["doc_id"]): (round(r["weight"], 6), r["tf"], r["dl"])
+            for r in i.postings.collect()
+        }
+
+    assert snap(loaded) == snap(posts_b_index)
