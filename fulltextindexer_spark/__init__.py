@@ -28,4 +28,36 @@ Design notes (scale-first):
 
 __version__ = "0.1.0"
 
-from fulltextindexer_spark.config import FieldConfig, IndexConfig  # noqa: F401
+from fulltextindexer_spark.config import (  # noqa: F401
+    FieldConfig,
+    IndexConfig,
+    PrefixExpansionConfig,
+)
+
+
+def __getattr__(name):  # lazy: keep `import fulltextindexer_spark` cheap
+    """Convenience re-exports resolved on first access (no pyspark
+    import cost until an engine symbol is actually used)."""
+    from importlib import import_module
+
+    home = {
+        "InvertedIndex": "fulltextindexer_spark.operators.index_build",
+        "build_index": "fulltextindexer_spark.operators.index_build",
+        "build_postings": "fulltextindexer_spark.operators.index_build",
+        "build_term_dictionary": "fulltextindexer_spark.operators.index_build",
+        "get_matches": "fulltextindexer_spark.operators.query",
+        "get_partial_matches": "fulltextindexer_spark.operators.query",
+        "get_consecutive_matches": "fulltextindexer_spark.operators.query",
+        "top_k": "fulltextindexer_spark.operators.query",
+        "SparkQuerier": "fulltextindexer_spark.operators.querier",
+        "bm25_topk": "fulltextindexer_spark.operators.bm25",
+        "bm25_topk_wand": "fulltextindexer_spark.operators.bm25",
+        "save_compact": "fulltextindexer_spark.operators.compact",
+        "load_compact": "fulltextindexer_spark.operators.compact",
+        "load_docs": "fulltextindexer_spark.sources.docs",
+        "CheckpointManager": "fulltextindexer_spark.plans.checkpoint",
+        "run_build_pipeline": "fulltextindexer_spark.plans.pipeline",
+    }
+    if name in home:
+        return getattr(import_module(home[name]), name)
+    raise AttributeError(name)

@@ -97,3 +97,39 @@ def test_sql_stem_expr_matches_python_in_duckdb():
         (english_plurality_normalise(w),) for w in words
     ]
     assert got == expected
+
+
+def test_default_translate_table_golden():
+    """Pin the N1 char table (BMP) against drift: punctuation dropped,
+    marks/CRLF/TAB to space, surrogates pass through (reference
+    DefaultStringNormaliser.cs:23-68 semantics; SURVEY §7 hard part 1)."""
+    import hashlib
+    import unicodedata
+
+    from fulltextindexer_spark.functions.normalize import (
+        _default_translate_table,
+    )
+
+    table = _default_translate_table()
+    # spot semantics
+    for ch in ".,;:!?()[]{}«»'\"-_/\\@#%&*":
+        if unicodedata.category(ch).startswith("P"):
+            assert table[ord(ch)] is None, ch
+    for ch in "\r\n\t́̀⃝":  # CRLF/TAB, combining, enclosing
+        assert table[ord(ch)] == " ", hex(ord(ch))
+    for cp in (0xD800, 0xDC00, 0xDFFF):  # surrogates untouched
+        assert cp not in table
+    # drift checksum over the full table
+    h = hashlib.sha256()
+    for cp in sorted(table):
+        h.update(f"{cp}:{table[cp]}".encode())
+    assert h.hexdigest() == _TABLE_SHA, (
+        "N1 char table changed — if intentional (e.g. new unicodedata "
+        "version), re-pin after re-validating against the ported "
+        "reference normaliser tests"
+    )
+
+
+_TABLE_SHA = (
+    "476d54cabfb93d5bf2b00dd1761a78e73f3a56c282b1c1b0fd6fc6cd46d36d03"
+)
