@@ -293,10 +293,21 @@ def save_compact(
         json.dump(meta, fh, indent=2)
 
 
-def load_compact(spark: SparkSession, path: str) -> InvertedIndex:
-    """Restore a full :class:`InvertedIndex` from the compact tier."""
+def load_compact(
+    spark: SparkSession, path: str, with_positions: bool = True
+) -> InvertedIndex:
+    """Restore a full :class:`InvertedIndex` from the compact tier.
+
+    ``with_positions=False`` skips position decoding (and drops the
+    binary column before it leaves the scan) — the right mode for
+    BM25/partial-match query serving, where decoding every posting's
+    location payload would be pure waste; phrase queries need the
+    default ``True``.
+    """
     with open(os.path.join(path, "index_config.json")) as fh:
         raw = json.load(fh)
+    if not with_positions:
+        raw = dict(raw, capture_positions=False)
     config = IndexConfig(
         key_column=raw["key_column"],
         fields=tuple(

@@ -412,10 +412,15 @@ class InvertedIndex:
         dictionary).
         """
         p = self.postings
+        # range-partition on (term, doc_id), not term alone: a hot term
+        # ("the" posts in nearly every doc) would otherwise land in one
+        # writer partition; the doc_id component splits its posting list
+        # across range partitions while keeping term locality + sorted
+        # runs for min/max pruning
         if term_partitions:
-            p = p.repartitionByRange(term_partitions, "term")
+            p = p.repartitionByRange(term_partitions, "term", "doc_id")
         else:
-            p = p.repartitionByRange("term")
+            p = p.repartitionByRange("term", "doc_id")
         p.sortWithinPartitions("term", "doc_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(path, "postings"))

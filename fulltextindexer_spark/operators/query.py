@@ -209,3 +209,84 @@ def get_consecutive_matches(
 def top_k(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k: score desc, doc_id asc (TakeOrdered)."""
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def get_consecutive_matches_grouped(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """Phrase matching via per-doc position grouping — result-identical
+    to :func:`get_consecutive_matches` (equality is test-pinned).
+
+    Scale rationale (SURVEY §2 Q4): the join-chain version shuffles
+    n−1 times for an n-term phrase; this variant groups the (small)
+    matched position sets once by ``doc_id`` and finds runs with an
+    ``applyInPandas`` kernel — one shuffle regardless of phrase length,
+    the right physical shape for long phrases on big clusters.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for consecutive matching"
+        )
+    spark = index.postings.sparkSession
+    tokens = break_tokens(source, index.config.break_chars)
+    if len(tokens) <= 1 or not tokens:
+        return get_consecutive_matches(index, source, k)
+
+    n = len(tokens)
+    rows = [
+        (normalise_scalar(tok, index.config.normaliser), idx)
+        for idx, (tok, _, _, _) in enumerate(tokens)
+    ]
+    qdf = spark.createDataFrame(rows, "term string, term_idx int")
+    units = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select("doc_id", "term_idx", F.explode("positions").alias("pos"))
+        .select(
+            "doc_id",
+            "term_idx",
+            F.col("pos.field_idx").alias("field_idx"),
+            F.col("pos.token_idx").alias("token_idx"),
+            F.col("pos.contribution").alias("w"),
+        )
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    def find_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        doc_id = int(pdf["doc_id"].iloc[0])
+        maps: list[dict] = [dict() for _ in range(n)]
+        for ti, fi, tk, w in zip(
+            pdf["term_idx"], pdf["field_idx"], pdf["token_idx"], pdf["w"]
+        ):
+            maps[ti][(int(fi), int(tk))] = np.float32(w)
+        run_ws = []
+        # enumerate term-0 anchors in (field, token) order — matches the
+        # deterministic fold order of the join-chain implementation
+        for (f, t) in sorted(maps[0]):
+            ws = [maps[0][(f, t)]]
+            for i in range(1, n):
+                wi = maps[i].get((f, t + i))
+                if wi is None:
+                    break
+                ws.append(wi)
+            else:
+                run_w = np.float32(
+                    np.add.reduce(np.asarray(ws, dtype=np.float64))
+                ) * np.float32(2 ** (n - 1))
+                run_ws.append(np.float32(run_w))
+        if not run_ws:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float32"}
+            )
+        score = np.float32(
+            np.add.reduce(np.asarray(run_ws, dtype=np.float64))
+        )
+        return pd.DataFrame({"doc_id": [doc_id], "score": [score]})
+
+    result = units.groupBy("doc_id").applyInPandas(
+        find_runs, schema="doc_id long, score float"
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result

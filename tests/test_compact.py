@@ -132,3 +132,24 @@ def test_dictionary_sorted_dense(spark, tmp_path):
     ids = [tid for _, tid in by_term]
     # dense ids 0..n-1 assigned in term sort order
     assert ids == list(range(len(ids)))
+
+
+def test_load_compact_without_positions(spark, tmp_path):
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("title", 1.0),),
+        capture_positions=True,
+    )
+    df = spark.createDataFrame(DOCS, "doc_id long, title string, body string")
+    idx = build_index(df, cfg)
+    path = str(tmp_path / "nopos")
+    compact.save_compact(idx, path)
+    light = compact.load_compact(spark, path, with_positions=False)
+    assert not light.config.capture_positions
+    assert "positions" not in light.postings.columns
+    full = compact.load_compact(spark, path)
+    a = {(r["term"], r["doc_id"]): (r["weight"], r["tf"], r["dl"])
+         for r in light.postings.collect()}
+    b = {(r["term"], r["doc_id"]): (r["weight"], r["tf"], r["dl"])
+         for r in full.postings.collect()}
+    assert a == b

@@ -143,3 +143,20 @@ def test_topk_rank_identity(spark_index, oracle_index):
             key=lambda kv: (-kv[1], kv[0]),
         )[:10]
         assert got == want, f"query={query!r}"
+
+
+def test_grouped_phrase_equals_join_chain(spark_index):
+    """The single-shuffle applyInPandas phrase matcher must be
+    row-identical (float32) to the join-chain implementation."""
+    for query in ("cat dog", "sort merge hash", "the index", "dog dogs"):
+        a = sorted(
+            (r["doc_id"], np.float32(r["score"]))
+            for r in q.get_consecutive_matches(spark_index, query).collect()
+        )
+        b = sorted(
+            (r["doc_id"], np.float32(r["score"]))
+            for r in q.get_consecutive_matches_grouped(
+                spark_index, query
+            ).collect()
+        )
+        assert a == b, f"query={query!r}"
