@@ -306,6 +306,24 @@ def q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embeddings(spark, sf_dir))
 
 
+def q_dedup_keep(spark, sf_dir):
+    return dedup.deduplicated_keep_list(_documents(spark, sf_dir))
+
+
+IVF_K = 8
+IVF_PROBE = 2
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    centroids = similarity.seed_centroids(emb, k=IVF_K)
+    qrow = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = similarity.ivf_topk(
+        emb, list(qrow), centroids, k=10, n_probe=IVF_PROBE
+    )
+    return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_neardup(spark, sf_dir):
     # threshold chosen so the synthetic random-embedding corpus yields a
     # non-trivial pair set (real near-dup pipelines run ≥0.9)
@@ -354,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_neardup": q_neardup,
+        "sim_ivf_topk": q_ivf_topk,
+        "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -592,6 +612,43 @@ dots AS (SELECT vec_a, vec_b, sum(x * y) AS dot,
          FROM pairs GROUP BY vec_a, vec_b)
 SELECT vec_a, vec_b, round(dot / (nx * ny), 4) AS cosine FROM dots
 WHERE round(dot / (nx * ny), 4) >= 0.2
+""",
+        "dedup_keep": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+""",
+        "sim_ivf_topk": f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
+vcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x,
+               unnest(c.cvec)::DOUBLE AS y
+        FROM embeddings e CROSS JOIN cent c),
+vc AS (SELECT vec_id, cid,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM vcp GROUP BY vec_id, cid),
+assign AS (SELECT vec_id, cid FROM
+             (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM vc) t WHERE rn = 1),
+qcp AS (SELECT c.cid, unnest(c.cvec)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
+        FROM cent c CROSS JOIN qv),
+qc AS (SELECT cid,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM qcp GROUP BY cid),
+probes AS (SELECT cid FROM qc ORDER BY cos DESC, cid LIMIT {IVF_PROBE}),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)),
+fp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+              unnest(qv.v)::DOUBLE AS y
+       FROM embeddings e CROSS JOIN qv
+       WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+fc AS (SELECT vec_id,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM fp GROUP BY vec_id)
+SELECT vec_id, round(cos, 4) AS cosine FROM fc
+ORDER BY cos DESC, vec_id LIMIT 10
 """,
         "text_token_count": f"""
 SELECT doc_id,

@@ -42,6 +42,21 @@ def exact_duplicate_groups(
     )
 
 
+def deduplicated_keep_list(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dedup keep list: the lowest doc_id of every distinct
+    content — the curation step that follows duplicate detection.
+    Returns (doc_id) of survivors; anti-joining the corpus against it
+    yields the dropped rows. One hash-groupBy, no content shuffle (the
+    md5 is computed map-side)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def word_shingles(
     docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

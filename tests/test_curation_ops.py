@@ -46,3 +46,36 @@ def test_cosine_neardup_pairs(spark):
     all_rows = similarity.cosine_neardup_pairs(emb, threshold=-1.0).collect()
     pairs = {(r["vec_a"], r["vec_b"]) for r in all_rows}
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_deduplicated_keep_list(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    keep = sorted(
+        r["doc_id"] for r in dedup.deduplicated_keep_list(docs).collect()
+    )
+    assert keep == [1, 3]
+    survivors = docs.join(
+        dedup.deduplicated_keep_list(docs), "doc_id", "left_semi"
+    )
+    assert survivors.count() == 2
+
+
+def test_ivf_topk_probes_subset(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == (i % 4) else 0.05 for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.seed_centroids(emb, k=4)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    qv = [1.0 if j == 2 else 0.05 for j in range(8)]
+    top = similarity.ivf_topk(emb, qv, cents, k=5, n_probe=1).collect()
+    assert len(top) == 5
+    # all hits come from the probed direction group (i % 4 == 2)
+    assert all(r["vec_id"] % 4 == 2 for r in top)
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
