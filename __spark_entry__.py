@@ -336,6 +336,22 @@ def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_events_hourly(spark, sf_dir):
+    from fulltextindexer_spark.streaming.windows import hourly_event_stats
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stats = hourly_event_stats(events)
+    return stats.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+        "n_events",
+        "n_users",
+        "value_sum",
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return textstats.token_stats(_documents(spark, sf_dir))
 
@@ -375,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_ivf_topk,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
+        "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -655,6 +672,13 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS n_bpe_pieces
 FROM documents
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
 """,
         "text_stats": """
 WITH tok AS (

@@ -1,0 +1,99 @@
+"""Event-time windowed aggregation — batch and streaming (watermarked).
+
+The reference engine is strictly batch (SURVEY §2.6: no streaming
+counterpart), but a corpus-curation pipeline ingests event/telemetry
+streams alongside documents; this module provides the standard
+Structured Streaming shape for them:
+
+- :func:`hourly_event_stats` — the batch form (also the DuckDB-checked
+  gate query `events_hourly`);
+- :func:`start_streaming_event_stats` — the same aggregation as a
+  streaming query: event-time tumbling windows + a watermark bounding
+  late data, append-mode parquet sink (a window's row is emitted once
+  its watermark passes — exactly-once per window via the checkpoint).
+
+Equality between the two on a drained file stream is test-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Per (hour, event_type): count, distinct users, value sum (4dp).
+
+    Tumbling event-time windows; output keyed by the window start so
+    the streaming and batch forms share one schema.
+    """
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            F.col("value_sum"),
+        )
+    )
+
+
+def start_streaming_event_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Maintain the hourly stats as a streaming query over a growing
+    events directory.
+
+    The watermark bounds state: windows older than (max event time −
+    watermark) are finalised, emitted append-mode, and their state
+    dropped — the standard late-data contract. ``available_now=True``
+    drains currently-visible files then stops (batch-refresh mode).
+
+    Note: `count_distinct` is unsupported in streaming aggregations, so
+    the streaming form tracks `approx_count_distinct(user_id)` — the
+    scale-appropriate sketch — while the batch form stays exact.
+    """
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    w = F.window(F.col("ts"), "1 hour")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "value_sum",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -96,3 +96,64 @@ def test_merge_batch_is_replayable(spark, tmp_path):
     for k, (w, tf, dl) in snap_before.items():
         w2, tf2, dl2 = snap_after[k]
         assert tf2 == 2 * tf and w2 == pytest.approx(2 * w) and dl2 == dl
+
+
+def test_windowed_event_stats_streaming_vs_batch(spark, tmp_path):
+    """Streaming watermarked hourly aggregation over a drained file
+    stream emits exactly the finalised windows of the batch form."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.streaming import windows as W
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=3 * i),
+                i % 7,
+                ["view", "click", "error"][i % 3],
+                float(i % 10),
+                "{}",
+            )
+        )
+    input_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+    df = spark.createDataFrame(rows, W.EVENTS_DDL)
+    df.write.mode("append").parquet(input_dir)
+
+    q = W.start_streaming_event_stats(
+        spark, input_dir, out_dir, ckpt, watermark="2 hours"
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.schema(
+        "hour_start timestamp, event_type string, n_events long, "
+        "n_users_approx long, value_sum double"
+    ).parquet(out_dir)
+    got = {
+        (str(r["hour_start"]), r["event_type"]): (
+            r["n_events"],
+            round(r["value_sum"], 4),
+        )
+        for r in streamed.collect()
+    }
+    assert got, "no finalised windows emitted"
+
+    batch = W.hourly_event_stats(df)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    want = {
+        (str(r["hour_start"]), r["event_type"]): (
+            r["n_events"],
+            round(r["value_sum"], 4),
+        )
+        for r in batch.collect()
+        # append mode finalises a window once watermark >= window end
+        if r["hour_start"] + dt.timedelta(hours=1) <= horizon
+    }
+    assert got == want
