@@ -336,6 +336,47 @@ def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_rel_pricing(spark, sf_dir):
+    """Relational coverage (SURVEY §2.6): TPC-H Q1-shaped aggregation —
+    grouped sums/averages with whole-stage codegen, no UDFs."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice")), 2).alias("sum_base"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rel_top_customers(spark, sf_dir):
+    """Relational coverage: broadcast dimension join + agg + top-k."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spend.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+            spend["o_custkey"] == cust["c_custkey"],
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from fulltextindexer_spark.streaming.windows import hourly_event_stats
 
@@ -392,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
+        "rel_pricing": q_rel_pricing,
+        "rel_top_customers": q_rel_top_customers,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -672,6 +715,26 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS n_bpe_pieces
 FROM documents
+""",
+        "rel_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.total_spend, s.n_orders
+FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+ORDER BY s.total_spend DESC, c.c_custkey LIMIT 20
 """,
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -1,0 +1,185 @@
+"""Custom stateful streaming operator: user sessionization.
+
+Demonstrates the ``applyInPandasWithState`` extension point (the
+Structured Streaming escape hatch for operators Spark lacks): events
+are grouped per user, a session accumulates in keyed state while events
+keep arriving within ``gap`` of each other, and the session row is
+emitted when event time moves past ``last_event + gap`` (event-time
+timeout — late-data-safe via the stream's watermark).
+
+A closed session row: (user_id, session_start, session_end, n_events,
+value_sum). The batch equivalent (:func:`sessionize_batch`) computes
+identical sessions with a lag/cumsum window pipeline; equality on a
+drained stream is test-pinned for every session the watermark has
+passed.
+
+State is (start_ms, last_ms, n_events, value_sum) — plain longs and a
+double, no timestamps in the state schema, so the operator is
+version-robust.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+_STATE_SCHEMA = "start_ms long, last_ms long, n_events long, value_sum double"
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000)  # microseconds
+
+
+def _emit(user_id: int, start_us: int, last_us: int, n: int, vs: float):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "value_sum": [round(vs, 4)],
+        }
+    )
+
+
+def _session_fn(gap_us: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, n, vs = state.get
+            state.remove()
+            yield _emit(user_id, start_ms, last_ms, n, vs)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start_ms, last_ms, n, vs = state.get
+        else:
+            start_ms = last_ms = -1
+            n, vs = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = _us(ts)
+            if start_ms < 0:
+                start_ms = last_ms = t
+                n, vs = 1, float(value)
+            elif t - last_ms > gap_us:
+                # gap exceeded inside the batch: close + start fresh
+                yield _emit(user_id, start_ms, last_ms, n, vs)
+                start_ms = last_ms = t
+                n, vs = 1, float(value)
+            else:
+                last_ms = max(last_ms, t)
+                n += 1
+                vs += float(value)
+        state.update((start_ms, last_ms, n, vs))
+        # event-time timeout: close when the watermark passes last+gap
+        # (state timestamps are microseconds; the timeout API takes ms —
+        # round up so the timeout never fires a microsecond early)
+        state.setTimeoutTimestamp(-(-(last_ms + gap_us) // 1000))
+
+    return fn
+
+
+def start_sessionization(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    available_now: bool = True,
+):
+    """Start the stateful sessionization stream over an events dir.
+
+    ``watermark`` defaults to ``gap`` and must not exceed it: the
+    operator closes a session as soon as a same-user event more than
+    ``gap`` ahead arrives, which is exactly correct iff any
+    out-of-order event that could have extended the closed session
+    (≤ gap behind the closer) is still within allowed lateness — i.e.
+    watermark ≤ gap.
+    """
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    if watermark is None:
+        watermark = gap
+    if pd.Timedelta(watermark) > pd.Timedelta(gap):
+        raise ValueError(
+            "watermark delay must be <= session gap for exact sessions"
+        )
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_us),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch sessionization: lag → gap flag → cumsum session id → agg.
+
+    The window functions run per user_id partition; identical session
+    boundaries to the streaming operator.
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # epoch MICROseconds — same granularity as the streaming state, so
+    # boundary gaps agree exactly; the timestamp_ltz cast also accepts
+    # TIMESTAMP_NTZ inputs (parquet written by pandas/Arrow)
+    ts_long = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            ts_long - F.lag(ts_long).over(w) > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .drop("session_seq")
+    )

@@ -157,3 +157,54 @@ def test_windowed_event_stats_streaming_vs_batch(spark, tmp_path):
         if r["hour_start"] + dt.timedelta(hours=1) <= horizon
     }
     assert got == want
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted session equals
+    the batch lag/cumsum sessionizer's session for that (user, start);
+    sessions whose timeout the final watermark passed are all emitted."""
+    import datetime as dt
+
+    from fulltextindexer_spark.streaming import sessions as S
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: three sessions (gaps of 2h); user 2: one long session
+    for s in range(3):
+        for i in range(4):
+            rows.append(
+                (eid, base + dt.timedelta(hours=2 * s, minutes=5 * i),
+                 1, "view", 1.5, "{}"))
+            eid += 1
+    for i in range(20):
+        rows.append(
+            (eid, base + dt.timedelta(minutes=10 * i), 2, "click", 2.0, "{}"))
+        eid += 1
+    input_dir = str(tmp_path / "s_in")
+    out_dir = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ck")
+    df = spark.createDataFrame(rows, S.EVENTS_DDL)
+    df.write.mode("append").parquet(input_dir)
+
+    q = S.start_sessionization(
+        spark, input_dir, out_dir, ckpt, gap="30 minutes"
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["value_sum"])
+        for r in spark.read.schema(S.SESSION_SCHEMA).parquet(out_dir).collect()
+    }
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], r["value_sum"])
+        for r in S.sessionize_batch(df, gap="30 minutes").collect()
+    }
+    # every emitted session is exactly a batch session
+    for k, v in got.items():
+        assert want[k] == v, k
+    # user 1's first two sessions are far behind the final watermark
+    assert (1, "2024-01-01 00:00:00") in got
+    assert (1, "2024-01-01 02:00:00") in got
