@@ -336,6 +336,24 @@ def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
 
+def q_curate(spark, sf_dir):
+    """Composite curation pipeline: exact-dedup survivors → quality
+    floor → English-only → doc ids + scores. The end-to-end shape of a
+    training-data filtering job (each stage is individually
+    gate-checked; this pins their composition)."""
+    docs = _documents(spark, sf_dir)
+    keep = dedup.deduplicated_keep_list(docs)
+    quality = textstats.quality_score(docs)
+    lang = textstats.langid(docs)
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .join(lang.where(F.col("lang_guess") == "en"), "doc_id", "left_semi")
+        .where(F.col("quality") >= 0.5)
+        .select("doc_id", "quality")
+    )
+
+
 def q_rel_pricing(spark, sf_dir):
     """Relational coverage (SURVEY §2.6): TPC-H Q1-shaped aggregation —
     grouped sums/averages with whole-stage codegen, no UDFs."""
@@ -433,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
+        "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "text_stats": q_text_stats,
@@ -715,6 +734,43 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS n_bpe_pieces
 FROM documents
+""",
+        "curate_corpus": f"""
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({RAW_STOP_IN}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+quality AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+),
+votes AS (
+  SELECT doc_id,
+    {lang_hits}
+  FROM tok GROUP BY doc_id
+),
+lang_en AS (
+  SELECT doc_id FROM
+    (SELECT *, greatest({lang_greatest}) AS g FROM votes)
+  WHERE CASE {lang_case} END = 'en'
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, q.quality
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN quality q USING (doc_id)
+JOIN lang_en USING (doc_id)
+WHERE q.quality >= 0.5
 """,
         "rel_pricing": """
 SELECT l_returnflag, l_linestatus,
