@@ -287,6 +287,12 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_verified(spark, sf_dir):
+    return dedup.lsh_verified_jaccard_pairs(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash16(_documents(spark, sf_dir))
 
@@ -444,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_simhash": q_simhash,
+        "dedup_lsh_verified": q_lsh_verified,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_neardup": q_neardup,
@@ -664,6 +671,32 @@ FROM bands a JOIN bands b
      AND a.doc_id < b.doc_id
 """,
         "dedup_simhash": _simhash_sql(),
+        "dedup_lsh_verified": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+""",
         "sim_cosine_topk": """
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
 pairs AS (

@@ -188,6 +188,55 @@ def minhash_band_pairs(
     )
 
 
+def lsh_verified_jaccard_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production near-dup composition: banded-MinHash candidate
+    pairs, then exact n-gram Jaccard **only on candidates**.
+
+    At 100 TB the all-pairs shingle join is impossible; this pipeline's
+    cost is linear in docs (signatures) plus the candidate volume the
+    bands admit. Returns (doc_a, doc_b, jaccard) for verified pairs —
+    a subset of :func:`ngram_jaccard_pairs` (recall bounded by the LSH
+    parameters), never a superset.
+    """
+    cand = minhash_band_pairs(docs, n_hashes, bands, k, text_col, id_col)
+    sh = word_shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # expand shingles per *candidate pair* (cost ∝ candidates × shingles
+    # per doc), never the quadratic all-pairs shingle self-join
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
 def simhash16(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -79,3 +79,30 @@ def test_ivf_topk_probes_subset(spark):
     # all hits come from the probed direction group (i % 4 == 2)
     assert all(r["vec_id"] % 4 == 2 for r in top)
     assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_verified_subset_of_exhaustive(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),   # near-dup of 1
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w"),   # exact dup of 3
+            (5, "z z z unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    exhaustive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.4).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.lsh_verified_jaccard_pairs(
+            docs, n_hashes=8, bands=4, k=3, threshold=0.4
+        ).collect()
+    }
+    assert verified <= exhaustive       # never a false pair
+    assert (3, 4, 1.0) in verified      # exact dups always band-collide
