@@ -153,3 +153,31 @@ def test_load_compact_without_positions(spark, tmp_path):
     b = {(r["term"], r["doc_id"]): (r["weight"], r["tf"], r["dl"])
          for r in full.postings.collect()}
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # field_idx
+            st.integers(0, 100000),       # token_idx
+            st.integers(0, 10_000_000),   # src_idx
+            st.integers(0, 65535),        # src_len
+            st.floats(0, 1000, allow_nan=False, width=32),
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pack_positions_property(poslist):
+    cells = pd.Series(
+        [[_pos(*p) for p in poslist]], dtype=object
+    )
+    back = compact.unpack_positions_batch(
+        compact.pack_positions_batch(cells)
+    )[0]
+    assert len(back) == len(poslist)
+    for orig, rt in zip(poslist, back):
+        assert (
+            rt["field_idx"], rt["token_idx"], rt["src_idx"], rt["src_len"]
+        ) == orig[:4]
+        assert rt["contribution"] == pytest.approx(np.float32(orig[4]))
