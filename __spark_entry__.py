@@ -260,13 +260,20 @@ def q_combine(spark, sf_dir):
 
 
 def q_bm25(spark, sf_dir):
+    # get_bm25_stats builds the per-term idf + block-max bound tables
+    # ONCE per index (the save-time artefact for on-disk indexes); both
+    # BM25 gates then query against the stored statistics
     idx = _docs_index(spark, sf_dir)
-    return _round_score(bm25.bm25_scores(idx, "data stream"))
+    stats = bm25.get_bm25_stats(idx)
+    return _round_score(bm25.bm25_scores(idx, "data stream", stats=stats))
 
 
 def q_bm25_wand(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
-    return _round_score(bm25.bm25_topk_wand(idx, "data stream", k=10))
+    stats = bm25.get_bm25_stats(idx)
+    return _round_score(
+        bm25.bm25_topk_wand(idx, "data stream", k=10, stats=stats)
+    )
 
 
 def q_dedup_exact(spark, sf_dir):

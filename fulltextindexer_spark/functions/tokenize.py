@@ -222,6 +222,59 @@ def tokenize_frame_coded(
 
     ha, hb = _segment_hashes(buf, s_pos, e_pos)
     first_idx, codes = _dedupe_codes(ha, hb)
+
+    # Hash groups are verified by codepoint equality against the group
+    # representative (anti-hash inputs — e.g. Thue–Morse strings — can
+    # collide both fixed-multiplier mod-2^64 hashes at once, and token
+    # conflation would silently corrupt the index). One vectorized
+    # gather+compare pass over the non-representative tokens' chars;
+    # mismatches (never seen outside adversarial input) are re-coded by
+    # exact string on a scalar fallback path.
+    rep = first_idx[codes]
+    tok_len = e_pos - s_pos + 1
+    self_rep = rep == np.arange(len(codes))
+    check = np.flatnonzero(~self_rep)
+    if len(check):
+        bad = tok_len[check] != tok_len[rep[check]]
+        same = check[~bad]
+        if len(same):
+            ln = tok_len[same]
+            starts = np.cumsum(ln) - ln
+            offs = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(
+                starts, ln
+            )
+            tok_of = np.repeat(np.arange(len(same)), ln)
+            neq = (
+                buf[s_pos[same][tok_of] + offs]
+                != buf[s_pos[rep[same]][tok_of] + offs]
+            )
+            bad2 = np.zeros(len(same), dtype=bool)
+            if neq.any():
+                bad2[np.unique(tok_of[neq.nonzero()[0]])] = True
+            collided = np.concatenate((check[bad], same[bad2]))
+        else:
+            collided = check[bad]
+        if len(collided):
+            # rare path: exact-string recode (a recoded string equal to
+            # another group's is harmless — downstream merges by string)
+            next_code = len(first_idx)
+            seen: dict[str, int] = {}
+            extra: list[str] = []
+            extra_first: list[int] = []
+            for i in collided:
+                s = joined[s_pos[i] : e_pos[i] + 1]
+                c = seen.get(s)
+                if c is None:
+                    c = next_code
+                    next_code += 1
+                    seen[s] = c
+                    extra.append(s)
+                    extra_first.append(int(i))
+                codes[i] = c
+            first_idx = np.concatenate(
+                (first_idx, np.asarray(extra_first, dtype=first_idx.dtype))
+            )
+
     uniques = np.array(
         [joined[s_pos[i] : e_pos[i] + 1] for i in first_idx], dtype=object
     )

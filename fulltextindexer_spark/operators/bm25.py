@@ -25,23 +25,30 @@ Scale design:
   also relies on for posting-list merges.
 - **Block-max WAND** (:func:`bm25_topk_wand`): docs are hashed into
   ``n_blocks`` buckets; per (term, block) the maximum possible BM25
-  contribution is pre-aggregated (the "block max"). A query first
-  scores only the most promising blocks (highest sum of per-term block
-  maxima) to obtain a threshold θ = the k-th best score, then prunes
-  every block whose upper bound is < θ before the exact scoring pass.
-  Results are **identical** to :func:`bm25_topk` (a doc with score ≥ θ
-  forces its block's bound ≥ θ, so no qualifying doc is pruned); the
-  equality is pinned by tests. At 100 TB the block stats table is ~
-  |terms| × n_blocks rows and replaces a full posting scan for every
-  query with a scan of the few blocks that can still beat θ.
+  contribution (idf × max tfnorm) is **precomputed once per index**
+  (:func:`build_bm25_stats`) — at ``save()`` time for on-disk indexes,
+  lazily-then-cached for in-memory ones — NOT per query. A query reads
+  only its terms' rows from the stats table (≤ |terms| × n_blocks
+  rows), probes the most promising blocks to establish a threshold θ =
+  the k-th best score found, then exact-scores only the remaining
+  blocks whose stored upper bound can still beat θ. Results are
+  **identical** to :func:`bm25_topk` (a doc with score ≥ θ forces its
+  block's bound ≥ θ, so no qualifying doc is pruned); the equality is
+  pinned by tests. At 100 TB the stats table is ~|terms| × n_blocks
+  rows written term-range-partitioned next to the postings; with the
+  postings sorted by (term, block) inside range partitions, the pruned
+  pass skips whole parquet row groups, not just rows.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
+from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fulltextindexer_spark.functions.normalize import normalise_scalar
@@ -50,6 +57,11 @@ from fulltextindexer_spark.operators.index_build import InvertedIndex
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
+DEFAULT_N_BLOCKS = 64
+# pruning guard: candidate selection uses ub >= θ - EPS so a 1-ulp
+# difference in double association order between the stored bound and a
+# live score can never prune a qualifying block (looser = still exact)
+_BOUND_EPS = 1e-9
 
 
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:
@@ -65,16 +77,6 @@ def corpus_stats(postings: DataFrame) -> tuple[int, float]:
         .collect()[0]
     )
     return int(row["n"]), float(row["avgdl"] or 0.0)
-
-
-def _cached_corpus_stats(index: InvertedIndex) -> tuple[int, float]:
-    """corpus_stats memoised per index instance — the (N, avgdl) scan
-    is corpus-wide and identical for every query against the index."""
-    cached = getattr(index, "_bm25_stats", None)
-    if cached is None:
-        cached = corpus_stats(index.postings)
-        object.__setattr__(index, "_bm25_stats", cached)
-    return cached
 
 
 def doc_frequencies(postings: DataFrame, n_salts: int = 16) -> DataFrame:
@@ -98,6 +100,165 @@ def doc_frequencies(postings: DataFrame, n_salts: int = 16) -> DataFrame:
     return partial.groupBy("term").agg(F.sum("pdf").alias("df"))
 
 
+def _tfnorm_col(avgdl: float, k1: float, b: float):
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+
+
+def _block_col(n_blocks: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks))
+
+
+# ---------------------------------------------------------------------------
+# per-index precomputed statistics (built once, consumed by every query)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bm25Stats:
+    """Query-independent BM25 statistics for one index.
+
+    ``term_stats``  — (term, df, idf): the per-term scores every query
+    needs; replaces the per-query df scan over the postings.
+    ``block_stats`` — (term, block, ub): the block-max WAND bound
+    ub = idf(term) × max over the block's postings of tfnorm — fully
+    query-independent because idf and tfnorm only depend on corpus
+    constants (N, avgdl, k1, b) fixed at build time.
+    """
+
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    n_blocks: int
+    term_stats: DataFrame
+    block_stats: DataFrame
+
+
+def build_bm25_stats(
+    index: InvertedIndex,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+    n_salts: int = 16,
+) -> Bm25Stats:
+    """One pass over the postings → the per-term and per-(term, block)
+    statistics tables. Linear, two shuffles (both keyed on term with
+    bounded per-key output), run once per index build — the analogue of
+    the reference's up-front per-token weight accumulation
+    (IndexGenerator.cs:151-176), lifted to corpus-level statistics.
+    """
+    postings = index.postings
+    n_docs, avgdl = corpus_stats(postings)
+    if n_docs == 0 or avgdl == 0.0:
+        spark = postings.sparkSession
+        empty_t = spark.createDataFrame([], "term string, df long, idf double")
+        empty_b = spark.createDataFrame(
+            [], "term string, block long, ub double"
+        )
+        return Bm25Stats(n_docs, avgdl, k1, b, n_blocks, empty_t, empty_b)
+    dfreq = doc_frequencies(postings, n_salts=n_salts)
+    term_stats = dfreq.withColumn(
+        "idf",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+    )
+    # max tfnorm per (term, block): map-side partial max then one
+    # shuffle on (term, block) — hot terms spread over n_blocks reducers
+    block_max = (
+        postings.select(
+            "term",
+            _block_col(n_blocks).alias("block"),
+            _tfnorm_col(avgdl, k1, b).alias("tfnorm"),
+        )
+        .groupBy("term", "block")
+        .agg(F.max("tfnorm").alias("max_tfnorm"))
+    )
+    block_stats = block_max.join(
+        term_stats.select("term", "idf"), "term"
+    ).select(
+        "term", "block", (F.col("idf") * F.col("max_tfnorm")).alias("ub")
+    )
+    term_stats = term_stats.persist()
+    block_stats = block_stats.persist()
+    return Bm25Stats(n_docs, avgdl, k1, b, n_blocks, term_stats, block_stats)
+
+
+def get_bm25_stats(
+    index: InvertedIndex,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+) -> Bm25Stats:
+    """Per-index memoised :func:`build_bm25_stats` (keyed by params)."""
+    cache = getattr(index, "_bm25_stats_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_bm25_stats_cache", cache)
+    key = (k1, b, n_blocks)
+    if key not in cache:
+        cache[key] = build_bm25_stats(index, k1, b, n_blocks)
+    return cache[key]
+
+
+def save_bm25_stats(stats: Bm25Stats, path: str) -> None:
+    """Write the stats tables next to a saved index (term-range
+    partitioned + sorted, same pruning story as the postings)."""
+    os.makedirs(path, exist_ok=True)
+    stats.term_stats.repartitionByRange("term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    stats.block_stats.repartitionByRange("term").sortWithinPartitions(
+        "term", "block"
+    ).write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
+    with open(os.path.join(path, "bm25_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": stats.n_docs,
+                "avgdl": stats.avgdl,
+                "k1": stats.k1,
+                "b": stats.b,
+                "n_blocks": stats.n_blocks,
+            },
+            fh,
+        )
+
+
+def load_bm25_stats(spark: SparkSession, path: str) -> Optional[Bm25Stats]:
+    meta_path = os.path.join(path, "bm25_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return Bm25Stats(
+        n_docs=int(meta["n_docs"]),
+        avgdl=float(meta["avgdl"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        n_blocks=int(meta["n_blocks"]),
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        block_stats=spark.read.parquet(os.path.join(path, "block_stats")),
+    )
+
+
+def attach_bm25_stats(index: InvertedIndex, stats: Bm25Stats) -> None:
+    """Register loaded stats in the index's memo cache so queries use
+    them instead of rebuilding."""
+    cache = getattr(index, "_bm25_stats_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(index, "_bm25_stats_cache", cache)
+    cache[(stats.k1, stats.b, stats.n_blocks)] = stats
+
+
+# ---------------------------------------------------------------------------
+# query paths
+# ---------------------------------------------------------------------------
+
+
 def _query_terms(index: InvertedIndex, source: str) -> list[str]:
     """Distinct normalised query terms (BM25 bag-of-words semantics)."""
     seen: list[str] = []
@@ -108,16 +269,37 @@ def _query_terms(index: InvertedIndex, source: str) -> list[str]:
     return seen
 
 
+def _cached_corpus_stats(index: InvertedIndex) -> tuple[int, float]:
+    """(N, avgdl) memoised per index — prefers an existing Bm25Stats."""
+    cache = getattr(index, "_bm25_stats_cache", None)
+    if cache:
+        s = next(iter(cache.values()))
+        return s.n_docs, s.avgdl
+    cached = getattr(index, "_bm25_corpus_stats", None)
+    if cached is None:
+        cached = corpus_stats(index.postings)
+        object.__setattr__(index, "_bm25_corpus_stats", cached)
+    return cached
+
+
 def _idf_rows(
-    index: InvertedIndex, terms: list[str], n_docs: int
+    index: InvertedIndex,
+    terms: list[str],
+    n_docs: int,
+    stats: Optional[Bm25Stats] = None,
 ) -> list[tuple[str, float]]:
-    """(term, idf) for the query terms — df read via the salted path."""
-    df_rows = (
-        doc_frequencies(
-            index.postings.where(F.col("term").isin(terms)), n_salts=1
-        )
-        .collect()
-    )
+    """(term, idf) for the query terms.
+
+    With precomputed stats this is a pruned read of ≤ |terms| rows from
+    the term_stats table; without, a per-query df count over the
+    term-filtered postings (fallback for one-shot scoring).
+    """
+    if stats is not None:
+        rows = stats.term_stats.where(F.col("term").isin(terms)).collect()
+        return [(r["term"], float(r["idf"])) for r in rows]
+    df_rows = doc_frequencies(
+        index.postings.where(F.col("term").isin(terms)), n_salts=1
+    ).collect()
     dfs = {r["term"]: r["df"] for r in df_rows}
     out = []
     for t in terms:
@@ -130,12 +312,7 @@ def _idf_rows(
 
 
 def _contribution_col(avgdl: float, k1: float, b: float):
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    tfnorm = (tf * (k1 + 1.0)) / (
-        tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))
-    )
-    return F.col("idf") * tfnorm
+    return F.col("idf") * _tfnorm_col(avgdl, k1, b)
 
 
 def _matched(index: InvertedIndex, idf_rows: list[tuple[str, float]]):
@@ -161,20 +338,33 @@ def bm25_scores(
     source: str,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
 ) -> DataFrame:
     """Exact BM25 scores (doc_id, score) for every matching document.
 
     OR semantics over the distinct query terms; score is a double (BM25
     has no float32-parity obligation — it is our engine's scale-mode
-    scorer, not a reference-semantics reproduction).
+    scorer, not a reference-semantics reproduction). Uses precomputed
+    ``Bm25Stats`` for the per-term idf when available (cached or
+    passed), falling back to a per-query df count otherwise.
     """
     terms = _query_terms(index, source)
     if not terms:
         return _empty(index)
-    n_docs, avgdl = _cached_corpus_stats(index)
+    if stats is None:
+        cache = getattr(index, "_bm25_stats_cache", None)
+        if cache:
+            stats = next(iter(cache.values()))
+    if stats is not None and (stats.k1 != k1 or stats.b != b):
+        stats = None
+    n_docs, avgdl = (
+        (stats.n_docs, stats.avgdl)
+        if stats is not None
+        else _cached_corpus_stats(index)
+    )
     if n_docs == 0 or avgdl == 0.0:
         return _empty(index)
-    idf_rows = _idf_rows(index, terms, n_docs)
+    idf_rows = _idf_rows(index, terms, n_docs, stats)
     if not idf_rows:
         return _empty(index)
     matched = _matched(index, idf_rows)
@@ -192,9 +382,10 @@ def bm25_topk(
     k: int = 10,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
 ) -> DataFrame:
     """Exact top-k BM25: (doc_id, score), score desc / doc_id asc."""
-    return _topk(bm25_scores(index, source, k1, b), k)
+    return _topk(bm25_scores(index, source, k1, b, stats), k)
 
 
 def bm25_topk_wand(
@@ -203,76 +394,92 @@ def bm25_topk_wand(
     k: int = 10,
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
-    n_blocks: int = 64,
+    n_blocks: int = DEFAULT_N_BLOCKS,
     probe_blocks: int = 4,
+    stats: Optional[Bm25Stats] = None,
 ) -> DataFrame:
     """Block-max-pruned top-k BM25 — result-identical to :func:`bm25_topk`.
 
-    Two passes over *block subsets* of the matched postings:
+    Consumes the **precomputed** per-(term, block) bound table (built
+    once per index by :func:`build_bm25_stats`); the query itself does
+    no corpus-wide statistics work:
 
-    1. score the ``probe_blocks`` blocks with the highest upper bound →
-       threshold θ = k-th best score found (None if fewer than k docs);
-    2. exact-score only blocks whose upper bound ≥ θ.
+    1. read the query terms' bound rows (≤ |terms| × n_blocks, pruned
+       scan of the stats table) → per-block upper bounds;
+    2. exact-score the ``probe_blocks`` blocks with the highest bounds
+       → θ = k-th best score found (docs are hashed to exactly one
+       block, so probe-block scores are *complete* per-doc scores);
+    3. exact-score only the remaining blocks whose bound ≥ θ; merge
+       with the probe top-k and cut to k.
 
-    The per-block upper bound is Σ over query terms of the maximum BM25
-    contribution of that term within the block — a monotone bound on any
-    doc score inside the block, so pruning ``ub < θ`` cannot drop a doc
-    that belongs in the top k (ties at θ survive because their block's
-    bound is ≥ θ).
+    The per-block bound is Σ over query terms of the stored block-max
+    contribution — monotone over any doc score in the block, so pruning
+    ``ub < θ`` cannot drop a qualifying doc (ties at θ survive because
+    their block's bound is ≥ θ; a 1-ulp association-order guard widens
+    the candidate set, never narrows it).
     """
     terms = _query_terms(index, source)
     if not terms:
         return _empty(index)
-    n_docs, avgdl = _cached_corpus_stats(index)
-    if n_docs == 0 or avgdl == 0.0:
+    if stats is None:
+        stats = get_bm25_stats(index, k1, b, n_blocks)
+    if (stats.k1, stats.b, stats.n_blocks) != (k1, b, n_blocks):
+        raise ValueError(
+            "Bm25Stats parameters do not match the query parameters"
+        )
+    if stats.n_docs == 0 or stats.avgdl == 0.0:
         return _empty(index)
-    idf_rows = _idf_rows(index, terms, n_docs)
+    idf_rows = _idf_rows(index, terms, stats.n_docs, stats)
     if not idf_rows:
         return _empty(index)
+    spark = index.postings.sparkSession
+
+    # per-block upper bounds from the precomputed table: ≤ n_blocks rows
+    ub_rows = (
+        stats.block_stats.where(F.col("term").isin(terms))
+        .groupBy("block")
+        .agg(F.sum("ub").alias("ub"))
+        .collect()
+    )
+    if not ub_rows:
+        return _empty(index)
+    ub_rows = sorted(ub_rows, key=lambda r: (-r["ub"], r["block"]))
 
     matched = _matched(index, idf_rows).withColumn(
-        "block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks))
+        "block", _block_col(stats.n_blocks)
     )
-    contrib = _contribution_col(avgdl, k1, b)
+    contrib = _contribution_col(stats.avgdl, k1, b)
     scored = matched.select("doc_id", "block", contrib.alias("c"))
-    # cache: pass 1, the bounds, and pass 2 all reuse this small
-    # (query-matched-only) intermediate
-    scored.persist()
-    try:
-        # per-(term,block) max contribution → per-block upper bound
-        block_ub = (
-            matched.select("term", "block", contrib.alias("c"))
-            .groupBy("term", "block")
-            .agg(F.max("c").alias("mx"))
-            .groupBy("block")
-            .agg(F.sum("mx").alias("ub"))
-        )
-        ub_rows = sorted(
-            block_ub.collect(), key=lambda r: -r["ub"]
-        )  # ≤ n_blocks rows
-        if not ub_rows:
-            return _empty(index)
 
-        probe = [r["block"] for r in ub_rows[:probe_blocks]]
-        pass1 = (
-            scored.where(F.col("block").isin(probe))
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
-        )
-        theta = pass1[k - 1]["score"] if len(pass1) >= k else None
+    probe = [r["block"] for r in ub_rows[:probe_blocks]]
+    pass1 = (
+        scored.where(F.col("block").isin(probe))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    theta = pass1[k - 1]["score"] if len(pass1) >= k else None
 
-        if theta is None:
-            candidates = [r["block"] for r in ub_rows]
-        else:
-            candidates = [r["block"] for r in ub_rows if r["ub"] >= theta]
-        result = (
-            scored.where(F.col("block").isin(candidates))
-            .groupBy("doc_id")
-            .agg(F.sum("c").alias("score"))
-        )
-        return _topk(result, k)
-    finally:
-        scored.unpersist()
+    probe_set = set(probe)
+    if theta is None:
+        rest = [r["block"] for r in ub_rows if r["block"] not in probe_set]
+    else:
+        rest = [
+            r["block"]
+            for r in ub_rows
+            if r["block"] not in probe_set and r["ub"] >= theta - _BOUND_EPS
+        ]
+    pass1_df = spark.createDataFrame(
+        [(r["doc_id"], r["score"]) for r in pass1],
+        "doc_id long, score double",
+    )
+    if not rest:
+        return _topk(pass1_df, k)
+    pass2 = (
+        scored.where(F.col("block").isin(rest))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    return _topk(pass1_df.unionByName(pass2), k)

@@ -403,13 +403,20 @@ class InvertedIndex:
 
     # -- persistence --------------------------------------------------------
 
-    def save(self, path: str, term_partitions: int = 0) -> None:
+    def save(
+        self,
+        path: str,
+        term_partitions: int = 0,
+        with_bm25_stats: bool = False,
+    ) -> None:
         """Write the index as a term-range-partitioned parquet table.
 
         Sorting by term within range partitions gives parquet min/max
         stats on ``term`` → partition/row-group pruning for term
         lookups (the distributed stand-in for the reference's TST term
-        dictionary).
+        dictionary). With ``with_bm25_stats`` the per-term idf and the
+        block-max WAND bound tables are computed once here and stored
+        alongside — so queries never rebuild corpus statistics.
         """
         p = self.postings
         # range-partition on (term, doc_id), not term alone: a hot term
@@ -425,6 +432,10 @@ class InvertedIndex:
             "overwrite"
         ).parquet(os.path.join(path, "postings"))
         self._write_config(path)
+        if with_bm25_stats:
+            from fulltextindexer_spark.operators import bm25
+
+            bm25.save_bm25_stats(bm25.get_bm25_stats(self), path)
 
     def _write_config(self, path: str) -> None:
         cfg = {
@@ -505,7 +516,13 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         config = cls._read_config(path)
         postings = spark.read.parquet(os.path.join(path, "postings"))
-        return cls(postings, config)
+        index = cls(postings, config)
+        from fulltextindexer_spark.operators import bm25
+
+        stats = bm25.load_bm25_stats(spark, path)
+        if stats is not None:
+            bm25.attach_bm25_stats(index, stats)
+        return index
 
 
 def config_positions(config: IndexConfig) -> bool:

@@ -23,9 +23,12 @@ completed stage is a metadata read — idempotent, metrics not
 double-counted (the manifest records ``runs`` separately from the
 authoritative per-partition metrics of the completing run).
 
-The per-partition lineage row records ``spark_partition_id`` and the
-``input_file_name()`` set that fed it — exactly the "partition →
-input-split" mapping the north rule asks for; callers indexing the
+The per-partition lineage row is keyed by the *written output file*
+(``_metadata.file_path`` on the re-read) and records the input-file set
+that fed it — exactly the "partition → input-split" mapping the north
+rule asks for. For shuffling stages the caller captures
+``input_file_name()`` inside ``build()`` before the first shuffle
+boundary (post-shuffle it evaluates to ``''``); callers indexing the
 ``docs`` table additionally carry ``content_sha256`` per row (see
 sources.docs), giving split → content-hash traceability.
 """
@@ -92,10 +95,15 @@ class CheckpointManager:
         """Run (or resume) one checkpointed stage.
 
         ``build`` produces the stage DataFrame lazily; it is only called
-        on a cache miss. ``lineage_input_col``: name under which the
-        originating input file of each row is recorded before the write
-        (uses ``F.input_file_name()``; pass None when the stage has no
-        file-backed input, e.g. purely synthetic data).
+        on a cache miss. ``lineage_input_col``: column carrying each
+        row's originating input file. If ``build()``'s output already
+        contains it, that value is trusted — this is the correct way to
+        record lineage through a shuffling plan: capture
+        ``F.input_file_name()`` *inside* ``build`` before the first
+        shuffle boundary (after a shuffle it evaluates to ``''``).
+        When absent it is attached here as a convenience, valid only
+        for shuffle-free builds. Pass None when the stage has no
+        file-backed input (purely synthetic data).
         """
         sdir = self._stage_dir(name)
         data_dir = os.path.join(sdir, "data")
@@ -114,14 +122,24 @@ class CheckpointManager:
 
         t0 = time.perf_counter()
         df = build()
-        if lineage_input_col is not None:
+        if (
+            lineage_input_col is not None
+            and lineage_input_col not in df.columns
+        ):
+            # convenience for shuffle-free builds only — after a shuffle
+            # input_file_name() is '' and the caller must capture it
+            # inside build() pre-shuffle instead
             df = df.withColumn(lineage_input_col, F.input_file_name())
         df.write.mode("overwrite").parquet(data_dir)
         write_sec = time.perf_counter() - t0
 
-        # lineage + metrics from the *written* output (what resume reads)
-        out = self.spark.read.parquet(data_dir)
-        part = out.withColumn("partition_id", F.spark_partition_id())
+        # lineage + metrics from the *written* output (what resume
+        # reads), keyed by the actual output file via the parquet
+        # _metadata.file_path — not spark_partition_id(), which would
+        # reflect the reader's partitioning, not the written files
+        out = self.spark.read.parquet(data_dir).select(
+            "*", F.col("_metadata.file_path").alias("__out_file")
+        )
         agg_cols = [F.count("*").alias("n_rows")]
         if lineage_input_col is not None:
             agg_cols.append(
@@ -129,7 +147,18 @@ class CheckpointManager:
                     F.collect_set(F.col(lineage_input_col))
                 ).alias("input_files")
             )
-        lineage = part.groupBy("partition_id").agg(*agg_cols)
+        from pyspark.sql.window import Window
+
+        lineage = (
+            out.groupBy(F.col("__out_file").alias("output_file"))
+            .agg(*agg_cols)
+            .withColumn(
+                # stable ordinal per output file (the row count is the
+                # number of output files — tiny relative to the data)
+                "partition_id",
+                F.row_number().over(Window.orderBy("output_file")) - 1,
+            )
+        )
         lineage.write.mode("overwrite").parquet(
             os.path.join(sdir, "_lineage")
         )

@@ -23,13 +23,18 @@ Scale notes: each micro-batch pays one groupBy shuffle over
 the merge is shuffle-free on the big side and compact old snapshots
 periodically; the semantics here — pure union + re-aggregate, snapshot
 isolation for readers — are unchanged by those physical upgrades.
-Exactly-once: Structured Streaming's checkpoint tracks consumed files;
-a batch that dies mid-write leaves _LATEST untouched (writes go to a
-fresh versioned dir), so replays are idempotent.
+Exactly-once: ``foreachBatch`` is only at-least-once — a crash between
+the _LATEST pointer flip and the streaming checkpoint commit replays
+the same batch. Each snapshot therefore records the ``batch_id`` that
+produced it in a ``_MANIFEST.json``; ``process()`` skips any replayed
+batch whose id is <= the recorded one, making the merge idempotent.
+A batch that dies mid-write leaves _LATEST untouched (writes go to a
+fresh versioned dir), so partial writes are invisible to readers.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -64,6 +69,24 @@ def _snapshot_dir(index_dir: str, version: int) -> str:
     return os.path.join(index_dir, "snapshots", f"v{version:010d}")
 
 
+def last_applied_batch_id(index_dir: str) -> int:
+    """batch_id recorded in the latest snapshot's manifest (-1 if none).
+
+    Written atomically *after* the snapshot parquet, *before* the
+    _LATEST flip — so by the time a version is visible its manifest is
+    durable, and a foreachBatch replay of an already-merged batch can
+    be detected and skipped.
+    """
+    v = current_version(index_dir)
+    if v < 0:
+        return -1
+    try:
+        with open(os.path.join(_snapshot_dir(index_dir, v), "_MANIFEST.json")) as fh:
+            return int(json.load(fh).get("batch_id", -1))
+    except (OSError, ValueError):
+        return -1
+
+
 def load_latest(
     spark: SparkSession, index_dir: str, config: IndexConfig
 ) -> Optional[InvertedIndex]:
@@ -79,12 +102,18 @@ def merge_batch(
     batch_docs: DataFrame,
     index_dir: str,
     config: IndexConfig,
+    batch_id: int = -1,
 ) -> int:
     """Fold one batch of docs-shaped rows into a new snapshot.
 
-    Returns the new snapshot version. Pure function of
-    (current snapshot, batch) → safe to replay.
+    Returns the new snapshot version. When ``batch_id`` >= 0 it is
+    recorded in the snapshot manifest and replays of an
+    already-applied batch return the current version without merging
+    (foreachBatch is at-least-once; the manifest makes this
+    effectively-once).
     """
+    if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
+        return current_version(index_dir)
     docs = with_doc_identity(batch_docs)
     new_postings = build_postings(docs, config)
     current = load_latest(spark, index_dir, config)
@@ -95,6 +124,10 @@ def merge_batch(
     v = current_version(index_dir) + 1
     out = _snapshot_dir(index_dir, v)
     merged.postings.write.mode("overwrite").parquet(out)
+    manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
+    with open(manifest_tmp, "w") as fh:
+        json.dump({"version": v, "batch_id": batch_id}, fh)
+    os.replace(manifest_tmp, os.path.join(out, "_MANIFEST.json"))
     tmp = _latest_path(index_dir) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(v))
@@ -126,7 +159,7 @@ def start_incremental_index(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_batch(spark, batch_df, index_dir, config)
+        merge_batch(spark, batch_df, index_dir, config, batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

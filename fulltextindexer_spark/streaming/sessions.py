@@ -85,6 +85,10 @@ def _session_fn(gap_us: int):
                 start_ms = last_ms = t
                 n, vs = 1, float(value)
             else:
+                # a cross-batch late event (within the watermark) may
+                # precede the current session start — extend backwards
+                # so session_start matches sessionize_batch's min(ts)
+                start_ms = min(start_ms, t)
                 last_ms = max(last_ms, t)
                 n += 1
                 vs += float(value)

@@ -120,6 +120,70 @@ def test_wand_empty_and_missing_terms(index):
     assert bm25.bm25_topk(index, "", k=5).count() == 0
 
 
+def test_bm25_stats_precomputed_paths(index):
+    """Stats-backed scoring == fallback scoring; block bounds are sound."""
+    stats = bm25.build_bm25_stats(index, n_blocks=4)
+    with_stats = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_scores(index, "brown dog", stats=stats).collect()
+    }
+    without = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_scores(index, "brown dog").collect()
+    }
+    assert set(with_stats) == set(without)
+    for d in without:
+        assert with_stats[d] == pytest.approx(without[d], rel=1e-12)
+    # every stored (term, block) bound dominates every contribution in
+    # that block (the WAND pruning invariant)
+    import pyspark.sql.functions as F
+
+    contrib = (
+        index.postings.join(
+            F.broadcast(stats.term_stats.select("term", "idf")), "term"
+        )
+        .select(
+            "term",
+            F.pmod(F.xxhash64("doc_id"), F.lit(4)).alias("block"),
+            (
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / stats.avgdl)
+                )
+            ).alias("c"),
+        )
+        .groupBy("term", "block")
+        .agg(F.max("c").alias("mx"))
+    )
+    joined = contrib.join(stats.block_stats, ["term", "block"]).collect()
+    assert joined
+    for r in joined:
+        assert r["mx"] <= r["ub"] + 1e-9
+
+
+def test_bm25_stats_save_load_roundtrip(index, spark, tmp_path):
+    """save(with_bm25_stats=True) → load attaches stats; WAND over the
+    loaded index is identical to the exact path and rebuilds nothing."""
+    from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+    path = str(tmp_path / "idx")
+    index.save(path, with_bm25_stats=True)
+    loaded = InvertedIndex.load(spark, path)
+    cache = getattr(loaded, "_bm25_stats_cache", {})
+    assert (bm25.DEFAULT_K1, bm25.DEFAULT_B, bm25.DEFAULT_N_BLOCKS) in cache
+    exact = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in bm25.bm25_topk(index, "hash join", k=3).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 10))
+        for r in bm25.bm25_topk_wand(loaded, "hash join", k=3).collect()
+    ]
+    assert wand == exact
+
+
 def test_doc_frequencies_salted_equals_plain(index):
     plain = {
         r["term"]: r["df"]

@@ -73,6 +73,49 @@ def test_lineage_and_metrics_recorded(spark, tmp_path, docs_parquet):
     assert sum(r["n_rows"] for r in met) == 3
 
 
+def test_lineage_keyed_by_output_file(spark, tmp_path, docs_parquet):
+    """Lineage rows map actual written files (not reader partitions)."""
+    import glob
+
+    cm = CheckpointManager(spark, str(tmp_path / "ck_of"))
+    r = cm.stage(
+        "s",
+        "fp",
+        lambda: spark.read.parquet(docs_parquet).repartition(2),
+        lineage_input_col="_f",
+    )
+    lin = cm.lineage("s").collect()
+    written = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(r.path, "part-*.parquet"))
+    }
+    got = {os.path.basename(row["output_file"]) for row in lin}
+    assert got == written
+    assert sorted(row["partition_id"] for row in lin) == list(
+        range(len(lin))
+    )
+
+
+def test_lineage_precaptured_through_shuffle(spark, tmp_path, docs_parquet):
+    """A shuffling build that captures input_file_name() pre-shuffle
+    keeps real input files in its lineage (post-shuffle capture would
+    record '')."""
+    cm = CheckpointManager(spark, str(tmp_path / "ck_sh"))
+
+    def build():
+        raw = spark.read.parquet(docs_parquet).withColumn(
+            "_f", F.input_file_name()
+        )
+        return raw.groupBy("repo", "_f").count()
+
+    cm.stage("agg", "fp", build, lineage_input_col="_f")
+    lin = cm.lineage("agg").collect()
+    assert lin
+    for row in lin:
+        assert row["input_files"]
+        assert all("docs_src" in f for f in row["input_files"])
+
+
 def test_input_fingerprint_changes_with_input(spark, tmp_path, docs_parquet):
     df = spark.read.parquet(docs_parquet)
     fp1 = input_fingerprint(df, "v1")

@@ -98,6 +98,31 @@ def test_merge_batch_is_replayable(spark, tmp_path):
         assert tf2 == 2 * tf and w2 == pytest.approx(2 * w) and dl2 == dl
 
 
+def test_merge_batch_skips_replayed_batch_id(spark, tmp_path):
+    """foreachBatch is at-least-once: a replay of an already-applied
+    batch_id must be a no-op (no weight/tf doubling)."""
+    index_dir = str(tmp_path / "idem_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    v = incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+    assert v == 0
+    assert incremental.last_applied_batch_id(index_dir) == 0
+    snap_before = _postings_snapshot(
+        incremental.load_latest(spark, index_dir, CFG)
+    )
+    # crash-replay of batch 0: skipped, same version, identical postings
+    v2 = incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+    assert v2 == 0
+    assert _postings_snapshot(
+        incremental.load_latest(spark, index_dir, CFG)
+    ) == snap_before
+    # a genuinely new batch id still merges
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    v3 = incremental.merge_batch(spark, b2, index_dir, CFG, batch_id=1)
+    assert v3 == 1
+    assert incremental.last_applied_batch_id(index_dir) == 1
+
+
 def test_windowed_event_stats_streaming_vs_batch(spark, tmp_path):
     """Streaming watermarked hourly aggregation over a drained file
     stream emits exactly the finalised windows of the batch form."""
@@ -208,3 +233,63 @@ def test_stateful_sessionization(spark, tmp_path):
     # user 1's first two sessions are far behind the final watermark
     assert (1, "2024-01-01 00:00:00") in got
     assert (1, "2024-01-01 02:00:00") in got
+
+
+def test_sessionization_cross_batch_late_event_extends_start(spark, tmp_path):
+    """A late event (within the watermark) that precedes the session's
+    current start must move session_start back — stream output equals
+    sessionize_batch's min(ts)."""
+    import datetime as dt
+
+    from fulltextindexer_spark.streaming import sessions as S
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    input_dir = str(tmp_path / "late_in")
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ck")
+
+    def drain(rows):
+        spark.createDataFrame(rows, S.EVENTS_DDL).write.mode(
+            "append"
+        ).parquet(input_dir)
+        q = S.start_sessionization(
+            spark, input_dir, out_dir, ckpt, gap="30 minutes"
+        )
+        q.awaitTermination(180)
+
+    # batch 1: session state start=10:00, last=10:05; watermark → 09:35
+    drain([
+        (0, base, 7, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=5), 7, "view", 1.0, "{}"),
+    ])
+    # batch 2: late 09:50 event (within watermark, before session start)
+    # + a 12:00 event that closes the session in-batch
+    drain([
+        (2, base - dt.timedelta(minutes=10), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=2), 7, "view", 1.0, "{}"),
+    ])
+    # batch 3: push the watermark far past 12:30 to flush the tail
+    drain([(4, base + dt.timedelta(hours=6), 8, "view", 1.0, "{}")])
+
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"])
+        for r in spark.read.schema(S.SESSION_SCHEMA).parquet(out_dir).collect()
+    }
+    assert (7, "2024-03-01 09:50:00") in got
+    assert got[(7, "2024-03-01 09:50:00")] == ("2024-03-01 10:05:00", 3)
+    all_rows = [
+        (0, base, 7, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=5), 7, "view", 1.0, "{}"),
+        (2, base - dt.timedelta(minutes=10), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=2), 7, "view", 1.0, "{}"),
+    ]
+    batch_df = spark.createDataFrame(all_rows, S.EVENTS_DDL)
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"])
+        for r in S.sessionize_batch(batch_df, gap="30 minutes").collect()
+    }
+    for k, v in got.items():
+        if k[0] == 7:
+            assert want[k] == v, k
