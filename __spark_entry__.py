@@ -103,6 +103,22 @@ tokp AS (
   WHERE t <> ''
 )
 """
+# tokens with char offsets into the original text: src_idx = sum of
+# previous token lengths + one separator char per previous position
+# (exact for any single-char separators, which the corpus uses)
+TOKL_CTE = f"""
+tokl AS (
+  SELECT doc_id, {STEM_T} AS term, pos,
+         CAST(length(t) AS BIGINT) AS src_len,
+         CAST(COALESCE(sum(length(t)) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (pos - 1) AS BIGINT) AS src_idx
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE t <> ''
+)
+"""
 # distinct word 3-gram shingles
 SH3_CTE = """
 t3 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -221,6 +237,37 @@ def q_prefix(spark, sf_dir):
         q.get_matches(idx, "wind").select(
             "doc_id", F.col("weight").alias("score")
         )
+    )
+
+
+def _explode_locations(res: DataFrame) -> DataFrame:
+    return res.select("doc_id", F.explode("locations").alias("loc")).select(
+        "doc_id",
+        F.col("loc.field_idx").cast("long").alias("field_idx"),
+        F.col("loc.token_idx").cast("long").alias("token_idx"),
+        F.col("loc.src_idx").cast("long").alias("src_idx"),
+        F.col("loc.src_len").cast("long").alias("src_len"),
+        F.round(F.col("loc.contribution").cast("double"), 4).alias("w"),
+    )
+
+
+def q_search_locations(spark, sf_dir):
+    """Result-location payloads (highlighting): every matched posting's
+    recorded source locations, concatenated per result doc (reference
+    IndexData_Extensions_PartialMatches.cs:69-78), exploded to rows for
+    the cross-engine hash compare."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _explode_locations(
+        q.get_partial_matches_with_locations(idx, "sort table")
+    )
+
+
+def q_phrase_locations(spark, sf_dir):
+    """Synthesized run-spanning locations for phrase matches (reference
+    IndexData_Extensions_ConsecutiveMatches.cs:99-122), exploded."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _explode_locations(
+        q.get_consecutive_matches_with_locations(idx, "hash join")
     )
 
 
@@ -447,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_or": q_search_or,
         "ftix_search_not": q_search_not,
         "ftix_phrase": q_phrase,
+        "ftix_search_locations": q_search_locations,
+        "ftix_phrase_locations": q_phrase_locations,
         "ftix_prefix": q_prefix,
         "ftix_bm25": q_bm25,
         "ftix_bm25_wand": q_bm25_wand,
@@ -626,6 +675,30 @@ runs AS (
     AND b.term = '{english_plurality_normalise("join")}'
 )
 SELECT doc_id, round(sum(rw), 4) AS score FROM runs GROUP BY doc_id
+""",
+        "ftix_search_locations": f"""
+WITH {TOKL_CTE},
+q(term, qti) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                        ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT tokl.doc_id, q.qti, tokl.pos, tokl.src_idx, tokl.src_len,
+             1.0 * {_stop_case('tokl.term')} AS w
+      FROM tokl JOIN q ON tokl.term = q.term),
+ok AS (SELECT doc_id FROM m GROUP BY doc_id HAVING count(DISTINCT qti) = 2)
+SELECT m.doc_id, CAST(0 AS BIGINT) AS field_idx,
+       CAST(m.pos - 1 AS BIGINT) AS token_idx,
+       m.src_idx, m.src_len, round(m.w, 4) AS w
+FROM m JOIN ok USING (doc_id)
+""",
+        "ftix_phrase_locations": f"""
+WITH {TOKL_CTE}
+SELECT a.doc_id, CAST(0 AS BIGINT) AS field_idx,
+       CAST(a.pos - 1 AS BIGINT) AS token_idx,
+       a.src_idx,
+       (b.src_idx + b.src_len) - a.src_idx AS src_len,
+       round(({_stop_case('a.term')} + {_stop_case('b.term')}) * 2, 4) AS w
+FROM tokl a JOIN tokl b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{english_plurality_normalise("hash")}'
+  AND b.term = '{english_plurality_normalise("join")}'
 """,
         "ftix_prefix": _prefix_sql(),
         "ftix_bm25": _bm25_sql(topk=None),

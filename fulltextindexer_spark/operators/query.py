@@ -104,6 +104,89 @@ def get_partial_matches(
     return result
 
 
+# result-location element type (reference Indexes/SourceFieldLocation.cs:13-39)
+RESULT_LOCATION_STRUCT = (
+    "array<struct<field_idx:int,token_idx:int,src_idx:int,"
+    "src_len:int,contribution:float>>"
+)
+
+
+def _plain_location(x) -> Column:
+    return F.struct(
+        x["field_idx"].alias("field_idx"),
+        x["token_idx"].alias("token_idx"),
+        x["src_idx"].alias("src_idx"),
+        x["src_len"].alias("src_len"),
+        x["contribution"].alias("contribution"),
+    )
+
+
+def get_partial_matches_with_locations(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """AND-sum scoring that also returns the per-doc source locations.
+
+    Returns (doc_id, score, locations): ``locations`` is the
+    concatenation of every matched posting's recorded source locations
+    — the payload a snippet/highlighting layer consumes — exactly the
+    reference's ``WeightedEntry.SourceLocationsIfRecorded``
+    concatenation (IndexData_Extensions_PartialMatches.cs:69-78).
+    Element order is deterministic: query-token order first (the
+    reference's accumulation order), then the stored location order
+    (field_idx, token_idx) within each match.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations to return them"
+        )
+    spark = index.postings.sparkSession
+    rows, n_tokens = _query_terms_df(index, source)
+    if n_tokens == 0:
+        return (
+            index.postings.select(
+                "doc_id",
+                F.col("weight").alias("score"),
+                F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
+                    "locations"
+                ),
+            ).limit(0)
+        )
+    qdf = spark.createDataFrame(rows, "term string, qti int")
+    matched = index.postings.join(F.broadcast(qdf), "term")
+    tagged = F.transform(
+        "positions",
+        lambda p: F.struct(
+            F.col("qti").alias("qti"),
+            p["field_idx"].alias("field_idx"),
+            p["token_idx"].alias("token_idx"),
+            p["src_idx"].alias("src_idx"),
+            p["src_len"].alias("src_len"),
+            p["contribution"].alias("contribution"),
+        ),
+    )
+    agg = matched.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("qti").alias("token_idx"), "weight"))
+        ).alias("lst"),
+        F.array_sort(F.flatten(F.collect_list(tagged))).alias("tagged"),
+    )
+    n_distinct = F.size(
+        F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+    )
+    result = (
+        agg.where(n_distinct == F.lit(n_tokens))
+        .select(
+            "doc_id",
+            _f32_fold_sum(F.col("lst")).alias("score"),
+            F.transform("tagged", _plain_location).alias("locations"),
+        )
+        .where(F.col("score") > 0)
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
 def get_consecutive_matches(
     index: InvertedIndex, source: str, k: Optional[int] = None
 ) -> DataFrame:
@@ -200,6 +283,158 @@ def get_consecutive_matches(
     )
     result = agg.select(
         "doc_id", _f32_fold_sum(F.col("lst"), lambda x: x["run_w"]).alias("score")
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
+def get_consecutive_matches_with_locations(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """Phrase matching that also returns synthesized run locations.
+
+    Returns (doc_id, score, locations): one location per matched run,
+    spanning from the first token's start to the last token's end with
+    the run's weight as its contribution — the reference's derived
+    ``SourceFieldLocation`` (IndexData_Extensions_ConsecutiveMatches.cs:99-122:
+    TokenIndex from the run's first term, SourceIndex..SourceTokenLength
+    covering the whole run, MatchWeightContribution = run weight).
+    Locations are ordered by run enumeration order (field_idx, anchor
+    token index), matching the final-combine fold order.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for consecutive matching"
+        )
+    spark = index.postings.sparkSession
+    tokens = break_tokens(source, index.config.break_chars)
+    if not tokens:
+        return (
+            index.postings.select(
+                "doc_id",
+                F.col("weight").alias("score"),
+                F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
+                    "locations"
+                ),
+            ).limit(0)
+        )
+    n = len(tokens)
+    if n == 1:
+        # every occurrence is a run of one: location = the occurrence
+        # itself, run weight = its contribution × 2^0
+        matched = get_matches(index, source)
+        return _finish_runs(
+            matched.select(
+                "doc_id", F.explode("positions").alias("pos")
+            ).select(
+                "doc_id",
+                F.col("pos.field_idx").alias("field_idx"),
+                F.col("pos.token_idx").alias("anchor_tok"),
+                F.col("pos.src_idx").alias("src_idx"),
+                (F.col("pos.src_idx") + F.col("pos.src_len")).alias("end_idx"),
+                F.col("pos.contribution").alias("run_w"),
+            ),
+            k,
+        )
+
+    rows = [
+        (normalise_scalar(tok, index.config.normaliser), idx)
+        for idx, (tok, _, _, _) in enumerate(tokens)
+    ]
+    qdf = spark.createDataFrame(rows, "term string, term_idx int")
+    units = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select("doc_id", "term_idx", F.explode("positions").alias("pos"))
+        .select(
+            "doc_id",
+            "term_idx",
+            F.col("pos.field_idx").alias("field_idx"),
+            F.col("pos.token_idx").alias("token_idx"),
+            F.col("pos.src_idx").alias("src_idx"),
+            F.col("pos.src_len").alias("src_len"),
+            F.col("pos.contribution").alias("w"),
+        )
+    )
+    run = units.where(F.col("term_idx") == 0).select(
+        "doc_id",
+        "field_idx",
+        F.col("token_idx").alias("anchor_tok"),
+        F.col("src_idx").alias("start_idx"),
+        F.col("w").alias("w0"),
+    )
+    for i in range(1, n):
+        keep = [
+            F.col("doc_id"),
+            F.col("field_idx"),
+            F.col("anchor_tok"),
+            F.col("start_idx"),
+        ]
+        ui = units.where(F.col("term_idx") == i).select(
+            F.col("doc_id").alias(f"d{i}"),
+            F.col("field_idx").alias(f"f{i}"),
+            F.col("token_idx").alias(f"t{i}"),
+            F.col("src_idx").alias(f"s{i}"),
+            F.col("src_len").alias(f"l{i}"),
+            F.col("w").alias(f"w{i}"),
+        )
+        run = run.join(
+            ui,
+            on=[
+                run["doc_id"] == ui[f"d{i}"],
+                run["field_idx"] == ui[f"f{i}"],
+                ui[f"t{i}"] == run["anchor_tok"] + F.lit(i),
+            ],
+            how="inner",
+        ).drop(f"d{i}", f"f{i}", f"t{i}")
+        if i < n - 1:
+            run = run.drop(f"s{i}", f"l{i}")
+    weights_arr = F.array(*[F.col(f"w{i}" if i else "w0") for i in range(n)])
+    run_weight = (
+        F.aggregate(
+            weights_arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).cast("float")
+        * F.lit(float(2 ** (n - 1)))
+    ).cast("float")
+    last = n - 1
+    runs = run.select(
+        "doc_id",
+        "field_idx",
+        "anchor_tok",
+        F.col("start_idx").alias("src_idx"),
+        (F.col(f"s{last}") + F.col(f"l{last}")).alias("end_idx"),
+        run_weight.alias("run_w"),
+    )
+    return _finish_runs(runs, k)
+
+
+def _finish_runs(runs: DataFrame, k: Optional[int]) -> DataFrame:
+    """(doc_id, field_idx, anchor_tok, src_idx, end_idx, run_w) →
+    (doc_id, score, locations): f32 fold of run weights in enumeration
+    order + one synthesized location per run."""
+    agg = runs.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "field_idx", "anchor_tok", "src_idx", "end_idx", "run_w"
+                )
+            )
+        ).alias("lst")
+    )
+    locations = F.transform(
+        "lst",
+        lambda x: F.struct(
+            x["field_idx"].alias("field_idx"),
+            x["anchor_tok"].alias("token_idx"),
+            x["src_idx"].alias("src_idx"),
+            (x["end_idx"] - x["src_idx"]).alias("src_len"),
+            x["run_w"].alias("contribution"),
+        ),
+    )
+    result = agg.select(
+        "doc_id",
+        _f32_fold_sum(F.col("lst"), lambda x: x["run_w"]).alias("score"),
+        locations.alias("locations"),
     )
     if k is not None:
         result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -130,6 +130,75 @@ def test_structured_queries_random(spark_index, oracle_index):
         assert got == want, f"query={query!r}"
 
 
+def _loc_tuples(locs):
+    return [
+        (
+            l["field_idx"], l["token_idx"], l["src_idx"], l["src_len"],
+            np.float32(l["contribution"]),
+        )
+        for l in locs
+    ]
+
+
+def _oracle_loc_tuples(entry_locs, order_by_qti=None):
+    return [
+        (l.field_idx, l.token_idx, l.src_idx, l.src_len,
+         np.float32(l.contribution))
+        for l in entry_locs
+    ]
+
+
+def test_partial_match_locations_random_queries(spark_index, oracle_index):
+    """Result-location payloads: engine (doc_id, score, locations) ==
+    oracle WeightedEntry.SourceLocationsIfRecorded concatenation
+    (reference PartialMatches.cs:69-78), element-exact."""
+    rng = random.Random(77)
+    for _ in range(6):
+        query = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
+        got = {
+            r["doc_id"]: (np.float32(r["score"]), _loc_tuples(r["locations"]))
+            for r in q.get_partial_matches_with_locations(
+                spark_index, query
+            ).collect()
+        }
+        want = {}
+        for e in oracle.get_partial_matches(oracle_index, query):
+            want[e.key] = (np.float32(e.weight),
+                           _oracle_loc_tuples(e.locations))
+        assert set(got) == set(want), query
+        for d in want:
+            assert got[d][0] == want[d][0], (query, d)
+            # oracle concat order: query-token order then stored order —
+            # identical to the engine's sorted order
+            assert got[d][1] == want[d][1], (query, d)
+
+
+def test_consecutive_match_locations_random_queries(
+    spark_index, oracle_index
+):
+    """Synthesized run-spanning locations == oracle
+    (reference ConsecutiveMatches.cs:99-122), element-exact."""
+    rng = random.Random(78)
+    queries = [
+        " ".join(rng.choices(VOCAB, k=rng.randint(1, 3))) for _ in range(5)
+    ]
+    for query in queries:
+        got = {
+            r["doc_id"]: (np.float32(r["score"]),
+                          sorted(_loc_tuples(r["locations"])))
+            for r in q.get_consecutive_matches_with_locations(
+                spark_index, query
+            ).collect()
+        }
+        want = {}
+        for e in oracle.get_consecutive_matches(oracle_index, query):
+            want[e.key] = (np.float32(e.weight),
+                           sorted(_oracle_loc_tuples(e.locations)))
+        assert set(got) == set(want), query
+        for d in want:
+            assert got[d] == want[d], (query, d)
+
+
 def test_topk_rank_identity(spark_index, oracle_index):
     """Rank identity: (score desc, doc asc) ordering matches the oracle."""
     for query in ("cat dog", "the index", "sort merge hash"):
