@@ -62,6 +62,12 @@ DOCS_CONFIG_PREFIX = IndexConfig(
     capture_positions=False,
     prefix_expansion=PrefixExpansionConfig(3, 8, 0.25),
 )
+DOCS_CONFIG_CONTAINS = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    prefix_expansion=PrefixExpansionConfig(3, 8, 0.25, mode="substring"),
+)
 
 STEMMED_STOP = sorted({english_plurality_normalise(w) for w in ENGLISH_STOP_WORDS})
 RAW_STOP = sorted(ENGLISH_STOP_WORDS)
@@ -268,6 +274,19 @@ def q_phrase_locations(spark, sf_dir):
     idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
     return _explode_locations(
         q.get_consecutive_matches_with_locations(idx, "hash join")
+    )
+
+
+def q_contains(spark, sf_dir):
+    """Contains-search over the all-offsets substring expansion index
+    (the reference PartialMatchingTokenBreaker's default mode,
+    PartialMatchingTokenBreaker.cs:142-176): the mid-word fragment
+    'ndow' finds documents containing 'window', 'windows', ..."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_CONTAINS)
+    return _round_score(
+        q.get_matches(idx, "ndow").select(
+            "doc_id", F.col("weight").alias("score")
+        )
     )
 
 
@@ -497,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_locations": q_search_locations,
         "ftix_phrase_locations": q_phrase_locations,
         "ftix_prefix": q_prefix,
+        "ftix_contains": q_contains,
         "ftix_bm25": q_bm25,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
@@ -547,6 +567,43 @@ hits AS (
   SELECT doc_id, 1.0 * {_stop_case(STEM_T)} AS w FROM rawt WHERE {STEM_T} = 'wind~'
   UNION ALL
 {prefix_selects}
+)
+SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
+"""
+
+
+def _contains_sql() -> str:
+    """Oracle for the substring-expansion index: enumerate every
+    (offset, length) fragment of every token exactly as
+    expand_substrings does, normalise, match 'ndow~'."""
+    target = english_plurality_normalise("ndow")
+    stem_f = stem_sql_case_expr("f")
+    return f"""
+WITH rawt AS (
+  SELECT doc_id, t FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+offs AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - 3 + 1, 0))) AS i
+  FROM rawt
+),
+frags AS (
+  SELECT doc_id, substr(t, i, l) AS f
+  FROM (
+    SELECT doc_id, t, i,
+           unnest(generate_series(3, least(length(t) - i + 1, 8))) AS l
+    FROM offs
+  )
+  WHERE NOT (i = 1 AND l = length(t))
+),
+hits AS (
+  SELECT doc_id, 0.25 * {_stop_case(stem_f)} AS w
+  FROM frags WHERE {stem_f} = '{target}'
+  UNION ALL
+  SELECT doc_id, 1.0 * {_stop_case(STEM_T)} AS w
+  FROM rawt WHERE {STEM_T} = '{target}'
 )
 SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
 """
@@ -701,6 +758,7 @@ WHERE a.term = '{english_plurality_normalise("hash")}'
   AND b.term = '{english_plurality_normalise("join")}'
 """,
         "ftix_prefix": _prefix_sql(),
+        "ftix_contains": _contains_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_wand": _bm25_sql(topk=10),
         "ftix_remove": f"""

@@ -47,17 +47,35 @@ class FieldConfig:
 
 @dataclass(frozen=True)
 class PrefixExpansionConfig:
-    """Partial-match prefix expansion (``fromStartOfTokenOnly`` mode of the
-    reference's PartialMatchingTokenBreaker.cs:70-176).
+    """Partial-match expansion (reference PartialMatchingTokenBreaker.cs:70-176).
 
-    Every prefix of each token with length in [min_len, max_len] (other
+    ``mode="prefix"`` is the reference's ``fromStartOfTokenOnly`` mode:
+    every prefix of each token with length in [min_len, max_len] (other
     than the full token itself) is additionally indexed with
     ``weight_multiplier`` applied on top of the token's weight.
+
+    ``mode="substring"`` is the reference's default all-offsets mode
+    (PartialMatchingTokenBreaker.cs:142-176): substrings at *every*
+    start offset with length in [min_len, max_len], enabling
+    contains-search (``*egor*`` finds "Gregory"). Emission order per
+    token is (offset asc, length asc), matching the reference's nested
+    loop; the reference's high-surrogate fragment guard (:155-161)
+    holds structurally here — expansion operates on Unicode code
+    points, so a fragment can never split a surrogate pair.
     """
 
     min_len: int = 3
     max_len: int = 255
     weight_multiplier: float = 1.0
+    mode: str = "prefix"
+
+    def __post_init__(self):
+        if self.mode not in ("prefix", "substring"):
+            raise ValueError(f"unknown expansion mode: {self.mode!r}")
+        if self.min_len < 1:
+            raise ValueError("min_len must be >= 1")
+        if self.mode == "substring" and self.max_len >= 4096:
+            raise ValueError("substring mode supports max_len < 4096")
 
 
 @dataclass(frozen=True)

@@ -350,3 +350,61 @@ def expand_prefixes(
     out = tokens.iloc[parent_idx].copy().reset_index(drop=True)
     out["token"] = [t[:n] for t, n in zip(tok[parent_idx], plens)]
     return out
+
+
+def expand_substrings(
+    tokens: pd.DataFrame,
+    min_len: int,
+    max_len: int,
+) -> pd.DataFrame:
+    """All-offsets substring variations (the reference's default
+    partial-match mode, PartialMatchingTokenBreaker.cs:142-176).
+
+    For each token, emits the substring at every start offset with
+    length in [min_len, min(remaining, max_len)], excluding the
+    variation equal to the full token, keeping the parent's
+    token_idx / src_idx / src_len (the source location marks the whole
+    word, :163-175). Emission order per parent is (offset asc, length
+    asc) — the reference's nested loop — carried in ``variant_rank``
+    so the combine fold order matches. The reference's high-surrogate
+    guard (:155-161) is structural here: offsets are Unicode code
+    points, so no fragment can split a code point.
+
+    Occurrences are NOT deduplicated: "aaa" with min_len=1 emits "a"
+    three times, matching the reference (each variation is a separate
+    WeightAdjustingToken whose weights sum at combine time).
+    """
+    if tokens.empty:
+        return tokens.iloc[0:0].assign(variant_rank=np.int32(0))
+    tok = tokens["token"].to_numpy()
+    lens = tokens["token"].str.len().to_numpy(dtype=np.int64)
+    n_off = np.maximum(lens - min_len + 1, 0)  # valid start offsets
+    par1 = np.repeat(np.arange(len(tokens)), n_off)
+    offs = np.concatenate(
+        [np.arange(c) for c in n_off if c > 0]
+    ) if n_off.sum() else np.empty(0, np.int64)
+    # per (parent, offset): lengths min_len .. min(L - offset, max_len)
+    n_l = np.minimum(lens[par1] - offs, max_len) - min_len + 1
+    parent_idx = np.repeat(par1, n_l)
+    off_rep = np.repeat(offs, n_l)
+    starts = np.cumsum(n_l) - n_l
+    sub_lens = (
+        min_len
+        + np.arange(int(n_l.sum()), dtype=np.int64)
+        - np.repeat(starts, n_l)
+    )
+    # drop the variation equal to the full token (offset 0, full length)
+    keep = ~((off_rep == 0) & (sub_lens == lens[parent_idx]))
+    parent_idx, off_rep, sub_lens = (
+        parent_idx[keep], off_rep[keep], sub_lens[keep]
+    )
+    if not len(parent_idx):
+        return tokens.iloc[0:0].assign(variant_rank=np.int32(0))
+    out = tokens.iloc[parent_idx].copy().reset_index(drop=True)
+    out["token"] = [
+        t[i : i + n]
+        for t, i, n in zip(tok[parent_idx], off_rep, sub_lens)
+    ]
+    # (offset, length) enumeration order; lengths are < 2^12 by config
+    out["variant_rank"] = ((off_rep << 12) + sub_lens).astype(np.int32)
+    return out

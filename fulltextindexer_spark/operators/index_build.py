@@ -53,6 +53,7 @@ from fulltextindexer_spark.functions.normalize import (
 )
 from fulltextindexer_spark.functions.tokenize import (
     expand_prefixes,
+    expand_substrings,
     tokenize_frame,
     tokenize_frame_coded,
 )
@@ -99,11 +100,19 @@ def _batch_postings(
             toks["variant_rank"] = np.int32(0)
             toks["tok_mult"] = np.float32(1.0)
             pe = config.prefix_expansion
-            pre = expand_prefixes(toks, pe.min_len, pe.max_len)
+            if pe.mode == "substring":
+                # all-offsets contains mode; expand_substrings carries
+                # its own (offset, length) enumeration order
+                pre = expand_substrings(toks, pe.min_len, pe.max_len)
+            else:
+                pre = expand_prefixes(toks, pe.min_len, pe.max_len)
+                if not pre.empty:
+                    # parent token first, then its prefixes in ascending
+                    # length (reference PartialMatchingTokenBreaker.cs:76-109)
+                    pre["variant_rank"] = (
+                        pre["token"].str.len().astype(np.int32)
+                    )
             if not pre.empty:
-                # parent token first, then its prefixes in ascending
-                # length (reference PartialMatchingTokenBreaker.cs:76-109)
-                pre["variant_rank"] = pre["token"].str.len().astype(np.int32)
                 pre["tok_mult"] = np.float32(pe.weight_multiplier)
                 toks = pd.concat([toks, pre], ignore_index=True)
             terms = normalise_series(
@@ -458,6 +467,7 @@ class InvertedIndex:
                     "weight_multiplier": (
                         self.config.prefix_expansion.weight_multiplier
                     ),
+                    "mode": self.config.prefix_expansion.mode,
                 }
             ),
         }

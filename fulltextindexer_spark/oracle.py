@@ -105,7 +105,22 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
                 expanded = []
                 for tok, tidx, sidx, slen in tokens:
                     expanded.append((tok, tidx, sidx, slen, F32(1.0)))
-                    if len(tok) >= pe.min_len:
+                    if len(tok) < pe.min_len:
+                        continue
+                    if pe.mode == "substring":
+                        # all-offsets mode (reference
+                        # PartialMatchingTokenBreaker.cs:142-176):
+                        # (offset asc, length asc), full token excluded
+                        for i in range(0, len(tok) - pe.min_len + 1):
+                            hi = min(len(tok) - i, pe.max_len)
+                            for n in range(pe.min_len, hi + 1):
+                                if i == 0 and n == len(tok):
+                                    continue
+                                expanded.append(
+                                    (tok[i:i + n], tidx, sidx, slen,
+                                     F32(pe.weight_multiplier))
+                                )
+                    else:
                         hi = min(len(tok), pe.max_len)
                         for n in range(pe.min_len, hi + 1):
                             if n == len(tok):

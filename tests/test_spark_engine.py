@@ -191,6 +191,28 @@ def test_prefix_expansion_parity(spark):
         assert got == exp, term
 
 
+def test_substring_expansion_parity(spark):
+    """All-offsets contains mode: engine == oracle, including mid-word
+    fragments ('ollo' must find 'follow')."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("title", 1.0), FieldConfig("content", 1.0)),
+        prefix_expansion=PrefixExpansionConfig(3, 10, 0.5, mode="substring"),
+    )
+    idx = build_index(_docs_df(spark, POSTS_A), cfg)
+    oracle_idx = oracle.generate_index(POSTS_A, cfg)
+    hit_any = False
+    for term in ["cat", "ollo", "llow", "bou", "oduc"]:
+        got = sorted(
+            (r["doc_id"], np.float32(r["weight"]))
+            for r in q.get_matches(idx, term).collect()
+        )
+        exp = sorted((e.key, e.weight) for e in oracle_idx.get_matches(term))
+        assert got == exp, term
+        hit_any = hit_any or bool(exp)
+    assert hit_any  # the fragments genuinely match mid-word content
+
+
 def test_index_algebra_remove(spark):
     docs = [
         {"id": 1, "title": "", "content": "Product"},

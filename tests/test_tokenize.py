@@ -121,3 +121,66 @@ def test_tokenize_frame_matches_scalar_random():
     }
     for r, text in enumerate(rows):
         assert got[r] == break_tokens(text), (r, text)
+
+
+def test_substring_expansion_all_offsets():
+    """All-offsets substring mode (reference
+    PartialMatchingTokenBreaker.cs:142-176): every (offset, length)
+    fragment, full token excluded, occurrences kept, (offset, length)
+    enumeration order in variant_rank."""
+    import pandas as pd
+
+    from fulltextindexer_spark.functions.tokenize import (
+        expand_substrings,
+        tokenize_frame,
+    )
+
+    toks = tokenize_frame(pd.Series(["abcd xy"]))
+    out = expand_substrings(toks, 2, 3)
+    by_parent = {}
+    for _, r in out.iterrows():
+        by_parent.setdefault(r["src_idx"], []).append(
+            (r["token"], r["variant_rank"])
+        )
+    # 'abcd': offsets 0..2; lengths 2..min(remaining,3); skip none
+    # (full token len 4 > max_len 3 so no exclusion fires)
+    assert [t for t, _ in by_parent[0]] == [
+        "ab", "abc", "bc", "bcd", "cd",
+    ]
+    # enumeration order strictly increasing
+    ranks = [v for _, v in by_parent[0]]
+    assert ranks == sorted(ranks)
+    # 'xy': only the full token at offset 0 — excluded entirely
+    assert 5 not in by_parent
+
+
+def test_substring_expansion_excludes_full_token_and_keeps_occurrences():
+    import pandas as pd
+
+    from fulltextindexer_spark.functions.tokenize import (
+        expand_substrings,
+        tokenize_frame,
+    )
+
+    toks = tokenize_frame(pd.Series(["aaa"]))
+    out = expand_substrings(toks, 1, 3)
+    # offsets 0,1,2: lengths (1,2,3),(1,2),(1) minus the (0,3) full token
+    assert list(out["token"]) == ["a", "aa", "a", "aa", "a"]
+    # source location always marks the whole parent word
+    assert set(out["src_idx"]) == {0} and set(out["src_len"]) == {3}
+
+
+def test_substring_expansion_min_len_filters_short_tokens():
+    import pandas as pd
+
+    from fulltextindexer_spark.functions.tokenize import (
+        expand_substrings,
+        tokenize_frame,
+    )
+
+    toks = tokenize_frame(pd.Series(["ab abcde"]))
+    out = expand_substrings(toks, 3, 4)
+    got = sorted(out["token"])
+    # 'ab' too short; 'abcde' → offsets 0..2, lengths 3..min(rem,4),
+    # minus nothing (full len 5 > 4)
+    assert got == sorted(["abc", "abcd", "bcd", "bcde", "cde"])
