@@ -277,6 +277,36 @@ def q_phrase_locations(spark, sf_dir):
     )
 
 
+def q_multifield(spark, sf_dir):
+    """Multi-field weighted index over scalar + array<string> fields
+    (title-like source ×15, text ×1, tags array ×2 — mirroring the
+    reference Tester's weighted Post index,
+    Tester/Example/PostIndexGenerator.cs title×5 shape and the
+    array-of-sections Tags retriever, PreBrokenContent.cs:9-36).
+    AND query across a source value and a body word exercises the
+    per-field weights end to end."""
+    key = ("multifield", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir).withColumn(
+            "tags", F.slice(F.split(F.col("text"), " "), 1, 3)
+        )
+        cfg = IndexConfig(
+            key_column="doc_id",
+            fields=(
+                FieldConfig("source", 15.0),
+                FieldConfig("text", 1.0),
+                FieldConfig("tags", 2.0),
+            ),
+            capture_positions=False,
+        )
+        idx = build_index(docs, cfg)
+        idx.postings.persist()
+        _INDEX_CACHE[key] = idx
+    return _round_score(
+        q.get_partial_matches(_INDEX_CACHE[key], "src3 data")
+    )
+
+
 def q_contains(spark, sf_dir):
     """Contains-search over the all-offsets substring expansion index
     (the reference PartialMatchingTokenBreaker's default mode,
@@ -391,6 +421,8 @@ def q_dedup_keep(spark, sf_dir):
 
 IVF_K = 8
 IVF_PROBE = 2
+IVF64_K = 64
+IVF64_PROBE = 8
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -399,6 +431,21 @@ def q_ivf_topk(spark, sf_dir):
     qrow = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
     got = similarity.ivf_topk(
         emb, list(qrow), centroids, k=10, n_probe=IVF_PROBE
+    )
+    return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ivf64_topk(spark, sf_dir):
+    """IVF at 64 lists: the dispatcher routes assignment through the
+    broadcast-centroid-matrix pandas kernel (constant-size plan), the
+    shape a 100 TB corpus needs; seeded centroids keep the DuckDB
+    oracle reproducible (train_kmeans is the production trainer,
+    pinned by pytest objective tests)."""
+    emb = _embeddings(spark, sf_dir)
+    centroids = similarity.seed_centroids(emb, k=IVF64_K)
+    qrow = emb.where(F.col("vec_id") == 2).collect()[0]["embedding"]
+    got = similarity.ivf_topk(
+        emb, list(qrow), centroids, k=10, n_probe=IVF64_PROBE
     )
     return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -517,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_phrase_locations": q_phrase_locations,
         "ftix_prefix": q_prefix,
         "ftix_contains": q_contains,
+        "ftix_multifield": q_multifield,
         "ftix_bm25": q_bm25,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
@@ -531,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_neardup": q_neardup,
         "sim_ivf_topk": q_ivf_topk,
+        "sim_ivf64_topk": q_ivf64_topk,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
@@ -572,6 +621,36 @@ SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
 """
 
 
+def _multifield_sql() -> str:
+    """Oracle for the multi-field weighted index: source ×15, text ×1,
+    tags (first 3 text tokens) ×2; AND query 'src3 data'."""
+    t_src = english_plurality_normalise("src3")
+    t_data = english_plurality_normalise("data")
+    stem_src = stem_sql_case_expr("source")
+    return f"""
+WITH {TOK_CTE},
+tags AS (
+  SELECT doc_id, t FROM
+    (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 3)) AS t
+     FROM documents)
+  WHERE t <> ''
+),
+allw AS (
+  SELECT doc_id, term, 1.0 * {_stop_case('term')} AS w FROM tok
+  UNION ALL
+  SELECT doc_id, {stem_src} AS term, 15.0 * {_stop_case(stem_src)} AS w
+  FROM documents WHERE trim(source) <> ''
+  UNION ALL
+  SELECT doc_id, {STEM_T} AS term, 2.0 * {_stop_case(STEM_T)} AS w FROM tags
+),
+q(term, qti) AS (VALUES ('{t_src}', 0), ('{t_data}', 1)),
+m AS (SELECT a.doc_id, q.qti, a.w FROM allw a JOIN q ON a.term = q.term),
+ok AS (SELECT doc_id FROM m GROUP BY doc_id HAVING count(DISTINCT qti) = 2)
+SELECT m.doc_id, round(sum(m.w), 4) AS score
+FROM m JOIN ok USING (doc_id) GROUP BY m.doc_id
+"""
+
+
 def _contains_sql() -> str:
     """Oracle for the substring-expansion index: enumerate every
     (offset, length) fragment of every token exactly as
@@ -606,6 +685,46 @@ hits AS (
   FROM rawt WHERE {STEM_T} = '{target}'
 )
 SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
+"""
+
+
+def _ivf_sql(k_lists: int, n_probe: int, query_vec_id: int) -> str:
+    """IVF oracle: seeded centroids (k lowest-id vectors), nearest-
+    centroid assignment (cos desc, cid tiebreak), probe top lists,
+    exact cosine within them."""
+    return f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k_lists})
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {query_vec_id}),
+vcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x,
+               unnest(c.cvec)::DOUBLE AS y
+        FROM embeddings e CROSS JOIN cent c),
+vc AS (SELECT vec_id, cid,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM vcp GROUP BY vec_id, cid),
+assign AS (SELECT vec_id, cid FROM
+             (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM vc) t WHERE rn = 1),
+qcp AS (SELECT c.cid, unnest(c.cvec)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
+        FROM cent c CROSS JOIN qv),
+qc AS (SELECT cid,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM qcp GROUP BY cid),
+probes AS (SELECT cid FROM qc ORDER BY cos DESC, cid LIMIT {n_probe}),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)),
+fp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+              unnest(qv.v)::DOUBLE AS y
+       FROM embeddings e CROSS JOIN qv
+       WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+fc AS (SELECT vec_id,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM fp GROUP BY vec_id)
+SELECT vec_id, round(cos, 4) AS cosine FROM fc
+ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
@@ -759,6 +878,7 @@ WHERE a.term = '{english_plurality_normalise("hash")}'
 """,
         "ftix_prefix": _prefix_sql(),
         "ftix_contains": _contains_sql(),
+        "ftix_multifield": _multifield_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_wand": _bm25_sql(topk=10),
         "ftix_remove": f"""
@@ -866,40 +986,8 @@ WHERE round(dot / (nx * ny), 4) >= 0.2
         "dedup_keep": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """,
-        "sim_ivf_topk": f"""
-WITH cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})
-),
-qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 1),
-vcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x,
-               unnest(c.cvec)::DOUBLE AS y
-        FROM embeddings e CROSS JOIN cent c),
-vc AS (SELECT vec_id, cid,
-              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
-       FROM vcp GROUP BY vec_id, cid),
-assign AS (SELECT vec_id, cid FROM
-             (SELECT vec_id, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY cos DESC, cid) AS rn
-              FROM vc) t WHERE rn = 1),
-qcp AS (SELECT c.cid, unnest(c.cvec)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
-        FROM cent c CROSS JOIN qv),
-qc AS (SELECT cid,
-              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
-       FROM qcp GROUP BY cid),
-probes AS (SELECT cid FROM qc ORDER BY cos DESC, cid LIMIT {IVF_PROBE}),
-cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)),
-fp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
-              unnest(qv.v)::DOUBLE AS y
-       FROM embeddings e CROSS JOIN qv
-       WHERE e.vec_id IN (SELECT vec_id FROM cand)),
-fc AS (SELECT vec_id,
-              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
-       FROM fp GROUP BY vec_id)
-SELECT vec_id, round(cos, 4) AS cosine FROM fc
-ORDER BY cos DESC, vec_id LIMIT 10
-""",
+        "sim_ivf_topk": _ivf_sql(IVF_K, IVF_PROBE, 1),
+        "sim_ivf64_topk": _ivf_sql(IVF64_K, IVF64_PROBE, 2),
         "text_token_count": f"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,

@@ -21,6 +21,8 @@ keys so AQE skew handling applies.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -128,14 +130,21 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min(md5(i || ':' || shingle)).
 
     md5-on-string keeps the hash function identical across engines
     (Spark, DuckDB, anything ANSI) — crucial for cross-engine
-    verification; string min is the min-hash.
+    verification; string min is the min-hash. ``shingles`` accepts a
+    pre-computed (ideally persisted) :func:`word_shingles` frame so
+    composed pipelines tokenise the corpus once.
     """
-    sh = word_shingles(docs, k, text_col, id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, k, text_col, id_col)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
             f"sig_{i}"
@@ -152,6 +161,7 @@ def minhash_band_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band.
 
@@ -161,7 +171,7 @@ def minhash_band_pairs(
     detection (verify candidates with :func:`ngram_jaccard_pairs`).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, k, text_col, id_col)
+    sig = minhash_signatures(docs, n_hashes, k, text_col, id_col, shingles)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -205,9 +215,17 @@ def lsh_verified_jaccard_pairs(
     bands admit. Returns (doc_a, doc_b, jaccard) for verified pairs —
     a subset of :func:`ngram_jaccard_pairs` (recall bounded by the LSH
     parameters), never a superset.
+
+    The shingle frame is computed ONCE and persisted — signatures,
+    sizes, and the verification join all reuse it; without this the
+    pipeline would tokenise the corpus three times (at 100 TB, three
+    full scans for one query). Storage is MEMORY_AND_DISK, so an
+    executor under memory pressure spills rather than recomputes.
     """
-    cand = minhash_band_pairs(docs, n_hashes, bands, k, text_col, id_col)
-    sh = word_shingles(docs, k, text_col, id_col)
+    sh = word_shingles(docs, k, text_col, id_col).persist()
+    cand = minhash_band_pairs(
+        docs, n_hashes, bands, k, text_col, id_col, shingles=sh
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # expand shingles per *candidate pair* (cost ∝ candidates × shingles
     # per doc), never the quadratic all-pairs shingle self-join

@@ -80,16 +80,80 @@ def normalised_stop_words(config: IndexConfig) -> frozenset[str]:
     )
 
 
+def _field_sections(
+    col: pd.Series, is_array: bool, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, pd.Series]:
+    """One field column → flattened content sections.
+
+    Returns (sec_row, counts, content): ``content[i]`` is the i-th
+    section, belonging to doc row ``sec_row[i]``; ``counts[r]`` is the
+    number of sections doc r produced. Mirrors the reference's
+    PreBrokenContent rules (PreBrokenContent.cs:18-25): a scalar that
+    is null-or-whitespace yields NO section; an array yields one
+    section per non-null non-empty element (NonNullOrEmptyStringList).
+    """
+    if is_array:
+        vals = col.to_numpy()
+        sec_rows: list[int] = []
+        texts: list[str] = []
+        for r, v in enumerate(vals):
+            if v is None:
+                continue
+            for el in v:
+                if el is None or el == "":
+                    continue
+                sec_rows.append(r)
+                texts.append(str(el))
+        sec_row = np.asarray(sec_rows, dtype=np.int64)
+        content = pd.Series(texts, dtype=object)
+    else:
+        s = col.fillna("").astype(str)
+        mask = (s.str.strip() != "").to_numpy()
+        sec_row = np.flatnonzero(mask)
+        content = s[mask].reset_index(drop=True)
+    counts = np.bincount(sec_row, minlength=n_docs)
+    return sec_row, counts, content
+
+
 def _batch_postings(
-    pdf: pd.DataFrame, config: IndexConfig, stop_set: frozenset[str]
+    pdf: pd.DataFrame,
+    config: IndexConfig,
+    stop_set: frozenset[str],
+    array_fields: frozenset[str] = frozenset(),
 ) -> pd.DataFrame:
-    """Turn one pandas batch of documents into final (term, doc) postings."""
+    """Turn one pandas batch of documents into final (term, doc) postings.
+
+    Field indexes are per-document dynamic, exactly as the reference
+    assigns them (IndexGenerator.cs:135-148): ``sourceFieldIndex``
+    starts at 0 per doc and increments once per extracted content
+    section across the fields in order; the FIRST field reserves index
+    0 even when it yields no content (so index-0 locations always mean
+    field 0 — the highlighting guarantee pinned by
+    IndexGeneratorTests.cs:91-126); later empty fields do NOT consume
+    an index.
+    """
     keys = pdf[config.key_column].to_numpy()
+    n_docs = len(pdf)
     frames: list[pd.DataFrame] = []
     term_vocab: list[np.ndarray] = []  # per-frame normalised-term lookup
     vocab_offset = 0
-    for field_idx, fld in enumerate(config.fields):
-        content = pdf[fld.column].fillna("").astype(str)
+    # per-doc running section counter (the reference's sourceFieldIndex)
+    next_field_idx = np.zeros(n_docs, dtype=np.int64)
+    for field_pos, fld in enumerate(config.fields):
+        sec_row, sec_counts, content = _field_sections(
+            pdf[fld.column], fld.column in array_fields, n_docs
+        )
+        # field index of each section = the doc's counter + the
+        # section's ordinal within this field
+        starts = np.cumsum(sec_counts) - sec_counts
+        sec_ord = np.arange(len(sec_row)) - starts[sec_row]
+        sec_field_idx = next_field_idx[sec_row] + sec_ord
+        next_field_idx = next_field_idx + sec_counts
+        if field_pos == 0:
+            # first-retriever reservation (IndexGenerator.cs:139-148)
+            next_field_idx = np.maximum(next_field_idx, 1)
+        if not len(content):
+            continue
         if config.prefix_expansion is not None:
             # prefix path: token strings are needed to generate prefix
             # variants, so materialise them (normalise_series memoises
@@ -162,12 +226,13 @@ def _batch_postings(
         # matchWeight = (field weight × stop multiplier) × token multiplier,
         # float32 at each step (reference IndexGenerator.cs:114)
         weight = (np.float32(fld.weight) * stop_mult) * tok_mult
+        tok_sec = toks["row"].to_numpy()  # section index per token
         out = pd.DataFrame(
             {
-                "row": toks["row"].to_numpy(),
+                "row": sec_row[tok_sec],
                 "gcode": codes.astype(np.int64) + vocab_offset,
                 "weight": weight.astype(np.float32),
-                "field_idx": np.int32(field_idx),
+                "field_idx": sec_field_idx[tok_sec].astype(np.int32),
                 "token_idx": toks["token_idx"].to_numpy(np.int32),
                 "src_idx": toks["src_idx"].to_numpy(np.int32),
                 "src_len": toks["src_len"].to_numpy(np.int32),
@@ -275,16 +340,23 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
     a StructArray) — materialising millions of per-position Python
     dicts would dominate the build otherwise.
     """
+    from pyspark.sql.types import ArrayType
+
     stop_set = normalised_stop_words(config)
     needed = [config.key_column] + config.field_columns()
     projected = docs.select(*needed)  # column pruning reaches the scan
+    array_fields = frozenset(
+        f.column
+        for f in config.fields
+        if isinstance(docs.schema[f.column].dataType, ArrayType)
+    )
 
     if not config.capture_positions:
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             with gc_paused():
                 for pdf in batches:
-                    out = _batch_postings(pdf, config, stop_set)
+                    out = _batch_postings(pdf, config, stop_set, array_fields)
                     if len(out):
                         yield out
 
@@ -319,7 +391,7 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
         for rb in batches:
             pdf = rb.to_pandas()
             result, pos_flat, offsets = _batch_postings(
-                pdf, config, stop_set
+                pdf, config, stop_set, array_fields
             )
             if not len(result):
                 continue
@@ -541,6 +613,44 @@ def config_positions(config: IndexConfig) -> bool:
 
 def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
     return InvertedIndex(build_postings(docs, config), config)
+
+
+def fields_from_schema(
+    docs: DataFrame,
+    key_column: str,
+    weights: Optional[dict[str, float]] = None,
+    default_weight: float = 1.0,
+) -> tuple[FieldConfig, ...]:
+    """Derive the indexed-field list from a DataFrame schema.
+
+    Every ``string`` and ``array<string>`` column except the key
+    becomes a field, in schema order — the reflection-driven role of
+    the reference's AutomatedIndexGeneratorFactory
+    (FullTextIndexer.Helpers/AutomatedIndexGeneratorFactory.cs:57-267),
+    where every readable string/string-set property is indexed
+    automatically. ``weights`` overrides per-column weight (the
+    builder's SetWeightMultiplier); everything else gets
+    ``default_weight``.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    out = []
+    for f in docs.schema.fields:
+        if f.name == key_column:
+            continue
+        dt = f.dataType
+        is_str = isinstance(dt, StringType)
+        is_str_arr = isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, StringType
+        )
+        if not (is_str or is_str_arr):
+            continue
+        out.append(
+            FieldConfig(f.name, (weights or {}).get(f.name, default_weight))
+        )
+    if not out:
+        raise ValueError("no string or array<string> columns to index")
+    return tuple(out)
 
 
 def build_term_dictionary(postings: DataFrame) -> DataFrame:

@@ -89,69 +89,36 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
     """IndexGenerator.Generate (reference IndexGenerator.cs:56-195).
 
     ``docs`` is a sequence of dicts with the key column and field columns.
-    Each field column contributes one content section; None is treated as
-    an empty section (the field index is still consumed, preserving the
-    reference's guarantee that field index i belongs to fields[i]).
+    A field value may be a string (one content section; null-or-whitespace
+    yields none — PreBrokenContent.cs:18-25) or a list of strings (one
+    section per non-null non-empty element). Field indexes are per-doc
+    dynamic (IndexGenerator.cs:135-148): one index per extracted section
+    across fields in order; the first field reserves index 0 even when
+    empty (IndexGeneratorTests.cs:91-126), later empty fields consume
+    nothing.
     """
     # token → key → list of per-occurrence entries, in scan order
     index_content: dict[str, dict[int, list[Entry]]] = {}
     for doc in docs:
         key = doc[config.key_column]
-        for field_idx, fld in enumerate(config.fields):
-            content = doc.get(fld.column) or ""
-            tokens = break_tokens(content, config.break_chars)
-            if config.prefix_expansion is not None:
-                pe = config.prefix_expansion
-                expanded = []
-                for tok, tidx, sidx, slen in tokens:
-                    expanded.append((tok, tidx, sidx, slen, F32(1.0)))
-                    if len(tok) < pe.min_len:
-                        continue
-                    if pe.mode == "substring":
-                        # all-offsets mode (reference
-                        # PartialMatchingTokenBreaker.cs:142-176):
-                        # (offset asc, length asc), full token excluded
-                        for i in range(0, len(tok) - pe.min_len + 1):
-                            hi = min(len(tok) - i, pe.max_len)
-                            for n in range(pe.min_len, hi + 1):
-                                if i == 0 and n == len(tok):
-                                    continue
-                                expanded.append(
-                                    (tok[i:i + n], tidx, sidx, slen,
-                                     F32(pe.weight_multiplier))
-                                )
-                    else:
-                        hi = min(len(tok), pe.max_len)
-                        for n in range(pe.min_len, hi + 1):
-                            if n == len(tok):
-                                continue
-                            expanded.append(
-                                (tok[:n], tidx, sidx, slen,
-                                 F32(pe.weight_multiplier))
-                            )
-                token_stream = expanded
+        source_field_idx = 0
+        for field_pos, fld in enumerate(config.fields):
+            raw = doc.get(fld.column)
+            if isinstance(raw, (list, tuple)):
+                sections = [str(s) for s in raw if s is not None and s != ""]
+            elif raw is None or str(raw).strip() == "":
+                sections = []
             else:
-                token_stream = [
-                    (tok, tidx, sidx, slen, F32(1.0))
-                    for tok, tidx, sidx, slen in tokens
-                ]
-            for tok, tidx, sidx, slen, tok_mult in token_stream:
-                norm = normalise_scalar(tok, config.normaliser)
-                if norm == "":
-                    continue
-                stop_mult = (
-                    config.stop_word_weight
-                    if norm in _normalised_stop_words(config)
-                    else 1.0
+                sections = [str(raw)]
+            for content in sections:
+                field_idx = source_field_idx
+                source_field_idx += 1
+                tokens = break_tokens(content, config.break_chars)
+                _index_section(
+                    index_content, config, key, fld, field_idx, tokens
                 )
-                # matchWeight = TokenWeightDeterminer(norm) × token multiplier
-                # (reference IndexGenerator.cs:114)
-                weight = F32(F32(F32(fld.weight) * F32(stop_mult)) * tok_mult)
-                loc = Location(field_idx, tidx, sidx, slen, weight)
-                per_key = index_content.setdefault(norm, {})
-                per_key.setdefault(key, []).append(
-                    Entry(key, weight, (loc,))
-                )
+            if field_pos == 0 and source_field_idx == 0:
+                source_field_idx = 1  # first-retriever reservation
 
     combined: dict[str, dict[int, Entry]] = {}
     for term, per_key in index_content.items():
@@ -169,6 +136,64 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
         combined, config.normaliser, config.break_chars,
         config.capture_positions,
     )
+
+
+def _index_section(
+    index_content, config, key, fld, field_idx, tokens
+) -> None:
+    """Token stream of one content section → per-occurrence entries."""
+    if config.prefix_expansion is not None:
+        pe = config.prefix_expansion
+        expanded = []
+        for tok, tidx, sidx, slen in tokens:
+            expanded.append((tok, tidx, sidx, slen, F32(1.0)))
+            if len(tok) < pe.min_len:
+                continue
+            if pe.mode == "substring":
+                # all-offsets mode (reference
+                # PartialMatchingTokenBreaker.cs:142-176):
+                # (offset asc, length asc), full token excluded
+                for i in range(0, len(tok) - pe.min_len + 1):
+                    hi = min(len(tok) - i, pe.max_len)
+                    for n in range(pe.min_len, hi + 1):
+                        if i == 0 and n == len(tok):
+                            continue
+                        expanded.append(
+                            (tok[i:i + n], tidx, sidx, slen,
+                             F32(pe.weight_multiplier))
+                        )
+            else:
+                hi = min(len(tok), pe.max_len)
+                for n in range(pe.min_len, hi + 1):
+                    if n == len(tok):
+                        continue
+                    expanded.append(
+                        (tok[:n], tidx, sidx, slen,
+                         F32(pe.weight_multiplier))
+                    )
+        token_stream = expanded
+    else:
+        token_stream = [
+            (tok, tidx, sidx, slen, F32(1.0))
+            for tok, tidx, sidx, slen in tokens
+        ]
+    for tok, tidx, sidx, slen, tok_mult in token_stream:
+        norm = normalise_scalar(tok, config.normaliser)
+        if norm == "":
+            continue
+        stop_mult = (
+            config.stop_word_weight
+            if norm in _normalised_stop_words(config)
+            else 1.0
+        )
+        # matchWeight = TokenWeightDeterminer(norm) × token multiplier
+        # (reference IndexGenerator.cs:114)
+        weight = F32(F32(F32(fld.weight) * F32(stop_mult)) * tok_mult)
+        loc = Location(field_idx, tidx, sidx, slen, weight)
+        per_key = index_content.setdefault(norm, {})
+        per_key.setdefault(key, []).append(
+            Entry(key, weight, (loc,))
+        )
 
 
 def _normalised_stop_words(config: IndexConfig) -> frozenset[str]:

@@ -106,3 +106,99 @@ def test_lsh_verified_subset_of_exhaustive(spark):
     }
     assert verified <= exhaustive       # never a false pair
     assert (3, 4, 1.0) in verified      # exact dups always band-collide
+
+
+def test_ivf_assign_vectorized_matches_expression(spark):
+    """Broadcast-matrix pandas assignment == pure-expression assignment
+    (the two physical strategies share one logical op)."""
+    import random
+
+    rng = random.Random(9)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.seed_centroids(emb, k=6)
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    vec = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign_vectorized(emb, cents).collect()
+    }
+    assert expr == vec
+
+
+def test_ivf_assign_dispatches_to_vectorized_above_threshold(spark):
+    """n_lists > EXPR_ASSIGN_MAX_LISTS must not grow the Catalyst plan
+    per centroid (the 65k-list scale path)."""
+    import random
+
+    rng = random.Random(10)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.seed_centroids(emb, k=64)
+    assigned = similarity.ivf_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    rows = assigned.collect()
+    assert len(rows) == 300
+    assert set(r["centroid_id"] for r in rows) <= set(range(64))
+
+
+def test_train_kmeans_converges_and_ivf_works_at_64_lists(spark):
+    """Lloyd's trainer: objective (mean best-cosine) must not decrease
+    vs the seeded centroids, clusters stay non-degenerate, and ivf_topk
+    over 64 trained lists returns exact-cosine-ordered hits."""
+    import random
+
+    rng = random.Random(11)
+    # 4 well-separated direction groups + noise
+    def vec(g):
+        base = [0.05] * 16
+        base[g] = 1.0
+        return [v + rng.uniform(-0.02, 0.02) for v in base]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i % 4)) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    seeded = similarity.seed_centroids(emb, k=4)
+    trained = similarity.train_kmeans(emb, k=4, n_iter=4)
+
+    def objective(cents):
+        import numpy as np
+
+        rows = emb.collect()
+        c = np.asarray(cents, float)
+        c = c / np.linalg.norm(c, axis=1)[:, None]
+        vs = np.asarray([r["embedding"] for r in rows], float)
+        vs = vs / np.linalg.norm(vs, axis=1)[:, None]
+        return float((vs @ c.T).max(axis=1).mean())
+
+    assert objective(trained) >= objective(seeded) - 1e-9
+    # trained clusters align with the 4 direction groups
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign_vectorized(emb, trained).collect()
+    }
+    by_group = {}
+    for vid, cid in assigned.items():
+        by_group.setdefault(vid % 4, set()).add(cid)
+    assert all(len(cids) == 1 for cids in by_group.values())
+    assert len(set().union(*by_group.values())) == 4
+
+    # 64 lists on a bigger corpus: the scale path end-to-end
+    emb2 = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cents64 = similarity.train_kmeans(emb2, k=64, n_iter=2)
+    qv = [rng.uniform(-1, 1) for _ in range(16)]
+    top = similarity.ivf_topk(emb2, qv, cents64, k=5, n_probe=8).collect()
+    assert len(top) == 5
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)

@@ -264,3 +264,123 @@ def test_save_load_json_roundtrip(spark, tmp_path, posts_b_index):
         }
 
     assert snap(loaded) == snap(posts_b_index)
+
+
+def test_first_field_reserves_index_zero(spark):
+    """Ported IndexGeneratorTests.cs:91-126: when the first field yields
+    no content, no field-index-0 locations exist — the match in the
+    second field carries field index 1."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("name", 1.0), FieldConfig("description", 1.0)),
+        normaliser="default",
+        capture_positions=True,
+    )
+    docs = [{"id": 1, "name": "", "description": "Product"}]
+    idx = build_index(
+        spark.createDataFrame(
+            [(1, "", "Product")], "id long, name string, description string"
+        ),
+        cfg,
+    )
+    rows = q.get_partial_matches_with_locations(idx, "Product").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 1 and np.float32(r["score"]) == np.float32(1.0)
+    locs = [
+        (l["field_idx"], l["token_idx"], l["src_idx"], l["src_len"],
+         np.float32(l["contribution"]))
+        for l in r["locations"]
+    ]
+    assert locs == [(1, 0, 0, 7, np.float32(1.0))]
+    # oracle agrees
+    oidx = oracle.generate_index(docs, cfg)
+    [e] = oracle.get_partial_matches(oidx, "Product")
+    assert [(l.field_idx, l.token_idx, l.src_idx, l.src_len,
+             np.float32(l.contribution)) for l in e.locations] == locs
+
+
+def test_array_field_multi_section_indexes(spark):
+    """array<string> fields: one field index per element, consumed in
+    order; a doc with fewer elements shifts later sections down; an
+    empty non-first field consumes no index (IndexGenerator.cs:135-148)."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(
+            FieldConfig("title", 5.0),
+            FieldConfig("tags", 2.0),
+            FieldConfig("body", 1.0),
+        ),
+        capture_positions=True,
+    )
+    rows = [
+        (1, "alpha", ["red", "blue"], "body words"),
+        (2, "beta", [], "body words"),
+        (3, None, ["green"], "body words"),
+    ]
+    docs_df = spark.createDataFrame(
+        rows, "id long, title string, tags array<string>, body string"
+    )
+    idx = build_index(docs_df, cfg)
+    docs = [
+        {"id": i, "title": t, "tags": list(g), "body": b}
+        for i, t, g, b in rows
+    ]
+    oidx = oracle.generate_index(docs, cfg)
+
+    def engine_locs(term):
+        return {
+            r["doc_id"]: sorted(
+                (l["field_idx"], l["token_idx"], l["src_idx"], l["src_len"])
+                for l in r["locations"]
+            )
+            for r in q.get_partial_matches_with_locations(idx, term).collect()
+        }
+
+    def oracle_locs(term):
+        return {
+            e.key: sorted(
+                (l.field_idx, l.token_idx, l.src_idx, l.src_len)
+                for l in e.locations
+            )
+            for e in oracle.get_partial_matches(oidx, term)
+        }
+
+    for term in ["body", "red", "blue", "green", "alpha", "words"]:
+        assert engine_locs(term) == oracle_locs(term), term
+    # doc 1: title=0, tags=1,2, body=3; doc 2: title=0, [] → body=1;
+    # doc 3: title None → reservation → tags=1, body=2
+    assert engine_locs("body") == {1: [(3, 0, 0, 4)], 2: [(1, 0, 0, 4)],
+                                   3: [(2, 0, 0, 4)]}
+    assert engine_locs("blue")[1] == [(2, 0, 0, 4)]
+    assert engine_locs("green")[3] == [(1, 0, 0, 5)]
+
+
+def test_fields_from_schema_derivation(spark):
+    """Schema-driven auto-config (AutomatedIndexGeneratorFactory role):
+    string + array<string> columns become fields in schema order;
+    postings equal the explicit-config build."""
+    from fulltextindexer_spark.operators.index_build import (
+        fields_from_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", ["x", "y"], 42, "body text")],
+        "id long, title string, tags array<string>, num int, body string",
+    )
+    fields = fields_from_schema(df, "id", weights={"title": 5.0})
+    assert fields == (
+        FieldConfig("title", 5.0),
+        FieldConfig("tags", 1.0),
+        FieldConfig("body", 1.0),
+    )
+    auto = build_index(df, IndexConfig(key_column="id", fields=fields))
+    explicit = build_index(
+        df, IndexConfig(key_column="id", fields=(
+            FieldConfig("title", 5.0), FieldConfig("tags", 1.0),
+            FieldConfig("body", 1.0)))
+    )
+    key = lambda r: (r["term"], r["doc_id"], r["weight"])
+    assert sorted(map(key, auto.postings.collect())) == sorted(
+        map(key, explicit.postings.collect())
+    )
