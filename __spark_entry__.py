@@ -69,6 +69,14 @@ DOCS_CONFIG_CONTAINS = IndexConfig(
     prefix_expansion=PrefixExpansionConfig(3, 8, 0.25, mode="substring"),
 )
 
+DOCS_CONFIG_MAX = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    entry_combiner="max",
+    token_weight_overrides=(("the", 0.5),),
+)
+
 STEMMED_STOP = sorted({english_plurality_normalise(w) for w in ENGLISH_STOP_WORDS})
 RAW_STOP = sorted(ENGLISH_STOP_WORDS)
 
@@ -305,6 +313,15 @@ def q_multifield(spark, sf_dir):
     return _round_score(
         q.get_partial_matches(_INDEX_CACHE[key], "src3 data")
     )
+
+
+def q_max_combiner(spark, sf_dir):
+    """Pluggable WeightedEntryCombiner gate: max-instead-of-sum entry
+    combine plus a per-token weight override ('the' -> 0.5 instead of
+    the stop rule), AND query across both (reference delegate hooks
+    IndexGenerator.cs:26-42 / ContentRetriever.cs:31-36)."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_MAX)
+    return _round_score(q.get_partial_matches(idx, "the sort"))
 
 
 def q_contains(spark, sf_dir):
@@ -565,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_prefix": q_prefix,
         "ftix_contains": q_contains,
         "ftix_multifield": q_multifield,
+        "ftix_max_combiner": q_max_combiner,
         "ftix_bm25": q_bm25,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
@@ -648,6 +666,24 @@ m AS (SELECT a.doc_id, q.qti, a.w FROM allw a JOIN q ON a.term = q.term),
 ok AS (SELECT doc_id FROM m GROUP BY doc_id HAVING count(DISTINCT qti) = 2)
 SELECT m.doc_id, round(sum(m.w), 4) AS score
 FROM m JOIN ok USING (doc_id) GROUP BY m.doc_id
+"""
+
+
+def _max_combiner_sql() -> str:
+    t_the = english_plurality_normalise("the")
+    t_sort = english_plurality_normalise("sort")
+    return f"""
+WITH {TOK_CTE},
+post AS (
+  SELECT doc_id, term,
+         max(CASE WHEN term = '{t_the}' THEN 0.5
+                  WHEN term IN ({STOP_IN}) THEN 0.01 ELSE 1.0 END) AS w
+  FROM tok GROUP BY doc_id, term
+),
+q(term, qti) AS (VALUES ('{t_the}', 0), ('{t_sort}', 1)),
+m AS (SELECT p.doc_id, q.qti, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT qti) = 2
 """
 
 
@@ -879,6 +915,7 @@ WHERE a.term = '{english_plurality_normalise("hash")}'
         "ftix_prefix": _prefix_sql(),
         "ftix_contains": _contains_sql(),
         "ftix_multifield": _multifield_sql(),
+        "ftix_max_combiner": _max_combiner_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_wand": _bm25_sql(topk=10),
         "ftix_remove": f"""

@@ -93,6 +93,25 @@ class IndexConfig:
     stop_word_weight: float = STOP_WORD_WEIGHT
     capture_positions: bool = True
     prefix_expansion: Optional[PrefixExpansionConfig] = None
+    # WeightedEntryCombiner (reference IndexGenerator.cs:26-42,
+    # :198-204): how the per-occurrence match weights of one
+    # (term, doc) pair combine into the entry weight. The reference
+    # default is Sum; Max/Average are the documented alternative
+    # delegates, exposed here as the vectorisation-safe subset.
+    entry_combiner: str = "sum"  # 'sum' | 'max' | 'mean'
+    # per-term weight-determiner table (the custom TokenWeightDeterminer
+    # of ContentRetriever.cs:31-36): normalised term → multiplier used
+    # INSTEAD of the stop-word rule for that term.
+    token_weight_overrides: tuple[tuple[str, float], ...] = ()
+
+    def __post_init__(self):
+        if self.entry_combiner not in ("sum", "max", "mean"):
+            raise ValueError(
+                f"unknown entry_combiner: {self.entry_combiner!r}"
+            )
 
     def field_columns(self) -> list[str]:
         return [f.column for f in self.fields]
+
+    def override_map(self) -> dict[str, float]:
+        return dict(self.token_weight_overrides)

@@ -134,6 +134,10 @@ def _batch_postings(
     """
     keys = pdf[config.key_column].to_numpy()
     n_docs = len(pdf)
+    overrides = {
+        normalise_scalar(k, config.normaliser): np.float32(v)
+        for k, v in config.token_weight_overrides
+    }
     frames: list[pd.DataFrame] = []
     term_vocab: list[np.ndarray] = []  # per-frame normalised-term lookup
     vocab_offset = 0
@@ -205,8 +209,18 @@ def _batch_postings(
         uniq_is_empty = np.fromiter(
             (t == "" for t in uniq_terms), bool, len(uniq_terms)
         )
-        uniq_stop = np.fromiter(
-            (t in stop_set for t in uniq_terms), bool, len(uniq_terms)
+        # TokenWeightDeterminer (ContentRetriever.cs:31-36): override
+        # table wins over the stop-word rule, else ×0.01 for stop words
+        uniq_mult = np.fromiter(
+            (
+                overrides.get(
+                    t,
+                    config.stop_word_weight if t in stop_set else 1.0,
+                )
+                for t in uniq_terms
+            ),
+            np.float32,
+            len(uniq_terms),
         )
         keep = ~uniq_is_empty[codes]
         if not keep.all():
@@ -218,11 +232,7 @@ def _batch_postings(
                 variant_rank = variant_rank[keep]
         if not len(toks):
             continue
-        stop_mult = np.where(
-            uniq_stop[codes],
-            np.float32(config.stop_word_weight),
-            np.float32(1.0),
-        ).astype(np.float32)
+        stop_mult = uniq_mult[codes]
         # matchWeight = (field weight × stop multiplier) × token multiplier,
         # float32 at each step (reference IndexGenerator.cs:114)
         weight = (np.float32(fld.weight) * stop_mult) * tok_mult
@@ -293,11 +303,24 @@ def _batch_postings(
         term_codes[1:] != term_codes[:-1]
     )
     starts = np.flatnonzero(change)
-    # double accumulator over float32 contributions, cast to float32
-    sums = np.add.reduceat(
-        occ["weight"].to_numpy(dtype=np.float64), starts
-    ).astype(np.float32)
     group_sizes = np.diff(np.append(starts, len(occ)))
+    # WeightedEntryCombiner over each (term, doc) group's occurrence
+    # weights, in document-scan order. sum = double accumulator cast to
+    # float32 (.NET Enumerable.Sum(float)); max exact on f32; mean =
+    # double sum / count → float32 (.NET Average(float)).
+    if config.entry_combiner == "max":
+        sums = np.maximum.reduceat(
+            occ["weight"].to_numpy(dtype=np.float32), starts
+        )
+    elif config.entry_combiner == "mean":
+        sums = (
+            np.add.reduceat(occ["weight"].to_numpy(dtype=np.float64), starts)
+            / group_sizes
+        ).astype(np.float32)
+    else:
+        sums = np.add.reduceat(
+            occ["weight"].to_numpy(dtype=np.float64), starts
+        ).astype(np.float32)
 
     # dl: tokens per document across all fields, counting real tokens
     # only (variant_rank == 0; prefix variants are index entries, not
@@ -467,9 +490,21 @@ class InvertedIndex:
 
     def _merge(self, unioned: DataFrame) -> DataFrame:
         """Re-aggregate after a union (reference IndexData.Combine:69-116:
-        weights summed per (term, key), locations concatenated)."""
+        entry weights combined per (term, key) with the configured
+        combiner — sum for the default, max is exact under merge, mean
+        is the tf-weighted mean of the merged builds — locations
+        concatenated)."""
+        if self.config.entry_combiner == "max":
+            weight_agg = F.max("weight").cast("float").alias("weight")
+        elif self.config.entry_combiner == "mean":
+            weight_agg = (
+                F.sum(F.col("weight").cast("double") * F.col("tf"))
+                / F.sum("tf")
+            ).cast("float").alias("weight")
+        else:
+            weight_agg = F.sum("weight").cast("float").alias("weight")
         agg = [
-            F.sum("weight").cast("float").alias("weight"),
+            weight_agg,
             F.sum("tf").cast("int").alias("tf"),
             # dl is a per-doc property; max() is exact when each doc's
             # postings come from one build (the canonical add/combine
@@ -530,6 +565,10 @@ class InvertedIndex:
             "stop_words": sorted(self.config.stop_words),
             "stop_word_weight": self.config.stop_word_weight,
             "capture_positions": self.config.capture_positions,
+            "entry_combiner": self.config.entry_combiner,
+            "token_weight_overrides": [
+                [t, w] for t, w in self.config.token_weight_overrides
+            ],
             "prefix_expansion": (
                 None
                 if self.config.prefix_expansion is None
@@ -587,6 +626,11 @@ class InvertedIndex:
             stop_words=frozenset(raw["stop_words"]),
             stop_word_weight=raw["stop_word_weight"],
             capture_positions=raw["capture_positions"],
+            entry_combiner=raw.get("entry_combiner", "sum"),
+            token_weight_overrides=tuple(
+                (t, float(w))
+                for t, w in raw.get("token_weight_overrides", [])
+            ),
             prefix_expansion=(
                 None
                 if raw["prefix_expansion"] is None
@@ -660,23 +704,61 @@ def build_term_dictionary(postings: DataFrame) -> DataFrame:
     sort terms, count per partition, broadcast the cumulative offsets,
     then add the within-partition position — avoiding the single-
     partition ``row_number`` bottleneck at scale.
-    """
-    terms = postings.select("term").distinct().repartitionByRange("term")
-    terms = terms.sortWithinPartitions("term")
 
-    rdd = terms.rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
-    counts = rdd.collect()
-    offsets = [0]
-    for c in counts[:-1]:
-        offsets.append(offsets[-1] + c)
+    Both passes stay off the Python-RDD path: the sorted distinct
+    terms are persisted once (the count pass and the assign pass would
+    otherwise re-run the distinct+sort), the per-partition counts are
+    a JVM aggregation over ``spark_partition_id()``, and the id
+    assignment is an Arrow kernel (``mapInArrow``) that adds the
+    broadcast partition offset to a running within-partition counter —
+    at ~10^8 distinct terms nothing round-trips through pickled Python
+    rows.
+    """
+    import pyarrow as pa
+
+    terms = (
+        postings.select("term")
+        .distinct()
+        .repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in terms.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
 
     spark = postings.sparkSession
     offsets_b = spark.sparkContext.broadcast(offsets)
 
-    def assign(pid: int, it):
-        base = offsets_b.value[pid]
-        for i, row in enumerate(it):
-            yield (row[0], base + i)
+    # pid is computed pre-mapInArrow in the same stage (narrow), so all
+    # rows a task sees share one pid; batch order within the partition
+    # preserves the sortWithinPartitions order
+    with_pid = terms.withColumn("pid", F.spark_partition_id())
 
-    out_rdd = terms.rdd.mapPartitionsWithIndex(assign)
-    return spark.createDataFrame(out_rdd, "term string, term_id long")
+    def assign(batches: "Iterator[pa.RecordBatch]"):
+        import numpy as np
+
+        base = None
+        seen = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if base is None:
+                base = offsets_b.value[rb.column("pid")[0].as_py()]
+            ids = np.arange(seen, seen + rb.num_rows, dtype=np.int64) + base
+            seen += rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("term"), pa.array(ids, pa.int64())],
+                ["term", "term_id"],
+            )
+
+    return with_pid.mapInArrow(assign, "term string, term_id long")

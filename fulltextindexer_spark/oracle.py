@@ -127,9 +127,21 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
             locations = tuple(
                 loc for e in entries for loc in (e.locations or ())
             )
+            # WeightedEntryCombiner (IndexGenerator.cs:26-42): sum is
+            # the reference default; max/mean are the alternative
+            # delegates (.NET Max(float) exact / Average(float) =
+            # double mean cast to float)
+            if config.entry_combiner == "max":
+                weight = F32(max(float(e.weight) for e in entries))
+            elif config.entry_combiner == "mean":
+                weight = F32(
+                    sum(float(e.weight) for e in entries) / len(entries)
+                )
+            else:
+                weight = f32_sum(e.weight for e in entries)
             combined[term][key] = Entry(
                 key,
-                f32_sum(e.weight for e in entries),
+                weight,
                 locations if config.capture_positions else None,
             )
     return OracleIndex(
@@ -177,14 +189,20 @@ def _index_section(
             (tok, tidx, sidx, slen, F32(1.0))
             for tok, tidx, sidx, slen in tokens
         ]
+    overrides = {
+        normalise_scalar(k, config.normaliser): v
+        for k, v in config.token_weight_overrides
+    }
     for tok, tidx, sidx, slen, tok_mult in token_stream:
         norm = normalise_scalar(tok, config.normaliser)
         if norm == "":
             continue
-        stop_mult = (
+        # TokenWeightDeterminer: override table wins over the stop rule
+        stop_mult = overrides.get(
+            norm,
             config.stop_word_weight
             if norm in _normalised_stop_words(config)
-            else 1.0
+            else 1.0,
         )
         # matchWeight = TokenWeightDeterminer(norm) × token multiplier
         # (reference IndexGenerator.cs:114)

@@ -69,3 +69,116 @@ def test_unsupported_kind_fails_fast(spark):
     )
     with pytest.raises(NotImplementedError, match="hologram"):
         mm.extract_features(bad)
+
+
+def _make_png(width, height, color_type=2, filters=(0,)):
+    """Hand-built PNG (stdlib only): 8-bit, non-interlaced."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (height, width, channels), dtype=np.uint8)
+    raw = b""
+    prev = np.zeros(width * channels, dtype=np.int32)
+    for y in range(height):
+        line = img[y].ravel().astype(np.int32)
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = line
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 1:  # Sub
+            enc = line.copy()
+            enc[channels:] = (line[channels:] - line[:-channels]) & 0xFF
+        else:
+            raise ValueError(f)
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    return png, img
+
+
+def _make_wav(n_samples=200):
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = (np.sin(np.arange(n_samples) * 0.1) * 20000).astype(np.int16)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    return bio.getvalue(), samples
+
+
+def test_real_png_decode_roundtrip():
+    """The image codec genuinely decodes pixels (stdlib PNG path; PIL
+    used instead when installed — both are real decodes)."""
+    import numpy as np
+
+    from fulltextindexer_spark.operators.multimodal import decode_media
+
+    for color_type in (0, 2, 6):
+        for filters in ((0,), (0, 2), (0, 1, 2)):
+            png, img = _make_png(9, 7, color_type, filters)
+            buf, decoder = decode_media(png, "image")
+            assert decoder in ("pil", "png-stdlib")
+            assert np.array_equal(np.asarray(buf).reshape(img.shape), img)
+
+
+def test_real_wav_decode_roundtrip():
+    import numpy as np
+
+    from fulltextindexer_spark.operators.multimodal import decode_media
+
+    wav, samples = _make_wav()
+    buf, decoder = decode_media(wav, "audio")
+    assert decoder == "wav-stdlib"
+    assert np.array_equal(buf, samples)
+
+
+def test_fake_decoder_only_for_non_media_payloads():
+    from fulltextindexer_spark.operators.multimodal import decode_media
+
+    _, decoder = decode_media(b"not-a-real-image", "image")
+    assert decoder == "fake"
+
+
+def test_feature_extraction_over_real_media(spark):
+    """End-to-end: a media table whose payloads are real PNG/WAV flows
+    through the same Arrow feature plumbing as the synthetic corpus."""
+    import pandas as pd
+
+    from fulltextindexer_spark.operators import multimodal as M
+
+    png, _ = _make_png(8, 8, 2)
+    wav, _ = _make_wav(64)
+    rows = [
+        (1, "image", bytearray(png), 8, 8, None, None),
+        (2, "audio", bytearray(wav), None, None, 16000, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_DDL)
+    feats = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    assert set(feats) == {1, 2}
+    for v in feats.values():
+        assert len(v) == M.FEATURE_DIM
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3

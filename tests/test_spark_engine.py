@@ -384,3 +384,71 @@ def test_fields_from_schema_derivation(spark):
     assert sorted(map(key, auto.postings.collect())) == sorted(
         map(key, explicit.postings.collect())
     )
+
+
+def test_entry_combiner_and_overrides_parity(spark):
+    """Pluggable WeightedEntryCombiner (sum/max/mean) + per-token
+    weight-override table: engine == oracle bit-for-bit."""
+    docs = [
+        {"id": 1, "title": "cat cat dog", "content": "the cat sat sat sat"},
+        {"id": 2, "title": "dog", "content": "cat dog cat dog the the"},
+    ]
+    for combiner in ("sum", "max", "mean"):
+        cfg = IndexConfig(
+            key_column="id",
+            fields=(FieldConfig("title", 5.0), FieldConfig("content", 1.0)),
+            capture_positions=False,
+            entry_combiner=combiner,
+            token_weight_overrides=(("the", 0.5), ("cat", 2.0)),
+        )
+        idx = build_index(_docs_df(spark, docs), cfg)
+        oidx = oracle.generate_index(docs, cfg)
+        for term in ["cat", "dog", "sat", "the"]:
+            got = sorted(
+                (r["doc_id"], np.float32(r["weight"]))
+                for r in q.get_matches(idx, term).collect()
+            )
+            exp = sorted(
+                (e.key, e.weight) for e in oidx.get_matches(term)
+            )
+            assert got == exp, (combiner, term)
+    # max combiner: weight is the single largest occurrence weight
+    cfg_max = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("title", 5.0), FieldConfig("content", 1.0)),
+        capture_positions=False,
+        entry_combiner="max",
+    )
+    idx = build_index(_docs_df(spark, docs), cfg_max)
+    got = {
+        r["doc_id"]: np.float32(r["weight"])
+        for r in q.get_matches(idx, "cat").collect()
+    }
+    assert got == {1: np.float32(5.0), 2: np.float32(1.0)}
+
+
+def test_entry_combiner_survives_combine_and_save(spark, tmp_path):
+    """Index algebra + persistence preserve the max combiner."""
+    docs = [
+        {"id": 1, "title": "cat", "content": "cat cat"},
+        {"id": 2, "title": "", "content": "cat"},
+    ]
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("title", 5.0), FieldConfig("content", 1.0)),
+        capture_positions=False,
+        entry_combiner="max",
+    )
+    lo = build_index(_docs_df(spark, docs[:1]), cfg)
+    hi = build_index(_docs_df(spark, docs[1:]), cfg)
+    merged = lo.combine(hi)
+    got = {
+        r["doc_id"]: np.float32(r["weight"])
+        for r in q.get_matches(merged, "cat").collect()
+    }
+    assert got == {1: np.float32(5.0), 2: np.float32(1.0)}
+    path = str(tmp_path / "maxidx")
+    merged.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.config.entry_combiner == "max"
+    assert loaded.config.token_weight_overrides == ()
