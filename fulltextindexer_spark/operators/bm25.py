@@ -125,6 +125,14 @@ class Bm25Stats:
     ub = idf(term) × max over the block's postings of tfnorm — fully
     query-independent because idf and tfnorm only depend on corpus
     constants (N, avgdl, k1, b) fixed at build time.
+    ``champions``   — (term, block, doc_id, contrib): the top
+    ``n_champions`` contributions per (term, block) (champion lists).
+    A query collects only its terms' champion rows (≤ |terms| ×
+    n_blocks × C — driver-tiny), sums them per doc into score LOWER
+    bounds, and takes the k-th best as a pruning threshold θ without
+    touching the postings — so block-max pruning costs ONE postings
+    scan total, the same as exact scoring, instead of a probe pass
+    plus a pruned pass.
     """
 
     n_docs: int
@@ -132,8 +140,13 @@ class Bm25Stats:
     k1: float
     b: float
     n_blocks: int
+    n_champions: int
     term_stats: DataFrame
     block_stats: DataFrame
+    champions: Optional[DataFrame]
+
+
+DEFAULT_N_CHAMPIONS = 32
 
 
 def build_bm25_stats(
@@ -142,6 +155,7 @@ def build_bm25_stats(
     b: float = DEFAULT_B,
     n_blocks: int = DEFAULT_N_BLOCKS,
     n_salts: int = 16,
+    n_champions: int = DEFAULT_N_CHAMPIONS,
 ) -> Bm25Stats:
     """One pass over the postings → the per-term and per-(term, block)
     statistics tables. Linear, two shuffles (both keyed on term with
@@ -157,7 +171,13 @@ def build_bm25_stats(
         empty_b = spark.createDataFrame(
             [], "term string, block long, ub double"
         )
-        return Bm25Stats(n_docs, avgdl, k1, b, n_blocks, empty_t, empty_b)
+        empty_c = spark.createDataFrame(
+            [], "term string, block long, doc_id long, contrib double"
+        )
+        return Bm25Stats(
+            n_docs, avgdl, k1, b, n_blocks, n_champions,
+            empty_t, empty_b, empty_c,
+        )
     dfreq = doc_frequencies(postings, n_salts=n_salts)
     term_stats = dfreq.withColumn(
         "idf",
@@ -182,9 +202,44 @@ def build_bm25_stats(
     ).select(
         "term", "block", (F.col("idf") * F.col("max_tfnorm")).alias("ub")
     )
+    # champion lists: top n_champions contributions per (term, block) —
+    # a bounded window shuffle paid once at build; rank 1 is the block
+    # max, so queries derive bounds AND score lower-bounds from one
+    # driver-tiny read
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term", "block").orderBy(
+        F.desc("contrib"), F.asc("doc_id")
+    )
+    champions = (
+        postings.select(
+            "term",
+            "doc_id",
+            _block_col(n_blocks).alias("block"),
+            _tfnorm_col(avgdl, k1, b).alias("tfnorm"),
+        )
+        .join(term_stats.select("term", "idf"), "term")
+        .select(
+            "term", "block", "doc_id",
+            (F.col("idf") * F.col("tfnorm")).alias("contrib"),
+            "idf",  # denormalised so a query reads ONE stats table
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_champions)
+        .drop("rn")
+    )
+    # eager materialization: the stats are index-build artefacts —
+    # queries must never pay their first computation
     term_stats = term_stats.persist()
+    term_stats.count()
     block_stats = block_stats.persist()
-    return Bm25Stats(n_docs, avgdl, k1, b, n_blocks, term_stats, block_stats)
+    block_stats.count()
+    champions = champions.persist()
+    champions.count()
+    return Bm25Stats(
+        n_docs, avgdl, k1, b, n_blocks, n_champions,
+        term_stats, block_stats, champions,
+    )
 
 
 def get_bm25_stats(
@@ -214,6 +269,10 @@ def save_bm25_stats(stats: Bm25Stats, path: str) -> None:
     stats.block_stats.repartitionByRange("term").sortWithinPartitions(
         "term", "block"
     ).write.mode("overwrite").parquet(os.path.join(path, "block_stats"))
+    if stats.champions is not None:
+        stats.champions.repartitionByRange("term").sortWithinPartitions(
+            "term", "block"
+        ).write.mode("overwrite").parquet(os.path.join(path, "champions"))
     with open(os.path.join(path, "bm25_meta.json"), "w") as fh:
         json.dump(
             {
@@ -222,6 +281,7 @@ def save_bm25_stats(stats: Bm25Stats, path: str) -> None:
                 "k1": stats.k1,
                 "b": stats.b,
                 "n_blocks": stats.n_blocks,
+                "n_champions": stats.n_champions,
             },
             fh,
         )
@@ -233,14 +293,21 @@ def load_bm25_stats(spark: SparkSession, path: str) -> Optional[Bm25Stats]:
         return None
     with open(meta_path) as fh:
         meta = json.load(fh)
+    champ_dir = os.path.join(path, "champions")
     return Bm25Stats(
         n_docs=int(meta["n_docs"]),
         avgdl=float(meta["avgdl"]),
         k1=float(meta["k1"]),
         b=float(meta["b"]),
         n_blocks=int(meta["n_blocks"]),
+        n_champions=int(meta.get("n_champions", 0)),
         term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
         block_stats=spark.read.parquet(os.path.join(path, "block_stats")),
+        champions=(
+            spark.read.parquet(champ_dir)
+            if os.path.isdir(champ_dir)
+            else None
+        ),
     )
 
 
@@ -400,17 +467,18 @@ def bm25_topk_wand(
 ) -> DataFrame:
     """Block-max-pruned top-k BM25 — result-identical to :func:`bm25_topk`.
 
-    Consumes the **precomputed** per-(term, block) bound table (built
-    once per index by :func:`build_bm25_stats`); the query itself does
-    no corpus-wide statistics work:
+    Consumes the **precomputed** per-index statistics (built once by
+    :func:`build_bm25_stats`, stored at ``save()`` time); the query
+    itself does no corpus-wide statistics work. Two physical
+    strategies, both exact:
 
-    1. read the query terms' bound rows (≤ |terms| × n_blocks, pruned
-       scan of the stats table) → per-block upper bounds;
-    2. exact-score the ``probe_blocks`` blocks with the highest bounds
-       → θ = k-th best score found (docs are hashed to exactly one
-       block, so probe-block scores are *complete* per-doc scores);
-    3. exact-score only the remaining blocks whose bound ≥ θ; merge
-       with the probe top-k and cut to k.
+    - champion pass (default, k ≤ stored champion depth): the pruning
+      threshold θ comes from the precomputed champion lists on the
+      driver — ONE postings scan total, the same job shape as exact
+      scoring but over fewer blocks (see :func:`_wand_champion_pass`);
+    - probe-then-prune (fallback for deep k): score the best blocks
+      first for θ, then only blocks whose bound can still beat it
+      (see :func:`_wand_two_pass`).
 
     The per-block bound is Σ over query terms of the stored block-max
     contribution — monotone over any doc score in the block, so pruning
@@ -429,12 +497,91 @@ def bm25_topk_wand(
         )
     if stats.n_docs == 0 or stats.avgdl == 0.0:
         return _empty(index)
+
+    if (
+        stats.champions is not None
+        and 0 < k <= stats.n_champions
+        and "idf" in stats.champions.columns
+    ):
+        return _wand_champion_pass(index, terms, k, stats)
     idf_rows = _idf_rows(index, terms, stats.n_docs, stats)
     if not idf_rows:
         return _empty(index)
-    spark = index.postings.sparkSession
+    return _wand_two_pass(index, idf_rows, terms, k, probe_blocks, stats)
 
-    # per-block upper bounds from the precomputed table: ≤ n_blocks rows
+
+def _wand_champion_pass(
+    index: InvertedIndex,
+    terms: list[str],
+    k: int,
+    stats: Bm25Stats,
+) -> DataFrame:
+    """Champion-list WAND: ONE postings scan, same job shape as exact.
+
+    The driver reads only the query terms' champion rows (≤ |terms| ×
+    n_blocks × C). Summing each champion doc's contributions gives a
+    LOWER bound on its true score; the k-th best lower bound is a safe
+    threshold θ (θ ≤ true k-th score). Every block whose stored upper
+    bound is < θ can be pruned before the single exact-scoring pass:
+    any true top-k doc has score ≥ k-th best ≥ θ, so its block's bound
+    is ≥ θ and survives. On a block-sorted on-disk index the pruned
+    blocks are skipped row groups, not just skipped aggregation.
+    """
+    champ_rows = stats.champions.where(F.col("term").isin(terms)).collect()
+    if not champ_rows:
+        return _empty(index)
+    # the single stats read also carries idf (denormalised per row)
+    idf_rows = sorted(
+        {r["term"]: float(r["idf"]) for r in champ_rows}.items()
+    )
+    # per-block upper bound = Σ over terms of that term's block max
+    # (champion rank 1 per (term, block) is the max contribution)
+    block_ub: dict[int, float] = {}
+    best_per_tb: dict[tuple[str, int], float] = {}
+    lower: dict[int, float] = {}
+    for r in champ_rows:
+        key = (r["term"], r["block"])
+        c = float(r["contrib"])
+        if c > best_per_tb.get(key, float("-inf")):
+            best_per_tb[key] = c
+        d = int(r["doc_id"])
+        lower[d] = lower.get(d, 0.0) + c
+    for (term, block), mx in best_per_tb.items():
+        block_ub[block] = block_ub.get(block, 0.0) + mx
+    theta = None
+    if len(lower) >= k:
+        theta = sorted(lower.values(), reverse=True)[k - 1]
+    if theta is None:
+        blocks = sorted(block_ub)
+    else:
+        blocks = sorted(
+            b for b, ub in block_ub.items() if ub >= theta - _BOUND_EPS
+        )
+    matched = _matched(index, idf_rows).withColumn(
+        "block", _block_col(stats.n_blocks)
+    )
+    contrib = _contribution_col(stats.avgdl, stats.k1, stats.b)
+    result = (
+        matched.where(F.col("block").isin(blocks))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    return _topk(result, k)
+
+
+def _wand_two_pass(
+    index: InvertedIndex,
+    idf_rows: list[tuple[str, float]],
+    terms: list[str],
+    k: int,
+    probe_blocks: int,
+    stats: Bm25Stats,
+) -> DataFrame:
+    """Probe-then-prune WAND (fallback when k exceeds the stored
+    champion depth): score the most promising blocks for θ, then
+    exact-score only the remaining blocks whose bound can beat it."""
+    spark = index.postings.sparkSession
     ub_rows = (
         stats.block_stats.where(F.col("term").isin(terms))
         .groupBy("block")
@@ -448,7 +595,7 @@ def bm25_topk_wand(
     matched = _matched(index, idf_rows).withColumn(
         "block", _block_col(stats.n_blocks)
     )
-    contrib = _contribution_col(stats.avgdl, k1, b)
+    contrib = _contribution_col(stats.avgdl, stats.k1, stats.b)
     scored = matched.select("doc_id", "block", contrib.alias("c"))
 
     probe = [r["block"] for r in ub_rows[:probe_blocks]]

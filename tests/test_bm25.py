@@ -100,19 +100,27 @@ def test_bm25_topk_order(index):
 
 
 def test_wand_identical_to_exact(index):
+    """Both WAND strategies (champion single-pass and probe-then-prune
+    fallback) are row-identical to the exact scorer."""
+    champion = bm25.build_bm25_stats(index, n_blocks=4)
+    shallow = bm25.build_bm25_stats(index, n_blocks=4, n_champions=0)
     for q in ("brown dog", "hash join sort", "the", "fox cat dog quick"):
         for k in (1, 2, 5):
             exact = [
                 (r["doc_id"], round(r["score"], 10))
                 for r in bm25.bm25_topk(index, q, k=k).collect()
             ]
-            wand = [
-                (r["doc_id"], round(r["score"], 10))
-                for r in bm25.bm25_topk_wand(
-                    index, q, k=k, n_blocks=4, probe_blocks=1
-                ).collect()
-            ]
-            assert wand == exact, f"query={q!r} k={k}"
+            for stats in (champion, shallow):
+                wand = [
+                    (r["doc_id"], round(r["score"], 10))
+                    for r in bm25.bm25_topk_wand(
+                        index, q, k=k, n_blocks=4, probe_blocks=1,
+                        stats=stats,
+                    ).collect()
+                ]
+                assert wand == exact, (
+                    f"query={q!r} k={k} champions={stats.n_champions}"
+                )
 
 
 def test_wand_empty_and_missing_terms(index):
