@@ -266,6 +266,34 @@ def run_scaling() -> dict:
 # default per-round bench
 # ---------------------------------------------------------------------------
 
+def _probe_spin(seconds: float) -> int:
+    end = time.perf_counter() + seconds
+    n = 0
+    x = 1.0
+    while time.perf_counter() < end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+        n += 1
+    return n
+
+
+def quota_probe(procs: int = 32, seconds: float = 1.5) -> float:
+    """Effective parallel CPU capacity right now, as a fraction of
+    `procs` (pure-python spin in a process pool vs one process).
+
+    The sandbox's hypervisor quota swings on a minutes scale; recording
+    this alongside every bench run lets a reader normalise wall-clock
+    numbers across quota regimes instead of guessing.
+    """
+    import multiprocessing as mp
+
+    with mp.Pool(1) as pool:
+        base = pool.map(_probe_spin, [seconds])[0]
+    with mp.Pool(procs) as pool:
+        agg = sum(pool.map(_probe_spin, [seconds] * procs))
+    return round(agg / (base * procs), 4) if base else 0.0
+
+
 def run_default() -> dict:
     spark = _make_session(CPUS)
     try:
@@ -301,7 +329,9 @@ def run_default() -> dict:
 
         total = round(build_sec + sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        probe = quota_probe(CPUS)
         return {
+            "cpu_quota_fraction": probe,
             "metric": "e2e_wall_seconds",
             "value": total,
             "unit": "sec",

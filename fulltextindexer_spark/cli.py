@@ -50,12 +50,22 @@ def cmd_build(args) -> dict:
     from fulltextindexer_spark.config import IndexConfig
     from fulltextindexer_spark.plans.pipeline import run_build_pipeline
 
+    from fulltextindexer_spark.config import PrefixExpansionConfig
+
     spark = _get_spark("ftix-build")
+    expansion = None
+    if args.expand != "none":
+        expansion = PrefixExpansionConfig(
+            args.expand_min, args.expand_max, args.expand_weight,
+            mode=args.expand,
+        )
     config = IndexConfig(
         key_column="doc_id",
         fields=_parse_fields(args.fields),
         normaliser=args.normaliser,
         capture_positions=args.positions,
+        prefix_expansion=expansion,
+        entry_combiner=args.combiner,
     )
     return run_build_pipeline(
         spark,
@@ -116,6 +126,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     b.add_argument("--positions", action="store_true")
     b.add_argument("--term-partitions", type=int, default=0)
+    b.add_argument(
+        "--expand", default="none",
+        choices=["none", "prefix", "substring"],
+        help="partial-match expansion: prefix (starts-with search) or "
+             "substring (contains search)",
+    )
+    b.add_argument("--expand-min", type=int, default=3)
+    b.add_argument("--expand-max", type=int, default=8)
+    b.add_argument("--expand-weight", type=float, default=0.25)
+    b.add_argument(
+        "--combiner", default="sum", choices=["sum", "max", "mean"],
+        help="per-(term, doc) entry weight combiner",
+    )
     b.set_defaults(fn=cmd_build)
 
     qp = sub.add_parser("query", help="query a built index")

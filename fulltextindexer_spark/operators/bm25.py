@@ -25,19 +25,23 @@ Scale design:
   also relies on for posting-list merges.
 - **Block-max WAND** (:func:`bm25_topk_wand`): docs are hashed into
   ``n_blocks`` buckets; per (term, block) the maximum possible BM25
-  contribution (idf × max tfnorm) is **precomputed once per index**
-  (:func:`build_bm25_stats`) — at ``save()`` time for on-disk indexes,
-  lazily-then-cached for in-memory ones — NOT per query. A query reads
-  only its terms' rows from the stats table (≤ |terms| × n_blocks
-  rows), probes the most promising blocks to establish a threshold θ =
-  the k-th best score found, then exact-scores only the remaining
-  blocks whose stored upper bound can still beat θ. Results are
-  **identical** to :func:`bm25_topk` (a doc with score ≥ θ forces its
-  block's bound ≥ θ, so no qualifying doc is pruned); the equality is
-  pinned by tests. At 100 TB the stats table is ~|terms| × n_blocks
-  rows written term-range-partitioned next to the postings; with the
-  postings sorted by (term, block) inside range partitions, the pruned
-  pass skips whole parquet row groups, not just rows.
+  contribution (idf × max tfnorm) AND the top-C champion contributions
+  are **precomputed once per index** (:func:`build_bm25_stats`) — at
+  ``save()`` time for on-disk indexes, lazily-then-cached for
+  in-memory ones — NOT per query. The default strategy reads only the
+  query terms' champion rows (driver-tiny), derives a safe pruning
+  threshold θ from their summed per-doc lower bounds, and runs ONE
+  exact scan over the blocks whose stored upper bound is ≥ θ — the
+  same job shape as exact scoring, minus the pruned blocks. A
+  probe-then-prune two-pass covers k deeper than the stored champion
+  depth. Results are **identical** to :func:`bm25_topk` (θ never
+  exceeds the true k-th best score, and a doc with score ≥ θ forces
+  its block's bound ≥ θ, so no qualifying doc is pruned); the equality
+  is pinned by tests. At 100 TB the stats tables are ~|terms| ×
+  n_blocks (× C) rows written term-range-partitioned next to the
+  postings; with the postings sorted by (term, block) inside range
+  partitions, the pruned scan skips whole parquet row groups, not
+  just rows.
 """
 
 from __future__ import annotations

@@ -285,8 +285,13 @@ def save_compact(
                 "min_len": cfg.prefix_expansion.min_len,
                 "max_len": cfg.prefix_expansion.max_len,
                 "weight_multiplier": cfg.prefix_expansion.weight_multiplier,
+                "mode": cfg.prefix_expansion.mode,
             }
         ),
+        "entry_combiner": cfg.entry_combiner,
+        "token_weight_overrides": [
+            [t, w] for t, w in cfg.token_weight_overrides
+        ],
     }
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "index_config.json"), "w") as fh:
@@ -322,6 +327,11 @@ def load_compact(
             None
             if raw["prefix_expansion"] is None
             else PrefixExpansionConfig(**raw["prefix_expansion"])
+        ),
+        entry_combiner=raw.get("entry_combiner", "sum"),
+        token_weight_overrides=tuple(
+            (t, float(w))
+            for t, w in raw.get("token_weight_overrides", [])
         ),
     )
     compact = spark.read.parquet(os.path.join(path, "postings_compact"))

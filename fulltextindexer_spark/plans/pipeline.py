@@ -54,7 +54,12 @@ def _config_json(config: IndexConfig) -> str:
                     config.prefix_expansion.min_len,
                     config.prefix_expansion.max_len,
                     config.prefix_expansion.weight_multiplier,
+                    config.prefix_expansion.mode,
                 ]
+            ),
+            "entry_combiner": config.entry_combiner,
+            "token_weight_overrides": sorted(
+                config.token_weight_overrides
             ),
         },
         sort_keys=True,

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Build the --py-files zip for cluster submission.
+
+Usage::
+
+    python scripts/package.py [out.zip]
+    spark-submit --py-files fulltextindexer_spark.zip \
+        fulltextindexer_spark/cli.py build --input ... --output ...
+
+Zips the package sources only (no tests, no caches) with deterministic
+ordering and timestamps so the artifact hash is reproducible for a
+given tree.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "fulltextindexer_spark"
+
+
+def build_zip(out_path: str) -> int:
+    n = 0
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in sorted(os.walk(os.path.join(REPO, PKG))):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for name in sorted(files):
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, REPO)
+                info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                info.external_attr = 0o644 << 16
+                with open(full, "rb") as fh:
+                    zf.writestr(info, fh.read())
+                n += 1
+    return n
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "fulltextindexer_spark.zip"
+    )
+    n = build_zip(out)
+    print(f"{out}: {n} files")

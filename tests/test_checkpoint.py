@@ -189,3 +189,38 @@ def test_cli_build_query_verify(spark, tmp_path, docs_parquet, capsys):
     )
     vrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vrep["ok"] is True
+
+
+def test_cli_contains_and_combiner_flags(spark, tmp_path, docs_parquet, capsys):
+    """--expand substring builds a contains index; --combiner max is
+    persisted through the compact tier."""
+    out = str(tmp_path / "cli_sub")
+    assert (
+        cli_main(
+            [
+                "build",
+                "--input", docs_parquet,
+                "--output", out,
+                "--fields", "content:1.0",
+                "--expand", "substring",
+                "--expand-min", "3",
+                "--expand-max", "6",
+                "--expand-weight", "0.5",
+                "--combiner", "max",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    # mid-word fragment: 'ash' (from 'hash') must match via contains
+    assert (
+        cli_main(["query", "--index", out, "--query", "ash", "--k", "5"])
+        == 0
+    )
+    qrep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert qrep["results"], "contains fragment found no docs"
+    from fulltextindexer_spark.operators.compact import load_compact
+
+    loaded = load_compact(spark, out + "/index", with_positions=False)
+    assert loaded.config.entry_combiner == "max"
+    assert loaded.config.prefix_expansion.mode == "substring"
