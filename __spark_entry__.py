@@ -324,6 +324,17 @@ def q_max_combiner(spark, sf_dir):
     return _round_score(q.get_partial_matches(idx, "the sort"))
 
 
+def q_query_locations(spark, sf_dir):
+    """Structured-query result locations (reference QueryTranslator
+    grouped concatenation): '+sort -stream' over positional indexes,
+    exploded to per-location rows."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    querier = SparkQuerier(idx, idx)
+    return _explode_locations(
+        querier.get_matches_with_locations("+sort -stream")
+    )
+
+
 def q_contains(spark, sf_dir):
     """Contains-search over the all-offsets substring expansion index
     (the reference PartialMatchingTokenBreaker's default mode,
@@ -554,6 +565,25 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via the batch lag/cumsum
+    pipeline — the same sessions the applyInPandasWithState streaming
+    operator emits (stream==batch equality is test-pinned), here
+    oracle-checked against a SQL window reconstruction."""
+    from fulltextindexer_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize_batch(events, gap="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sess.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return textstats.token_stats(_documents(spark, sf_dir))
 
@@ -579,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_phrase": q_phrase,
         "ftix_search_locations": q_search_locations,
         "ftix_phrase_locations": q_phrase_locations,
+        "ftix_query_locations": q_query_locations,
         "ftix_prefix": q_prefix,
         "ftix_contains": q_contains,
         "ftix_multifield": q_multifield,
@@ -601,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
@@ -912,6 +944,21 @@ FROM tokl a JOIN tokl b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = '{english_plurality_normalise("hash")}'
   AND b.term = '{english_plurality_normalise("join")}'
 """,
+        "ftix_query_locations": f"""
+WITH {TOKL_CTE},
+ok AS (
+  SELECT DISTINCT doc_id FROM tokl
+  WHERE term = '{english_plurality_normalise("sort")}'
+    AND doc_id NOT IN (SELECT doc_id FROM tokl
+                       WHERE term = '{english_plurality_normalise("stream")}')
+)
+SELECT t.doc_id, CAST(0 AS BIGINT) AS field_idx,
+       CAST(t.pos - 1 AS BIGINT) AS token_idx,
+       t.src_idx, t.src_len,
+       round(1.0 * {_stop_case('t.term')}, 4) AS w
+FROM tokl t JOIN ok USING (doc_id)
+WHERE t.term = '{english_plurality_normalise("sort")}'
+""",
         "ftix_prefix": _prefix_sql(),
         "ftix_contains": _contains_sql(),
         "ftix_multifield": _multifield_sql(),
@@ -1087,6 +1134,26 @@ WITH spend AS (
 SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.total_spend, s.n_orders
 FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
 ORDER BY s.total_spend DESC, c.c_custkey LIMIT 20
+""",
+        "events_sessions": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+seq AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM seq GROUP BY user_id, sid
 """,
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

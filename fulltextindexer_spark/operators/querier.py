@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 from fulltextindexer_spark.operators import query_ast as ast
 from fulltextindexer_spark.operators.index_build import InvertedIndex
 from fulltextindexer_spark.operators.query import (
+    RESULT_LOCATION_STRUCT,
     _f32_fold_sum,
     get_consecutive_matches,
+    get_consecutive_matches_with_locations,
     get_matches,
 )
 
@@ -146,3 +148,111 @@ class SparkQuerier:
         return self.standard.postings.select(
             "doc_id", F.col("weight").alias("score")
         ).limit(0)
+
+    # -- location-carrying evaluation ---------------------------------------
+
+    def get_matches_with_locations(
+        self, search_term: str, k: Optional[int] = None
+    ) -> DataFrame:
+        """(doc_id, score, locations): the structured result plus the
+        concatenated source locations of every contributing match — the
+        reference's grouped ``WeightedEntry.SourceLocationsIfRecorded``
+        (QueryTranslator.cs:176-188 grouping; locations null-checked
+        concatenation as in OracleQuerier). Requires BOTH indexes to
+        record positions (the reference emits null locations when any
+        contributing entry lacks them)."""
+        if not self.standard.config.capture_positions:
+            raise ValueError(
+                "standard index must record source locations for "
+                "location-carrying results"
+            )
+        segment = ast.parse_query(search_term)
+        segs = (
+            list(segment.segments)
+            if isinstance(segment, ast.Combining)
+            else [segment]
+        )
+        result = self._reduce_loc(segs)
+        if k is not None:
+            result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return result
+
+    def _std_loc(self, value: str) -> DataFrame:
+        return get_matches(self.standard, value).select(
+            "doc_id",
+            F.col("weight").alias("score"),
+            F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
+                "locations"
+            ),
+        )
+
+    def _prec_loc(self, value: str) -> DataFrame:
+        return get_consecutive_matches_with_locations(self.precise, value)
+
+    def _reduce_loc(self, segments: list[ast.QuerySegment]) -> DataFrame:
+        inclusive: list[DataFrame] = []  # each: (doc_id, score, locations)
+        compulsory_sets: list[DataFrame] = []
+        exclusion_sets: list[DataFrame] = []
+        for seg in segments:
+            if isinstance(seg, ast.Combining):
+                inclusive.append(self._reduce_loc(list(seg.segments)))
+            elif isinstance(seg, ast.Compulsory):
+                seg_df = self._reduce_single_loc(seg.segment)
+                compulsory_sets.append(seg_df.select("doc_id").distinct())
+                inclusive.append(seg_df)
+            elif isinstance(seg, ast.Excluding):
+                exclusion_sets.append(
+                    self._reduce_single(seg.segment)
+                    .select("doc_id")
+                    .distinct()
+                )
+            elif isinstance(seg, ast.NoMatch):
+                continue
+            elif isinstance(seg, ast.Precise):
+                inclusive.append(self._prec_loc(seg.value))
+            elif isinstance(seg, ast.Standard):
+                inclusive.append(self._std_loc(seg.value))
+            else:  # pragma: no cover
+                raise TypeError(f"unsupported segment {seg!r}")
+
+        if not inclusive:
+            return self._empty().withColumn(
+                "locations", F.array().cast(RESULT_LOCATION_STRUCT)
+            )
+
+        tagged = [
+            df.select(
+                "doc_id", F.lit(i).alias("ord"), "score", "locations"
+            )
+            for i, df in enumerate(inclusive)
+        ]
+        unioned = tagged[0]
+        for df in tagged[1:]:
+            unioned = unioned.unionByName(df)
+        for ex in exclusion_sets:
+            unioned = unioned.join(F.broadcast(ex), "doc_id", "left_anti")
+        if compulsory_sets:
+            keys = compulsory_sets[0]
+            for s in compulsory_sets[1:]:
+                keys = keys.join(s, "doc_id", "inner")
+            unioned = unioned.join(F.broadcast(keys), "doc_id", "left_semi")
+
+        # per-doc fold in segment order; ord is unique per element so
+        # the struct sort never compares past the first field
+        agg = unioned.groupBy("doc_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("ord", "score", "locations"))
+            ).alias("lst")
+        )
+        return agg.select(
+            "doc_id",
+            _f32_fold_sum(F.col("lst"), lambda x: x["score"]).alias("score"),
+            F.flatten(
+                F.transform("lst", lambda x: x["locations"])
+            ).alias("locations"),
+        )
+
+    def _reduce_single_loc(self, seg: ast.QuerySegment) -> DataFrame:
+        if isinstance(seg, ast.Combining):
+            return self._reduce_loc(list(seg.segments))
+        return self._reduce_loc([seg])

@@ -199,6 +199,31 @@ def test_consecutive_match_locations_random_queries(
             assert got[d] == want[d], (query, d)
 
 
+def test_structured_query_locations_random(spark_index, oracle_index):
+    """Locations through the structured querier: engine == oracle
+    (QueryTranslator grouped-location concatenation), element-exact."""
+    querier = SparkQuerier(spark_index, spark_index)
+    oq = oracle.OracleQuerier(oracle_index, oracle_index)
+    queries = [
+        "cat dogs",
+        "+index -matrix",
+        '"sort merge" hash',
+        "+(query formula) -naïve",
+    ]
+    for query in queries:
+        got = {
+            r["doc_id"]: (np.float32(r["score"]), _loc_tuples(r["locations"]))
+            for r in querier.get_matches_with_locations(query).collect()
+        }
+        want = {
+            e.key: (np.float32(e.weight), _oracle_loc_tuples(e.locations))
+            for e in oq.get_matches(query)
+        }
+        assert set(got) == set(want), query
+        for d in want:
+            assert got[d] == want[d], (query, d)
+
+
 def test_topk_rank_identity(spark_index, oracle_index):
     """Rank identity: (score desc, doc asc) ordering matches the oracle."""
     for query in ("cat dog", "the index", "sort merge hash"):
