@@ -335,6 +335,30 @@ def q_query_locations(spark, sf_dir):
     )
 
 
+def q_compact_search(spark, sf_dir):
+    """S3 compact binary tier end-to-end: save the index through the
+    delta+varint compact sink, reload it, and run the AND-sum scoring
+    query on the reloaded postings — must equal the same DuckDB oracle
+    as ftix_search_and (lossless roundtrip through term-id dictionary +
+    packed positions)."""
+    import tempfile
+
+    from fulltextindexer_spark.operators.compact import (
+        load_compact,
+        save_compact,
+    )
+
+    key = ("compact", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = _docs_index(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="ftix_gate_compact_")
+        save_compact(idx, out)
+        _INDEX_CACHE[key] = load_compact(spark, out, with_positions=False)
+    return _round_score(
+        q.get_partial_matches(_INDEX_CACHE[key], "sort table")
+    )
+
+
 def q_contains(spark, sf_dir):
     """Contains-search over the all-offsets substring expansion index
     (the reference PartialMatchingTokenBreaker's default mode,
@@ -618,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
+        "ftix_compact_search": q_compact_search,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sig": q_minhash_sig,
@@ -958,6 +983,14 @@ SELECT t.doc_id, CAST(0 AS BIGINT) AS field_idx,
        round(1.0 * {_stop_case('t.term')}, 4) AS w
 FROM tokl t JOIN ok USING (doc_id)
 WHERE t.term = '{english_plurality_normalise("sort")}'
+""",
+        "ftix_compact_search": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_prefix": _prefix_sql(),
         "ftix_contains": _contains_sql(),

@@ -453,10 +453,12 @@ def get_consecutive_matches_grouped(
     to :func:`get_consecutive_matches` (equality is test-pinned).
 
     Scale rationale (SURVEY §2 Q4): the join-chain version shuffles
-    n−1 times for an n-term phrase; this variant groups the (small)
-    matched position sets once by ``doc_id`` and finds runs with an
-    ``applyInPandas`` kernel — one shuffle regardless of phrase length,
-    the right physical shape for long phrases on big clusters.
+    n−1 times for an n-term phrase; this variant shuffles the (small)
+    matched position sets ONCE by ``doc_id`` and finds runs with a
+    partition-level ``mapInPandas`` kernel (vectorized pandas merges
+    inside, one Python call per partition — not per doc) — one shuffle
+    regardless of phrase length, the right physical shape for long
+    phrases on big clusters.
     """
     if not index.config.capture_positions:
         raise ValueError(
@@ -488,38 +490,64 @@ def get_consecutive_matches_grouped(
     import numpy as np
     import pandas as pd
 
-    def find_runs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        doc_id = int(pdf["doc_id"].iloc[0])
-        maps: list[dict] = [dict() for _ in range(n)]
-        for ti, fi, tk, w in zip(
-            pdf["term_idx"], pdf["field_idx"], pdf["token_idx"], pdf["w"]
-        ):
-            maps[ti][(int(fi), int(tk))] = np.float32(w)
-        run_ws = []
-        # enumerate term-0 anchors in (field, token) order — matches the
-        # deterministic fold order of the join-chain implementation
-        for (f, t) in sorted(maps[0]):
-            ws = [maps[0][(f, t)]]
-            for i in range(1, n):
-                wi = maps[i].get((f, t + i))
-                if wi is None:
-                    break
-                ws.append(wi)
-            else:
-                run_w = np.float32(
-                    np.add.reduce(np.asarray(ws, dtype=np.float64))
-                ) * np.float32(2 ** (n - 1))
-                run_ws.append(np.float32(run_w))
-        if not run_ws:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float32"}
-            )
-        score = np.float32(
-            np.add.reduce(np.asarray(run_ws, dtype=np.float64))
-        )
-        return pd.DataFrame({"doc_id": [doc_id], "score": [score]})
+    from typing import Iterator
 
-    result = units.groupBy("doc_id").applyInPandas(
+    def find_runs(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            by_term = [
+                pdf[pdf["term_idx"] == i][
+                    ["doc_id", "field_idx", "token_idx", "w"]
+                ]
+                for i in range(n)
+            ]
+            run = by_term[0].rename(
+                columns={"token_idx": "anchor", "w": "w0"}
+            )
+            for i in range(1, n):
+                ti = by_term[i].rename(columns={"w": f"w{i}"})
+                ti = ti.assign(anchor=ti["token_idx"] - i).drop(
+                    columns=["token_idx"]
+                )
+                run = run.merge(
+                    ti, on=["doc_id", "field_idx", "anchor"], how="inner"
+                )
+                if not len(run):
+                    break
+            if not len(run):
+                continue
+            # run weight = f32(double sum of the n contributions) × 2^(n−1)
+            wsum = np.zeros(len(run), dtype=np.float64)
+            for i in range(n):
+                wsum += run[f"w{i}" if i else "w0"].to_numpy(np.float64)
+            run_w = (wsum.astype(np.float32) * np.float32(2 ** (n - 1))).astype(
+                np.float32
+            )
+            # per-doc fold in run-enumeration order (field, anchor) —
+            # identical to the join-chain's sorted fold
+            order = np.lexsort(
+                (
+                    run["anchor"].to_numpy(),
+                    run["field_idx"].to_numpy(),
+                    run["doc_id"].to_numpy(),
+                )
+            )
+            docs = run["doc_id"].to_numpy()[order]
+            run_w = run_w[order]
+            change = np.empty(len(docs), dtype=bool)
+            change[0] = True
+            change[1:] = docs[1:] != docs[:-1]
+            starts = np.flatnonzero(change)
+            scores = np.add.reduceat(
+                run_w.astype(np.float64), starts
+            ).astype(np.float32)
+            yield pd.DataFrame(
+                {"doc_id": docs[starts], "score": scores}
+            )
+
+    n_parts = units.sparkSession.sparkContext.defaultParallelism
+    result = units.repartition(n_parts, "doc_id").mapInPandas(
         find_runs, schema="doc_id long, score float"
     )
     if k is not None:
