@@ -206,38 +206,75 @@ def build_bm25_stats(
     ).select(
         "term", "block", (F.col("idf") * F.col("max_tfnorm")).alias("ub")
     )
-    # champion lists: top n_champions contributions per (term, block) —
-    # a bounded window shuffle paid once at build; rank 1 is the block
+    # champion lists: top n_champions contributions per (term, block).
+    # Ranking by tfnorm is ranking by contribution (idf is a positive
+    # per-term constant), so (a) the big postings⋈term_stats join is
+    # deferred until AFTER the top-C cut, and (b) a map-side partial
+    # top-C bounds what the window shuffle moves for hot terms. The
+    # bounded window sort is paid once at build; rank 1 is the block
     # max, so queries derive bounds AND score lower-bounds from one
-    # driver-tiny read
+    # driver-tiny read.
     from pyspark.sql.window import Window
 
+    base = postings.select(
+        "term",
+        "doc_id",
+        _block_col(n_blocks).alias("block"),
+        _tfnorm_col(avgdl, k1, b).alias("tfnorm"),
+    )
+
+    def local_topc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tcodes, _ = pd.factorize(pdf["term"])
+            key = tcodes.astype(np.int64) * n_blocks + pdf[
+                "block"
+            ].to_numpy(np.int64)
+            order = np.lexsort(
+                (
+                    pdf["doc_id"].to_numpy(),
+                    -pdf["tfnorm"].to_numpy(),
+                    key,
+                )
+            )
+            k_sorted = key[order]
+            change = np.empty(len(order), dtype=bool)
+            change[0] = True
+            change[1:] = k_sorted[1:] != k_sorted[:-1]
+            group_start = np.where(change, np.arange(len(order)), 0)
+            np.maximum.accumulate(group_start, out=group_start)
+            rank = np.arange(len(order)) - group_start
+            keep = order[rank < n_champions]
+            yield pdf.iloc[np.sort(keep)]
+
+    reduced = base.mapInPandas(
+        local_topc, schema="term string, doc_id long, block long, tfnorm double"
+    )
     w = Window.partitionBy("term", "block").orderBy(
-        F.desc("contrib"), F.asc("doc_id")
+        F.desc("tfnorm"), F.asc("doc_id")
     )
     champions = (
-        postings.select(
-            "term",
-            "doc_id",
-            _block_col(n_blocks).alias("block"),
-            _tfnorm_col(avgdl, k1, b).alias("tfnorm"),
-        )
+        reduced.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_champions)
+        .drop("rn")
         .join(term_stats.select("term", "idf"), "term")
         .select(
             "term", "block", "doc_id",
             (F.col("idf") * F.col("tfnorm")).alias("contrib"),
             "idf",  # denormalised so a query reads ONE stats table
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_champions)
-        .drop("rn")
     )
-    # eager materialization: the stats are index-build artefacts —
-    # queries must never pay their first computation
+    # eager materialization of the champion table only: it is the
+    # query-path stats read, and its build pulls term_stats through its
+    # join (so that persist warms too). block_stats is the two-pass
+    # fallback/save artefact — left lazy, materialized by save() or on
+    # first deep-k query.
     term_stats = term_stats.persist()
-    term_stats.count()
     block_stats = block_stats.persist()
-    block_stats.count()
     champions = champions.persist()
     champions.count()
     return Bm25Stats(
