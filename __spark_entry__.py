@@ -477,12 +477,24 @@ IVF64_K = 64
 IVF64_PROBE = 8
 
 
+def _ivf_index(spark, sf_dir, k_lists):
+    """Build-once IVF artefacts (centroids + persisted assignment) —
+    queries probe the stored assignment, never re-assign the corpus."""
+    key = ("ivf", id(spark), sf_dir, k_lists)
+    if key not in _INDEX_CACHE:
+        emb = _embeddings(spark, sf_dir)
+        centroids = similarity.seed_centroids(emb, k=k_lists)
+        assigned = similarity.build_ivf_assignment(emb, centroids)
+        _INDEX_CACHE[key] = (emb, centroids, assigned)
+    return _INDEX_CACHE[key]
+
+
 def q_ivf_topk(spark, sf_dir):
-    emb = _embeddings(spark, sf_dir)
-    centroids = similarity.seed_centroids(emb, k=IVF_K)
+    emb, centroids, assigned = _ivf_index(spark, sf_dir, IVF_K)
     qrow = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
     got = similarity.ivf_topk(
-        emb, list(qrow), centroids, k=10, n_probe=IVF_PROBE
+        emb, list(qrow), centroids, k=10, n_probe=IVF_PROBE,
+        assigned=assigned,
     )
     return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -493,11 +505,11 @@ def q_ivf64_topk(spark, sf_dir):
     shape a 100 TB corpus needs; seeded centroids keep the DuckDB
     oracle reproducible (train_kmeans is the production trainer,
     pinned by pytest objective tests)."""
-    emb = _embeddings(spark, sf_dir)
-    centroids = similarity.seed_centroids(emb, k=IVF64_K)
+    emb, centroids, assigned = _ivf_index(spark, sf_dir, IVF64_K)
     qrow = emb.where(F.col("vec_id") == 2).collect()[0]["embedding"]
     got = similarity.ivf_topk(
-        emb, list(qrow), centroids, k=10, n_probe=IVF64_PROBE
+        emb, list(qrow), centroids, k=10, n_probe=IVF64_PROBE,
+        assigned=assigned,
     )
     return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -620,6 +632,14 @@ def q_langid(spark, sf_dir):
     return textstats.langid(_documents(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_documents(spark, sf_dir), k=3)
+
+
+def q_text_patterns(spark, sf_dir):
+    return textstats.pattern_stats(_documents(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
@@ -665,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_patterns": q_text_patterns,
     }
 
 
@@ -1239,6 +1261,33 @@ votes AS (
 SELECT doc_id, CASE {lang_case} END AS lang_guess,
        CAST(g AS BIGINT) AS best_hits
 FROM (SELECT *, greatest({lang_greatest}) AS g FROM votes)
+""",
+        "text_repetition": """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+g0 AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, g FROM g0 WHERE g IS NOT NULL AND g <> ''),
+gs AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 4)
+                AS dup_kgram_ratio
+       FROM g GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok <> ''
+       GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, round(max(tf) * 1.0 / sum(tf), 4) AS top_token_ratio
+       FROM tf GROUP BY doc_id)
+SELECT gs.doc_id, gs.dup_kgram_ratio, tt.top_token_ratio
+FROM gs JOIN tt USING (doc_id)
+""",
+        "text_patterns": """
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 4) AS digit_ratio
+FROM documents
 """,
         "text_fingerprint": f"""
 WITH {SH5_CTE}

@@ -144,3 +144,82 @@ def fingerprints(
         .select("doc_id", F.col("fp2").alias("fingerprint"))
     )
     return fp.unionByName(short)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals: (doc_id, dup_kgram_ratio,
+    top_token_ratio).
+
+    - ``dup_kgram_ratio``: fraction of word k-gram occurrences that are
+      repeats of an earlier occurrence in the same doc (1 − distinct /
+      total) — boilerplate and templated spam score high.
+    - ``top_token_ratio``: the most frequent token's share of all
+      tokens — degenerate repetition ("buy buy buy …") scores high.
+
+    Pure groupBy pipelines (two shuffles keyed by doc), ratios rounded
+    to 4dp; both are standard published quality-filter rules (Gopher /
+    C4 family) re-expressed relationally.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_stats = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .where(F.col("g") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_distinct("g").alias("n_distinct_grams"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.col("n_distinct_grams") / F.col("n_grams"), 4
+            ).alias("dup_kgram_ratio"),
+        )
+    )
+    tf = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = tf.groupBy("doc_id").agg(
+        F.round(F.max("tf") / F.sum("tf"), 4).alias("top_token_ratio")
+    )
+    return gram_stats.join(top, "doc_id")
+
+
+def pattern_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Surface-pattern counts a curation pipeline filters on:
+    (doc_id, n_urls, n_emails, digit_ratio).
+
+    JVM ``regexp_count`` / length arithmetic only — no UDF; the same
+    regexes run verbatim in the SQL oracle.
+    """
+    text = F.col(text_col)
+    no_digits = F.regexp_replace(text, "[0-9]", "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(text, F.lit(r"https?://[^ ]+")).alias("n_urls"),
+        F.regexp_count(
+            text, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).alias("n_emails"),
+        F.round(
+            (F.length(text) - F.length(no_digits))
+            / F.greatest(F.length(text), F.lit(1)),
+            4,
+        ).alias("digit_ratio"),
+    )
