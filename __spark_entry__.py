@@ -1280,7 +1280,7 @@ tt AS (SELECT doc_id, round(max(tf) * 1.0 / sum(tf), 4) AS top_token_ratio
 SELECT gs.doc_id, gs.dup_kgram_ratio, tt.top_token_ratio
 FROM gs JOIN tt USING (doc_id)
 """,
-        "text_patterns": """
+        "text_patterns": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
        len(regexp_extract_all(text,
