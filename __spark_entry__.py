@@ -514,6 +514,18 @@ def q_ivf64_topk(spark, sf_dir):
     return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@10 of the 64-list IVF probe
+    against the exact brute-force top-10 for the same query vector."""
+    emb, centroids, assigned = _ivf_index(spark, sf_dir, IVF64_K)
+    qrow = list(emb.where(F.col("vec_id") == 2).collect()[0]["embedding"])
+    approx = similarity.ivf_topk(
+        emb, qrow, centroids, k=10, n_probe=IVF64_PROBE, assigned=assigned
+    )
+    exact = similarity.cosine_topk(emb, qrow, k=10)
+    return similarity.topk_recall(approx, exact, k=10)
+
+
 def q_neardup(spark, sf_dir):
     # threshold chosen so the synthetic random-embedding corpus yields a
     # non-trivial pair set (real near-dup pipelines run ≥0.9)
@@ -674,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": q_neardup,
         "sim_ivf_topk": q_ivf_topk,
         "sim_ivf64_topk": q_ivf64_topk,
+        "sim_ivf_recall": q_ivf_recall,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
@@ -1127,6 +1140,19 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """,
         "sim_ivf_topk": _ivf_sql(IVF_K, IVF_PROBE, 1),
         "sim_ivf64_topk": _ivf_sql(IVF64_K, IVF64_PROBE, 2),
+        "sim_ivf_recall": f"""
+WITH approx AS ({_ivf_sql(IVF64_K, IVF64_PROBE, 2)}),
+qv2 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 2),
+bf AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+              unnest(qv2.v)::DOUBLE AS y
+       FROM embeddings e CROSS JOIN qv2),
+bfc AS (SELECT vec_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        FROM bf GROUP BY vec_id),
+exact AS (SELECT vec_id FROM bfc ORDER BY cos DESC, vec_id LIMIT 10)
+SELECT round(count(*) / 10.0, 4) AS recall
+FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
+""",
         "text_token_count": f"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,

@@ -202,3 +202,30 @@ def test_train_kmeans_converges_and_ivf_works_at_64_lists(spark):
     assert len(top) == 5
     cosines = [r["cosine"] for r in top]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_repetition_and_pattern_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a quick brown fox jumps over the lazy dog today ok"),
+            (3, "visit https://x.example/a or mail me at a.b@example.com 42"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    # doc 1: "buy now buy" style trigrams repeat heavily; doc 2 all distinct
+    assert rep[1]["dup_kgram_ratio"] > 0.5
+    assert rep[2]["dup_kgram_ratio"] == 0.0
+    assert rep[1]["top_token_ratio"] == 0.5   # 'buy' is 4 of 8 tokens
+    pat = {r["doc_id"]: r for r in textstats.pattern_stats(docs).collect()}
+    assert pat[3]["n_urls"] == 1 and pat[3]["n_emails"] == 1
+    assert pat[3]["digit_ratio"] > 0
+    assert pat[2]["n_urls"] == 0 and pat[2]["n_emails"] == 0
+
+
+def test_topk_recall(spark):
+    a = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")
+    [row] = similarity.topk_recall(a, b, k=10).collect()
+    assert row["recall"] == 0.5
