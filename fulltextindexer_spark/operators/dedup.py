@@ -28,15 +28,32 @@ from pyspark.sql import functions as F
 
 
 def exact_duplicate_groups(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collision_guarded: bool = False,
 ) -> DataFrame:
     """Group documents by exact content hash.
 
     Returns (content_hash, n_docs, min_doc_id) — one row per distinct
-    content; ``n_docs > 1`` rows are the duplicate groups.
+    content; ``n_docs > 1`` rows are the duplicate groups. md5 keeps
+    the hash reproducible in any engine (the cross-engine gate);
+    ``collision_guarded=True`` is the production belt-and-braces for a
+    100 TB run: the group key becomes (length ‖ md5 ‖ xxhash64), so a
+    crafted md5 collision cannot merge two distinct documents unless it
+    simultaneously collides an independent hash AND matches lengths.
     """
+    if collision_guarded:
+        key = F.concat_ws(
+            ":",
+            F.length(F.col(text_col)).cast("string"),
+            F.md5(F.col(text_col)),
+            F.xxhash64(F.col(text_col)).cast("string"),
+        )
+    else:
+        key = F.md5(F.col(text_col))
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        docs.groupBy(key.alias("content_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("min_doc_id"),

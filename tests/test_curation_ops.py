@@ -229,3 +229,23 @@ def test_topk_recall(spark):
     b = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")
     [row] = similarity.topk_recall(a, b, k=10).collect()
     assert row["recall"] == 0.5
+
+
+def test_exact_dedup_collision_guarded(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    plain = {
+        (r["n_docs"], r["min_doc_id"])
+        for r in dedup.exact_duplicate_groups(docs).collect()
+    }
+    guarded = {
+        (r["n_docs"], r["min_doc_id"])
+        for r in dedup.exact_duplicate_groups(
+            docs, collision_guarded=True
+        ).collect()
+    }
+    assert plain == guarded == {(2, 1), (1, 3)}
