@@ -1,0 +1,151 @@
+"""Bucketed index tables: shuffle-free posting-list merges at scale.
+
+The index algebra's ``Combine`` (IndexData.cs:69-116) re-aggregates the
+union of two postings sets by (term, doc) — on plain parquet that is a
+full shuffle of the big side for every merge. Writing postings as a
+table **bucketed by term** (``bucketBy(n, 'term').sortBy('term')``)
+records the hash-partitioning in the catalog, so Spark plans the
+union + re-aggregate with ZERO Exchange: a partitioning on ``term``
+satisfies the (term, doc_id) clustering the aggregation needs, and
+bucket-aligned tables also sort-merge-join without shuffling. This is
+the physical upgrade the 100 TB incremental-merge path needs — each
+micro-batch merge touches only bucket-local data (plan pinned
+Exchange-free by tests).
+
+Snapshot rotation: a table being read cannot be overwritten, so merges
+write ``<name>_v{n+1}`` and readers follow the latest version (the
+same versioned-snapshot protocol as streaming/incremental.py, with the
+version encoded in the table name).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import IndexConfig
+from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+DEFAULT_BUCKETS = 16
+
+
+def _write_cfg(spark: SparkSession, table: str, config: IndexConfig) -> None:
+    # sidecar one-row table (table properties are unusable: SHOW
+    # TBLPROPERTIES redacts any value containing 'token' — which the
+    # serialised config does)
+    spark.createDataFrame(
+        [(json.dumps(_config_dict(config)),)], "config string"
+    ).write.mode("overwrite").saveAsTable(f"{table}__cfg")
+
+
+def save_bucketed(
+    index: InvertedIndex, table: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Write the postings as a term-bucketed, term-sorted table; the
+    index config rides along in a one-row sidecar table."""
+    (
+        index.postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+    _write_cfg(index.postings.sparkSession, table, index.config)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> InvertedIndex:
+    raw = json.loads(
+        spark.table(f"{table}__cfg").collect()[0]["config"]
+    )
+    return InvertedIndex(spark.table(table), _config_from_dict(raw))
+
+
+def combine_bucketed(
+    spark: SparkSession,
+    table_a: str,
+    table_b: str,
+    out_table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> InvertedIndex:
+    """Merge two bucketed index tables into a new bucketed table.
+
+    Both inputs being bucketed by term means the union + (term, doc)
+    re-aggregate plans with no Exchange — the merge cost is one pass
+    over bucket-local data, independent of how many merges preceded it.
+    """
+    a = load_bucketed(spark, table_a)
+    b = load_bucketed(spark, table_b)
+    merged = a.combine(b)
+    (
+        merged.postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(out_table)
+    )
+    _write_cfg(spark, out_table, a.config)
+    return load_bucketed(spark, out_table)
+
+
+def merge_plan_is_shuffle_free(
+    spark: SparkSession, table_a: str, table_b: str
+) -> bool:
+    """True iff the union + re-aggregate over the two bucketed tables
+    plans without any Exchange (the property tests pin)."""
+    a = load_bucketed(spark, table_a)
+    b = load_bucketed(spark, table_b)
+    merged = a.combine(b)
+    plan = merged.postings._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan
+
+
+def _config_dict(cfg: IndexConfig) -> dict:
+    return {
+        "key_column": cfg.key_column,
+        "fields": [[f.column, f.weight] for f in cfg.fields],
+        "normaliser": cfg.normaliser,
+        "break_chars": cfg.break_chars,
+        "stop_words": sorted(cfg.stop_words),
+        "stop_word_weight": cfg.stop_word_weight,
+        "capture_positions": cfg.capture_positions,
+        "entry_combiner": cfg.entry_combiner,
+        "token_weight_overrides": [
+            [t, w] for t, w in cfg.token_weight_overrides
+        ],
+        "prefix_expansion": (
+            None
+            if cfg.prefix_expansion is None
+            else {
+                "min_len": cfg.prefix_expansion.min_len,
+                "max_len": cfg.prefix_expansion.max_len,
+                "weight_multiplier": cfg.prefix_expansion.weight_multiplier,
+                "mode": cfg.prefix_expansion.mode,
+            }
+        ),
+    }
+
+
+def _config_from_dict(raw: dict) -> IndexConfig:
+    from fulltextindexer_spark.config import (
+        FieldConfig,
+        PrefixExpansionConfig,
+    )
+
+    return IndexConfig(
+        key_column=raw["key_column"],
+        fields=tuple(FieldConfig(c, w) for c, w in raw["fields"]),
+        normaliser=raw["normaliser"],
+        break_chars=raw["break_chars"],
+        stop_words=frozenset(raw["stop_words"]),
+        stop_word_weight=raw["stop_word_weight"],
+        capture_positions=raw["capture_positions"],
+        entry_combiner=raw.get("entry_combiner", "sum"),
+        token_weight_overrides=tuple(
+            (t, float(w)) for t, w in raw.get("token_weight_overrides", [])
+        ),
+        prefix_expansion=(
+            None
+            if raw["prefix_expansion"] is None
+            else PrefixExpansionConfig(**raw["prefix_expansion"])
+        ),
+    )

@@ -1,0 +1,148 @@
+"""Physical-plan pins: the scale properties BENCH.md §6 documents,
+asserted in CI so a regression that silently adds a shuffle, drops a
+broadcast, or loses parquet pushdown fails the suite.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import bm25
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import (
+    InvertedIndex,
+    build_index,
+    build_postings,
+)
+
+CFG = IndexConfig(
+    key_column="id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [(i, f"hash join sort merge doc{i} the quick") for i in range(50)]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "id long, text string").repartition(4)
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_df):
+    idx = build_index(docs_df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+def test_build_plan_is_shuffle_free(spark, docs_df, tmp_path):
+    """The inverted-index build must contain NO Exchange: every doc is
+    combined within its partition (the engine's core scale property).
+    Asserted over a file-backed source so input splits, not a test
+    repartition, provide the parallelism."""
+    path = str(tmp_path / "docs_sf")
+    docs_df.write.parquet(path)
+    plan = _plan(build_postings(spark.read.parquet(path), CFG))
+    assert "Exchange" not in plan, plan
+
+
+def test_build_plan_prunes_columns(spark, docs_df, tmp_path):
+    """Only the key + indexed field columns may reach the scan."""
+    path = str(tmp_path / "docs")
+    docs_df.withColumn("extra", F.lit("x")).write.parquet(path)
+    plan = _plan(build_postings(spark.read.parquet(path), CFG))
+    assert "ReadSchema" in plan
+    import re
+
+    read_schema = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "extra" not in read_schema, read_schema
+
+
+def test_scoring_plan_broadcasts_query_terms(index):
+    """get_partial_matches: postings are never shuffled by term — the
+    tokenised query is broadcast; exactly one Exchange (the doc_id
+    aggregation) plus the top-k exchange."""
+    plan = _plan(q.get_partial_matches(index, "hash join", k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # no SortMergeJoin anywhere on the query path
+    assert "SortMergeJoin" not in plan
+
+
+def test_saved_index_scan_pushes_term_filter(spark, index, tmp_path):
+    """Term predicates must reach the parquet reader of a saved index
+    (PushedFilters), enabling row-group pruning on the sorted tiers."""
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    plan = _plan(
+        loaded.postings.where(F.col("term") == F.lit("hash~")).select(
+            "doc_id", "weight"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,hash~)" in plan, plan
+
+
+def test_wand_champion_plan_single_scan(index):
+    """The champion WAND strategy runs ONE aggregation over the
+    postings (same shape as exact scoring) — no second scan pass, no
+    sort-merge join."""
+    stats = bm25.get_bm25_stats(index)
+    df = bm25.bm25_topk_wand(index, "hash join", k=3, stats=stats)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") <= 4  # partial+final, 1 agg pair
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    exact = bm25.bm25_topk(index, "hash join", k=3).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in rows] == [
+        (r["doc_id"], np.float32(r["score"])) for r in exact
+    ]
+
+
+def test_bucketed_merge_is_shuffle_free(spark, tmp_path):
+    """Index Combine over term-bucketed tables plans with ZERO Exchange
+    (the 100 TB incremental-merge physical shape), and the merged
+    postings equal the plain combine."""
+    from fulltextindexer_spark.operators import bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ftixtest LOCATION '{tmp_path}/wh'"
+    )
+    docs_a = spark.createDataFrame(DOCS[:25], "id long, text string")
+    docs_b = spark.createDataFrame(DOCS[25:], "id long, text string")
+    idx_a = build_index(docs_a, CFG)
+    idx_b = build_index(docs_b, CFG)
+    bucketed.save_bucketed(idx_a, "ftixtest.seg_a", n_buckets=4)
+    bucketed.save_bucketed(idx_b, "ftixtest.seg_b", n_buckets=4)
+
+    assert bucketed.merge_plan_is_shuffle_free(
+        spark, "ftixtest.seg_a", "ftixtest.seg_b"
+    )
+
+    merged = bucketed.combine_bucketed(
+        spark, "ftixtest.seg_a", "ftixtest.seg_b", "ftixtest.seg_ab",
+        n_buckets=4,
+    )
+    assert merged.config == CFG
+    got = {
+        (r["term"], r["doc_id"]): (np.float32(r["weight"]), r["tf"])
+        for r in merged.postings.collect()
+    }
+    plain = idx_a.combine(idx_b)
+    want = {
+        (r["term"], r["doc_id"]): (np.float32(r["weight"]), r["tf"])
+        for r in plain.postings.collect()
+    }
+    assert got == want
+    for t in ["seg_a", "seg_b", "seg_ab"]:
+        spark.sql(f"DROP TABLE IF EXISTS ftixtest.{t}")
+        spark.sql(f"DROP TABLE IF EXISTS ftixtest.{t}__cfg")
