@@ -87,6 +87,81 @@ def combine_bucketed(
     return load_bucketed(spark, out_table)
 
 
+def current_snapshot(spark: SparkSession, prefix: str) -> tuple[int, int]:
+    """(version, last_batch_id) from the meta table; (-1, -1) if none."""
+    meta = f"{prefix}_meta"
+    if not spark.catalog.tableExists(meta):
+        return -1, -1
+    row = spark.table(meta).collect()[0]
+    return int(row["version"]), int(row["batch_id"])
+
+
+def merge_batch_bucketed(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    prefix: str,
+    config: IndexConfig,
+    batch_id: int = -1,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> int:
+    """Fold one docs batch into a new bucketed snapshot — the LSM-ish
+    incremental shape where the big side never shuffles.
+
+    1. build the batch's postings and write them as a (small) bucketed
+       staging table — the only shuffle is over batch-sized data;
+    2. union with the current snapshot table and re-aggregate: both
+       sides bucketed by term ⇒ ZERO Exchange over the accumulated
+       snapshot;
+    3. write snapshot ``<prefix>_v{n+1}`` and flip the one-row meta
+       table last (the pointer). Replays of an already-applied
+       ``batch_id`` are skipped (foreachBatch is at-least-once).
+    """
+    from fulltextindexer_spark.operators.index_build import build_postings
+    from fulltextindexer_spark.sources.docs import with_doc_identity
+
+    version, last_batch = current_snapshot(spark, prefix)
+    if batch_id >= 0 and batch_id <= last_batch:
+        return version
+    docs = with_doc_identity(batch_docs)
+    new_postings = build_postings(docs, config)
+    staging = f"{prefix}_staging"
+    (
+        new_postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(staging)
+    )
+    new_index = InvertedIndex(spark.table(staging), config)
+    if version < 0:
+        merged = new_index
+    else:
+        merged = load_bucketed(spark, f"{prefix}_v{version}").combine(
+            new_index
+        )
+    v_next = version + 1
+    out = f"{prefix}_v{v_next}"
+    (
+        merged.postings.write.mode("overwrite")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(out)
+    )
+    _write_cfg(spark, out, config)
+    spark.createDataFrame(
+        [(v_next, batch_id)], "version int, batch_id int"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+    return v_next
+
+
+def load_latest_bucketed(
+    spark: SparkSession, prefix: str
+) -> InvertedIndex:
+    version, _ = current_snapshot(spark, prefix)
+    if version < 0:
+        raise ValueError(f"no snapshot under {prefix}")
+    return load_bucketed(spark, f"{prefix}_v{version}")
+
+
 def merge_plan_is_shuffle_free(
     spark: SparkSession, table_a: str, table_b: str
 ) -> bool:

@@ -19,10 +19,12 @@ Snapshot layout (Iceberg-style versioned dirs, no in-place mutation)::
     <index_dir>/_LATEST                  text file: current version
 
 Scale notes: each micro-batch pays one groupBy shuffle over
-(new ∪ current) postings. At 100 TB you'd bucket both sides by term so
-the merge is shuffle-free on the big side and compact old snapshots
-periodically; the semantics here — pure union + re-aggregate, snapshot
-isolation for readers — are unchanged by those physical upgrades.
+(new ∪ current) postings. The 100 TB upgrade is implemented in
+``operators/bucketed.py`` (``merge_batch_bucketed``): both sides live
+in term-bucketed tables, so the merge plans with ZERO Exchange over
+the accumulated snapshot (only the batch-sized staging write
+shuffles) — same semantics (union + re-aggregate, snapshot isolation,
+batch-id idempotence), different physical plan.
 Exactly-once: ``foreachBatch`` is only at-least-once — a crash between
 the _LATEST pointer flip and the streaming checkpoint commit replays
 the same batch. Each snapshot therefore records the ``batch_id`` that

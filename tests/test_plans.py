@@ -146,3 +146,44 @@ def test_bucketed_merge_is_shuffle_free(spark, tmp_path):
     for t in ["seg_a", "seg_b", "seg_ab"]:
         spark.sql(f"DROP TABLE IF EXISTS ftixtest.{t}")
         spark.sql(f"DROP TABLE IF EXISTS ftixtest.{t}__cfg")
+
+
+def test_bucketed_incremental_merge(spark, tmp_path):
+    """Bucketed micro-batch merges: two batches == one batch build;
+    replayed batch_id is a no-op; the snapshot merge plan is
+    Exchange-free on the accumulated side."""
+    from fulltextindexer_spark.operators import bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ftixinc LOCATION '{tmp_path}/wh2'"
+    )
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("content", 1.0),),
+        capture_positions=False,
+    )
+    ddl = "repo string, path string, commit string, lang string, content string"
+    b1 = spark.createDataFrame(
+        [("r", "a", "c", "py", "hash join merge"),
+         ("r", "b", "c", "py", "sort merge")], ddl)
+    b2 = spark.createDataFrame(
+        [("r", "c", "c", "py", "hash table probe")], ddl)
+    prefix = "ftixinc.idx"
+    v1 = bucketed.merge_batch_bucketed(spark, b1, prefix, cfg, batch_id=0)
+    assert v1 == 0
+    # replay: skipped
+    assert bucketed.merge_batch_bucketed(
+        spark, b1, prefix, cfg, batch_id=0) == 0
+    v2 = bucketed.merge_batch_bucketed(spark, b2, prefix, cfg, batch_id=1)
+    assert v2 == 1
+
+    got_idx = bucketed.load_latest_bucketed(spark, prefix)
+    from fulltextindexer_spark.sources.docs import with_doc_identity
+
+    batch = build_index(with_doc_identity(b1.unionByName(b2)), cfg)
+    key = lambda r: (r["term"], r["doc_id"], np.float32(r["weight"]), r["tf"])
+    assert sorted(map(key, got_idx.postings.collect())) == sorted(
+        map(key, batch.postings.collect())
+    )
+    for t in spark.sql("SHOW TABLES IN ftixinc").collect():
+        spark.sql(f"DROP TABLE IF EXISTS ftixinc.{t['tableName']}")
