@@ -249,3 +249,30 @@ def test_exact_dedup_collision_guarded(spark):
         ).collect()
     }
     assert plain == guarded == {(2, 1), (1, 3)}
+
+
+def test_multi_probe_lsh_recall_dial(spark):
+    """multi_probe widens recall monotonically; at |dims| it equals the
+    exact brute force."""
+    import random
+
+    rng = random.Random(21)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [rng.uniform(-1, 1) for _ in range(64)]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+
+    def hits(mp):
+        got = [
+            r["vec_id"]
+            for r in similarity.cosine_topk_lsh(
+                emb, qv, k=10, multi_probe=mp
+            ).collect()
+        ]
+        return len(set(got) & set(exact))
+
+    h0, h2, h8 = hits(0), hits(2), hits(8)
+    assert h0 <= h2 <= h8
+    assert h8 == 10  # all buckets probed == exact
