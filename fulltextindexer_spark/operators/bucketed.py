@@ -131,6 +131,9 @@ def merge_batch_bucketed(
         .sortBy("term")
         .saveAsTable(staging)
     )
+    # the staging table is overwritten every batch — drop any cached
+    # file listing from the previous merge before reading it
+    spark.catalog.refreshTable(staging)
     new_index = InvertedIndex(spark.table(staging), config)
     if version < 0:
         merged = new_index

@@ -144,12 +144,19 @@ def start_incremental_index(
     config: IndexConfig,
     checkpoint_dir: str,
     available_now: bool = True,
+    bucketed_prefix: Optional[str] = None,
 ):
     """Start the streaming query that maintains the index.
 
     With ``available_now=True`` it drains the currently-visible files
     and stops (batch-refresh mode — call ``awaitTermination``);
     otherwise it keeps tailing ``input_dir`` for new parquet files.
+
+    ``bucketed_prefix`` switches the sink to term-bucketed snapshot
+    tables (``operators.bucketed.merge_batch_bucketed``): the merge
+    over the accumulated snapshot plans with ZERO Exchange — the
+    100 TB physical shape — while semantics (snapshot isolation,
+    batch-id idempotence) are identical to the parquet-dir sink.
     """
     os.makedirs(index_dir, exist_ok=True)
     stream = (
@@ -158,10 +165,26 @@ def start_incremental_index(
         .parquet(input_dir)
     )
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        merge_batch(spark, batch_df, index_dir, config, batch_id=batch_id)
+    if bucketed_prefix is not None:
+        from fulltextindexer_spark.operators.bucketed import (
+            merge_batch_bucketed,
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            merge_batch_bucketed(
+                spark, batch_df, bucketed_prefix, config, batch_id=batch_id
+            )
+
+    else:
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            merge_batch(
+                spark, batch_df, index_dir, config, batch_id=batch_id
+            )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

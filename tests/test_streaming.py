@@ -293,3 +293,42 @@ def test_sessionization_cross_batch_late_event_extends_start(spark, tmp_path):
     for k, v in got.items():
         if k[0] == 7:
             assert want[k] == v, k
+
+
+def test_streaming_bucketed_sink_matches_batch_build(spark, tmp_path):
+    """Streaming drain into the bucketed snapshot sink: postings equal
+    a one-shot batch build over all documents."""
+    from fulltextindexer_spark.operators import bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ftixstream "
+        f"LOCATION '{tmp_path}/whs'"
+    )
+    input_dir = str(tmp_path / "bk_in")
+    ckpt = str(tmp_path / "bk_ck")
+    prefix = "ftixstream.idx"
+    spark.createDataFrame(BATCH1, DOCS_DDL).write.mode("append").parquet(
+        input_dir
+    )
+    q = incremental.start_incremental_index(
+        spark, input_dir, str(tmp_path / "unused"), CFG, ckpt,
+        available_now=True, bucketed_prefix=prefix,
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(BATCH2, DOCS_DDL).write.mode("append").parquet(
+        input_dir
+    )
+    q = incremental.start_incremental_index(
+        spark, input_dir, str(tmp_path / "unused"), CFG, ckpt,
+        available_now=True, bucketed_prefix=prefix,
+    )
+    q.awaitTermination(120)
+
+    streamed = bucketed.load_latest_bucketed(spark, prefix)
+    all_docs = with_doc_identity(
+        spark.createDataFrame(BATCH1 + BATCH2, DOCS_DDL)
+    )
+    batch = build_index(all_docs, CFG)
+    assert _postings_snapshot(streamed) == _postings_snapshot(batch)
+    for t in spark.sql("SHOW TABLES IN ftixstream").collect():
+        spark.sql(f"DROP TABLE IF EXISTS ftixstream.{t['tableName']}")
