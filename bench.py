@@ -295,6 +295,7 @@ def quota_probe(procs: int = 32, seconds: float = 1.5) -> float:
 
 
 def run_default() -> dict:
+    probe_before = quota_probe(CPUS)
     spark = _make_session(CPUS)
     try:
         import __spark_entry__ as entrymod
@@ -332,6 +333,7 @@ def run_default() -> dict:
         probe = quota_probe(CPUS)
         return {
             "cpu_quota_fraction": probe,
+            "cpu_quota_fraction_before": probe_before,
             "metric": "e2e_wall_seconds",
             "value": total,
             "unit": "sec",
