@@ -317,7 +317,10 @@ def run_default() -> dict:
             fields=(FieldConfig("content", 1.0),),
             capture_positions=False,
         )
-        _materialize(build_postings(docs.limit(64), cfg))  # warm
+        # warm at full width: a sample keeps the input partitioning, so
+        # every task slot's python worker + the full-width plan compile
+        # before the timed run (limit() would warm a single-task plan)
+        _materialize(build_postings(docs.sample(0.05, seed=7), cfg))
         t0 = time.perf_counter()
         _materialize(build_postings(docs, cfg))
         build_sec = time.perf_counter() - t0
