@@ -56,7 +56,8 @@ def _make_session(cpus: int, app: str = "ftix-bench"):
             "spark.driver.extraJavaOptions",
             f"-XX:ActiveProcessorCount={cpus} "
             f"-XX:ParallelGCThreads={cpus} "
-            f"-XX:ConcGCThreads={max(1, cpus // 4)}",
+            f"-XX:ConcGCThreads={max(1, cpus // 4)} "
+            + os.environ.get("FTIX_EXTRA_JAVA_OPTS", ""),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
