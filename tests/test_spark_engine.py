@@ -452,3 +452,22 @@ def test_entry_combiner_survives_combine_and_save(spark, tmp_path):
     loaded = InvertedIndex.load(spark, path)
     assert loaded.config.entry_combiner == "max"
     assert loaded.config.token_weight_overrides == ()
+
+
+def test_precise_segments_use_precise_index(spark):
+    """Ported QueryTranslatorTests.cs:14-40: a quoted (Precise) segment
+    must be evaluated against the PRECISE index — if the standard index
+    were used, doc 1 would also match."""
+    std = build_index(
+        _docs_df(spark, [{"id": 1, "title": "", "content": "test0"}]),
+        POSTS_CONFIG,
+    )
+    precise = build_index(
+        _docs_df(spark, [{"id": 2, "title": "", "content": "test0"}]),
+        PRECISE_POSTS_CONFIG,
+    )
+    querier = SparkQuerier(std, precise)
+    rows = querier.get_matches('"test0"').collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in rows] == [
+        (2, np.float32(1.0))
+    ]
