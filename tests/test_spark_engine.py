@@ -471,3 +471,29 @@ def test_precise_segments_use_precise_index(spark):
     assert [(r["doc_id"], np.float32(r["score"])) for r in rows] == [
         (2, np.float32(1.0))
     ]
+
+
+def test_phrase_runs_do_not_span_sections(spark):
+    """A consecutive run requires same field index: adjacent tokens in
+    SEPARATE array sections (tags 'hash', 'join') must not form the
+    phrase, while the same words inside one section must."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("tags", 1.0),),
+        capture_positions=True,
+    )
+    df = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["hash join"]), (3, ["join hash"])],
+        "id long, tags array<string>",
+    )
+    idx = build_index(df, cfg)
+    rows = q.get_consecutive_matches(idx, "hash join").collect()
+    assert [(r["doc_id"]) for r in rows] == [2]
+    # oracle agrees
+    oidx = oracle.generate_index(
+        [{"id": 1, "tags": ["hash", "join"]},
+         {"id": 2, "tags": ["hash join"]},
+         {"id": 3, "tags": ["join hash"]}],
+        cfg,
+    )
+    assert [e.key for e in oracle.get_consecutive_matches(oidx, "hash join")] == [2]
