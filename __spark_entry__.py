@@ -1303,8 +1303,9 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok <> ''
        GROUP BY doc_id, tok),
 tt AS (SELECT doc_id, round(max(tf) * 1.0 / sum(tf), 4) AS top_token_ratio
        FROM tf GROUP BY doc_id)
-SELECT gs.doc_id, gs.dup_kgram_ratio, tt.top_token_ratio
-FROM gs JOIN tt USING (doc_id)
+SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
+       tt.top_token_ratio
+FROM tt LEFT JOIN gs USING (doc_id)
 """,
         "text_patterns": r"""
 SELECT doc_id,

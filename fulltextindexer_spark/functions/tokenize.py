@@ -405,6 +405,10 @@ def expand_substrings(
         t[i : i + n]
         for t, i, n in zip(tok[parent_idx], off_rep, sub_lens)
     ]
-    # (offset, length) enumeration order; lengths are < 2^12 by config
-    out["variant_rank"] = ((off_rep << 12) + sub_lens).astype(np.int32)
+    # (offset, length) enumeration order; lengths are < 2^12 by config.
+    # int64: an int32 pack would wrap negative for offsets ≥ 2^19
+    # (pathological mega-tokens) and corrupt the combine fold order
+    out["variant_rank"] = (
+        (off_rep.astype(np.int64) << 12) + sub_lens
+    )
     return out

@@ -460,10 +460,17 @@ def bm25_scores(
     if not terms:
         return _empty(index)
     if stats is None:
-        cache = getattr(index, "_bm25_stats_cache", None)
-        if cache:
-            stats = next(iter(cache.values()))
-    if stats is not None and (stats.k1 != k1 or stats.b != b):
+        cache = getattr(index, "_bm25_stats_cache", None) or {}
+        # exact (k1, b) lookup — any n_blocks works for the idf table
+        stats = next(
+            (
+                s
+                for (kk, bb, _), s in cache.items()
+                if kk == k1 and bb == b
+            ),
+            None,
+        )
+    elif stats.k1 != k1 or stats.b != b:
         stats = None
     n_docs, avgdl = (
         (stats.n_docs, stats.avgdl)

@@ -772,6 +772,11 @@ def build_term_dictionary(postings: DataFrame) -> DataFrame:
     """
     import pyarrow as pa
 
+    # persisted so the count pass and the assign pass share one
+    # distinct+sort; intentionally not unpersisted here — the returned
+    # DataFrame still reads from it, and the MEMORY_AND_DISK default is
+    # LRU-evictable. Long-lived sessions doing many dictionary builds
+    # should unpersist via spark.catalog.clearCache() between batches.
     terms = (
         postings.select("term")
         .distinct()

@@ -182,7 +182,11 @@ def decode_media(data: bytes, kind: str) -> tuple[np.ndarray, str]:
         if data[:8] == _PNG_MAGIC:
             try:
                 return _decode_png_stdlib(data), "png-stdlib"
-            except ValueError:
+            except Exception:
+                # corrupt/truncated PNGs raise struct.error / zlib.error
+                # / IndexError, not just ValueError — every decode
+                # failure must land on the fake fallback, never crash
+                # the Spark task
                 pass
     elif kind == "audio" and data[:4] == _RIFF_MAGIC:
         try:
@@ -218,6 +222,11 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 if kind not in SUPPORTED_KINDS:
                     raise NotImplementedError(f"unsupported media kind {kind}")
                 buf = _decode_payload(bytes(data), kind).ravel()
+                if buf.size < dim:
+                    # tiny real media (e.g. a 2x2 image) can decode to
+                    # fewer samples than the feature width — zero-pad
+                    # so pooling never reduces an empty axis to NaN
+                    buf = np.pad(buf, (0, dim - buf.size))
                 pooled = (
                     buf[: (len(buf) // dim) * dim]
                     .reshape(-1, dim)

@@ -321,22 +321,22 @@ def get_consecutive_matches_with_locations(
         )
     n = len(tokens)
     if n == 1:
-        # every occurrence is a run of one: location = the occurrence
-        # itself, run weight = its contribution × 2^0
-        matched = get_matches(index, source)
-        return _finish_runs(
-            matched.select(
-                "doc_id", F.explode("positions").alias("pos")
-            ).select(
-                "doc_id",
-                F.col("pos.field_idx").alias("field_idx"),
-                F.col("pos.token_idx").alias("anchor_tok"),
-                F.col("pos.src_idx").alias("src_idx"),
-                (F.col("pos.src_idx") + F.col("pos.src_len")).alias("end_idx"),
-                F.col("pos.contribution").alias("run_w"),
+        # the reference short-circuits one-token phrases to GetMatches
+        # (ConsecutiveMatches.cs:49-51): score = the combined entry
+        # weight (NOT a per-occurrence re-sum — they differ under the
+        # max/mean entry combiners), locations = the stored positions
+        result = get_matches(index, source).select(
+            "doc_id",
+            F.col("weight").alias("score"),
+            F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
+                "locations"
             ),
-            k,
         )
+        if k is not None:
+            result = result.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(k)
+        return result
 
     rows = [
         (normalise_scalar(tok, index.config.normaliser), idx)
@@ -364,12 +364,6 @@ def get_consecutive_matches_with_locations(
         F.col("w").alias("w0"),
     )
     for i in range(1, n):
-        keep = [
-            F.col("doc_id"),
-            F.col("field_idx"),
-            F.col("anchor_tok"),
-            F.col("start_idx"),
-        ]
         ui = units.where(F.col("term_idx") == i).select(
             F.col("doc_id").alias(f"d{i}"),
             F.col("field_idx").alias(f"f{i}"),
@@ -493,9 +487,22 @@ def get_consecutive_matches_grouped(
     from typing import Iterator
 
     def find_runs(batches: "Iterator[pd.DataFrame]"):
-        for pdf in batches:
-            if not len(pdf):
-                continue
+        # a partition arrives as MULTIPLE Arrow batches (split at
+        # maxRecordsPerBatch) and a doc's unit rows can straddle them —
+        # runs found per batch would miss cross-batch runs and emit
+        # duplicate per-doc rows. Concatenate the partition first: docs
+        # are hash-partitioned here, so the concatenated frame holds
+        # every row of every doc it sees (memory = one partition's
+        # matched units, bounded by the repartition width).
+        all_parts = [pdf for pdf in batches if len(pdf)]
+        if not all_parts:
+            return
+        whole = (
+            all_parts[0]
+            if len(all_parts) == 1
+            else pd.concat(all_parts, ignore_index=True)
+        )
+        for pdf in (whole,):
             by_term = [
                 pdf[pdf["term_idx"] == i][
                     ["doc_id", "field_idx", "token_idx", "w"]

@@ -197,7 +197,16 @@ def repetition_stats(
     top = tf.groupBy("doc_id").agg(
         F.round(F.max("tf") / F.sum("tf"), 4).alias("top_token_ratio")
     )
-    return gram_stats.join(top, "doc_id")
+    # docs shorter than k tokens have no k-grams at all — they must
+    # still appear (with dup ratio 0.0), or a curation join silently
+    # drops exactly the short/degenerate docs this filter targets
+    return top.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("dup_kgram_ratio"), F.lit(0.0)).alias(
+            "dup_kgram_ratio"
+        ),
+        "top_token_ratio",
+    )
 
 
 def pattern_stats(

@@ -497,3 +497,40 @@ def test_phrase_runs_do_not_span_sections(spark):
         cfg,
     )
     assert [e.key for e in oracle.get_consecutive_matches(oidx, "hash join")] == [2]
+
+
+def test_grouped_phrase_survives_arrow_batch_splits(spark):
+    """The grouped phrase kernel must see a doc's whole unit set even
+    when the partition arrives as many small Arrow batches (runs that
+    straddle batch boundaries were silently lost before)."""
+    words = []
+    for i in range(400):
+        words.extend(["hash", "join", f"w{i}"])
+    docs = [{"id": 1, "title": "", "content": " ".join(words)},
+            {"id": 2, "title": "", "content": "hash join"}]
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("content", 1.0),),
+        capture_positions=True,
+    )
+    idx = build_index(_docs_df(spark, docs), cfg)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        got = {
+            r["doc_id"]: np.float32(r["score"])
+            for r in q.get_consecutive_matches_grouped(
+                idx, "hash join"
+            ).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    want = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in q.get_consecutive_matches(idx, "hash join").collect()
+    }
+    assert got == want
+    assert got[1] == np.float32(1600.0)  # 400 runs × (1+1) × 2^1
