@@ -471,7 +471,12 @@ def bm25_scores(
             None,
         )
     elif stats.k1 != k1 or stats.b != b:
-        stats = None
+        # same contract as bm25_topk_wand — an explicitly passed stats
+        # object must match; silently falling back to a per-query df
+        # scan would hide a large cost regression
+        raise ValueError(
+            "Bm25Stats parameters do not match the query parameters"
+        )
     n_docs, avgdl = (
         (stats.n_docs, stats.avgdl)
         if stats is not None
@@ -644,7 +649,13 @@ def _wand_two_pass(
         "block", _block_col(stats.n_blocks)
     )
     contrib = _contribution_col(stats.avgdl, stats.k1, stats.b)
-    scored = matched.select("doc_id", "block", contrib.alias("c"))
+    # probe pass and prune pass both read this (small, query-matched)
+    # intermediate — cache it so the postings join runs once. Not
+    # unpersisted here (the returned lazy pass-2 frame still reads it);
+    # MEMORY_AND_DISK is LRU-evictable and the set is tiny per query.
+    scored = matched.select(
+        "doc_id", "block", contrib.alias("c")
+    ).persist()
 
     probe = [r["block"] for r in ub_rows[:probe_blocks]]
     pass1 = (

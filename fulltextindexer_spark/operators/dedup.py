@@ -237,7 +237,12 @@ def lsh_verified_jaccard_pairs(
     sizes, and the verification join all reuse it; without this the
     pipeline would tokenise the corpus three times (at 100 TB, three
     full scans for one query). Storage is MEMORY_AND_DISK, so an
-    executor under memory pressure spills rather than recomputes.
+    executor under memory pressure spills rather than recomputes. The
+    persist is deliberately not released here (the returned lazy frame
+    still reads it and the level is LRU-evictable); sessions running
+    many dedup sweeps should `spark.catalog.clearCache()` between
+    corpora, or pass their own managed frame via ``shingles=`` to the
+    underlying operators.
     """
     sh = word_shingles(docs, k, text_col, id_col).persist()
     cand = minhash_band_pairs(

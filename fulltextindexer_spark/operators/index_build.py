@@ -189,7 +189,9 @@ def _batch_postings(
             ).to_numpy()
             codes, uniq_terms = pd.factorize(terms)
             tok_mult = toks["tok_mult"].to_numpy(np.float32)
-            variant_rank = toks["variant_rank"].to_numpy(np.int32)
+            # int64: substring-mode ranks pack (offset << 12) + length
+            # and must not wrap (see expand_substrings)
+            variant_rank = toks["variant_rank"].to_numpy(np.int64)
         else:
             # hot path: all per-token work stays in integer code space;
             # only *distinct* tokens are normalised (and only distinct

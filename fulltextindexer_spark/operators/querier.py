@@ -48,6 +48,8 @@ class SparkQuerier:
         self.precise = precise
         self._std_cache: dict[str, DataFrame] = {}
         self._precise_cache: dict[str, DataFrame] = {}
+        self._std_loc_cache: dict[str, DataFrame] = {}
+        self._precise_loc_cache: dict[str, DataFrame] = {}
 
     def get_matches(
         self, search_term: str, k: Optional[int] = None
@@ -178,16 +180,25 @@ class SparkQuerier:
         return result
 
     def _std_loc(self, value: str) -> DataFrame:
-        return get_matches(self.standard, value).select(
-            "doc_id",
-            F.col("weight").alias("score"),
-            F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
-                "locations"
-            ),
-        )
+        # per-query leaf dedup, mirroring _std (CachingResultMatcher)
+        if value not in self._std_loc_cache:
+            self._std_loc_cache[value] = get_matches(
+                self.standard, value
+            ).select(
+                "doc_id",
+                F.col("weight").alias("score"),
+                F.col("positions").cast(RESULT_LOCATION_STRUCT).alias(
+                    "locations"
+                ),
+            )
+        return self._std_loc_cache[value]
 
     def _prec_loc(self, value: str) -> DataFrame:
-        return get_consecutive_matches_with_locations(self.precise, value)
+        if value not in self._precise_loc_cache:
+            self._precise_loc_cache[value] = (
+                get_consecutive_matches_with_locations(self.precise, value)
+            )
+        return self._precise_loc_cache[value]
 
     def _reduce_loc(self, segments: list[ast.QuerySegment]) -> DataFrame:
         inclusive: list[DataFrame] = []  # each: (doc_id, score, locations)

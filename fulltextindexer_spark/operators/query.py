@@ -153,10 +153,16 @@ def get_partial_matches_with_locations(
         )
     qdf = spark.createDataFrame(rows, "term string, qti int")
     matched = index.postings.join(F.broadcast(qdf), "term")
+    # tag each stored location with (query token, its ORDINAL in the
+    # posting's list): sorting on (qti, ordinal) reproduces the
+    # reference's concat order exactly — a positional sort on location
+    # fields would break ties (same term from a token and its expansion
+    # variant at one position) by contribution instead of stored order
     tagged = F.transform(
         "positions",
-        lambda p: F.struct(
+        lambda p, i: F.struct(
             F.col("qti").alias("qti"),
+            i.alias("ord"),
             p["field_idx"].alias("field_idx"),
             p["token_idx"].alias("token_idx"),
             p["src_idx"].alias("src_idx"),

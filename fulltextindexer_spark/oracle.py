@@ -99,6 +99,11 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
     """
     # token → key → list of per-occurrence entries, in scan order
     index_content: dict[str, dict[int, list[Entry]]] = {}
+    # pure function of the config — hoisted out of the per-section loop
+    overrides = {
+        normalise_scalar(k, config.normaliser): v
+        for k, v in config.token_weight_overrides
+    }
     for doc in docs:
         key = doc[config.key_column]
         source_field_idx = 0
@@ -115,7 +120,8 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
                 source_field_idx += 1
                 tokens = break_tokens(content, config.break_chars)
                 _index_section(
-                    index_content, config, key, fld, field_idx, tokens
+                    index_content, config, key, fld, field_idx, tokens,
+                    overrides,
                 )
             if field_pos == 0 and source_field_idx == 0:
                 source_field_idx = 1  # first-retriever reservation
@@ -151,7 +157,7 @@ def generate_index(docs: Sequence[dict], config: IndexConfig) -> OracleIndex:
 
 
 def _index_section(
-    index_content, config, key, fld, field_idx, tokens
+    index_content, config, key, fld, field_idx, tokens, overrides
 ) -> None:
     """Token stream of one content section → per-occurrence entries."""
     if config.prefix_expansion is not None:
@@ -189,10 +195,6 @@ def _index_section(
             (tok, tidx, sidx, slen, F32(1.0))
             for tok, tidx, sidx, slen in tokens
         ]
-    overrides = {
-        normalise_scalar(k, config.normaliser): v
-        for k, v in config.token_weight_overrides
-    }
     for tok, tidx, sidx, slen, tok_mult in token_stream:
         norm = normalise_scalar(tok, config.normaliser)
         if norm == "":

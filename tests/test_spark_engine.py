@@ -534,3 +534,39 @@ def test_grouped_phrase_survives_arrow_batch_splits(spark):
     }
     assert got == want
     assert got[1] == np.float32(1600.0)  # 400 runs × (1+1) × 2^1
+
+
+def test_locations_order_with_expansion_variants(spark):
+    """Location payloads on an EXPANDED positional index: a token and
+    its expansion variant share identical position fields, so ordering
+    must come from the stored parent-first order (reference concat),
+    not from comparing contributions."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("content", 1.0),),
+        capture_positions=True,
+        prefix_expansion=PrefixExpansionConfig(3, 8, 0.25),
+    )
+    docs = [{"id": 1, "content": "categories catalog"}]
+    idx = build_index(_docs_df(spark, docs, "id long, content string"), cfg)
+    oidx = oracle.generate_index(docs, cfg)
+    for term in ["cat", "catalog", "categ"]:
+        got = [
+            [
+                (l["field_idx"], l["token_idx"], l["src_idx"], l["src_len"],
+                 np.float32(l["contribution"]))
+                for l in r["locations"]
+            ]
+            for r in q.get_partial_matches_with_locations(
+                idx, term
+            ).collect()
+        ]
+        want = [
+            [
+                (l.field_idx, l.token_idx, l.src_idx, l.src_len,
+                 np.float32(l.contribution))
+                for l in e.locations
+            ]
+            for e in oracle.get_partial_matches(oidx, term)
+        ]
+        assert got == want, term
