@@ -538,9 +538,15 @@ class InvertedIndex:
         return InvertedIndex(merged, self.config)
 
     def remove_keys(self, keys: DataFrame) -> "InvertedIndex":
-        """Drop all postings for the given doc keys (column ``doc_id``)."""
+        """Drop all postings for the given doc keys (column ``doc_id``).
+
+        No broadcast hint: a removal set can be a large fraction of the
+        corpus (retention sweeps at scale remove millions of docs); AQE
+        broadcasts small sets at runtime and falls back to a shuffled
+        anti join for big ones.
+        """
         remaining = self.postings.join(
-            F.broadcast(keys.select("doc_id").distinct()),
+            keys.select("doc_id").distinct(),
             on="doc_id",
             how="left_anti",
         )

@@ -123,15 +123,21 @@ class SparkQuerier:
         for df in tagged[1:]:
             unioned = unioned.unionByName(df)
 
-        # exclusions: left_anti (QueryTranslator.cs:176)
+        # exclusions: left_anti (QueryTranslator.cs:176). Deliberately NO
+        # broadcast hint: an excluded segment can match O(corpus) docs
+        # (e.g. `-the` — stop words are down-weighted, never dropped,
+        # Constants.cs:8-22), and a forced broadcast of that key set
+        # OOMs the driver at scale. AQE picks broadcast at runtime when
+        # the set is actually small (plan pinned in tests/test_plans.py).
         for ex in exclusion_sets:
-            unioned = unioned.join(F.broadcast(ex), "doc_id", "left_anti")
+            unioned = unioned.join(ex, "doc_id", "left_anti")
         # compulsory: intersect key sets then left_semi (:132-142, :177-178)
+        # — same reasoning: a compulsory `+the` key set is O(corpus)
         if compulsory_sets:
             keys = compulsory_sets[0]
             for s in compulsory_sets[1:]:
                 keys = keys.join(s, "doc_id", "inner")
-            unioned = unioned.join(F.broadcast(keys), "doc_id", "left_semi")
+            unioned = unioned.join(keys, "doc_id", "left_semi")
 
         agg = unioned.groupBy("doc_id").agg(
             F.sort_array(F.collect_list(F.struct("ord", "score"))).alias("lst")
@@ -240,13 +246,15 @@ class SparkQuerier:
         unioned = tagged[0]
         for df in tagged[1:]:
             unioned = unioned.unionByName(df)
+        # no broadcast hints on the key sets (see _reduce: they can be
+        # O(corpus); AQE broadcasts small ones at runtime)
         for ex in exclusion_sets:
-            unioned = unioned.join(F.broadcast(ex), "doc_id", "left_anti")
+            unioned = unioned.join(ex, "doc_id", "left_anti")
         if compulsory_sets:
             keys = compulsory_sets[0]
             for s in compulsory_sets[1:]:
                 keys = keys.join(s, "doc_id", "inner")
-            unioned = unioned.join(F.broadcast(keys), "doc_id", "left_semi")
+            unioned = unioned.join(keys, "doc_id", "left_semi")
 
         # per-doc fold in segment order; ord is unique per element so
         # the struct sort never compares past the first field

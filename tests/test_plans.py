@@ -187,3 +187,46 @@ def test_bucketed_incremental_merge(spark, tmp_path):
     )
     for t in spark.sql("SHOW TABLES IN ftixinc").collect():
         spark.sql(f"DROP TABLE IF EXISTS ftixinc.{t['tableName']}")
+
+
+def test_querier_key_sets_are_not_force_broadcast(spark, docs_df):
+    """The compulsory/exclusion doc-id key sets must NOT carry a forced
+    broadcast hint: an excluded segment like `-the` matches O(corpus)
+    docs (stop words are down-weighted, never dropped, reference
+    Constants.cs:8-22), and a forced broadcast of that set OOMs at
+    scale. With broadcasting disabled the semi/anti joins must plan as
+    non-broadcast joins (proving no hint overrides the threshold); with
+    default thresholds the small sets still broadcast at runtime (AQE
+    or static stats) — scale-safety without losing the fast path."""
+    from fulltextindexer_spark.operators.querier import SparkQuerier
+
+    cfg_pos = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    idx = build_index(docs_df, cfg_pos)
+    idx.postings.persist().count()
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+            res = SparkQuerier(idx, idx).get_matches("+hash -the")
+            assert res.count() == 0  # every doc contains "the"
+            plan = _plan(res)
+            assert "BroadcastHashJoin" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+        # default thresholds: the tiny key sets DO broadcast at runtime
+        res2 = SparkQuerier(idx, idx).get_matches("+hash -doc3")
+        res2.collect()
+        plan2 = _plan(res2)
+        assert "BroadcastHashJoin" in plan2, plan2
+    finally:
+        idx.postings.unpersist()
