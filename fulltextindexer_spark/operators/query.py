@@ -193,10 +193,48 @@ def get_partial_matches_with_locations(
     return result
 
 
+# "auto" strategy: the partition-grouped single-shuffle kernel from
+# this many query terms up; shorter phrases use the join chain (two
+# broadcast joins + one agg — cheaper than a Python kernel round-trip
+# for n=2, measured in BENCH.md §6). At n terms the chain is n−1
+# shuffling joins, the grouped kernel is always exactly one shuffle.
+GROUPED_DISPATCH_MIN_TERMS = 3
+
+
 def get_consecutive_matches(
+    index: InvertedIndex,
+    source: str,
+    k: Optional[int] = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Positional phrase matching. Returns (doc_id, score).
+
+    ``strategy``: ``"auto"`` (default — join chain for short phrases,
+    the single-shuffle grouped kernel from
+    :data:`GROUPED_DISPATCH_MIN_TERMS` terms up), ``"chain"``, or
+    ``"grouped"``. All strategies are result-identical (equality is
+    test-pinned); they differ only in physical shape.
+    """
+    n = len(break_tokens(source, index.config.break_chars))
+    if _use_grouped(strategy, n):
+        return get_consecutive_matches_grouped(index, source, k)
+    return get_consecutive_matches_chain(index, source, k)
+
+
+def _use_grouped(strategy: str, n_terms: int) -> bool:
+    if strategy not in ("auto", "chain", "grouped"):
+        raise ValueError(f"unknown phrase strategy: {strategy!r}")
+    if n_terms <= 1:
+        return False  # single term short-circuits to GetMatches
+    if strategy == "auto":
+        return n_terms >= GROUPED_DISPATCH_MIN_TERMS
+    return strategy == "grouped"
+
+
+def get_consecutive_matches_chain(
     index: InvertedIndex, source: str, k: Optional[int] = None
 ) -> DataFrame:
-    """Positional phrase matching. Returns (doc_id, score)."""
+    """Join-chain phrase matching (n−1 equi-joins)."""
     if not index.config.capture_positions:
         raise ValueError(
             "index must record source locations for consecutive matching"
@@ -296,6 +334,23 @@ def get_consecutive_matches(
 
 
 def get_consecutive_matches_with_locations(
+    index: InvertedIndex,
+    source: str,
+    k: Optional[int] = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Phrase matching with synthesized run locations — dispatcher over
+    the chain and grouped physical strategies (see
+    :func:`get_consecutive_matches`)."""
+    n = len(break_tokens(source, index.config.break_chars))
+    if _use_grouped(strategy, n):
+        return get_consecutive_matches_grouped_with_locations(
+            index, source, k
+        )
+    return get_consecutive_matches_chain_with_locations(index, source, k)
+
+
+def get_consecutive_matches_chain_with_locations(
     index: InvertedIndex, source: str, k: Optional[int] = None
 ) -> DataFrame:
     """Phrase matching that also returns synthesized run locations.
@@ -464,11 +519,34 @@ def get_consecutive_matches_grouped(
         raise ValueError(
             "index must record source locations for consecutive matching"
         )
-    spark = index.postings.sparkSession
     tokens = break_tokens(source, index.config.break_chars)
     if len(tokens) <= 1 or not tokens:
-        return get_consecutive_matches(index, source, k)
+        return get_consecutive_matches_chain(index, source, k)
+    units, n = _grouped_units(index, tokens)
 
+    import pandas as pd
+
+    from typing import Iterator
+
+    def find_runs(batches: "Iterator[pd.DataFrame]"):
+        for run, n_, order, starts, docs, scores in _partition_runs(
+            batches, n
+        ):
+            yield pd.DataFrame({"doc_id": docs, "score": scores})
+
+    n_parts = units.sparkSession.sparkContext.defaultParallelism
+    result = units.repartition(n_parts, "doc_id").mapInPandas(
+        find_runs, schema="doc_id long, score float"
+    )
+    if k is not None:
+        result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
+def _grouped_units(index: InvertedIndex, tokens) -> tuple[DataFrame, int]:
+    """Matched position units for the grouped phrase kernels:
+    (doc_id, term_idx, field_idx, token_idx, src_idx, src_len, w)."""
+    spark = index.postings.sparkSession
     n = len(tokens)
     rows = [
         (normalise_scalar(tok, index.config.normaliser), idx)
@@ -483,85 +561,160 @@ def get_consecutive_matches_grouped(
             "term_idx",
             F.col("pos.field_idx").alias("field_idx"),
             F.col("pos.token_idx").alias("token_idx"),
+            F.col("pos.src_idx").alias("src_idx"),
+            F.col("pos.src_len").alias("src_len"),
             F.col("pos.contribution").alias("w"),
         )
     )
+    return units, n
+
+
+def _partition_runs(batches, n):
+    """Shared grouped-kernel core: merge the partition's matched units
+    into runs and fold per-doc scores.
+
+    Yields (run frame incl. per-run ``run_w``/``anchor``/``src_idx``/
+    ``end_idx`` already in (doc, field, anchor) order, n, order, group
+    starts, per-group doc ids, per-group f32 scores) — at most once
+    (single concatenated partition).
+
+    A partition arrives as MULTIPLE Arrow batches (split at
+    maxRecordsPerBatch) and a doc's unit rows can straddle them — runs
+    found per batch would miss cross-batch runs and emit duplicate
+    per-doc rows. Concatenate the partition first: docs are
+    hash-partitioned here, so the concatenated frame holds every row of
+    every doc it sees (memory = one partition's matched units, bounded
+    by the repartition width).
+    """
+    import numpy as np
+    import pandas as pd
+
+    all_parts = [pdf for pdf in batches if len(pdf)]
+    if not all_parts:
+        return
+    run = (
+        all_parts[0]
+        if len(all_parts) == 1
+        else pd.concat(all_parts, ignore_index=True)
+    )
+    by_term = [
+        run[run["term_idx"] == i][
+            ["doc_id", "field_idx", "token_idx", "src_idx", "src_len", "w"]
+        ]
+        for i in range(n)
+    ]
+    run = by_term[0].rename(columns={"token_idx": "anchor", "w": "w0"}).drop(
+        columns=["src_len"]
+    )
+    for i in range(1, n):
+        keep = ["doc_id", "field_idx", "token_idx", "w"]
+        if i == n - 1:
+            keep += ["src_idx", "src_len"]
+        ti = by_term[i][keep].rename(
+            columns={
+                "w": f"w{i}",
+                "src_idx": "last_idx",
+                "src_len": "last_len",
+            }
+        )
+        ti = ti.assign(anchor=ti["token_idx"] - i).drop(columns=["token_idx"])
+        run = run.merge(ti, on=["doc_id", "field_idx", "anchor"], how="inner")
+        if not len(run):
+            return
+    if n == 1:  # pragma: no cover — dispatcher short-circuits n<=1
+        run = run.rename(columns={"src_len": "last_len"})
+        run["last_idx"] = run["src_idx"]
+    if not len(run):
+        return
+    # run weight = f32(double sum of the n contributions) × 2^(n−1)
+    # (DefaultConsecutiveRunsWeightCombiner, ConsecutiveMatches.cs:163-169)
+    wsum = np.zeros(len(run), dtype=np.float64)
+    for i in range(n):
+        wsum += run[f"w{i}" if i else "w0"].to_numpy(np.float64)
+    run_w = (wsum.astype(np.float32) * np.float32(2 ** (n - 1))).astype(
+        np.float32
+    )
+    # run-enumeration order (field, anchor) — identical to the
+    # join-chain's sorted fold (DefaultFinalMatchWeightCombiner)
+    order = np.lexsort(
+        (
+            run["anchor"].to_numpy(),
+            run["field_idx"].to_numpy(),
+            run["doc_id"].to_numpy(),
+        )
+    )
+    run = run.take(order).reset_index(drop=True)
+    run["run_w"] = run_w[order]
+    docs_all = run["doc_id"].to_numpy()
+    change = np.empty(len(docs_all), dtype=bool)
+    change[0] = True
+    change[1:] = docs_all[1:] != docs_all[:-1]
+    starts = np.flatnonzero(change)
+    scores = np.add.reduceat(
+        run["run_w"].to_numpy(np.float64), starts
+    ).astype(np.float32)
+    yield run, n, order, starts, docs_all[starts], scores
+
+
+def get_consecutive_matches_grouped_with_locations(
+    index: InvertedIndex, source: str, k: Optional[int] = None
+) -> DataFrame:
+    """Single-shuffle grouped phrase matching that also synthesizes the
+    run-spanning locations (IndexData_Extensions_ConsecutiveMatches.cs:99-122)
+    — result-identical to the join-chain locations variant (pinned)."""
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for consecutive matching"
+        )
+    tokens = break_tokens(source, index.config.break_chars)
+    if len(tokens) <= 1 or not tokens:
+        return get_consecutive_matches_chain_with_locations(
+            index, source, k
+        )
+    units, n = _grouped_units(index, tokens)
 
     import numpy as np
     import pandas as pd
 
     from typing import Iterator
 
-    def find_runs(batches: "Iterator[pd.DataFrame]"):
-        # a partition arrives as MULTIPLE Arrow batches (split at
-        # maxRecordsPerBatch) and a doc's unit rows can straddle them —
-        # runs found per batch would miss cross-batch runs and emit
-        # duplicate per-doc rows. Concatenate the partition first: docs
-        # are hash-partitioned here, so the concatenated frame holds
-        # every row of every doc it sees (memory = one partition's
-        # matched units, bounded by the repartition width).
-        all_parts = [pdf for pdf in batches if len(pdf)]
-        if not all_parts:
-            return
-        whole = (
-            all_parts[0]
-            if len(all_parts) == 1
-            else pd.concat(all_parts, ignore_index=True)
-        )
-        for pdf in (whole,):
-            by_term = [
-                pdf[pdf["term_idx"] == i][
-                    ["doc_id", "field_idx", "token_idx", "w"]
+    def find_runs_loc(batches: "Iterator[pd.DataFrame]"):
+        for run, n_, order, starts, docs, scores in _partition_runs(
+            batches, n
+        ):
+            # one synthesized location per run, already in enumeration
+            # order: span = first token's start .. last token's end
+            f_arr = run["field_idx"].to_numpy()
+            a_arr = run["anchor"].to_numpy()
+            s_arr = run["src_idx"].to_numpy()
+            e_arr = (
+                run["last_idx"].to_numpy() + run["last_len"].to_numpy()
+            )
+            w_arr = run["run_w"].to_numpy(np.float32)
+            bounds = np.append(starts, len(run))
+            loc_lists = [
+                [
+                    {
+                        "field_idx": int(f_arr[j]),
+                        "token_idx": int(a_arr[j]),
+                        "src_idx": int(s_arr[j]),
+                        "src_len": int(e_arr[j] - s_arr[j]),
+                        "contribution": float(w_arr[j]),
+                    }
+                    for j in range(bounds[g], bounds[g + 1])
                 ]
-                for i in range(n)
+                for g in range(len(starts))
             ]
-            run = by_term[0].rename(
-                columns={"token_idx": "anchor", "w": "w0"}
-            )
-            for i in range(1, n):
-                ti = by_term[i].rename(columns={"w": f"w{i}"})
-                ti = ti.assign(anchor=ti["token_idx"] - i).drop(
-                    columns=["token_idx"]
-                )
-                run = run.merge(
-                    ti, on=["doc_id", "field_idx", "anchor"], how="inner"
-                )
-                if not len(run):
-                    break
-            if not len(run):
-                continue
-            # run weight = f32(double sum of the n contributions) × 2^(n−1)
-            wsum = np.zeros(len(run), dtype=np.float64)
-            for i in range(n):
-                wsum += run[f"w{i}" if i else "w0"].to_numpy(np.float64)
-            run_w = (wsum.astype(np.float32) * np.float32(2 ** (n - 1))).astype(
-                np.float32
-            )
-            # per-doc fold in run-enumeration order (field, anchor) —
-            # identical to the join-chain's sorted fold
-            order = np.lexsort(
-                (
-                    run["anchor"].to_numpy(),
-                    run["field_idx"].to_numpy(),
-                    run["doc_id"].to_numpy(),
-                )
-            )
-            docs = run["doc_id"].to_numpy()[order]
-            run_w = run_w[order]
-            change = np.empty(len(docs), dtype=bool)
-            change[0] = True
-            change[1:] = docs[1:] != docs[:-1]
-            starts = np.flatnonzero(change)
-            scores = np.add.reduceat(
-                run_w.astype(np.float64), starts
-            ).astype(np.float32)
             yield pd.DataFrame(
-                {"doc_id": docs[starts], "score": scores}
+                {"doc_id": docs, "score": scores, "locations": loc_lists}
             )
 
     n_parts = units.sparkSession.sparkContext.defaultParallelism
     result = units.repartition(n_parts, "doc_id").mapInPandas(
-        find_runs, schema="doc_id long, score float"
+        find_runs_loc,
+        schema=(
+            "doc_id long, score float, locations " + RESULT_LOCATION_STRUCT
+        ),
     )
     if k is not None:
         result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

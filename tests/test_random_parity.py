@@ -240,12 +240,14 @@ def test_topk_rank_identity(spark_index, oracle_index):
 
 
 def test_grouped_phrase_equals_join_chain(spark_index):
-    """The single-shuffle applyInPandas phrase matcher must be
+    """The single-shuffle mapInPandas phrase matcher must be
     row-identical (float32) to the join-chain implementation."""
     for query in ("cat dog", "sort merge hash", "the index", "dog dogs"):
         a = sorted(
             (r["doc_id"], np.float32(r["score"]))
-            for r in q.get_consecutive_matches(spark_index, query).collect()
+            for r in q.get_consecutive_matches_chain(
+                spark_index, query
+            ).collect()
         )
         b = sorted(
             (r["doc_id"], np.float32(r["score"]))
@@ -254,3 +256,37 @@ def test_grouped_phrase_equals_join_chain(spark_index):
             ).collect()
         )
         assert a == b, f"query={query!r}"
+
+
+def test_grouped_phrase_locations_equal_join_chain(spark_index):
+    """The grouped kernel's synthesized run locations must be
+    element-identical to the join-chain's (same spans, same
+    enumeration order, same f32 contributions) — the payload the
+    structured querier consumes when it dispatches to grouped."""
+    for query in ("cat dog", "sort merge hash", "the index", "dog dogs"):
+        a = {
+            r["doc_id"]: (np.float32(r["score"]), _loc_tuples(r["locations"]))
+            for r in q.get_consecutive_matches_chain_with_locations(
+                spark_index, query
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (np.float32(r["score"]), _loc_tuples(r["locations"]))
+            for r in q.get_consecutive_matches_grouped_with_locations(
+                spark_index, query
+            ).collect()
+        }
+        assert a == b, f"query={query!r}"
+
+
+def test_phrase_dispatch_strategy(spark_index):
+    """`auto` uses the chain below GROUPED_DISPATCH_MIN_TERMS and the
+    grouped kernel at/above it (physical shape visible in the plan:
+    the grouped path runs a MapInPandas/ArrowEvalPython stage)."""
+    short = q.get_consecutive_matches(spark_index, "cat dog")
+    longer = q.get_consecutive_matches(spark_index, "sort merge hash")
+    assert q.GROUPED_DISPATCH_MIN_TERMS == 3
+    short_plan = short._jdf.queryExecution().executedPlan().toString()
+    long_plan = longer._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in short_plan
+    assert "MapInPandas" in long_plan
