@@ -37,6 +37,7 @@ from fulltextindexer_spark.functions.normalize import (
     stem_sql_case_expr,
 )
 from fulltextindexer_spark.operators import bm25, dedup, similarity, textstats
+from fulltextindexer_spark.plans import cachereg
 from fulltextindexer_spark.operators import query as q
 from fulltextindexer_spark.operators.index_build import build_index
 from fulltextindexer_spark.operators.querier import SparkQuerier
@@ -178,9 +179,19 @@ def _docs_index(spark, sf_dir, config=DOCS_CONFIG):
     if key not in _INDEX_CACHE:
         docs = _documents(spark, sf_dir)
         idx = build_index(docs, config)
-        idx.postings.persist()
+        cachereg.persist_tracked(idx.postings)
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
+
+
+def release_caches() -> int:
+    """Release every engine/harness cache built by the gate queries:
+    the memoised indexes (and their persisted postings), BM25 stats
+    tables, shingle frames, IVF assignments, term dictionaries. The
+    explicit lifecycle hook — long-lived sessions call this between
+    corpora instead of the blunt ``spark.catalog.clearCache()``."""
+    _INDEX_CACHE.clear()
+    return cachereg.release_all()
 
 
 def _round_score(df: DataFrame) -> DataFrame:
@@ -308,7 +319,7 @@ def q_multifield(spark, sf_dir):
             capture_positions=False,
         )
         idx = build_index(docs, cfg)
-        idx.postings.persist()
+        cachereg.persist_tracked(idx.postings)
         _INDEX_CACHE[key] = idx
     return _round_score(
         q.get_partial_matches(_INDEX_CACHE[key], "src3 data")

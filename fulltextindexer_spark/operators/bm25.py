@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from fulltextindexer_spark.functions.normalize import normalise_scalar
 from fulltextindexer_spark.functions.tokenize import break_tokens
 from fulltextindexer_spark.operators.index_build import InvertedIndex
+from fulltextindexer_spark.plans.cachereg import persist_tracked
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -273,9 +274,9 @@ def build_bm25_stats(
     # join (so that persist warms too). block_stats is the two-pass
     # fallback/save artefact — left lazy, materialized by save() or on
     # first deep-k query.
-    term_stats = term_stats.persist()
-    block_stats = block_stats.persist()
-    champions = champions.persist()
+    term_stats = persist_tracked(term_stats)
+    block_stats = persist_tracked(block_stats)
+    champions = persist_tracked(champions)
     champions.count()
     return Bm25Stats(
         n_docs, avgdl, k1, b, n_blocks, n_champions,
@@ -650,12 +651,11 @@ def _wand_two_pass(
     )
     contrib = _contribution_col(stats.avgdl, stats.k1, stats.b)
     # probe pass and prune pass both read this (small, query-matched)
-    # intermediate — cache it so the postings join runs once. Not
-    # unpersisted here (the returned lazy pass-2 frame still reads it);
-    # MEMORY_AND_DISK is LRU-evictable and the set is tiny per query.
-    scored = matched.select(
-        "doc_id", "block", contrib.alias("c")
-    ).persist()
+    # intermediate — cache it so the postings join runs once. Tracked:
+    # released by cachereg.release_all() / managed_caches().
+    scored = persist_tracked(
+        matched.select("doc_id", "block", contrib.alias("c"))
+    )
 
     probe = [r["block"] for r in ub_rows[:probe_blocks]]
     pass1 = (

@@ -26,6 +26,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fulltextindexer_spark.plans.cachereg import persist_tracked
+
 
 def exact_duplicate_groups(
     docs: DataFrame,
@@ -77,12 +79,19 @@ def deduplicated_keep_list(
 
 
 def word_shingles(
-    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document: (doc_id, shingle).
+    """Word k-gram shingles per document: (doc_id, shingle).
 
     Array-based (split → sequence → transform → explode): no window, no
-    shuffle before the ``distinct``.
+    shuffle before the ``distinct``. ``distinct=False`` skips the
+    dedup shuffle entirely — correct for duplicate-insensitive
+    consumers (min-hash: min over duplicates == min over distinct),
+    wrong for set-size consumers (Jaccard counts).
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -95,11 +104,10 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    ).where(F.col("shingle") != "")
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -108,12 +116,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
     Returns (doc_a, doc_b, jaccard rounded to 4dp) for pairs ≥ threshold.
+
+    The shingle frame feeds three lineages (sizes + both join sides);
+    when self-computed it is persisted (tracked — release via
+    :func:`fulltextindexer_spark.plans.cachereg.release_all`) so the
+    corpus is tokenised ONCE, not three times. Pass ``shingles=`` (a
+    *distinct* (doc_id, shingle) frame, e.g. a managed
+    :func:`word_shingles` output) to reuse one across a composed
+    pipeline — exactly the contract of :func:`minhash_signatures`.
     """
-    sh = word_shingles(docs, k, text_col, id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else persist_tracked(word_shingles(docs, k, text_col, id_col))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -157,10 +178,13 @@ def minhash_signatures(
     pre-computed (ideally persisted) :func:`word_shingles` frame so
     composed pipelines tokenise the corpus once.
     """
+    # self-computed shingles skip the distinct: min() is insensitive to
+    # duplicates, so the dedup shuffle (a full extra exchange of the
+    # exploded shingle set) buys nothing on this path
     sh = (
         shingles
         if shingles is not None
-        else word_shingles(docs, k, text_col, id_col)
+        else word_shingles(docs, k, text_col, id_col, distinct=False)
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
@@ -238,13 +262,11 @@ def lsh_verified_jaccard_pairs(
     pipeline would tokenise the corpus three times (at 100 TB, three
     full scans for one query). Storage is MEMORY_AND_DISK, so an
     executor under memory pressure spills rather than recomputes. The
-    persist is deliberately not released here (the returned lazy frame
-    still reads it and the level is LRU-evictable); sessions running
-    many dedup sweeps should `spark.catalog.clearCache()` between
-    corpora, or pass their own managed frame via ``shingles=`` to the
-    underlying operators.
+    persist is tracked: release it (and every other engine cache) with
+    :func:`fulltextindexer_spark.plans.cachereg.release_all` or run
+    inside ``cachereg.managed_caches()``.
     """
-    sh = word_shingles(docs, k, text_col, id_col).persist()
+    sh = persist_tracked(word_shingles(docs, k, text_col, id_col))
     cand = minhash_band_pairs(
         docs, n_hashes, bands, k, text_col, id_col, shingles=sh
     )

@@ -781,16 +781,15 @@ def build_term_dictionary(postings: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     # persisted so the count pass and the assign pass share one
-    # distinct+sort; intentionally not unpersisted here — the returned
-    # DataFrame still reads from it, and the MEMORY_AND_DISK default is
-    # LRU-evictable. Long-lived sessions doing many dictionary builds
-    # should unpersist via spark.catalog.clearCache() between batches.
-    terms = (
+    # distinct+sort; tracked — release with cachereg.release_all() (or
+    # run inside managed_caches()) once the dictionary is consumed.
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+    terms = persist_tracked(
         postings.select("term")
         .distinct()
         .repartitionByRange("term")
         .sortWithinPartitions("term")
-        .persist()
     )
     counts = {
         r["pid"]: r["n"]

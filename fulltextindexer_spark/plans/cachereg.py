@@ -1,0 +1,71 @@
+"""Lifecycle management for persisted artefacts.
+
+Operators in this engine persist intermediate frames that later stages
+(or later queries) re-read — shingle frames, BM25 statistics tables,
+term dictionaries, gate-harness index postings. The persists are
+correct (MEMORY_AND_DISK, LRU-evictable) but a long-lived session
+running many corpora would accumulate them; "call
+``spark.catalog.clearCache()``" is a blunt instrument that also drops
+caches the *caller* owns.
+
+Every internal ``persist()`` therefore routes through
+:func:`persist_tracked`, and :func:`release_all` (or the
+:func:`managed_caches` context manager) unpersists exactly the frames
+the engine created — nothing else. The reference engine has no
+analogue (single-process, GC-managed); this is the distributed-cache
+equivalent of its immutable-structure sharing being freed when the
+last reference dies.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` + registration for engine-wide release.
+
+    Default storage level is Spark's (MEMORY_AND_DISK): executors under
+    memory pressure spill rather than recompute.
+    """
+    if storage_level is not None:
+        df.persist(storage_level)
+    else:
+        df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def tracked_count() -> int:
+    return len(_TRACKED)
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every engine-created cached frame. Returns the count.
+
+    Safe to call at any time: frames still referenced by lazy
+    DataFrames simply lose their cache and recompute on next use.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+@contextmanager
+def managed_caches(blocking: bool = False):
+    """``with managed_caches(): ...`` — release engine caches on exit."""
+    try:
+        yield
+    finally:
+        release_all(blocking=blocking)

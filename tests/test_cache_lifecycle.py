@@ -1,0 +1,43 @@
+"""Cache lifecycle: the engine's persisted artefacts (index postings,
+BM25 stats, shingle frames, IVF assignments) are tracked and released
+by an explicit hook — after a gatecheck-style run plus
+``release_caches()`` no cached RDDs remain in the session, without
+resorting to the blunt ``spark.catalog.clearCache()``.
+"""
+
+import __spark_entry__ as entry
+
+from fulltextindexer_spark.plans import cachereg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_release_all_leaves_no_persisted_rdds(spark):
+    # exercise every cache-creating path: index build + postings
+    # persist, BM25 stats tables, a self-computed persisted shingle
+    # frame, the IVF build-once assignment
+    assert entry.q_search_and(spark, SF).count() > 0
+    assert entry.q_bm25(spark, SF).count() > 0
+    entry.q_dedup_jaccard(spark, SF).count()
+    assert entry.q_ivf_topk(spark, SF).count() > 0
+    assert cachereg.tracked_count() > 0
+
+    released = entry.release_caches()
+    assert released > 0
+    assert cachereg.tracked_count() == 0
+    # nothing cached anywhere in the session (tests hold no persists of
+    # their own at this point; module-scoped fixtures of earlier files
+    # are finalized before this module runs)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_managed_caches_context(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    with cachereg.managed_caches():
+        pairs = dedup.lsh_verified_jaccard_pairs(docs)
+        pairs.count()
+        assert cachereg.tracked_count() > 0
+    assert cachereg.tracked_count() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
