@@ -335,6 +335,30 @@ def q_max_combiner(spark, sf_dir):
     return _round_score(q.get_partial_matches(idx, "the sort"))
 
 
+def q_search_or_sum(spark, sf_dir):
+    """Pluggable query-side WeightCombiner gate (or_sum): any-term
+    matches scored by the f32 sum of matched weights — the reference's
+    WeightCombiner delegate (PartialMatches.cs:106-109) with the
+    DefaultWeightCombiner's all-terms gate disabled."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        q.get_partial_matches(idx, "merge tree", combiner="or_sum")
+    )
+
+
+def q_querier_max(spark, sf_dir):
+    """Pluggable QueryTranslator MatchCombiner gate (max): per-doc max
+    of the matched segments' scores instead of the default sum
+    (QueryTranslator.cs:91-97)."""
+    std = _docs_index(spark, sf_dir)
+    precise = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return _round_score(
+        SparkQuerier(std, precise, match_combiner="max").get_matches(
+            "data stream"
+        )
+    )
+
+
 def q_query_locations(spark, sf_dir):
     """Structured-query result locations (reference QueryTranslator
     grouped concatenation): '+sort -stream' over positional indexes,
@@ -673,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_and": q_search_and,
         "ftix_search_or": q_search_or,
         "ftix_search_not": q_search_not,
+        "ftix_search_or_sum": q_search_or_sum,
+        "ftix_querier_max": q_querier_max,
         "ftix_phrase": q_phrase,
         "ftix_search_locations": q_search_locations,
         "ftix_phrase_locations": q_phrase_locations,
@@ -980,6 +1006,20 @@ WHERE p.term = '{english_plurality_normalise("sort")}'
   AND p.doc_id NOT IN
       (SELECT doc_id FROM post
        WHERE term = '{english_plurality_normalise("stream")}')
+""",
+        "ftix_search_or_sum": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(sum(w), 4) AS score FROM post
+WHERE term IN ('{english_plurality_normalise("merge")}',
+               '{english_plurality_normalise("tree")}')
+GROUP BY doc_id
+""",
+        "ftix_querier_max": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(max(w), 4) AS score FROM post
+WHERE term IN ('{english_plurality_normalise("data")}',
+               '{english_plurality_normalise("stream")}')
+GROUP BY doc_id
 """,
         "ftix_phrase": f"""
 WITH {TOKP_CTE},

@@ -327,6 +327,21 @@ def run_default() -> dict:
         build_sec = time.perf_counter() - t0
 
         timings: dict[str, float] = {}
+        # attribute one-time artefact builds to their own lines so the
+        # gate timings measure steady-state query cost and stay
+        # comparable across rounds: the shared gate index used to be
+        # paid by the first ftix_* gate, the BM25 stats build (the
+        # save()-time artefact) by ftix_bm25 (VERDICT r2 item 5)
+        from fulltextindexer_spark.operators import bm25 as bm25_mod
+
+        t0 = time.perf_counter()
+        gate_idx = entrymod._docs_index(spark, SF_DIR)
+        gate_idx.postings.count()
+        timings["shared_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_mod.get_bm25_stats(gate_idx)  # champions built eagerly inside
+        timings["bm25_stats_build"] = round(time.perf_counter() - t0, 3)
+
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))

@@ -41,11 +41,28 @@ class SparkQuerier:
     one must record positions (QueryTranslator.cs:48-49).
     """
 
-    def __init__(self, standard: InvertedIndex, precise: InvertedIndex):
+    # vectorisation-safe MatchCombiner enum (the reference takes an
+    # arbitrary delegate, QueryTranslator.cs:91-97; DefaultMatchCombiner
+    # is the weight sum :84-90). Applied at EVERY Reduce level, nested
+    # (bracketed) groups included — exactly the delegate's call sites.
+    MATCH_COMBINERS = ("sum", "max", "mean")
+
+    def __init__(
+        self,
+        standard: InvertedIndex,
+        precise: InvertedIndex,
+        match_combiner: str = "sum",
+    ):
         if not precise.config.capture_positions:
             raise ValueError("precise index must record source locations")
+        if match_combiner not in self.MATCH_COMBINERS:
+            raise ValueError(
+                f"unknown match_combiner {match_combiner!r}; expected one "
+                f"of {self.MATCH_COMBINERS}"
+            )
         self.standard = standard
         self.precise = precise
+        self.match_combiner = match_combiner
         self._std_cache: dict[str, DataFrame] = {}
         self._precise_cache: dict[str, DataFrame] = {}
         self._std_loc_cache: dict[str, DataFrame] = {}
@@ -143,9 +160,25 @@ class SparkQuerier:
             F.sort_array(F.collect_list(F.struct("ord", "score"))).alias("lst")
         )
         return agg.select(
-            "doc_id",
-            _f32_fold_sum(F.col("lst"), lambda x: x["score"]).alias("score"),
+            "doc_id", self._fold_scores(F.col("lst")).alias("score")
         )
+
+    def _fold_scores(self, lst):
+        """Per-doc segment-score fold with reference f32 semantics:
+        sum = ordered double fold → f32 (.NET Sum(float)); max exact on
+        f32; mean = double sum / count → f32 (.NET Average(float))."""
+        if self.match_combiner == "max":
+            return F.array_max(F.transform(lst, lambda x: x["score"]))
+        if self.match_combiner == "mean":
+            return (
+                F.aggregate(
+                    lst,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["score"].cast("double"),
+                )
+                / F.size(lst)
+            ).cast("float")
+        return _f32_fold_sum(lst, lambda x: x["score"])
 
     def _reduce_single(self, seg: ast.QuerySegment) -> DataFrame:
         if isinstance(seg, ast.Combining):
@@ -265,7 +298,7 @@ class SparkQuerier:
         )
         return agg.select(
             "doc_id",
-            _f32_fold_sum(F.col("lst"), lambda x: x["score"]).alias("score"),
+            self._fold_scores(F.col("lst")).alias("score"),
             F.flatten(
                 F.transform("lst", lambda x: x["locations"])
             ).alias("locations"),

@@ -66,11 +66,49 @@ def _query_terms_df(index: InvertedIndex, source: str):
     return rows, len(tokens)
 
 
+# vectorisation-safe WeightCombiner enum (the reference takes an
+# arbitrary delegate, PartialMatches.cs:106-109; these are the
+# combiners its docs/tests use): "and_" = every query token index must
+# match at least once (DefaultWeightCombiner's gate, :115-137), "or_" =
+# no gate; "_sum" = ordered f32 fold, "_max" = max matched weight.
+PARTIAL_MATCH_COMBINERS = ("and_sum", "or_sum", "and_max", "or_max")
+
+
+def _combine_matched(lst: Column, fold: str) -> Column:
+    """Fold a sorted (token_idx, weight) match list into the combined
+    score with reference float32 semantics."""
+    if fold == "max":
+        # max over float32 values is exact — no accumulator concerns
+        return F.array_max(F.transform(lst, lambda x: x["weight"]))
+    return _f32_fold_sum(lst)
+
+
+def _parse_combiner(combiner: str) -> tuple[bool, str]:
+    if combiner not in PARTIAL_MATCH_COMBINERS:
+        raise ValueError(
+            f"unknown combiner {combiner!r}; expected one of "
+            f"{PARTIAL_MATCH_COMBINERS}"
+        )
+    gate, fold = combiner.split("_", 1)
+    return gate == "and", fold
+
+
 def get_partial_matches(
-    index: InvertedIndex, source: str, k: Optional[int] = None
+    index: InvertedIndex,
+    source: str,
+    k: Optional[int] = None,
+    combiner: str = "and_sum",
 ) -> DataFrame:
-    """Multi-term AND-sum scoring. Returns (doc_id, score), optionally
-    top-k ordered by (score desc, doc_id asc)."""
+    """Multi-term scoring. Returns (doc_id, score), optionally top-k
+    ordered by (score desc, doc_id asc).
+
+    ``combiner`` selects the WeightCombiner
+    (:data:`PARTIAL_MATCH_COMBINERS`): the default ``and_sum`` is the
+    reference's DefaultWeightCombiner; ``or_sum`` scores any-term
+    matches (the docstring example at PartialMatches.cs:13-16 inverted);
+    ``*_max`` takes the best matched weight instead of the sum.
+    """
+    require_all, fold = _parse_combiner(combiner)
     spark = index.postings.sparkSession
     rows, n_tokens = _query_terms_df(index, source)
     if n_tokens == 0:
@@ -86,16 +124,17 @@ def get_partial_matches(
             F.collect_list(F.struct("token_idx", "weight"))
         ).alias("lst")
     )
-    # AND semantics: every query token index 0..n-1 matched at least once
-    # (DefaultWeightCombiner, PartialMatches.cs:115-137)
-    n_distinct = F.size(
-        F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
-    )
+    if require_all:
+        # AND semantics: every query token index 0..n-1 matched at
+        # least once (DefaultWeightCombiner, PartialMatches.cs:115-137)
+        n_distinct = F.size(
+            F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+        )
+        agg = agg.where(n_distinct == F.lit(n_tokens))
     result = (
-        agg.where(n_distinct == F.lit(n_tokens))
-        .select(
+        agg.select(
             "doc_id",
-            _f32_fold_sum(F.col("lst")).alias("score"),
+            _combine_matched(F.col("lst"), fold).alias("score"),
         )
         .where(F.col("score") > 0)
     )
@@ -122,7 +161,10 @@ def _plain_location(x) -> Column:
 
 
 def get_partial_matches_with_locations(
-    index: InvertedIndex, source: str, k: Optional[int] = None
+    index: InvertedIndex,
+    source: str,
+    k: Optional[int] = None,
+    combiner: str = "and_sum",
 ) -> DataFrame:
     """AND-sum scoring that also returns the per-doc source locations.
 
@@ -139,6 +181,7 @@ def get_partial_matches_with_locations(
         raise ValueError(
             "index must record source locations to return them"
         )
+    require_all, fold = _parse_combiner(combiner)
     spark = index.postings.sparkSession
     rows, n_tokens = _query_terms_df(index, source)
     if n_tokens == 0:
@@ -176,14 +219,15 @@ def get_partial_matches_with_locations(
         ).alias("lst"),
         F.array_sort(F.flatten(F.collect_list(tagged))).alias("tagged"),
     )
-    n_distinct = F.size(
-        F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
-    )
+    if require_all:
+        n_distinct = F.size(
+            F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+        )
+        agg = agg.where(n_distinct == F.lit(n_tokens))
     result = (
-        agg.where(n_distinct == F.lit(n_tokens))
-        .select(
+        agg.select(
             "doc_id",
-            _f32_fold_sum(F.col("lst")).alias("score"),
+            _combine_matched(F.col("lst"), fold).alias("score"),
             F.transform("tagged", _plain_location).alias("locations"),
         )
         .where(F.col("score") > 0)

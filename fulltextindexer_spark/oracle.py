@@ -227,11 +227,19 @@ def _normalised_stop_words(config: IndexConfig) -> frozenset[str]:
 # ---------------------------------------------------------------------------
 
 
-def get_partial_matches(index: OracleIndex, source: str) -> list[Entry]:
-    """Reference IndexData_Extensions_PartialMatches.cs:17-81 with the
-    DefaultWeightCombiner (every query token index must match at least
-    once, else 0; otherwise float32 sum in match-list order). The query
-    tokens' weight multipliers are NOT applied (reference :42-47)."""
+def get_partial_matches(
+    index: OracleIndex, source: str, combiner: str = "and_sum"
+) -> list[Entry]:
+    """Reference IndexData_Extensions_PartialMatches.cs:17-81. The
+    default ``and_sum`` is the DefaultWeightCombiner (every query token
+    index must match at least once, else 0; otherwise float32 sum in
+    match-list order); ``or_sum``/``and_max``/``or_max`` are the other
+    vectorisation-safe WeightCombiner delegates the engine exposes. The
+    query tokens' weight multipliers are NOT applied (reference
+    :42-47)."""
+    if combiner not in ("and_sum", "or_sum", "and_max", "or_max"):
+        raise ValueError(f"unknown combiner {combiner!r}")
+    gate, fold = combiner.split("_", 1)
     query_tokens = break_tokens(source, index.break_chars)
     matches: list[tuple[Entry, int]] = []
     for token_idx, (tok, _, _, _) in enumerate(query_tokens):
@@ -248,10 +256,14 @@ def get_partial_matches(index: OracleIndex, source: str) -> list[Entry]:
         grouped.setdefault(entry.key, []).append((entry, tidx))
     for key in seen_order:
         group = grouped[key]
-        token_idxs = {tidx for _, tidx in group}
-        if any(t not in token_idxs for t in range(n_terms)):
-            continue
-        weight = f32_sum(e.weight for e, _ in group)
+        if gate == "and":
+            token_idxs = {tidx for _, tidx in group}
+            if any(t not in token_idxs for t in range(n_terms)):
+                continue
+        if fold == "max":
+            weight = np.float32(max(e.weight for e, _ in group))
+        else:
+            weight = f32_sum(e.weight for e, _ in group)
         if weight <= 0:
             continue
         locations = (
@@ -376,11 +388,19 @@ class OracleQuerier:
     """QueryTranslator over a lenient (standard) and a strict+positional
     (precise) index. Reference QueryTranslator.cs:103-189."""
 
-    def __init__(self, standard: OracleIndex, precise: OracleIndex):
+    def __init__(
+        self,
+        standard: OracleIndex,
+        precise: OracleIndex,
+        match_combiner: str = "sum",
+    ):
         if not precise.positions_available:
             raise ValueError("precise index must record source locations")
+        if match_combiner not in ("sum", "max", "mean"):
+            raise ValueError(f"unknown match_combiner {match_combiner!r}")
         self.standard = standard
         self.precise = precise
+        self.match_combiner = match_combiner
         self._std_cache: dict[str, list[Entry]] = {}
         self._precise_cache: dict[str, list[Entry]] = {}
 
@@ -443,7 +463,7 @@ class OracleQuerier:
         return [
             Entry(
                 key,
-                f32_sum(e.weight for e in grouped[key]),
+                self._fold([e.weight for e in grouped[key]]),
                 None
                 if any(e.locations is None for e in grouped[key])
                 else tuple(
@@ -452,6 +472,18 @@ class OracleQuerier:
             )
             for key in seen_order
         ]
+
+    def _fold(self, weights: list) -> np.float32:
+        """MatchCombiner (QueryTranslator.cs:84-97): sum (default, f32
+        list-order fold), max (exact), mean (.NET Average(float):
+        double sum / count → float32)."""
+        if self.match_combiner == "max":
+            return np.float32(max(weights))
+        if self.match_combiner == "mean":
+            return np.float32(
+                sum(float(w) for w in weights) / len(weights)
+            )
+        return f32_sum(weights)
 
     def _reduce_single(self, seg: ast.QuerySegment) -> list[Entry]:
         if isinstance(seg, ast.Combining):

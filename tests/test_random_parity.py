@@ -290,3 +290,37 @@ def test_phrase_dispatch_strategy(spark_index):
     long_plan = longer._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in short_plan
     assert "MapInPandas" in long_plan
+
+
+def test_partial_match_combiner_modes(spark_index, oracle_index):
+    """Query-side pluggable WeightCombiner (or_sum / and_max / or_max):
+    engine == Python oracle across random queries (f32-exact)."""
+    rng = random.Random(11)
+    for combiner in ("or_sum", "and_max", "or_max"):
+        for _ in range(4):
+            query = " ".join(rng.choices(VOCAB, k=rng.randint(1, 3)))
+            got = _spark_scores(
+                q.get_partial_matches(spark_index, query, combiner=combiner)
+            )
+            want = _oracle_scores(
+                oracle.get_partial_matches(
+                    oracle_index, query, combiner=combiner
+                )
+            )
+            assert got == want, (combiner, query)
+
+
+def test_querier_match_combiner_modes(spark_index, oracle_index):
+    """QueryTranslator MatchCombiner (max / mean): engine == oracle on
+    structured queries, including nested groups (the combiner applies
+    at every Reduce level, QueryTranslator.cs:91-97)."""
+    for mc in ("max", "mean"):
+        querier = SparkQuerier(spark_index, spark_index, match_combiner=mc)
+        oq = oracle.OracleQuerier(
+            oracle_index, oracle_index, match_combiner=mc
+        )
+        for query in ("cat dogs", "+index matrix", '"sort merge" hash',
+                      "(cat dog) index"):
+            got = _spark_scores(querier.get_matches(query))
+            want = _oracle_scores(oq.get_matches(query))
+            assert got == want, (mc, query)
