@@ -359,6 +359,34 @@ def q_querier_max(spark, sf_dir):
     )
 
 
+def q_string_keys(spark, sf_dir):
+    """Generic-TKey gate: build over a STRING key column (the
+    reference's IndexGenerator<TSource, TKey>, IndexGenerator.cs:13),
+    query, and resolve results back to natural keys — postings stay on
+    the internal long doc_id, the key map rides alongside."""
+    key = ("strkey", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir).select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+                "doc_key"
+            ),
+            "text",
+        )
+        cfg = IndexConfig(
+            key_column="doc_key",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        )
+        idx = build_index(docs, cfg)
+        cachereg.persist_tracked(idx.postings)
+        _INDEX_CACHE[key] = idx
+    idx = _INDEX_CACHE[key]
+    res = q.get_partial_matches(idx, "sort table")
+    return idx.resolve_keys(res).select(
+        "doc_key", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
 def q_query_locations(spark, sf_dir):
     """Structured-query result locations (reference QueryTranslator
     grouped concatenation): '+sort -stream' over positional indexes,
@@ -699,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_not": q_search_not,
         "ftix_search_or_sum": q_search_or_sum,
         "ftix_querier_max": q_querier_max,
+        "ftix_string_keys": q_string_keys,
         "ftix_phrase": q_phrase,
         "ftix_search_locations": q_search_locations,
         "ftix_phrase_locations": q_phrase_locations,
@@ -1006,6 +1035,15 @@ WHERE p.term = '{english_plurality_normalise("sort")}'
   AND p.doc_id NOT IN
       (SELECT doc_id FROM post
        WHERE term = '{english_plurality_normalise("stream")}')
+""",
+        "ftix_string_keys": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
+       round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_search_or_sum": f"""
 WITH {TOK_CTE}, {POST_CTE}

@@ -517,25 +517,76 @@ class InvertedIndex:
     - ``Combine``  → ``union`` + re-aggregate (see :meth:`combine`)
     - ``Add``      → union of newly built postings (:meth:`add_docs`)
     - ``Remove``   → anti-join on doc keys (:meth:`remove_keys`)
+
+    ``key_map``/``natural_key`` support the reference's generic
+    ``TKey`` (IndexGenerator.cs:13, :28) for string document keys:
+    postings stay keyed by an internal ``doc_id: long``
+    (= xxhash64(natural key) — one 64-bit hash space; birthday-bound
+    collision odds ~n²/2⁶⁵, ≈3·10⁻⁹ at 10M docs, checkable with
+    :meth:`verify_key_map`), ``key_map`` carries (doc_id, doc_key), and
+    :meth:`resolve_keys` maps query results back to natural keys.
     """
 
     postings: DataFrame
     config: IndexConfig
+    key_map: Optional[DataFrame] = None
+    natural_key: Optional[str] = None
 
     @property
     def positions_available(self) -> bool:
         return config_positions(self.config)
 
+    # -- natural (string) document keys -------------------------------------
+
+    def resolve_keys(
+        self, result: DataFrame, keep_doc_id: bool = False
+    ) -> DataFrame:
+        """Map a (doc_id, …) query result back to natural keys.
+
+        Top-k results are tiny, so AQE broadcasts them against the
+        (corpus-sized) key map — never the reverse.
+        """
+        if self.key_map is None:
+            raise ValueError("index was not built with a string key")
+        out = result.join(self.key_map, "doc_id")
+        cols = ["doc_key"] + [
+            c for c in result.columns if keep_doc_id or c != "doc_id"
+        ]
+        return out.select(*cols)
+
+    def verify_key_map(self) -> int:
+        """Count xxhash64 collisions in the key map (distinct natural
+        keys sharing one doc_id). 0 on any sane corpus; a production
+        belt-and-braces check before trusting a fresh build."""
+        if self.key_map is None:
+            return 0
+        return (
+            self.key_map.groupBy("doc_id")
+            .agg(F.countDistinct("doc_key").alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        )
+
     # -- index algebra ------------------------------------------------------
 
     def add_docs(self, docs: DataFrame) -> "InvertedIndex":
+        if self.natural_key is not None:
+            docs, _, add_map = _map_natural_key(
+                docs, self.natural_key, self.config.key_column
+            )
+            key_map = self.key_map.unionByName(add_map).distinct()
+        else:
+            key_map = self.key_map
         new_postings = build_postings(docs, self.config)
         merged = self._merge(self.postings.unionByName(new_postings))
-        return InvertedIndex(merged, self.config)
+        return InvertedIndex(merged, self.config, key_map, self.natural_key)
 
     def combine(self, other: "InvertedIndex") -> "InvertedIndex":
         merged = self._merge(self.postings.unionByName(other.postings))
-        return InvertedIndex(merged, self.config)
+        key_map = self.key_map
+        if key_map is not None and other.key_map is not None:
+            key_map = key_map.unionByName(other.key_map).distinct()
+        return InvertedIndex(merged, self.config, key_map, self.natural_key)
 
     def remove_keys(self, keys: DataFrame) -> "InvertedIndex":
         """Drop all postings for the given doc keys (column ``doc_id``).
@@ -550,7 +601,9 @@ class InvertedIndex:
             on="doc_id",
             how="left_anti",
         )
-        return InvertedIndex(remaining, self.config)
+        return InvertedIndex(
+            remaining, self.config, self.key_map, self.natural_key
+        )
 
     def _merge(self, unioned: DataFrame) -> DataFrame:
         """Re-aggregate after a union (reference IndexData.Combine:69-116:
@@ -612,6 +665,10 @@ class InvertedIndex:
             "overwrite"
         ).parquet(os.path.join(path, "postings"))
         self._write_config(path)
+        if self.key_map is not None:
+            self.key_map.write.mode("overwrite").parquet(
+                os.path.join(path, "key_map")
+            )
         if with_bm25_stats:
             from fulltextindexer_spark.operators import bm25
 
@@ -619,6 +676,7 @@ class InvertedIndex:
 
     def _write_config(self, path: str) -> None:
         cfg = {
+            "natural_key": self.natural_key,
             "key_column": self.config.key_column,
             "fields": [
                 {"column": f.column, "weight": f.weight}
@@ -706,7 +764,14 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
         config = cls._read_config(path)
         postings = spark.read.parquet(os.path.join(path, "postings"))
-        index = cls(postings, config)
+        key_map = None
+        natural_key = None
+        km_path = os.path.join(path, "key_map")
+        if os.path.isdir(km_path):
+            key_map = spark.read.parquet(km_path)
+            with open(os.path.join(path, "index_config.json")) as fh:
+                natural_key = json.load(fh).get("natural_key")
+        index = cls(postings, config, key_map, natural_key)
         from fulltextindexer_spark.operators import bm25
 
         stats = bm25.load_bm25_stats(spark, path)
@@ -719,7 +784,47 @@ def config_positions(config: IndexConfig) -> bool:
     return config.capture_positions
 
 
+INTERNAL_KEY_COLUMN = "__ftix_doc_id"
+
+
+def _map_natural_key(
+    docs: DataFrame, key_column: str, internal: str = INTERNAL_KEY_COLUMN
+) -> tuple[DataFrame, IndexConfig, DataFrame]:
+    """Attach the internal long key (xxhash64 of the natural string
+    key) and derive the (doc_id, doc_key) map — both computed map-side,
+    no shuffle added to the build."""
+    with_id = docs.withColumn(internal, F.xxhash64(F.col(key_column)))
+    key_map = with_id.select(
+        F.col(internal).alias("doc_id"),
+        F.col(key_column).alias("doc_key"),
+    ).distinct()
+    return with_id, None, key_map
+
+
 def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
+    """Build an index; string key columns are supported transparently.
+
+    The reference's ``IndexGenerator<TSource, TKey>`` is generic over
+    the key type (IndexGenerator.cs:13, :28). Here a numeric key column
+    is used as ``doc_id`` directly; a ``string`` key column is hashed
+    to an internal ``doc_id = xxhash64(key)`` and the (doc_id, doc_key)
+    map rides on the returned index — ``resolve_keys`` maps results
+    back after top-k.
+    """
+    from dataclasses import replace
+
+    from pyspark.sql.types import StringType
+
+    key_type = docs.schema[config.key_column].dataType
+    if isinstance(key_type, StringType):
+        with_id, _, key_map = _map_natural_key(docs, config.key_column)
+        internal_cfg = replace(config, key_column=INTERNAL_KEY_COLUMN)
+        return InvertedIndex(
+            build_postings(with_id, internal_cfg),
+            internal_cfg,
+            key_map=key_map,
+            natural_key=config.key_column,
+        )
     return InvertedIndex(build_postings(docs, config), config)
 
 

@@ -570,3 +570,56 @@ def test_locations_order_with_expansion_variants(spark):
             for e in oracle.get_partial_matches(oidx, term)
         ]
         assert got == want, term
+
+
+def test_string_key_roundtrip(spark, tmp_path):
+    """Generic TKey (IndexGenerator.cs:13, :28): string document keys
+    flow through build -> partial match -> structured query ->
+    save/load, with results resolved back to natural keys."""
+    from fulltextindexer_spark.operators.querier import SparkQuerier
+
+    docs = spark.createDataFrame(
+        [("post/alpha", "cat posts about cats"),
+         ("post/beta", "a cat and another cat chasing a cat"),
+         ("post/gamma", "dogs only here")],
+        "slug string, body string",
+    )
+    cfg = IndexConfig(
+        key_column="slug",
+        fields=(FieldConfig("body", 1.0),),
+        capture_positions=True,
+    )
+    idx = build_index(docs, cfg)
+    assert idx.natural_key == "slug"
+    assert idx.verify_key_map() == 0
+
+    res = idx.resolve_keys(q.get_partial_matches(idx, "cat"))
+    got = {r["doc_key"]: np.float32(r["score"]) for r in res.collect()}
+    assert set(got) == {"post/alpha", "post/beta"}
+    assert got["post/beta"] > got["post/alpha"]  # three cats beat two
+
+    querier = SparkQuerier(idx, idx)
+    sq = idx.resolve_keys(querier.get_matches("+cat -dog"))
+    assert {r["doc_key"] for r in sq.collect()} == {
+        "post/alpha", "post/beta"
+    }
+
+    path = str(tmp_path / "stridx")
+    idx.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.natural_key == "slug"
+    res2 = loaded.resolve_keys(q.get_partial_matches(loaded, "cat"))
+    got2 = {r["doc_key"]: np.float32(r["score"]) for r in res2.collect()}
+    assert got2 == got
+
+    # index algebra carries the map: remove a doc, add it back
+    removed = idx.remove_keys(
+        idx.key_map.where(idx.key_map["doc_key"] == "post/beta")
+    )
+    got3 = {
+        r["doc_key"]
+        for r in removed.resolve_keys(
+            q.get_partial_matches(removed, "cat")
+        ).collect()
+    }
+    assert got3 == {"post/alpha"}
