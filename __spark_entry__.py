@@ -530,6 +530,24 @@ def q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_embeddings(spark, sf_dir))
 
 
+RPLSH_BITS = 8
+RPLSH_DIM = 64
+RPLSH_SEED = 42
+
+
+def q_rplsh_buckets(spark, sf_dir):
+    """Random-hyperplane sign-LSH buckets (seeded, deterministic):
+    the production upgrade over axis-aligned bits — recall ≥ the
+    axis-aligned variant at equal probe cost (pinned in
+    tests/test_curation_ops.py)."""
+    return similarity.rp_lsh_buckets(
+        _embeddings(spark, sf_dir),
+        n_bits=RPLSH_BITS,
+        dim=RPLSH_DIM,
+        seed=RPLSH_SEED,
+    )
+
+
 def q_dedup_keep(spark, sf_dir):
     return dedup.deduplicated_keep_list(_documents(spark, sf_dir))
 
@@ -749,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_lsh_verified,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
+        "sim_rplsh_buckets": q_rplsh_buckets,
         "sim_neardup": q_neardup,
         "sim_ivf_topk": q_ivf_topk,
         "sim_ivf64_topk": q_ivf64_topk,
@@ -919,6 +938,32 @@ fc AS (SELECT vec_id,
        FROM fp GROUP BY vec_id)
 SELECT vec_id, round(cos, 4) AS cosine FROM fc
 ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def _rplsh_sql() -> str:
+    """Oracle for random-hyperplane LSH: the seeded 6dp-rounded
+    hyperplane coefficients embed as exact literals (one VALUES row per
+    (bit, dim)); sign of the double dot product per bit, bits
+    concatenated in order."""
+    hp = similarity.random_hyperplanes(RPLSH_BITS, RPLSH_DIM, RPLSH_SEED)
+    rows = ",\n    ".join(
+        f"({b}, {p + 1}, {hp[b][p]!r})"
+        for b in range(RPLSH_BITS)
+        for p in range(RPLSH_DIM)
+    )
+    return f"""
+WITH coef(bit, pos, c) AS (VALUES
+    {rows}),
+e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+dots AS (SELECT e.vec_id, coef.bit, sum(e.x * coef.c) AS d
+         FROM e JOIN coef USING (pos) GROUP BY 1, 2)
+SELECT vec_id,
+       string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY bit) AS bucket
+FROM dots GROUP BY vec_id
 """
 
 
@@ -1211,6 +1256,7 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         "sim_lsh_buckets": f"""
 SELECT vec_id, {lsh_bits} AS bucket FROM embeddings
 """,
+        "sim_rplsh_buckets": _rplsh_sql(),
         "sim_neardup": f"""
 WITH b AS (SELECT vec_id, embedding, {lsh_bits} AS bucket FROM embeddings),
 cand AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,

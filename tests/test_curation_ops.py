@@ -276,3 +276,54 @@ def test_multi_probe_lsh_recall_dial(spark):
     h0, h2, h8 = hits(0), hits(2), hits(8)
     assert h0 <= h2 <= h8
     assert h8 == 10  # all buckets probed == exact
+
+
+def test_rp_lsh_deterministic_and_beats_axis_aligned(spark):
+    """Random-hyperplane sign LSH: (a) engine buckets equal the numpy
+    reference computed from the same seeded 6dp hyperplanes (seed=42 —
+    recorded; MT19937 standard_normal is version-frozen), (b) pair
+    recall against the exact cosine>=0.2 ground truth is >= the
+    axis-aligned variant at equal probe cost (8 bits)."""
+    import numpy as np
+    from fulltextindexer_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+    got_rp = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.rp_lsh_buckets(
+            emb, n_bits=8, dim=64, seed=42
+        ).collect()
+    }
+    H = np.array(similarity.random_hyperplanes(8, 64, seed=42))
+    want_bits = V @ H.T >= 0
+    want_rp = {
+        i: "".join("1" if b else "0" for b in want_bits[j])
+        for j, i in enumerate(ids)
+    }
+    assert got_rp == want_rp
+
+    got_ax = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.lsh_buckets(emb).collect()
+    }
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    iu = np.triu_indices(len(V), 1)
+    truth = [
+        (ids[a], ids[b])
+        for a, b in zip(iu[0][cos[iu] >= 0.2], iu[1][cos[iu] >= 0.2])
+    ]
+    assert truth
+
+    def recall(buckets):
+        return sum(1 for a, b in truth if buckets[a] == buckets[b]) / len(
+            truth
+        )
+
+    rp_r, ax_r = recall(got_rp), recall(got_ax)
+    assert rp_r >= ax_r, (rp_r, ax_r)
