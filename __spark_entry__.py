@@ -70,6 +70,15 @@ DOCS_CONFIG_CONTAINS = IndexConfig(
     prefix_expansion=PrefixExpansionConfig(3, 8, 0.25, mode="substring"),
 )
 
+DOCS_CONFIG_PREFIX_PROP = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    prefix_expansion=PrefixExpansionConfig(
+        3, 8, 1.0, weight_rule="proportional"
+    ),
+)
+
 DOCS_CONFIG_MAX = IndexConfig(
     key_column="doc_id",
     fields=(FieldConfig("text", 1.0),),
@@ -258,6 +267,20 @@ def q_phrase(spark, sf_dir):
 
 def q_prefix(spark, sf_dir):
     idx = _docs_index(spark, sf_dir, DOCS_CONFIG_PREFIX)
+    return _round_score(
+        q.get_matches(idx, "wind").select(
+            "doc_id", F.col("weight").alias("score")
+        )
+    )
+
+
+def q_prefix_prop(spark, sf_dir):
+    """Fragment-weight delegate gate: prefix expansion with the
+    proportional rule (weight = len(fragment)/len(token), the
+    reference README's partialMatchWeightDeterminer example;
+    PartialMatchingTokenBreaker.cs:60-65). Float32 arithmetic end to
+    end; the oracle replicates the same f32 chain via REAL casts."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_PREFIX_PROP)
     return _round_score(
         q.get_matches(idx, "wind").select(
             "doc_id", F.col("weight").alias("score")
@@ -751,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_phrase_locations": q_phrase_locations,
         "ftix_query_locations": q_query_locations,
         "ftix_prefix": q_prefix,
+        "ftix_prefix_prop": q_prefix_prop,
         "ftix_contains": q_contains,
         "ftix_multifield": q_multifield,
         "ftix_max_combiner": q_max_combiner,
@@ -813,6 +837,40 @@ hits AS (
 {prefix_selects}
 )
 SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
+"""
+
+
+def _prefix_prop_sql() -> str:
+    """Oracle for the proportional fragment-weight rule. Every step of
+    the engine's float32 chain is replicated with REAL casts: the stop
+    multiplier, the f32 ratio len(fragment)/len(token), their f32
+    product, and the final f32 cast of the double sum — so both sides
+    round the identical float32 score to 4dp."""
+    stem_sub = {
+        n: stem_sql_case_expr(f"substr(t, 1, {n})") for n in range(3, 9)
+    }
+    prefix_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, CAST(CAST({_stop_case(stem_sub[n])} AS REAL)"
+        f" * CAST({n} * 1.0 / length(t) AS REAL) AS REAL) AS w FROM rawt "
+        f"WHERE length(t) > {n} AND {stem_sub[n]} = 'wind~'"
+        for n in range(3, 9)
+    )
+    return f"""
+WITH rawt AS (
+  SELECT doc_id, t FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+hits AS (
+  SELECT doc_id, CAST({_stop_case(STEM_T)} AS REAL) AS w
+  FROM rawt WHERE {STEM_T} = 'wind~'
+  UNION ALL
+{prefix_selects}
+)
+SELECT doc_id,
+       round(CAST(CAST(sum(CAST(w AS DOUBLE)) AS REAL) AS DOUBLE), 4)
+         AS score
+FROM hits GROUP BY doc_id
 """
 
 
@@ -1162,6 +1220,7 @@ SELECT doc_id, round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_prefix": _prefix_sql(),
+        "ftix_prefix_prop": _prefix_prop_sql(),
         "ftix_contains": _contains_sql(),
         "ftix_multifield": _multifield_sql(),
         "ftix_max_combiner": _max_combiner_sql(),

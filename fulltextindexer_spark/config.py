@@ -68,10 +68,19 @@ class PrefixExpansionConfig:
     max_len: int = 255
     weight_multiplier: float = 1.0
     mode: str = "prefix"
+    # fragment weight delegate (the reference's partialMatchWeightDeterminer,
+    # PartialMatchingTokenBreaker.cs:60-65 — returning 0 drops the
+    # fragment, :96-97), as a vectorisation-safe enum:
+    #   "constant"     — every variant gets weight_multiplier (default)
+    #   "proportional" — weight_multiplier × len(fragment)/len(token)
+    #                    (the README's example rule), float32 arithmetic
+    weight_rule: str = "constant"
 
     def __post_init__(self):
         if self.mode not in ("prefix", "substring"):
             raise ValueError(f"unknown expansion mode: {self.mode!r}")
+        if self.weight_rule not in ("constant", "proportional"):
+            raise ValueError(f"unknown weight_rule: {self.weight_rule!r}")
         if self.min_len < 1:
             raise ValueError("min_len must be >= 1")
         if self.mode == "substring" and self.max_len >= 4096:

@@ -168,6 +168,9 @@ def _batch_postings(
                 continue
             toks["variant_rank"] = np.int32(0)
             toks["tok_mult"] = np.float32(1.0)
+            # parent token length, inherited by expansion variants (the
+            # fragment-weight delegate's `token` argument)
+            toks["parent_len"] = toks["token"].str.len().to_numpy(np.int32)
             pe = config.prefix_expansion
             if pe.mode == "substring":
                 # all-offsets contains mode; expand_substrings carries
@@ -182,7 +185,24 @@ def _batch_postings(
                         pre["token"].str.len().astype(np.int32)
                     )
             if not pre.empty:
-                pre["tok_mult"] = np.float32(pe.weight_multiplier)
+                if pe.weight_rule == "proportional":
+                    # weight_multiplier × f32(len(fragment))/f32(len(token))
+                    # — each step float32, matching the reference's
+                    # delegate math in C# float
+                    frag_len = (
+                        pre["token"].str.len().to_numpy(np.float32)
+                    )
+                    par_len = pre["parent_len"].to_numpy(np.float32)
+                    pre["tok_mult"] = (
+                        np.float32(pe.weight_multiplier)
+                        * (frag_len / par_len)
+                    ).astype(np.float32)
+                else:
+                    pre["tok_mult"] = np.float32(pe.weight_multiplier)
+                # a zero weight drops the fragment entirely
+                # (PartialMatchingTokenBreaker.cs:96-97)
+                pre = pre[pre["tok_mult"].to_numpy() > 0]
+            if not pre.empty:
                 toks = pd.concat([toks, pre], ignore_index=True)
             terms = normalise_series(
                 toks["token"], config.normaliser
@@ -701,6 +721,7 @@ class InvertedIndex:
                         self.config.prefix_expansion.weight_multiplier
                     ),
                     "mode": self.config.prefix_expansion.mode,
+                    "weight_rule": self.config.prefix_expansion.weight_rule,
                 }
             ),
         }

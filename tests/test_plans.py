@@ -230,3 +230,31 @@ def test_querier_key_sets_are_not_force_broadcast(spark, docs_df):
         assert "BroadcastHashJoin" in plan2, plan2
     finally:
         idx.postings.unpersist()
+
+
+def test_grouped_phrase_plan_single_shuffle(spark, docs_df):
+    """The grouped phrase kernel's plan has exactly ONE Exchange (the
+    doc_id repartition feeding the partition-merge kernel) regardless
+    of phrase length — vs the chain's n−1 join shuffles. This is the
+    physical property that makes it the long-phrase dispatch target."""
+    from fulltextindexer_spark.operators import query as q
+
+    cfg_pos = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    idx = build_index(docs_df, cfg_pos)
+    idx.postings.persist().count()
+    try:
+        df = q.get_consecutive_matches_grouped(
+            idx, "hash join sort merge"
+        )
+        plan = _plan(df)
+        assert "MapInPandas" in plan
+        # one Exchange for the repartition; broadcast exchanges (the
+        # query-term join) don't shuffle data across the cluster
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles == 1, plan
+    finally:
+        idx.postings.unpersist()

@@ -623,3 +623,42 @@ def test_string_key_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got3 == {"post/alpha"}
+
+
+def test_proportional_fragment_weights(spark):
+    """Proportional fragment-weight rule: each prefix variant weighs
+    len(fragment)/len(token) in float32 (the reference README's
+    partialMatchWeightDeterminer example;
+    PartialMatchingTokenBreaker.cs:60-65)."""
+    from fulltextindexer_spark.functions.normalize import normalise_scalar
+
+    docs = spark.createDataFrame([(1, "window")], "id long, text string")
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+        prefix_expansion=PrefixExpansionConfig(
+            3, 8, 1.0, weight_rule="proportional"
+        ),
+    )
+    idx = build_index(docs, cfg)
+    got = {
+        r["term"]: np.float32(r["weight"]) for r in idx.postings.collect()
+    }
+    norm = lambda t: normalise_scalar(t, cfg.normaliser)
+    assert got[norm("window")] == np.float32(1.0)  # the token itself
+    for frag in ("win", "wind", "windo"):
+        expect = np.float32(np.float32(len(frag)) / np.float32(6))
+        assert got[norm(frag)] == expect, frag
+    # the constant rule still yields the flat multiplier
+    cfg_c = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+        prefix_expansion=PrefixExpansionConfig(3, 8, 0.25),
+    )
+    got_c = {
+        r["term"]: np.float32(r["weight"])
+        for r in build_index(docs, cfg_c).postings.collect()
+    }
+    assert got_c[norm("win")] == np.float32(0.25)
