@@ -421,12 +421,9 @@ def q_query_locations(spark, sf_dir):
     )
 
 
-def q_compact_search(spark, sf_dir):
-    """S3 compact binary tier end-to-end: save the index through the
-    delta+varint compact sink, reload it, and run the AND-sum scoring
-    query on the reloaded postings — must equal the same DuckDB oracle
-    as ftix_search_and (lossless roundtrip through term-id dictionary +
-    packed positions)."""
+def _compact_index(spark, sf_dir):
+    """Build-once compact tier: save through the delta+varint sink,
+    reload (cached per session/corpus)."""
     import tempfile
 
     from fulltextindexer_spark.operators.compact import (
@@ -440,8 +437,17 @@ def q_compact_search(spark, sf_dir):
         out = tempfile.mkdtemp(prefix="ftix_gate_compact_")
         save_compact(idx, out)
         _INDEX_CACHE[key] = load_compact(spark, out, with_positions=False)
+    return _INDEX_CACHE[key]
+
+
+def q_compact_search(spark, sf_dir):
+    """S3 compact binary tier end-to-end: save the index through the
+    delta+varint compact sink, reload it, and run the AND-sum scoring
+    query on the reloaded postings — must equal the same DuckDB oracle
+    as ftix_search_and (lossless roundtrip through term-id dictionary +
+    packed positions)."""
     return _round_score(
-        q.get_partial_matches(_INDEX_CACHE[key], "sort table")
+        q.get_partial_matches(_compact_index(spark, sf_dir), "sort table")
     )
 
 

@@ -341,6 +341,12 @@ def run_default() -> dict:
         t0 = time.perf_counter()
         bm25_mod.get_bm25_stats(gate_idx)  # champions built eagerly inside
         timings["bm25_stats_build"] = round(time.perf_counter() - t0, 3)
+        # compact-tier save+load is likewise a one-time sink cost; warm
+        # the harness cache here so ftix_compact_search times the QUERY
+        # over the reloaded tier, not the write
+        t0 = time.perf_counter()
+        entrymod._compact_index(spark, SF_DIR).postings.count()
+        timings["compact_tier_build"] = round(time.perf_counter() - t0, 3)
 
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
