@@ -651,10 +651,13 @@ def _wand_two_pass(
     )
     contrib = _contribution_col(stats.avgdl, stats.k1, stats.b)
     # probe pass and prune pass both read this (small, query-matched)
-    # intermediate — cache it so the postings join runs once. Tracked:
-    # released by cachereg.release_all() / managed_caches().
+    # intermediate — cache it so the postings join runs once. Tracked
+    # under the "query" scope: serving loops free these between
+    # requests with release_all(scope="query") without dropping the
+    # warm per-index artefact caches.
     scored = persist_tracked(
-        matched.select("doc_id", "block", contrib.alias("c"))
+        matched.select("doc_id", "block", contrib.alias("c")),
+        scope="query",
     )
 
     probe = [r["block"] for r in ub_rows[:probe_blocks]]

@@ -286,8 +286,10 @@ def save_compact(
                 "max_len": cfg.prefix_expansion.max_len,
                 "weight_multiplier": cfg.prefix_expansion.weight_multiplier,
                 "mode": cfg.prefix_expansion.mode,
+                "weight_rule": cfg.prefix_expansion.weight_rule,
             }
         ),
+        "natural_key": index.natural_key,
         "entry_combiner": cfg.entry_combiner,
         "token_weight_overrides": [
             [t, w] for t, w in cfg.token_weight_overrides
@@ -296,6 +298,10 @@ def save_compact(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "index_config.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
+    if index.key_map is not None:
+        index.key_map.write.mode("overwrite").parquet(
+            os.path.join(path, "key_map")
+        )
 
 
 def load_compact(
@@ -358,4 +364,10 @@ def load_compact(
         )
     else:
         postings = joined.select(*base_cols)
-    return InvertedIndex(postings, config)
+    key_map = None
+    km_path = os.path.join(path, "key_map")
+    if os.path.isdir(km_path):
+        key_map = spark.read.parquet(km_path)
+    return InvertedIndex(
+        postings, config, key_map=key_map, natural_key=raw.get("natural_key")
+    )

@@ -602,9 +602,19 @@ class InvertedIndex:
         return InvertedIndex(merged, self.config, key_map, self.natural_key)
 
     def combine(self, other: "InvertedIndex") -> "InvertedIndex":
+        if (self.key_map is None) != (other.key_map is None) or (
+            self.natural_key != other.natural_key
+        ):
+            # merging a numeric-keyed index with a string-keyed one
+            # would mix xxhash64 ids into the numeric id space and
+            # leave them unresolvable — refuse loudly
+            raise ValueError(
+                "cannot combine indexes with different key modes: "
+                f"{self.natural_key!r} vs {other.natural_key!r}"
+            )
         merged = self._merge(self.postings.unionByName(other.postings))
         key_map = self.key_map
-        if key_map is not None and other.key_map is not None:
+        if key_map is not None:
             key_map = key_map.unionByName(other.key_map).distinct()
         return InvertedIndex(merged, self.config, key_map, self.natural_key)
 
@@ -756,9 +766,13 @@ class InvertedIndex:
         return cls(postings, config)
 
     @staticmethod
-    def _read_config(path: str) -> IndexConfig:
+    def _read_raw_config(path: str) -> dict:
         with open(os.path.join(path, "index_config.json")) as fh:
-            raw = json.load(fh)
+            return json.load(fh)
+
+    @staticmethod
+    def _read_config(path: str) -> IndexConfig:
+        raw = InvertedIndex._read_raw_config(path)
         return IndexConfig(
             key_column=raw["key_column"],
             fields=tuple(
@@ -790,8 +804,7 @@ class InvertedIndex:
         km_path = os.path.join(path, "key_map")
         if os.path.isdir(km_path):
             key_map = spark.read.parquet(km_path)
-            with open(os.path.join(path, "index_config.json")) as fh:
-                natural_key = json.load(fh).get("natural_key")
+            natural_key = cls._read_raw_config(path).get("natural_key")
         index = cls(postings, config, key_map, natural_key)
         from fulltextindexer_spark.operators import bm25
 

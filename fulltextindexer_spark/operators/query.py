@@ -665,9 +665,11 @@ def _partition_runs(batches, n):
         run = run.merge(ti, on=["doc_id", "field_idx", "anchor"], how="inner")
         if not len(run):
             return
-    if n == 1:  # pragma: no cover — dispatcher short-circuits n<=1
-        run = run.rename(columns={"src_len": "last_len"})
-        run["last_idx"] = run["src_idx"]
+    # n >= 2 always holds here: both grouped entry points short-circuit
+    # single-term phrases to the chain path (which itself short-circuits
+    # to GetMatches), so every run row has last_idx/last_len from the
+    # final merge above
+    assert n >= 2
     if not len(run):
         return
     # run weight = f32(double sum of the n contributions) × 2^(n−1)

@@ -162,6 +162,18 @@ def _index_section(
     """Token stream of one content section → per-occurrence entries."""
     if config.prefix_expansion is not None:
         pe = config.prefix_expansion
+
+        def frag_mult(frag_len: int, tok_len: int) -> np.float32:
+            # fragment-weight delegate (PartialMatchingTokenBreaker.cs:60-65):
+            # proportional = wm × f32(len(frag))/f32(len(token)), each
+            # step float32 — identical chain to the engine kernel
+            if pe.weight_rule == "proportional":
+                return F32(
+                    F32(pe.weight_multiplier)
+                    * (F32(frag_len) / F32(tok_len))
+                )
+            return F32(pe.weight_multiplier)
+
         expanded = []
         for tok, tidx, sidx, slen in tokens:
             expanded.append((tok, tidx, sidx, slen, F32(1.0)))
@@ -176,19 +188,21 @@ def _index_section(
                     for n in range(pe.min_len, hi + 1):
                         if i == 0 and n == len(tok):
                             continue
+                        m = frag_mult(n, len(tok))
+                        if m <= 0:  # 0 ⇒ drop the fragment (:96-97)
+                            continue
                         expanded.append(
-                            (tok[i:i + n], tidx, sidx, slen,
-                             F32(pe.weight_multiplier))
+                            (tok[i:i + n], tidx, sidx, slen, m)
                         )
             else:
                 hi = min(len(tok), pe.max_len)
                 for n in range(pe.min_len, hi + 1):
                     if n == len(tok):
                         continue
-                    expanded.append(
-                        (tok[:n], tidx, sidx, slen,
-                         F32(pe.weight_multiplier))
-                    )
+                    m = frag_mult(n, len(tok))
+                    if m <= 0:
+                        continue
+                    expanded.append((tok[:n], tidx, sidx, slen, m))
         token_stream = expanded
     else:
         token_stream = [

@@ -11,10 +11,22 @@ caches the *caller* owns.
 Every internal ``persist()`` therefore routes through
 :func:`persist_tracked`, and :func:`release_all` (or the
 :func:`managed_caches` context manager) unpersists exactly the frames
-the engine created — nothing else. The reference engine has no
-analogue (single-process, GC-managed); this is the distributed-cache
-equivalent of its immutable-structure sharing being freed when the
-last reference dies.
+the engine created — nothing else.
+
+Two scopes separate lifetimes:
+
+- ``"artefact"`` (default) — per-INDEX artefacts meant to stay warm
+  across many queries (postings, BM25 stats, shingle frames, IVF
+  assignments, term dictionaries).
+- ``"query"`` — per-QUERY intermediates (e.g. the WAND two-pass
+  matched frame) that are only needed until the query's result is
+  consumed. A serving loop calls ``release_all(scope="query")``
+  between requests to free them WITHOUT dropping the warm artefact
+  caches.
+
+The registry holds strong references by design: deterministic,
+explicit release beats waiting on the GC/ContextCleaner to maybe
+reclaim an unreferenced persist.
 """
 
 from __future__ import annotations
@@ -24,41 +36,62 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+SCOPES = ("artefact", "query")
+
+_TRACKED: list[tuple[str, DataFrame]] = []
 
 
-def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
+def persist_tracked(
+    df: DataFrame, storage_level=None, scope: str = "artefact"
+) -> DataFrame:
     """``df.persist()`` + registration for engine-wide release.
 
     Default storage level is Spark's (MEMORY_AND_DISK): executors under
     memory pressure spill rather than recompute.
     """
+    if scope not in SCOPES:
+        raise ValueError(f"unknown cache scope {scope!r}")
     if storage_level is not None:
         df.persist(storage_level)
     else:
         df.persist()
-    _TRACKED.append(df)
+    _TRACKED.append((scope, df))
     return df
 
 
-def tracked_count() -> int:
-    return len(_TRACKED)
+def tracked_count(scope: Optional[str] = None) -> int:
+    if scope is None:
+        return len(_TRACKED)
+    return sum(1 for s, _ in _TRACKED if s == scope)
 
 
-def release_all(blocking: bool = False) -> int:
-    """Unpersist every engine-created cached frame. Returns the count.
+def release_all(blocking: bool = False, scope: Optional[str] = None) -> int:
+    """Unpersist the engine's cached frames (all scopes, or just one).
 
-    Safe to call at any time: frames still referenced by lazy
-    DataFrames simply lose their cache and recompute on next use.
+    Returns the count released. Safe to call at any time: frames still
+    referenced by lazy DataFrames simply lose their cache and recompute
+    on next use.
     """
     n = 0
+    keep: list[tuple[str, DataFrame]] = []
     while _TRACKED:
-        df = _TRACKED.pop()
+        s, df = _TRACKED.pop()
+        if scope is not None and s != scope:
+            keep.append((s, df))
+            continue
         try:
             df.unpersist(blocking=blocking)
             n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+        except Exception:
+            # a stopped session has nothing to free; any other failure
+            # must surface (and the frame stays tracked for a retry)
+            sc = getattr(df.sparkSession, "_sc", None)
+            stopped = sc is None or getattr(sc, "_jsc", None) is None
+            if not stopped:
+                _TRACKED.append((s, df))
+                _TRACKED.extend(reversed(keep))
+                raise
+    _TRACKED.extend(reversed(keep))
     return n
 
 

@@ -41,3 +41,36 @@ def test_managed_caches_context(spark):
         assert cachereg.tracked_count() > 0
     assert cachereg.tracked_count() == 0
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_query_scope_release_keeps_artefacts(spark):
+    """release_all(scope='query') frees per-query intermediates (the
+    WAND two-pass frame) while leaving per-index artefact caches warm."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators import bm25
+    from fulltextindexer_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"hash join doc{i} merge sort") for i in range(40)],
+        "id long, text string",
+    )
+    idx = build_index(
+        docs,
+        IndexConfig(
+            key_column="id",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        ),
+    )
+    stats = bm25.get_bm25_stats(idx)  # artefact-scoped persists
+    before_art = cachereg.tracked_count("artefact")
+    assert before_art > 0
+    # deep k forces the two-pass path and its query-scoped persist
+    bm25.bm25_topk_wand(idx, "hash join", k=35, stats=stats).collect()
+    assert cachereg.tracked_count("query") > 0
+    released = cachereg.release_all(scope="query")
+    assert released > 0
+    assert cachereg.tracked_count("query") == 0
+    assert cachereg.tracked_count("artefact") == before_art
+    cachereg.release_all()
+    assert cachereg.tracked_count() == 0

@@ -327,3 +327,18 @@ def test_rp_lsh_deterministic_and_beats_axis_aligned(spark):
 
     rp_r, ax_r = recall(got_rp), recall(got_ax)
     assert rp_r >= ax_r, (rp_r, ax_r)
+
+
+def test_rp_lsh_rejects_dim_mismatch(spark):
+    """Review fix: a hyperplane/vector dim mismatch raises at execution
+    instead of silently null-padding every dot to bucket '000…0'."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from fulltextindexer_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        similarity.rp_lsh_buckets(emb, n_bits=4, dim=64, seed=1).collect()
+    assert "hyperplane dim" in str(ei.value)

@@ -662,3 +662,117 @@ def test_proportional_fragment_weights(spark):
         for r in build_index(docs, cfg_c).postings.collect()
     }
     assert got_c[norm("win")] == np.float32(0.25)
+
+
+def test_proportional_rule_engine_equals_oracle(spark):
+    """Review fix: the Python oracle honours weight_rule='proportional'
+    (and the zero-weight fragment drop) — engine postings == oracle
+    postings bit-for-bit under the proportional config."""
+    rows = [
+        {"id": 1, "text": "window windows sorting"},
+        {"id": 2, "text": "win windmill a"},
+    ]
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+        prefix_expansion=PrefixExpansionConfig(
+            3, 8, 1.0, weight_rule="proportional"
+        ),
+    )
+    df = spark.createDataFrame(
+        [(r["id"], r["text"]) for r in rows], "id long, text string"
+    )
+    got = {
+        (r["term"], r["doc_id"]): np.float32(r["weight"])
+        for r in build_index(df, cfg).postings.collect()
+    }
+    oidx = oracle.generate_index(rows, cfg)
+    want = {
+        (term, key): np.float32(e.weight)
+        for term, by_key in oidx.data.items()
+        for key, e in by_key.items()
+    }
+    assert got == want
+    # zero multiplier drops every fragment, keeping only parent tokens,
+    # in both engine and oracle (PartialMatchingTokenBreaker.cs:96-97)
+    cfg0 = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+        prefix_expansion=PrefixExpansionConfig(3, 8, 0.0),
+    )
+    got0 = {r["term"] for r in build_index(df, cfg0).postings.collect()}
+    want0 = set(oracle.generate_index(rows, cfg0).data)
+    assert got0 == want0
+    plain = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    assert got0 == {
+        r["term"] for r in build_index(df, plain).postings.collect()
+    }
+
+
+def test_combine_rejects_mismatched_key_modes(spark):
+    """Review fix: combining a numeric-keyed index with a string-keyed
+    one must raise (the hashed ids would be unresolvable)."""
+    cfg_num = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    cfg_str = IndexConfig(
+        key_column="slug",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    num = build_index(
+        spark.createDataFrame([(1, "cat")], "id long, text string"), cfg_num
+    )
+    strk = build_index(
+        spark.createDataFrame([("a", "cat")], "slug string, text string"),
+        cfg_str,
+    )
+    with pytest.raises(ValueError, match="key modes"):
+        num.combine(strk)
+    with pytest.raises(ValueError, match="key modes"):
+        strk.combine(num)
+
+
+def test_compact_tier_preserves_weight_rule_and_key_map(spark, tmp_path):
+    """Review fix: the compact tier round-trips weight_rule and the
+    natural-key map (it previously silently dropped both)."""
+    from fulltextindexer_spark.operators.compact import (
+        load_compact,
+        save_compact,
+    )
+
+    docs = spark.createDataFrame(
+        [("alpha", "window sorting"), ("beta", "win dog")],
+        "slug string, text string",
+    )
+    cfg = IndexConfig(
+        key_column="slug",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+        prefix_expansion=PrefixExpansionConfig(
+            3, 8, 1.0, weight_rule="proportional"
+        ),
+    )
+    idx = build_index(docs, cfg)
+    out = str(tmp_path / "compact_str")
+    save_compact(idx, out)
+    loaded = load_compact(spark, out, with_positions=False)
+    assert loaded.config.prefix_expansion.weight_rule == "proportional"
+    assert loaded.natural_key == "slug"
+    res = loaded.resolve_keys(q.get_partial_matches(loaded, "win"))
+    got = {r["doc_key"]: np.float32(r["score"]) for r in res.collect()}
+    orig = {
+        r["doc_key"]: np.float32(r["score"])
+        for r in idx.resolve_keys(
+            q.get_partial_matches(idx, "win")
+        ).collect()
+    }
+    assert got == orig and set(got) == {"alpha", "beta"}
