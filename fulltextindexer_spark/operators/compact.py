@@ -27,7 +27,6 @@ Compression is lossless: ``load_compact`` restores an
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterator, Optional
 
@@ -37,11 +36,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fulltextindexer_spark.config import (
-    FieldConfig,
-    IndexConfig,
-    PrefixExpansionConfig,
-)
 from fulltextindexer_spark.functions.gcctl import gc_paused
 from fulltextindexer_spark.operators.index_build import (
     POSITION_STRUCT,
@@ -269,35 +263,12 @@ def save_compact(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "term_dictionary"))
     )
-    cfg = index.config
-    meta = {
-        "key_column": cfg.key_column,
-        "fields": [{"column": f.column, "weight": f.weight} for f in cfg.fields],
-        "normaliser": cfg.normaliser,
-        "break_chars": cfg.break_chars,
-        "stop_words": sorted(cfg.stop_words),
-        "stop_word_weight": cfg.stop_word_weight,
-        "capture_positions": cfg.capture_positions,
-        "prefix_expansion": (
-            None
-            if cfg.prefix_expansion is None
-            else {
-                "min_len": cfg.prefix_expansion.min_len,
-                "max_len": cfg.prefix_expansion.max_len,
-                "weight_multiplier": cfg.prefix_expansion.weight_multiplier,
-                "mode": cfg.prefix_expansion.mode,
-                "weight_rule": cfg.prefix_expansion.weight_rule,
-            }
-        ),
-        "natural_key": index.natural_key,
-        "entry_combiner": cfg.entry_combiner,
-        "token_weight_overrides": [
-            [t, w] for t, w in cfg.token_weight_overrides
-        ],
-    }
+    # config (de)serialization is SHARED with the standard tier
+    # (InvertedIndex._write_config / _config_from_raw): a field added
+    # there flows through the compact tier automatically — the drift
+    # that once silently dropped weight_rule/key_map cannot recur
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "index_config.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
+    index._write_config(path)
     if index.key_map is not None:
         index.key_map.write.mode("overwrite").parquet(
             os.path.join(path, "key_map")
@@ -315,31 +286,12 @@ def load_compact(
     location payload would be pure waste; phrase queries need the
     default ``True``.
     """
-    with open(os.path.join(path, "index_config.json")) as fh:
-        raw = json.load(fh)
+    from dataclasses import replace
+
+    raw = InvertedIndex._read_raw_config(path)
+    config = InvertedIndex._config_from_raw(raw)
     if not with_positions:
-        raw = dict(raw, capture_positions=False)
-    config = IndexConfig(
-        key_column=raw["key_column"],
-        fields=tuple(
-            FieldConfig(f["column"], f["weight"]) for f in raw["fields"]
-        ),
-        normaliser=raw["normaliser"],
-        break_chars=raw["break_chars"],
-        stop_words=frozenset(raw["stop_words"]),
-        stop_word_weight=raw["stop_word_weight"],
-        capture_positions=raw["capture_positions"],
-        prefix_expansion=(
-            None
-            if raw["prefix_expansion"] is None
-            else PrefixExpansionConfig(**raw["prefix_expansion"])
-        ),
-        entry_combiner=raw.get("entry_combiner", "sum"),
-        token_weight_overrides=tuple(
-            (t, float(w))
-            for t, w in raw.get("token_weight_overrides", [])
-        ),
-    )
+        config = replace(config, capture_positions=False)
     compact = spark.read.parquet(os.path.join(path, "postings_compact"))
     dictionary = spark.read.parquet(os.path.join(path, "term_dictionary"))
     joined = compact.join(dictionary, "term_id")

@@ -772,7 +772,12 @@ class InvertedIndex:
 
     @staticmethod
     def _read_config(path: str) -> IndexConfig:
-        raw = InvertedIndex._read_raw_config(path)
+        return InvertedIndex._config_from_raw(
+            InvertedIndex._read_raw_config(path)
+        )
+
+    @staticmethod
+    def _config_from_raw(raw: dict) -> IndexConfig:
         return IndexConfig(
             key_column=raw["key_column"],
             fields=tuple(
@@ -797,14 +802,15 @@ class InvertedIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
-        config = cls._read_config(path)
+        raw = cls._read_raw_config(path)  # parsed once: config + key meta
+        config = cls._config_from_raw(raw)
         postings = spark.read.parquet(os.path.join(path, "postings"))
         key_map = None
         natural_key = None
         km_path = os.path.join(path, "key_map")
         if os.path.isdir(km_path):
             key_map = spark.read.parquet(km_path)
-            natural_key = cls._read_raw_config(path).get("natural_key")
+            natural_key = raw.get("natural_key")
         index = cls(postings, config, key_map, natural_key)
         from fulltextindexer_spark.operators import bm25
 

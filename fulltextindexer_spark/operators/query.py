@@ -573,7 +573,7 @@ def get_consecutive_matches_grouped(
     from typing import Iterator
 
     def find_runs(batches: "Iterator[pd.DataFrame]"):
-        for run, n_, order, starts, docs, scores in _partition_runs(
+        for run, n_, starts, docs, scores in _partition_runs(
             batches, n
         ):
             yield pd.DataFrame({"doc_id": docs, "score": scores})
@@ -617,10 +617,11 @@ def _partition_runs(batches, n):
     """Shared grouped-kernel core: merge the partition's matched units
     into runs and fold per-doc scores.
 
-    Yields (run frame incl. per-run ``run_w``/``anchor``/``src_idx``/
-    ``end_idx`` already in (doc, field, anchor) order, n, order, group
-    starts, per-group doc ids, per-group f32 scores) — at most once
-    (single concatenated partition).
+    Yields (run frame — already reordered into (doc, field, anchor)
+    enumeration order, with per-run ``run_w``/``anchor``/``src_idx``/
+    ``last_idx``/``last_len`` — n, group starts, per-group doc ids,
+    per-group f32 scores) — at most once (single concatenated
+    partition).
 
     A partition arrives as MULTIPLE Arrow batches (split at
     maxRecordsPerBatch) and a doc's unit rows can straddle them — runs
@@ -699,7 +700,7 @@ def _partition_runs(batches, n):
     scores = np.add.reduceat(
         run["run_w"].to_numpy(np.float64), starts
     ).astype(np.float32)
-    yield run, n, order, starts, docs_all[starts], scores
+    yield run, n, starts, docs_all[starts], scores
 
 
 def get_consecutive_matches_grouped_with_locations(
@@ -725,7 +726,7 @@ def get_consecutive_matches_grouped_with_locations(
     from typing import Iterator
 
     def find_runs_loc(batches: "Iterator[pd.DataFrame]"):
-        for run, n_, order, starts, docs, scores in _partition_runs(
+        for run, n_, starts, docs, scores in _partition_runs(
             batches, n
         ):
             # one synthesized location per run, already in enumeration

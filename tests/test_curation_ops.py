@@ -333,7 +333,6 @@ def test_rp_lsh_rejects_dim_mismatch(spark):
     """Review fix: a hyperplane/vector dim mismatch raises at execution
     instead of silently null-padding every dot to bucket '000…0'."""
     import pytest
-    from py4j.protocol import Py4JJavaError
     from fulltextindexer_spark.operators import similarity
 
     emb = spark.createDataFrame(
