@@ -341,3 +341,28 @@ def test_rp_lsh_rejects_dim_mismatch(spark):
     with pytest.raises(Exception) as ei:
         similarity.rp_lsh_buckets(emb, n_bits=4, dim=64, seed=1).collect()
     assert "hyperplane dim" in str(ei.value)
+
+
+def test_rp_multiprobe_recall_dial(spark):
+    """rp-LSH multi-probe top-k: widening the Hamming-ball radius is a
+    monotone recall dial, reaching exact recall at full radius (every
+    bucket probed == brute force)."""
+    from fulltextindexer_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(
+        emb.where(emb["vec_id"] == 3).collect()[0]["embedding"]
+    )
+    exact = similarity.cosine_topk(emb, qvec, k=10)
+
+    def recall(mp):
+        approx = similarity.rp_cosine_topk_lsh(
+            emb, qvec, k=10, n_bits=8, seed=42, multi_probe=mp
+        )
+        return similarity.topk_recall(approx, exact, k=10).collect()[0][
+            "recall"
+        ]
+
+    r0, r2, r8 = recall(0), recall(2), recall(8)
+    assert r0 <= r2 <= r8
+    assert r8 == 1.0  # full ball == brute force
