@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from fulltextindexer_spark.config import (
     ENGLISH_STOP_WORDS,
+    ConsecutiveCombineConfig,
     FieldConfig,
     IndexConfig,
     PrefixExpansionConfig,
@@ -269,6 +270,28 @@ def q_prefix(spark, sf_dir):
     idx = _docs_index(spark, sf_dir, DOCS_CONFIG_PREFIX)
     return _round_score(
         q.get_matches(idx, "wind").select(
+            "doc_id", F.col("weight").alias("score")
+        )
+    )
+
+
+DOCS_CONFIG_COMBINE = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    consecutive_combine=ConsecutiveCombineConfig(max_tokens=2),
+)
+
+
+def q_combined_tokens(spark, sf_dir):
+    """T4 consecutive-token combining gate
+    (ConsecutiveTokenCombiningTokenBreaker.cs:44-80): bigram runs are
+    indexed as space-joined tokens, so the obsolete-breaker workflow —
+    GetMatches on a combined token — works as a drop-in. Score = the
+    combined entry weight of 'hash join' per doc."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_COMBINE)
+    return _round_score(
+        q.get_matches(idx, "hash join").select(
             "doc_id", F.col("weight").alias("score")
         )
     )
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_query_locations": q_query_locations,
         "ftix_prefix": q_prefix,
         "ftix_prefix_prop": q_prefix_prop,
+        "ftix_combined_tokens": q_combined_tokens,
         "ftix_contains": q_contains,
         "ftix_multifield": q_multifield,
         "ftix_max_combiner": q_max_combiner,
@@ -843,6 +867,31 @@ hits AS (
 {prefix_selects}
 )
 SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
+"""
+
+
+def _combined_tokens_sql() -> str:
+    """Oracle for T4: raw consecutive token pairs joined with one
+    space, normalised as one string (exactly what the engine indexes),
+    weight = stop-rule factor per occurrence, summed per doc."""
+    stem_pair = stem_sql_case_expr("a.t || ' ' || b.t")
+    target = english_plurality_normalise("hash join")
+    return f"""
+WITH rawp AS (
+  SELECT doc_id, t, pos FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+            generate_subscripts(string_split(text, ' '), 1) AS pos
+     FROM documents)
+  WHERE t <> ''
+),
+big AS (
+  SELECT a.doc_id, {stem_pair} AS term
+  FROM rawp a JOIN rawp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT doc_id,
+       round(sum(1.0 * {_stop_case('term')}), 4) AS score
+FROM big WHERE term = '{target}'
+GROUP BY doc_id
 """
 
 
@@ -1227,6 +1276,7 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_prefix": _prefix_sql(),
         "ftix_prefix_prop": _prefix_prop_sql(),
+        "ftix_combined_tokens": _combined_tokens_sql(),
         "ftix_contains": _contains_sql(),
         "ftix_multifield": _multifield_sql(),
         "ftix_max_combiner": _max_combiner_sql(),

@@ -88,6 +88,39 @@ class PrefixExpansionConfig:
 
 
 @dataclass(frozen=True)
+class ConsecutiveCombineConfig:
+    """Consecutive-token combining (the reference's T4,
+    ConsecutiveTokenCombiningTokenBreaker.cs:44-80): in addition to
+    every single token, index every run of up to ``max_tokens``
+    consecutive tokens joined with a single space — "this is a test"
+    at ``max_tokens=3`` additionally indexes "this is", "is a",
+    "a test", "this is a", "is a test". The combined token carries the
+    FIRST token's token_idx, spans from the first token's start to the
+    last token's end (:61-74), and weighs ``weight_multiplier``
+    (the WeightMultiplierDeterminer delegate; constituents here always
+    have multiplier 1.0, so a flat value is the faithful
+    vectorisation-safe rendering — must be in (0, 1], :35-38).
+
+    The reference marks this breaker obsolete in favour of positional
+    GetConsecutiveMatches (:10-14) — provided here for drop-in
+    completeness; positions + phrase queries remain the recommended
+    path.
+    """
+
+    max_tokens: int = 2
+    weight_multiplier: float = 1.0
+
+    def __post_init__(self):
+        if self.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        if not (0.0 < self.weight_multiplier <= 1.0):
+            raise ValueError(
+                "weight_multiplier must be in (0, 1] "
+                "(ConsecutiveTokenCombiningTokenBreaker.cs:35-38)"
+            )
+
+
+@dataclass(frozen=True)
 class IndexConfig:
     """Configuration for one inverted index build."""
 
@@ -102,6 +135,10 @@ class IndexConfig:
     stop_word_weight: float = STOP_WORD_WEIGHT
     capture_positions: bool = True
     prefix_expansion: Optional[PrefixExpansionConfig] = None
+    # T4 consecutive-token combining; mutually exclusive with
+    # prefix_expansion (the reference would nest the breakers, but the
+    # combination has no known use and keeps the kernel simple)
+    consecutive_combine: Optional[ConsecutiveCombineConfig] = None
     # WeightedEntryCombiner (reference IndexGenerator.cs:26-42,
     # :198-204): how the per-occurrence match weights of one
     # (term, doc) pair combine into the entry weight. The reference
@@ -117,6 +154,14 @@ class IndexConfig:
         if self.entry_combiner not in ("sum", "max", "mean"):
             raise ValueError(
                 f"unknown entry_combiner: {self.entry_combiner!r}"
+            )
+        if (
+            self.prefix_expansion is not None
+            and self.consecutive_combine is not None
+        ):
+            raise ValueError(
+                "prefix_expansion and consecutive_combine cannot be "
+                "combined"
             )
 
     def field_columns(self) -> list[str]:

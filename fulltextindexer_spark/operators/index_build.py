@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fulltextindexer_spark.config import (
+    ConsecutiveCombineConfig,
     FieldConfig,
     IndexConfig,
     PrefixExpansionConfig,
@@ -115,6 +116,90 @@ def _field_sections(
     return sec_row, counts, content
 
 
+def _expand_partial(toks: pd.DataFrame, pe) -> pd.DataFrame:
+    """Partial-match expansion (T3): parent tokens + prefix/substring
+    variants with the configured fragment-weight rule."""
+    # parent token length, inherited by expansion variants (the
+    # fragment-weight delegate's `token` argument)
+    toks["parent_len"] = toks["token"].str.len().to_numpy(np.int32)
+    if pe.mode == "substring":
+        # all-offsets contains mode; expand_substrings carries its own
+        # (offset, length) enumeration order
+        pre = expand_substrings(toks, pe.min_len, pe.max_len)
+    else:
+        pre = expand_prefixes(toks, pe.min_len, pe.max_len)
+        if not pre.empty:
+            # parent token first, then its prefixes in ascending
+            # length (reference PartialMatchingTokenBreaker.cs:76-109)
+            pre["variant_rank"] = pre["token"].str.len().astype(np.int32)
+    if not pre.empty:
+        if pe.weight_rule == "proportional":
+            # weight_multiplier × f32(len(fragment))/f32(len(token)) —
+            # each step float32, matching the reference's delegate math
+            # in C# float
+            frag_len = pre["token"].str.len().to_numpy(np.float32)
+            par_len = pre["parent_len"].to_numpy(np.float32)
+            pre["tok_mult"] = (
+                np.float32(pe.weight_multiplier) * (frag_len / par_len)
+            ).astype(np.float32)
+        else:
+            pre["tok_mult"] = np.float32(pe.weight_multiplier)
+        # a zero weight drops the fragment entirely
+        # (PartialMatchingTokenBreaker.cs:96-97)
+        pre = pre[pre["tok_mult"].to_numpy() > 0]
+    if pre.empty:
+        return toks
+    return pd.concat([toks, pre], ignore_index=True)
+
+
+def _expand_consecutive(toks: pd.DataFrame, cc) -> pd.DataFrame:
+    """Consecutive-token combining (T4,
+    ConsecutiveTokenCombiningTokenBreaker.cs:44-80): every run of
+    2..max_tokens consecutive tokens within one content section is
+    additionally emitted as a space-joined token carrying the first
+    token's token_idx, a span from first start to last end, and the
+    configured combined-weight multiplier. variant_rank = run length−1
+    keeps the per-(term, doc) combine fold in (token_idx, run length)
+    emission order."""
+    row_a = toks["row"].to_numpy()
+    tok_a = toks["token"].to_numpy()
+    tidx = toks["token_idx"].to_numpy(np.int32)
+    sidx = toks["src_idx"].to_numpy(np.int32)
+    slen = toks["src_len"].to_numpy(np.int32)
+    frames = [toks]
+    for length in range(2, cc.max_tokens + 1):
+        if len(toks) < length:
+            break
+        # run start positions whose whole window stays in one section
+        valid = row_a[length - 1:] == row_a[: len(row_a) - (length - 1)]
+        starts = np.flatnonzero(valid)
+        if not len(starts):
+            continue
+        last = starts + length - 1
+        frames.append(
+            pd.DataFrame(
+                {
+                    "row": row_a[starts],
+                    "token": [
+                        " ".join(tok_a[s : s + length]) for s in starts
+                    ],
+                    "token_idx": tidx[starts],
+                    "src_idx": sidx[starts],
+                    # end of last token − start of first (:61-74; break
+                    # chars between tokens are inside the span)
+                    "src_len": (
+                        sidx[last] + slen[last] - sidx[starts]
+                    ).astype(np.int32),
+                    "variant_rank": np.int32(length - 1),
+                    "tok_mult": np.float32(cc.weight_multiplier),
+                }
+            )
+        )
+    if len(frames) == 1:
+        return toks
+    return pd.concat(frames, ignore_index=True)
+
+
 def _batch_postings(
     pdf: pd.DataFrame,
     config: IndexConfig,
@@ -159,8 +244,11 @@ def _batch_postings(
             next_field_idx = np.maximum(next_field_idx, 1)
         if not len(content):
             continue
-        if config.prefix_expansion is not None:
-            # prefix path: token strings are needed to generate prefix
+        if (
+            config.prefix_expansion is not None
+            or config.consecutive_combine is not None
+        ):
+            # expansion paths: token strings are needed to generate
             # variants, so materialise them (normalise_series memoises
             # per distinct token internally)
             toks = tokenize_frame(content, config.break_chars)
@@ -168,42 +256,12 @@ def _batch_postings(
                 continue
             toks["variant_rank"] = np.int32(0)
             toks["tok_mult"] = np.float32(1.0)
-            # parent token length, inherited by expansion variants (the
-            # fragment-weight delegate's `token` argument)
-            toks["parent_len"] = toks["token"].str.len().to_numpy(np.int32)
-            pe = config.prefix_expansion
-            if pe.mode == "substring":
-                # all-offsets contains mode; expand_substrings carries
-                # its own (offset, length) enumeration order
-                pre = expand_substrings(toks, pe.min_len, pe.max_len)
+            if config.prefix_expansion is not None:
+                toks = _expand_partial(toks, config.prefix_expansion)
             else:
-                pre = expand_prefixes(toks, pe.min_len, pe.max_len)
-                if not pre.empty:
-                    # parent token first, then its prefixes in ascending
-                    # length (reference PartialMatchingTokenBreaker.cs:76-109)
-                    pre["variant_rank"] = (
-                        pre["token"].str.len().astype(np.int32)
-                    )
-            if not pre.empty:
-                if pe.weight_rule == "proportional":
-                    # weight_multiplier × f32(len(fragment))/f32(len(token))
-                    # — each step float32, matching the reference's
-                    # delegate math in C# float
-                    frag_len = (
-                        pre["token"].str.len().to_numpy(np.float32)
-                    )
-                    par_len = pre["parent_len"].to_numpy(np.float32)
-                    pre["tok_mult"] = (
-                        np.float32(pe.weight_multiplier)
-                        * (frag_len / par_len)
-                    ).astype(np.float32)
-                else:
-                    pre["tok_mult"] = np.float32(pe.weight_multiplier)
-                # a zero weight drops the fragment entirely
-                # (PartialMatchingTokenBreaker.cs:96-97)
-                pre = pre[pre["tok_mult"].to_numpy() > 0]
-            if not pre.empty:
-                toks = pd.concat([toks, pre], ignore_index=True)
+                toks = _expand_consecutive(
+                    toks, config.consecutive_combine
+                )
             terms = normalise_series(
                 toks["token"], config.normaliser
             ).to_numpy()
@@ -734,6 +792,16 @@ class InvertedIndex:
                     "weight_rule": self.config.prefix_expansion.weight_rule,
                 }
             ),
+            "consecutive_combine": (
+                None
+                if self.config.consecutive_combine is None
+                else {
+                    "max_tokens": self.config.consecutive_combine.max_tokens,
+                    "weight_multiplier": (
+                        self.config.consecutive_combine.weight_multiplier
+                    ),
+                }
+            ),
         }
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "index_config.json"), "w") as fh:
@@ -797,6 +865,11 @@ class InvertedIndex:
                 None
                 if raw["prefix_expansion"] is None
                 else PrefixExpansionConfig(**raw["prefix_expansion"])
+            ),
+            consecutive_combine=(
+                None
+                if raw.get("consecutive_combine") is None
+                else ConsecutiveCombineConfig(**raw["consecutive_combine"])
             ),
         )
 

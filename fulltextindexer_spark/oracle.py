@@ -204,6 +204,27 @@ def _index_section(
                         continue
                     expanded.append((tok[:n], tidx, sidx, slen, m))
         token_stream = expanded
+    elif config.consecutive_combine is not None:
+        # T4 (ConsecutiveTokenCombiningTokenBreaker.cs:44-80): runs of
+        # 2..max_tokens consecutive tokens joined with one space; the
+        # combined token keeps the first token's TokenIndex, spans
+        # first start → last end, and weighs the configured multiplier.
+        # Emission (first-index major, run length ascending) matches
+        # the engine kernel's (token_idx, variant_rank) fold order.
+        cc = config.consecutive_combine
+        expanded = []
+        for i, (tok, tidx, sidx, slen) in enumerate(tokens):
+            expanded.append((tok, tidx, sidx, slen, F32(1.0)))
+            for length in range(2, cc.max_tokens + 1):
+                if i + length > len(tokens):
+                    break
+                parts = tokens[i : i + length]
+                joined = " ".join(t[0] for t in parts)
+                span = (parts[-1][2] + parts[-1][3]) - sidx
+                expanded.append(
+                    (joined, tidx, sidx, span, F32(cc.weight_multiplier))
+                )
+        token_stream = expanded
     else:
         token_stream = [
             (tok, tidx, sidx, slen, F32(1.0))

@@ -776,3 +776,59 @@ def test_compact_tier_preserves_weight_rule_and_key_map(spark, tmp_path):
         ).collect()
     }
     assert got == orig and set(got) == {"alpha", "beta"}
+
+
+def test_consecutive_token_combining(spark, tmp_path):
+    """T4 ConsecutiveTokenCombiningTokenBreaker: the docstring fixture
+    ("this is a test", max 3) yields exactly the documented extended
+    token set (ConsecutiveTokenCombiningTokenBreaker.cs:8-10), with
+    first-token TokenIndex and first-start..last-end spans (:61-74);
+    engine == oracle bit-for-bit; config survives save/load."""
+    from fulltextindexer_spark.config import ConsecutiveCombineConfig
+    from fulltextindexer_spark.functions.normalize import normalise_scalar
+
+    rows = [{"id": 7, "text": "this is a test"}]
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+        consecutive_combine=ConsecutiveCombineConfig(max_tokens=3),
+    )
+    df = spark.createDataFrame([(7, "this is a test")], "id long, text string")
+    idx = build_index(df, cfg)
+    norm = lambda t: normalise_scalar(t, cfg.normaliser)
+    expected = [
+        "this", "is", "a", "test",
+        "this is", "is a", "a test",
+        "this is a", "is a test",
+    ]
+    got = {
+        r["term"]: (np.float32(r["weight"]), r["positions"])
+        for r in idx.postings.collect()
+    }
+    assert set(got) == {norm(t) for t in expected}
+    # span check: "this is a" covers chars 0..8 (9 chars), token_idx 0
+    loc = got[norm("this is a")][1][0]
+    assert (loc["token_idx"], loc["src_idx"], loc["src_len"]) == (0, 0, 9)
+    # "is a test" covers chars 5..13 (9 chars), token_idx 1
+    loc2 = got[norm("is a test")][1][0]
+    assert (loc2["token_idx"], loc2["src_idx"], loc2["src_len"]) == (1, 5, 9)
+
+    # engine == oracle (weights f32-exact)
+    oidx = oracle.generate_index(rows, cfg)
+    want = {
+        term: np.float32(e.weight)
+        for term, by_key in oidx.data.items()
+        for e in by_key.values()
+    }
+    assert {t: w for t, (w, _) in got.items()} == want
+
+    # GetMatches on a combined token (the obsolete-breaker workflow)
+    m = q.get_matches(idx, "is a").collect()
+    assert len(m) == 1 and np.float32(m[0]["weight"]) == np.float32(1.0)
+
+    # config round-trips through the shared serializer
+    path = str(tmp_path / "t4idx")
+    idx.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.config.consecutive_combine.max_tokens == 3
