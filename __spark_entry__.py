@@ -563,6 +563,26 @@ def q_lsh_verified(spark, sf_dir):
     )
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup clusters: LSH-verified pairs closed under transitivity
+    (distributed connected components — min-label propagation with
+    pointer jumping, O(log n) rounds). One row per document; singletons
+    are their own component; component id = min doc_id of the
+    cluster."""
+    return dedup.neardup_components(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
+    )
+
+
+def q_dedup_near_keep(spark, sf_dir):
+    """Near-dup keep list: smallest doc_id per near-dup cluster — the
+    curation step that actually drops transitive near-duplicates
+    (pairs alone can't: A≈B≈C must keep exactly one doc)."""
+    return dedup.neardup_keep_list(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash16(_documents(spark, sf_dir))
 
@@ -819,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_near_keep": q_dedup_near_keep,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_rplsh_buckets": q_rplsh_buckets,
@@ -1137,6 +1159,43 @@ SELECT doc_id, round(score, 4) AS score FROM
 """
 
 
+# Verified near-dup pairs → symmetric edges → transitive closure by
+# recursive min-root reach (each (node, r) row says "r reaches node";
+# min r per node == the component's smallest doc_id — the same
+# representative the engine's connected_components converges to).
+# Shares the SH3/bands CTEs of dedup_lsh_verified.
+_CLUSTER_CTES = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+"""
+
+
 def _minhash_sig_exprs(n_hashes: int = 8, table: str = "sh") -> list[str]:
     return [
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
@@ -1355,6 +1414,25 @@ FROM shared
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+""",
+        "dedup_cluster": f"""
+WITH RECURSIVE {SH3_CTE},
+bands AS (
+{bands}
+),
+{_CLUSTER_CTES}
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+        "dedup_near_keep": f"""
+WITH RECURSIVE {SH3_CTE},
+bands AS (
+{bands}
+),
+{_CLUSTER_CTES}
+SELECT d.doc_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+WHERE coalesce(c.component, d.doc_id) = d.doc_id
 """,
         "sim_cosine_topk": """
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),

@@ -299,6 +299,150 @@ def lsh_verified_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list: one
+    ``(node, component)`` row per node appearing in ``pairs``, where
+    ``component`` is the SMALLEST node id in that node's component —
+    so the representative is deterministic and a keep-list is just
+    ``node == component``.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label ← min(label, min over neighbours' labels, label's label)),
+    the DataFrame rendering of the logarithmic-round MapReduce CC
+    family (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", ICDE 2013; Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+    Pointer jumping halves label-chain depth every round, so a path
+    graph of n nodes converges in O(log n) rounds, not O(n).
+
+    Scale shape: each round is two equi-joins plus one groupBy — all
+    keyed shuffles on node ids (AQE skew handling applies; no
+    all-pairs step, no driver-side graph). The label frame is
+    ``localCheckpoint``-ed every round: iterative DataFrame loops must
+    truncate lineage or analysis cost grows quadratically with rounds,
+    and orphaned checkpoint RDDs are freed by Spark's ContextCleaner
+    as references drop. On a real cluster prefer a reliable
+    ``setCheckpointDir`` + ``checkpoint`` for executor-loss tolerance;
+    local mode has no such loss, so the cheap local variant is used.
+    Raises ``RuntimeError`` if not converged within ``max_iter``
+    rounds (monotone-decreasing labels make convergence certain; the
+    bound is a safety net, and 30 rounds covers components of ~2^30
+    diameter).
+    """
+    e = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = persist_tracked(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        merged = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        ptr = merged.select(
+            F.col("node").alias("p"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            merged.join(ptr, merged["label"] == ptr["p"])
+            .select(
+                "node",
+                F.least(merged["label"], ptr["plabel"]).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = jumped
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def neardup_components(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS over the whole corpus: LSH-verified
+    Jaccard pairs (:func:`lsh_verified_jaccard_pairs`) closed under
+    transitivity via :func:`connected_components`. Returns one
+    ``(doc_id, component)`` row per document — singletons are their
+    own component — so downstream curation can reason about clusters,
+    not just pairs (pairs alone cannot deduplicate a corpus: A≈B and
+    B≈C must collapse to ONE kept document even when A≉C directly).
+    """
+    cc = connected_components(
+        lsh_verified_jaccard_pairs(
+            docs, n_hashes, bands, k, threshold, text_col, id_col
+        ),
+        max_iter=max_iter,
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        cc, F.col("doc_id") == cc["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+
+
+def neardup_keep_list(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup keep list: the smallest doc_id of every near-duplicate
+    cluster (components carry their min id, so survivors are exactly
+    ``doc_id == component``). The near-dup analogue of
+    :func:`deduplicated_keep_list`; a production pipeline that prefers
+    keeping the *highest-quality* member instead can join
+    :func:`neardup_components` against a quality score and rank within
+    ``component``."""
+    comp = neardup_components(
+        docs, n_hashes, bands, k, threshold, text_col, id_col, max_iter
+    )
+    return comp.where(F.col("doc_id") == F.col("component")).select(
+        "doc_id"
+    )
+
+
 def simhash16(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -366,3 +366,100 @@ def test_rp_multiprobe_recall_dial(spark):
     r0, r2, r8 = recall(0), recall(2), recall(8)
     assert r0 <= r2 <= r8
     assert r8 == 1.0  # full ball == brute force
+
+
+def _uf_components(n_nodes, edges):
+    """Union-find oracle: {node: min-id-of-component} over nodes that
+    appear in edges."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two triangles + a bridge node + an isolated pair
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10), (20, 21)],
+        # star
+        [(5, i) for i in range(6, 16)],
+        # chain of 200 nodes: worst case for plain min-propagation,
+        # must converge within max_iter via pointer jumping
+        [(i, i + 1) for i in range(200)],
+        # duplicate + reversed + self edges
+        [(1, 2), (2, 1), (1, 2), (3, 3), (3, 4)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from fulltextindexer_spark.operators import dedup
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = _uf_components(None, [(u, v) for u, v in edges if u != v])
+    assert got == want
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from fulltextindexer_spark.operators import dedup
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(250)
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = _uf_components(None, [(u, v) for u, v in edges if u != v])
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_neardup_components_and_keep(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    # doc 1 ≈ doc 2 ≈ doc 3 (chained near-dups), 4 unique, 5 unique
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " one"),
+            (3, base + " one two"),
+            (4, "totally different content with no shared shingles here"),
+            (5, "another unrelated document about completely other things"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.neardup_components(docs, threshold=0.4).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4 and comp[5] == 5
+    keep = {
+        r["doc_id"] for r in dedup.neardup_keep_list(docs, threshold=0.4).collect()
+    }
+    assert keep == {1, 4, 5}
