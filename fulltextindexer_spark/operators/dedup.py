@@ -337,52 +337,60 @@ def connected_components(
     e = pairs.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).where(F.col("u") != F.col("v"))
-    edges = persist_tracked(
+    edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        .persist()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy(edges["u"].alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        merged = labels.join(nbr, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce("nbr_min", F.col("label"))
-            ).alias("label"),
-        )
-        ptr = merged.select(
-            F.col("node").alias("p"), F.col("label").alias("plabel")
-        )
-        jumped = (
-            merged.join(ptr, merged["label"] == ptr["p"])
-            .select(
-                "node",
-                F.least(merged["label"], ptr["plabel"]).alias("label"),
-            )
+    try:
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .localCheckpoint(eager=True)
         )
-        converged = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = jumped
-        if converged:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .groupBy(edges["u"].alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            merged = labels.join(nbr, "node", "left").select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            ptr = merged.select(
+                F.col("node").alias("p"), F.col("label").alias("plabel")
+            )
+            # the old label rides along so convergence is a filter on
+            # the checkpointed frame, not another keyed join per round
+            jumped = (
+                merged.join(ptr, merged["label"] == ptr["p"])
+                .select(
+                    "node",
+                    merged["old_label"],
+                    F.least(merged["label"], ptr["plabel"]).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            converged = jumped.where(
+                F.col("label") != F.col("old_label")
+            ).isEmpty()
+            labels = jumped.select("node", "label")
+            if converged:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        # the returned labels frame is checkpoint-materialised and no
+        # longer depends on the edge lineage — release it eagerly
+        # rather than holding it until an engine-wide release_all()
+        edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
