@@ -37,7 +37,13 @@ from fulltextindexer_spark.functions.normalize import (
     english_plurality_normalise,
     stem_sql_case_expr,
 )
-from fulltextindexer_spark.operators import bm25, dedup, similarity, textstats
+from fulltextindexer_spark.operators import (
+    bm25,
+    decontam,
+    dedup,
+    similarity,
+    textstats,
+)
 from fulltextindexer_spark.plans import cachereg
 from fulltextindexer_spark.operators import query as q
 from fulltextindexer_spark.operators.index_build import build_index
@@ -583,6 +589,33 @@ def q_dedup_near_keep(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup keep list: per cluster keep the HIGHEST
+    quality member (here quality = content length; smallest doc_id on
+    ties) — the policy real pipelines want, vs. smallest-id. One
+    max_by aggregation per component (map-side partial agg), not a
+    window."""
+    docs = _documents(spark, sf_dir).withColumn(
+        "quality", F.length("text")
+    )
+    return dedup.neardup_keep_best(
+        docs, "quality", n_hashes=8, bands=4, k=3, threshold=0.5
+    )
+
+
+def q_curate_decontam(spark, sf_dir):
+    """Benchmark decontamination: the train corpus (doc_id % 29 != 0)
+    with every document dropped that shares a 5-gram shingle with the
+    held-out eval split (doc_id % 29 == 0) — the GPT-3/C4-style
+    n-gram-overlap curation step. Train-side semi/anti joins against
+    the distinct (benchmark-sized, AQE-broadcastable) eval shingle
+    set."""
+    docs = _documents(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 29 == 0)
+    tr = docs.where(F.col("doc_id") % 29 != 0)
+    return decontam.decontaminated_corpus(tr, ev, k=5).select("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash16(_documents(spark, sf_dir))
 
@@ -841,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_cluster": q_dedup_cluster,
         "dedup_near_keep": q_dedup_near_keep,
+        "dedup_keep_best": q_dedup_keep_best,
+        "curate_decontam": q_curate_decontam,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_rplsh_buckets": q_rplsh_buckets,
@@ -1433,6 +1468,45 @@ bands AS (
 SELECT d.doc_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 WHERE coalesce(c.component, d.doc_id) = d.doc_id
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {SH3_CTE},
+bands AS (
+{bands}
+),
+{_CLUSTER_CTES},
+scored AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         length(d.text) AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY component ORDER BY quality DESC, doc_id
+  ) AS rn FROM scored
+) WHERE rn = 1
+""",
+        "curate_decontam": """
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),
+tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM tr),
+tg AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                  AS shingle
+       FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+et AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM documents WHERE doc_id % 29 = 0),
+eg AS (SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                  AS shingle
+       FROM et WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+evs AS (SELECT DISTINCT shingle FROM eg WHERE shingle IS NOT NULL),
+bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN evs USING (shingle))
+SELECT doc_id FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
         "sim_cosine_topk": """
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),

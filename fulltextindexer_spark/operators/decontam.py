@@ -1,0 +1,87 @@
+"""Benchmark decontamination: remove train documents that overlap an
+evaluation set.
+
+The standard LLM-corpus curation step (n-gram-overlap decontamination
+as popularised by the GPT-3 and C4 dataset reports): a train document
+is *contaminated* if it shares at least ``min_hits`` distinct word
+k-gram shingles with ANY document of the evaluation set. Contrast with
+the dedup operators (:mod:`fulltextindexer_spark.operators.dedup`),
+which relate a corpus to itself — decontamination relates two corpora,
+so its join is train-shingles × eval-shingles, never train × train.
+
+Scale shape (100 TB train corpus, benchmark-sized eval set):
+
+- eval shingles are ``distinct``-ed FIRST, so the join's build side is
+  |distinct eval k-grams| — benchmark suites are MBs, not TBs, and the
+  deduplicated shingle set is naturally broadcast-sized. The hint is
+  left to AQE (size statistics pick broadcast when it fits; a forced
+  hint would OOM on a pathological eval set).
+- the train side streams map-side: shingle extraction is array ops
+  (split → sequence → transform → explode, whole-stage codegen), and
+  for ``min_hits=1`` the join is a LEFT SEMI — Spark stops probing a
+  doc's shingles at the first hit, and no train-side aggregation state
+  is held.
+- ``min_hits > 1`` (require M independent overlapping k-grams before
+  dropping a doc — guards against boilerplate k-grams shared by
+  chance) needs a per-doc count of DISTINCT matched shingles: one
+  keyed aggregation on doc_id after the inner join; skewed hot
+  shingles are exact-match keys, so AQE skew splitting applies.
+
+All JVM-side; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.dedup import word_shingles
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train doc_ids sharing >= ``min_hits`` distinct word ``k``-gram
+    shingles with the evaluation corpus. Returns one ``(doc_id)`` row
+    per contaminated train document."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    tr = word_shingles(train, k, text_col, id_col, distinct=(min_hits > 1))
+    ev = (
+        word_shingles(eval_docs, k, text_col, id_col, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    if min_hits == 1:
+        # semi join: first matching shingle marks the doc, no counting
+        return (
+            tr.join(ev, "shingle", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hits"))  # tr is distinct per (doc, shingle)
+        .where(F.col("hits") >= min_hits)
+        .select(id_col)
+    )
+
+
+def decontaminated_corpus(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The train corpus with contaminated documents removed (LEFT ANTI
+    against :func:`contaminated_ids`). Keeps all train columns."""
+    bad = contaminated_ids(train, eval_docs, k, min_hits, text_col, id_col)
+    return train.join(bad, id_col, "left_anti")

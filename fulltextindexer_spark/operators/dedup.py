@@ -451,6 +451,47 @@ def neardup_keep_list(
     )
 
 
+def neardup_keep_best(
+    docs: DataFrame,
+    quality_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Quality-aware near-dup keep list: per near-duplicate cluster keep
+    the document with the HIGHEST ``quality_col`` (smallest doc_id on
+    ties) instead of the smallest id — the curation policy real
+    pipelines want (drop the worse copies, not the newer ones).
+
+    Shape: one ``max_by(doc_id, (quality, -doc_id))`` aggregation over
+    the component id — a single keyed shuffle with map-side partial
+    aggregation, cheaper at scale than the window/row_number rendering
+    (which must materialise every cluster member on one partition
+    before ranking).
+    """
+    comp = neardup_components(
+        docs, n_hashes, bands, k, threshold, text_col, id_col, max_iter
+    )
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col)),
+        "doc_id",
+    )
+    return (
+        scored.groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col(quality_col), (-F.col("doc_id")).alias("nid")),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+
+
 def simhash16(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

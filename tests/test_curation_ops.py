@@ -463,3 +463,103 @@ def test_neardup_components_and_keep(spark):
         r["doc_id"] for r in dedup.neardup_keep_list(docs, threshold=0.4).collect()
     }
     assert keep == {1, 4, 5}
+
+
+def test_neardup_keep_best_prefers_quality(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    # 1 ≈ 2 ≈ 3 near-dups; 3 is the longest (highest quality) so the
+    # quality-aware keep list keeps 3 while the id-based one keeps 1
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " one"),
+            (3, base + " one two three four"),
+            (4, "totally different content with no shared shingles here"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("quality", F.length("text"))
+    keep = {
+        r["doc_id"]
+        for r in dedup.neardup_keep_best(
+            docs, "quality", threshold=0.4
+        ).collect()
+    }
+    assert keep == {3, 4}
+
+
+def test_neardup_keep_best_tie_breaks_on_smallest_id(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(7, base), (2, base), (9, base)],  # identical => equal quality
+        "doc_id long, text string",
+    ).withColumn("quality", F.length("text"))
+    keep = {
+        r["doc_id"]
+        for r in dedup.neardup_keep_best(
+            docs, "quality", threshold=0.4
+        ).collect()
+    }
+    assert keep == {2}
+
+
+def test_decontamination_semi_and_min_hits(spark):
+    from fulltextindexer_spark.operators import decontam
+
+    # train doc 1 shares a full 3-gram window with eval doc 100;
+    # train doc 2 shares exactly one 3-gram; doc 3 shares none.
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox sat still on the mat today"),
+            (3, "completely unrelated words appear in this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    bad1 = {
+        r["doc_id"]
+        for r in decontam.contaminated_ids(train, ev, k=3).collect()
+    }
+    # doc 1: shares "the quick brown", "quick brown fox", "brown fox jumps"
+    # doc 2: shares "quick brown fox" only
+    assert bad1 == {1, 2}
+    bad2 = {
+        r["doc_id"]
+        for r in decontam.contaminated_ids(
+            train, ev, k=3, min_hits=2
+        ).collect()
+    }
+    assert bad2 == {1}
+    kept = {
+        r["doc_id"]
+        for r in decontam.decontaminated_corpus(
+            train, ev, k=3, min_hits=2
+        ).collect()
+    }
+    assert kept == {2, 3}
+    with pytest.raises(ValueError):
+        decontam.contaminated_ids(train, ev, min_hits=0)
+
+
+def test_decontamination_counts_distinct_shingles(spark):
+    from fulltextindexer_spark.operators import decontam
+
+    # train doc repeats the same contaminated 3-gram twice — min_hits=2
+    # must NOT trip on a repeated shingle (distinct matters)
+    train = spark.createDataFrame(
+        [(1, "quick brown fox and then quick brown fox again here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")],
+        "doc_id long, text string",
+    )
+    assert decontam.contaminated_ids(train, ev, k=3, min_hits=2).count() == 0
+    assert decontam.contaminated_ids(train, ev, k=3, min_hits=1).count() == 1
