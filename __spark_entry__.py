@@ -720,6 +720,19 @@ def q_neardup(spark, sf_dir):
     )
 
 
+def q_semantic_keep(spark, sf_dir):
+    """SemDeDup-style semantic dedup: the pairwise cosine verify is
+    sharded by k-means cluster (seeded centroids; the same persisted
+    IVF assignment artefact the ANN gates probe), verified pairs are
+    closed under transitivity with distributed connected components,
+    and the smallest vec_id of every semantic cluster survives.
+    Threshold 0.3 yields a non-trivial cluster structure on the
+    synthetic random embeddings (real pipelines run >=0.9)."""
+    emb, _, assigned = _ivf_index(spark, sf_dir, IVF_K)
+    pairs = similarity.clustered_neardup_pairs(emb, assigned, threshold=0.3)
+    return similarity.semantic_keep_list(emb, pairs)
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_ivf_topk,
         "sim_ivf64_topk": q_ivf64_topk,
         "sim_ivf_recall": q_ivf_recall,
+        "sim_semantic_keep": q_semantic_keep,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
@@ -1554,6 +1568,46 @@ bfc AS (SELECT vec_id,
 exact AS (SELECT vec_id FROM bfc ORDER BY cos DESC, vec_id LIMIT 10)
 SELECT round(count(*) / 10.0, 4) AS recall
 FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
+""",
+        "sim_semantic_keep": f"""
+WITH RECURSIVE cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {IVF_K})
+),
+vcp AS (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS x,
+               unnest(c.cvec)::DOUBLE AS y
+        FROM embeddings e CROSS JOIN cent c),
+vc AS (SELECT vec_id, cid,
+              sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+       FROM vcp GROUP BY vec_id, cid),
+assign AS (SELECT vec_id, cid FROM
+             (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid) AS rn
+              FROM vc) t WHERE rn = 1),
+cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM assign a JOIN assign b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id),
+pp AS (SELECT c.vec_a, c.vec_b, unnest(ea.embedding)::DOUBLE AS x,
+              unnest(eb.embedding)::DOUBLE AS y
+       FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+                   JOIN embeddings eb ON eb.vec_id = c.vec_b),
+vp AS (SELECT vec_a, vec_b FROM
+         (SELECT vec_a, vec_b,
+                 round(sum(x * y)
+                       / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+          FROM pp GROUP BY vec_a, vec_b) t WHERE cos >= 0.3),
+edges AS (SELECT vec_a AS u, vec_b AS v FROM vp
+          UNION SELECT vec_b, vec_a FROM vp),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+WHERE coalesce(c.component, e.vec_id) = e.vec_id
 """,
         "text_token_count": f"""
 SELECT doc_id,

@@ -563,3 +563,52 @@ def test_decontamination_counts_distinct_shingles(spark):
     )
     assert decontam.contaminated_ids(train, ev, k=3, min_hits=2).count() == 0
     assert decontam.contaminated_ids(train, ev, k=3, min_hits=1).count() == 1
+
+
+def test_clustered_neardup_pairs_shard_by_assignment(spark):
+    # vectors 1,2 near-parallel; 3 parallel to 1 but assigned to a
+    # different cluster — the clustered pair generator must never
+    # compare across clusters (the shard IS the candidate generator)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [1.0, 0.01, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assignment = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)],
+        "vec_id long, centroid_id int",
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.clustered_neardup_pairs(
+            emb, assignment, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(1, 2)}  # (1,3) blocked by the shard, (3,4) far
+
+
+def test_semantic_keep_list_transitive(spark):
+    # chain 1≈2, 2≈3 (1 and 3 NOT directly paired) must collapse to
+    # one survivor; 4 is a singleton
+    emb = spark.createDataFrame(
+        [(i, [0.0] * 4) for i in (1, 2, 3, 4)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 3, 0.98)],
+        "vec_a long, vec_b long, cosine double",
+    )
+    comp = {
+        r["vec_id"]: r["component"]
+        for r in similarity.semantic_components(emb, pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+    keep = {
+        r["vec_id"]
+        for r in similarity.semantic_keep_list(emb, pairs).collect()
+    }
+    assert keep == {1, 4}
