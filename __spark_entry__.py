@@ -855,6 +855,33 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
 
+def q_pii_mask(spark, sf_dir):
+    """PII scrubbing gate: the synthetic corpus has no PII, so inject a
+    deterministic email/IP/phone per document (derived from doc_id —
+    both engines build the identical string) and verify the masking
+    chain replaces every occurrence and counts placeholders."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-0100-"),
+            (F.col("doc_id") % 10000).cast("string"),
+        ).alias("text"),
+    )
+    return textstats.mask_pii(docs)
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by md5(doc_id) hex prefix — stable
+    under task retry and reproducible by any engine with md5, unlike
+    sample()."""
+    return textstats.corpus_split(_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftix_top_terms": q_top_terms,
@@ -910,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_text_repetition,
         "text_patterns": q_text_patterns,
+        "text_pii_mask": q_pii_mask,
+        "curate_split": q_corpus_split,
     }
 
 
@@ -1249,6 +1278,35 @@ def _minhash_sig_exprs(n_hashes: int = 8, table: str = "sh") -> list[str]:
     return [
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
     ]
+
+
+def _pii_mask_sql() -> str:
+    """Oracle for the PII-masking gate: the same injection expression
+    and the same rule chain rendered from :data:`textstats.PII_RULES`
+    (single source of truth — a rule edit changes both engines). The
+    regex subset is chosen to behave identically under Java regex and
+    RE2, so the patterns embed verbatim."""
+    masked = "text"
+    counts = []
+    for pattern, token in textstats.PII_RULES:
+        pat_lit = pattern.replace("'", "''")
+        masked = f"regexp_replace({masked}, '{pat_lit}', '{token}', 'g')"
+        counts.append(
+            f"(length(masked_text) - length(replace(masked_text, "
+            f"'{token}', ''))) / {len(token)}"
+        )
+    n_pii = " + ".join(counts)
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com at 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7 or 555-0100-' || (doc_id % 10000)::VARCHAR AS text
+  FROM documents
+),
+m AS (SELECT doc_id, {masked} AS masked_text FROM injected)
+SELECT doc_id, masked_text, ({n_pii})::INT AS n_pii FROM m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1778,5 +1836,13 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh5 GROUP BY doc_id
 UNION ALL
 SELECT doc_id, md5(text) AS fingerprint FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
+""",
+        "text_pii_mask": _pii_mask_sql(),
+        "curate_split": """
+SELECT doc_id,
+       CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+            WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
 """,
     }

@@ -232,3 +232,74 @@ def pattern_stats(
             4,
         ).alias("digit_ratio"),
     )
+
+
+# PII masking patterns, applied in order (email before IP before digit
+# runs — the earlier mask must not destroy the later pattern's match).
+# Regex subset chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB/production scanners): character classes, bounded
+# repetition, \b anchors; NO alternation ordering tricks, lookarounds,
+# or backreferences (leftmost-longest vs leftmost-first would diverge).
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d[\d()\- ]{6,}\d\b", "<PHONE>"),
+)
+
+
+def mask_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask common PII surface forms (emails, IPv4 addresses, phone-like
+    digit runs) with typed placeholder tokens — the standard scrubbing
+    pass before a corpus ships to training. A chain of
+    ``regexp_replace`` expressions (whole-stage codegen, one pass per
+    rule over the string, no Python); rule order is significant and
+    fixed by :data:`PII_RULES`.
+
+    This is surface-form masking, not NER: names/addresses need a model
+    and are out of scope by design (the reference engine is similarly
+    lexical). Returns (id, masked text, n_pii = how many placeholders
+    were inserted) so curation can also FILTER on PII density.
+    """
+    masked = F.col(text_col)
+    for pattern, token in PII_RULES:
+        masked = F.regexp_replace(masked, pattern, token)
+    n_pii = sum(
+        (
+            F.length(masked) - F.length(F.replace(masked, F.lit(token), F.lit("")))
+        ) / len(token)
+        for _, token in PII_RULES
+    ).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        masked.alias("masked_text"),
+        n_pii.alias("n_pii"),
+    )
+
+
+def corpus_split(
+    docs: DataFrame,
+    boundaries: tuple[tuple[str, str], ...] = (
+        ("train", "cc"), ("valid", "e6"),
+    ),
+    last_label: str = "test",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/valid/test split by content-free hashing of
+    the document id: ``md5(cast(id as string))`` is uniform on hex
+    strings, so lexicographic prefix boundaries carve reproducible
+    fractions (default 'cc' ~= 80 %, 'e6' ~= 90 % → 80/10/10). Pure
+    expression (one md5 + a CASE per row, no shuffle, no sampling
+    nondeterminism across retries/partitions — Spark's ``sample()`` is
+    NOT stable under task retry, a hash split is); any engine with md5
+    reproduces the exact assignment, which is what makes held-out
+    contamination checks auditable.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    expr = F.lit(last_label)
+    for label, bound in reversed(boundaries):
+        expr = F.when(h < F.lit(bound), F.lit(label)).otherwise(expr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), expr.alias("split")
+    )

@@ -612,3 +612,49 @@ def test_semantic_keep_list_transitive(spark):
         for r in similarity.semantic_keep_list(emb, pairs).collect()
     }
     assert keep == {1, 4}
+
+
+def test_mask_pii_rules_and_count(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk from 192.168.1.77 now"),
+            (2, "call 555-0100-321 or (41) 555 0199 thanks"),
+            (3, "clean text with no pii at all"),
+            (4, "two mails a@b.io and c@d.org"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.mask_pii(docs).collect()}
+    assert rows[1]["masked_text"] == "mail <EMAIL> from <IP> now"
+    assert rows[1]["n_pii"] == 2
+    assert rows[2]["masked_text"] == "call <PHONE> or (<PHONE> thanks"
+    assert rows[2]["n_pii"] == 2
+    assert rows[3]["masked_text"] == docs.collect()[2]["text"]
+    assert rows[3]["n_pii"] == 0
+    assert rows[4]["masked_text"] == "two mails <EMAIL> and <EMAIL>"
+    assert rows[4]["n_pii"] == 2
+
+
+def test_corpus_split_deterministic_and_complete(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    rows = {r["doc_id"]: r["split"] for r in textstats.corpus_split(docs).collect()}
+    assert set(rows.values()) <= {"train", "valid", "test"}
+    # exact agreement with the definition, row by row
+    for i in range(200):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        want = "train" if h < "cc" else ("valid" if h < "e6" else "test")
+        assert rows[i] == want
+    # rough proportions on a bigger frame
+    big = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    counts = {
+        r["split"]: r["n"]
+        for r in textstats.corpus_split(big).groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert abs(counts["train"] / 5000 - 0.797) < 0.03
+    assert abs(counts["valid"] / 5000 - 0.102) < 0.02
