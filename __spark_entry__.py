@@ -569,15 +569,31 @@ def q_lsh_verified(spark, sf_dir):
     )
 
 
+def _neardup_comp(spark, sf_dir):
+    """Build-once near-dup clustering artefact (LSH pairs + connected
+    components), persisted and shared by the three cluster-consuming
+    gates — real pipelines derive every keep policy from ONE clustering
+    pass, and so does the harness."""
+    key = ("ndcomp", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        comp = cachereg.persist_tracked(
+            dedup.neardup_components(
+                _documents(spark, sf_dir),
+                n_hashes=8, bands=4, k=3, threshold=0.5,
+            )
+        )
+        comp.count()
+        _INDEX_CACHE[key] = comp
+    return _INDEX_CACHE[key]
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-dup clusters: LSH-verified pairs closed under transitivity
     (distributed connected components — min-label propagation with
     pointer jumping, O(log n) rounds). One row per document; singletons
     are their own component; component id = min doc_id of the
     cluster."""
-    return dedup.neardup_components(
-        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
-    )
+    return _neardup_comp(spark, sf_dir)
 
 
 def q_dedup_near_keep(spark, sf_dir):
@@ -585,7 +601,8 @@ def q_dedup_near_keep(spark, sf_dir):
     curation step that actually drops transitive near-duplicates
     (pairs alone can't: A≈B≈C must keep exactly one doc)."""
     return dedup.neardup_keep_list(
-        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
+        _documents(spark, sf_dir),
+        components=_neardup_comp(spark, sf_dir),
     )
 
 
@@ -599,7 +616,7 @@ def q_dedup_keep_best(spark, sf_dir):
         "quality", F.length("text")
     )
     return dedup.neardup_keep_best(
-        docs, "quality", n_hashes=8, bands=4, k=3, threshold=0.5
+        docs, "quality", components=_neardup_comp(spark, sf_dir)
     )
 
 
@@ -726,10 +743,12 @@ def q_semantic_keep(spark, sf_dir):
     IVF assignment artefact the ANN gates probe), verified pairs are
     closed under transitivity with distributed connected components,
     and the smallest vec_id of every semantic cluster survives.
-    Threshold 0.3 yields a non-trivial cluster structure on the
-    synthetic random embeddings (real pipelines run >=0.9)."""
+    Threshold 0.35 yields a non-trivial cluster structure on the
+    synthetic random embeddings — multi-member transitive clusters
+    without collapsing the corpus into one mega-component (real
+    pipelines run >=0.9)."""
     emb, _, assigned = _ivf_index(spark, sf_dir, IVF_K)
-    pairs = similarity.clustered_neardup_pairs(emb, assigned, threshold=0.3)
+    pairs = similarity.clustered_neardup_pairs(emb, assigned, threshold=0.35)
     return similarity.semantic_keep_list(emb, pairs)
 
 
@@ -1655,7 +1674,7 @@ vp AS (SELECT vec_a, vec_b FROM
          (SELECT vec_a, vec_b,
                  round(sum(x * y)
                        / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
-          FROM pp GROUP BY vec_a, vec_b) t WHERE cos >= 0.3),
+          FROM pp GROUP BY vec_a, vec_b) t WHERE cos >= 0.35),
 edges AS (SELECT vec_a AS u, vec_b AS v FROM vp
           UNION SELECT vec_b, vec_a FROM vp),
 reach(node, r) AS (

@@ -366,7 +366,9 @@ def connected_components(
                 F.col("node").alias("p"), F.col("label").alias("plabel")
             )
             # the old label rides along so convergence is a filter on
-            # the checkpointed frame, not another keyed join per round
+            # the checkpointed frame, not another keyed join per round;
+            # the checkpoint is LAZY and materialised by the convergence
+            # count itself — one Spark job per round, not two
             jumped = (
                 merged.join(ptr, merged["label"] == ptr["p"])
                 .select(
@@ -374,13 +376,13 @@ def connected_components(
                     merged["old_label"],
                     F.least(merged["label"], ptr["plabel"]).alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            converged = jumped.where(
+            n_changed = jumped.where(
                 F.col("label") != F.col("old_label")
-            ).isEmpty()
+            ).count()
             labels = jumped.select("node", "label")
-            if converged:
+            if n_changed == 0:
                 break
         else:
             raise RuntimeError(
@@ -435,15 +437,20 @@ def neardup_keep_list(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 30,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup keep list: the smallest doc_id of every near-duplicate
     cluster (components carry their min id, so survivors are exactly
     ``doc_id == component``). The near-dup analogue of
-    :func:`deduplicated_keep_list`; a production pipeline that prefers
-    keeping the *highest-quality* member instead can join
-    :func:`neardup_components` against a quality score and rank within
-    ``component``."""
-    comp = neardup_components(
+    :func:`deduplicated_keep_list`; for the highest-quality-member
+    policy see :func:`neardup_keep_best`.
+
+    ``components`` accepts a precomputed (persisted) frame from
+    :func:`neardup_components` — the clustering is a build-once
+    artefact; pipelines deriving several keep policies from it should
+    compute it once (same contract as ``shingles=`` on the MinHash
+    ops)."""
+    comp = components if components is not None else neardup_components(
         docs, n_hashes, bands, k, threshold, text_col, id_col, max_iter
     )
     return comp.where(F.col("doc_id") == F.col("component")).select(
@@ -461,6 +468,7 @@ def neardup_keep_best(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 30,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup keep list: per near-duplicate cluster keep
     the document with the HIGHEST ``quality_col`` (smallest doc_id on
@@ -471,9 +479,10 @@ def neardup_keep_best(
     the component id — a single keyed shuffle with map-side partial
     aggregation, cheaper at scale than the window/row_number rendering
     (which must materialise every cluster member on one partition
-    before ranking).
+    before ranking). ``components`` accepts a precomputed (persisted)
+    :func:`neardup_components` frame, as on :func:`neardup_keep_list`.
     """
-    comp = neardup_components(
+    comp = components if components is not None else neardup_components(
         docs, n_hashes, bands, k, threshold, text_col, id_col, max_iter
     )
     scored = comp.join(
