@@ -850,6 +850,21 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_dedup(spark, sf_dir):
+    """Ingestion dedup (batch twin of the streaming
+    dropDuplicatesWithinWatermark operator; stream==batch is
+    test-pinned): events with a deterministic one-in-seven replay
+    injected, scrubbed back to one row per event id."""
+    from fulltextindexer_spark.streaming.ingest import dedup_events_batch
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    replay = events.where(F.col("event_id") % 7 == 0)
+    return dedup_events_batch(events.union(replay)).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     return textstats.token_stats(_documents(spark, sf_dir))
 
@@ -947,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_dedup": q_events_dedup,
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
@@ -1748,6 +1764,17 @@ WITH spend AS (
 SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.total_spend, s.n_orders
 FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
 ORDER BY s.total_spend DESC, c.c_custkey LIMIT 20
+""",
+        "events_dedup": """
+WITH all_ev AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_id % 7 = 0
+)
+SELECT DISTINCT event_id, user_id, event_type,
+       round(value, 4) AS value
+FROM all_ev
 """,
         "events_sessions": """
 WITH flagged AS (

@@ -1,0 +1,80 @@
+"""Streaming ingestion deduplication — at-least-once sources made
+effectively-once.
+
+Replayed deliveries (source retries, consumer restarts, upstream
+at-least-once queues) are the first thing a streaming corpus pipeline
+must scrub: every downstream aggregate double-counts otherwise. The
+reference engine is strictly batch (SURVEY §2.6), so this module pairs
+a batch twin with the Structured Streaming form the way
+``streaming/windows.py`` does for event-time aggregation:
+
+- :func:`dedup_events_batch` — the batch form (also the DuckDB-checked
+  gate query ``events_dedup``): one row per event id.
+- :func:`start_streaming_event_dedup` — the streaming form:
+  ``dropDuplicatesWithinWatermark`` keyed on the event id. The
+  watermark BOUNDS THE STATE — Spark keeps a key's dedup entry only
+  until the watermark passes it, so state is O(events per watermark
+  window), not O(stream history). That bounded-state contract is what
+  makes the operator viable on an unbounded 100 TB/day stream; a plain
+  ``dropDuplicates`` in streaming mode would grow state forever.
+
+Replay semantics: an at-least-once redelivery is byte-identical to the
+original, so key-dedup and whole-row dedup agree; a redelivery later
+than the watermark is out of contract (the same contract late events
+have in ``windows.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fulltextindexer_spark.streaming.windows import EVENTS_DDL
+
+
+def dedup_events_batch(
+    events: DataFrame, key: str = "event_id"
+) -> DataFrame:
+    """One row per ``key``: the batch twin of the streaming dedup.
+    Replayed rows are full-row identical, so which duplicate survives
+    is immaterial (and the DuckDB oracle's ``SELECT DISTINCT``
+    agrees)."""
+    return events.dropDuplicates([key])
+
+
+def start_streaming_event_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    key: str = "event_id",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Emit each event id at most once across micro-batches, keeping
+    dedup state only within the event-time watermark.
+
+    ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): the
+    state store evicts a key once the watermark passes its event time,
+    so a replay inside the watermark is suppressed even when it arrives
+    in a LATER micro-batch, and state never outgrows the watermark
+    window. ``available_now=True`` drains currently-visible files then
+    stops; ``max_files_per_trigger`` rate-limits the file source (used
+    by tests to force replays into separate micro-batches).
+    """
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

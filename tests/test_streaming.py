@@ -332,3 +332,53 @@ def test_streaming_bucketed_sink_matches_batch_build(spark, tmp_path):
     assert _postings_snapshot(streamed) == _postings_snapshot(batch)
     for t in spark.sql("SHOW TABLES IN ftixstream").collect():
         spark.sql(f"DROP TABLE IF EXISTS ftixstream.{t['tableName']}")
+
+
+def test_streaming_event_dedup_across_microbatches(spark, tmp_path):
+    """A replayed event id arriving in a LATER micro-batch (within the
+    watermark) is suppressed; the drained stream equals the batch
+    dedup."""
+    import datetime as dt
+
+    from fulltextindexer_spark.streaming import ingest
+    from fulltextindexer_spark.streaming.windows import EVENTS_DDL
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=2 * i),
+            i % 5,
+            ["view", "click"][i % 2],
+            float(i),
+            "{}",
+        )
+        for i in range(60)
+    ]
+    input_dir = str(tmp_path / "di_in")
+    out_dir = str(tmp_path / "di_out")
+    ckpt = str(tmp_path / "di_ck")
+    df1 = spark.createDataFrame(rows, EVENTS_DDL)
+    df1.write.mode("append").parquet(input_dir)
+    # replay a third of the events byte-identically in a second file
+    replay = [r for r in rows if r[0] % 3 == 0]
+    spark.createDataFrame(replay, EVENTS_DDL).write.mode("append").parquet(
+        input_dir
+    )
+
+    q = ingest.start_streaming_event_dedup(
+        spark, input_dir, out_dir, ckpt,
+        watermark="24 hours", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.schema(EVENTS_DDL).parquet(out_dir)
+    assert streamed.count() == 60
+    got = sorted(r["event_id"] for r in streamed.collect())
+    assert got == list(range(60))
+
+    batch = ingest.dedup_events_batch(
+        df1.union(spark.createDataFrame(replay, EVENTS_DDL))
+    )
+    want = sorted(r["event_id"] for r in batch.collect())
+    assert got == want
