@@ -620,6 +620,32 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """Flagship end-to-end corpus assembly — the composition a real
+    training-data job runs, each stage individually gated elsewhere:
+    exact-dedup survivors → quality-aware near-dup keep (highest
+    length per transitive cluster) → deterministic md5 split →
+    decontaminate the train split against the held-out splits
+    (5-gram overlap) → final (doc_id, split). PII masking composes
+    after this (its own gate); the synthetic corpus has no PII so it
+    would be a no-op column here."""
+    docs = _documents(spark, sf_dir)
+    exact = dedup.deduplicated_keep_list(docs)
+    base = docs.join(exact, "doc_id", "left_semi")
+    q = base.withColumn("quality", F.length("text"))
+    near = dedup.neardup_keep_best(
+        q, "quality", n_hashes=8, bands=4, k=3, threshold=0.5
+    )
+    kept = base.join(near, "doc_id", "left_semi")
+    split = textstats.corpus_split(docs)
+    withsplit = kept.join(split, "doc_id")
+    tr = withsplit.where(F.col("split") == "train").select("doc_id", "text")
+    ev = withsplit.where(F.col("split") != "train").select("doc_id", "text")
+    clean_tr = decontam.decontaminated_corpus(tr, ev, k=5).select("doc_id")
+    final = clean_tr.union(ev.select("doc_id"))
+    return final.join(split, "doc_id").select("doc_id", "split")
+
+
 def q_curate_decontam(spark, sf_dir):
     """Benchmark decontamination: the train corpus (doc_id % 29 != 0)
     with every document dropped that shares a 5-gram shingle with the
@@ -950,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_keep": q_dedup_near_keep,
         "dedup_keep_best": q_dedup_keep_best,
         "curate_decontam": q_curate_decontam,
+        "curate_pipeline": q_curate_pipeline,
         "sim_cosine_topk": q_cosine_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_rplsh_buckets": q_rplsh_buckets,
@@ -1315,6 +1342,73 @@ def _minhash_sig_exprs(n_hashes: int = 8, table: str = "sh") -> list[str]:
     ]
 
 
+def _pipeline_sql(bands: str) -> str:
+    """Oracle for the flagship curation pipeline — the same stage
+    composition as :func:`q_curate_pipeline`, each stage the verbatim
+    oracle of its standalone gate, re-rooted at the previous stage's
+    survivors (the shingle/band/cluster CTEs run over ``base``, the
+    exact-dedup survivors, not ``documents``)."""
+    sh3_base = SH3_CTE.replace("FROM documents", "FROM base")
+    return f"""
+WITH RECURSIVE exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN exact_keep k ON k.doc_id = d.doc_id
+),
+{sh3_base},
+bands AS (
+{bands}
+),
+{_CLUSTER_CTES},
+scored AS (
+  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS component,
+         length(b.text) AS quality
+  FROM base b LEFT JOIN comp c ON c.node = b.doc_id
+),
+near_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+    FROM scored) t WHERE rn = 1
+),
+sp AS (SELECT doc_id,
+          CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'
+               WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'valid'
+               ELSE 'test' END AS split
+       FROM documents),
+withsplit AS (
+  SELECT b.doc_id, b.text, sp.split
+  FROM base b JOIN near_keep USING (doc_id) JOIN sp USING (doc_id)
+),
+tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM withsplit WHERE split = 'train'),
+tg AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER wt || ' ' || lead(tok, 2) OVER wt
+                  || ' ' || lead(tok, 3) OVER wt || ' ' || lead(tok, 4) OVER wt
+                  AS shingle
+       FROM tt WINDOW wt AS (PARTITION BY doc_id ORDER BY pos)),
+et AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM withsplit WHERE split <> 'train'),
+eg AS (SELECT tok || ' ' || lead(tok, 1) OVER we || ' ' || lead(tok, 2) OVER we
+                  || ' ' || lead(tok, 3) OVER we || ' ' || lead(tok, 4) OVER we
+                  AS shingle
+       FROM et WINDOW we AS (PARTITION BY doc_id ORDER BY pos)),
+evs AS (SELECT DISTINCT shingle FROM eg WHERE shingle IS NOT NULL),
+bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN evs USING (shingle)),
+final AS (
+  SELECT doc_id FROM withsplit WHERE split <> 'train'
+  UNION ALL
+  SELECT doc_id FROM withsplit
+  WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)
+)
+SELECT f.doc_id, sp.split FROM final f JOIN sp USING (doc_id)
+"""
+
+
 def _pii_mask_sql() -> str:
     """Oracle for the PII-masking gate: the same injection expression
     and the same rule chain rendered from :data:`textstats.PII_RULES`
@@ -1615,6 +1709,7 @@ bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN evs USING (shingle))
 SELECT doc_id FROM tr
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
+        "curate_pipeline": _pipeline_sql(bands),
         "sim_cosine_topk": """
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
 pairs AS (
