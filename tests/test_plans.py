@@ -258,3 +258,63 @@ def test_grouped_phrase_plan_single_shuffle(spark, docs_df):
         assert n_shuffles == 1, plan
     finally:
         idx.postings.unpersist()
+
+
+def test_decontam_plan_semi_join_no_python(spark, docs_df):
+    """Decontamination (min_hits=1) must plan as a LEFT SEMI against
+    the distinct eval shingle set — Spark stops probing a train doc at
+    its first hit and holds no train-side aggregation state — and stay
+    entirely JVM-side (shingling is array expressions, not a UDF)."""
+    from fulltextindexer_spark.operators import decontam
+
+    docs = docs_df.select(F.col("id").alias("doc_id"), "text")
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    tr = docs.where(F.col("doc_id") % 5 != 0)
+    out = decontam.decontaminated_corpus(tr, ev, k=3)
+    plan = _plan(out)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_pii_mask_plan_is_narrow_jvm(spark):
+    """PII masking is a pure projection: no Exchange beyond the input's
+    own partitioning, no Python — one codegen'd regexp chain."""
+    from fulltextindexer_spark.operators import textstats
+
+    flat = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = textstats.mask_pii(flat)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_corpus_split_plan_is_narrow_jvm(spark):
+    """The deterministic split is one md5 + CASE per row: no shuffle,
+    no Python."""
+    from fulltextindexer_spark.operators import textstats
+
+    flat = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = textstats.corpus_split(flat)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+
+
+def test_clustered_pairs_plan_no_python_and_join_on_cluster(spark):
+    """The SemDeDup candidate generator must equi-join on centroid_id
+    (never an all-pairs cross join) and verify with JVM folds."""
+    from fulltextindexer_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    assignment = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "vec_id long, centroid_id int"
+    )
+    out = similarity.clustered_neardup_pairs(emb, assignment, threshold=0.5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Python" not in plan and "InPandas" not in plan, plan
+    assert "centroid_id" in plan, plan
