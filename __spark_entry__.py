@@ -935,6 +935,13 @@ def q_pii_mask(spark, sf_dir):
     return textstats.mask_pii(docs)
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus composition report: per (source, lang) doc counts, token
+    totals/means, mean quality, corpus share — the audit table a
+    curation run publishes alongside its output."""
+    return textstats.corpus_report(_documents(spark, sf_dir))
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic 80/10/10 split by md5(doc_id) hex prefix — stable
     under task retry and reproducible by any engine with md5, unlike
@@ -1001,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_patterns": q_text_patterns,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
+        "curate_report": q_corpus_report,
     }
 
 
@@ -1979,6 +1987,44 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
 """,
         "text_pii_mask": _pii_mask_sql(),
+        "curate_report": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+),
+per_doc AS (
+  SELECT d.source, d.lang, d.doc_id,
+         len(list_filter(string_split(d.text, ' '), x -> x <> ''))::BIGINT
+             AS n_tokens,
+         round(q.quality * 10000)::BIGINT AS qint
+  FROM documents d JOIN q USING (doc_id)
+),
+grouped AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         sum(qint) AS qsum
+  FROM per_doc GROUP BY source, lang
+),
+total AS (SELECT sum(n_docs) AS corpus_docs FROM grouped)
+SELECT source, lang, n_docs, total_tokens,
+       round(total_tokens * 1.0 / n_docs, 4) AS mean_tokens,
+       round(qsum * 1.0 / n_docs / 10000.0, 4) AS mean_quality,
+       round(n_docs * 1.0 / corpus_docs, 4) AS share
+FROM grouped CROSS JOIN total
+""".format(raw_stop=RAW_STOP_IN),
         "curate_split": """
 SELECT doc_id,
        CASE WHEN md5(doc_id::VARCHAR) < 'cc' THEN 'train'

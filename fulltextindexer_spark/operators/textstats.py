@@ -303,3 +303,50 @@ def corpus_split(
     return docs.select(
         F.col(id_col).alias("doc_id"), expr.alias("split")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus composition report: per group (default source × lang),
+    document count, total/mean whitespace tokens, mean quality score,
+    and the group's share of the corpus — the audit table a curation
+    run publishes alongside the output corpus (what went in, from
+    where, at what quality).
+
+    One keyed aggregation with map-side partial agg over per-doc
+    expressions; the share is a scalar broadcast division (the total
+    comes from a window-less cross join on a 1-row aggregate, which
+    Spark plans as a broadcast nested loop of one row — no skew, no
+    second scan of the corpus at 100 TB thanks to the shared subplan).
+    """
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    )
+    per_doc = docs.select(
+        *group_cols, F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+    ).join(quality_score(docs, text_col, id_col), "doc_id")
+    # quality is 4dp-rounded; summing it as DOUBLES would make the mean
+    # depend on partial-aggregation order (not reproducible across
+    # engines) — aggregate on the exact integer basis instead
+    qint = F.round(F.col("quality") * 10000).cast("long")
+    grouped = per_doc.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(qint).alias("_qsum"),
+    )
+    total = grouped.agg(F.sum("n_docs").alias("corpus_docs"))
+    return grouped.crossJoin(total).select(
+        *group_cols, "n_docs", "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+            "mean_tokens"
+        ),
+        F.round(F.col("_qsum") / F.col("n_docs") / 10000.0, 4).alias(
+            "mean_quality"
+        ),
+        F.round(F.col("n_docs") / F.col("corpus_docs"), 4).alias("share"),
+    )

@@ -658,3 +658,26 @@ def test_corpus_split_deterministic_and_complete(spark):
     }
     assert abs(counts["train"] / 5000 - 0.797) < 0.03
     assert abs(counts["valid"] / 5000 - 0.102) < 0.02
+
+
+def test_corpus_report_shares_and_means(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "en", "the quick brown fox jumps"),
+            (2, "web", "en", "a lazy dog sleeps"),
+            (3, "web", "de", "der hund schlaeft"),
+            (4, "books", "en", "of mice and men"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in textstats.corpus_report(docs).collect()
+    }
+    assert rows[("web", "en")]["n_docs"] == 2
+    assert rows[("web", "en")]["total_tokens"] == 9
+    assert rows[("web", "en")]["mean_tokens"] == 4.5
+    assert rows[("web", "en")]["share"] == 0.5
+    assert rows[("books", "en")]["share"] == 0.25
+    # shares sum to 1
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
