@@ -763,6 +763,13 @@ def q_neardup(spark, sf_dir):
     )
 
 
+def q_quantized(spark, sf_dir):
+    """Int8 embedding quantisation audit: per vector the scale, max
+    reconstruction error, and original-vs-dequantised cosine — the
+    check before swapping the ANN tier onto the 4x-smaller table."""
+    return similarity.quantization_report(_embeddings(spark, sf_dir))
+
+
 def q_semantic_keep(spark, sf_dir):
     """SemDeDup-style semantic dedup: the pairwise cosine verify is
     sharded by k-means cluster (seeded centroids; the same persisted
@@ -992,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf64_topk": q_ivf64_topk,
         "sim_ivf_recall": q_ivf_recall,
         "sim_semantic_keep": q_semantic_keep,
+        "sim_quantized": q_quantized,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "events_hourly": q_events_hourly,
@@ -1764,6 +1772,34 @@ bfc AS (SELECT vec_id,
 exact AS (SELECT vec_id FROM bfc ORDER BY cos DESC, vec_id LIMIT 10)
 SELECT round(count(*) / 10.0, 4) AS recall
 FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
+""",
+        "sim_quantized": """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+qd AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> round(x / scale) * scale)
+              ELSE list_transform(v, x -> 0.0) END AS dq
+  FROM sc
+),
+pairs AS (SELECT vec_id, scale, unnest(v) AS x, unnest(dq) AS y FROM qd),
+agg AS (
+  SELECT vec_id, max(scale) AS scale,
+         max(abs(x - y)) AS err,
+         sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(scale, 4) AS scale, round(err, 4) AS max_abs_err,
+       round(dot / (nx * ny), 4) AS cos_recon
+FROM agg
 """,
         "sim_semantic_keep": f"""
 WITH RECURSIVE cent AS (

@@ -681,3 +681,52 @@ def test_corpus_report_shares_and_means(spark):
     assert rows[("books", "en")]["share"] == 0.25
     # shares sum to 1
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_quantize_embeddings_roundtrip_and_report(spark):
+    import numpy as np
+
+    vals = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, qvec zeros
+    ]
+    emb = spark.createDataFrame(vals, "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert q[1]["qvec"] == [64, -127, 32, 0]  # scale = 1/127
+    assert q[3]["scale"] == 0.0 and q[3]["qvec"] == [0, 0, 0, 0]
+    rep = {
+        r["vec_id"]: r
+        for r in similarity.quantization_report(emb).collect()
+    }
+    # per-row numpy reference — also the regression pin for the
+    # self-join lineage bug (report must NOT pair a row's qvec with
+    # another row's scale; single-row tests can't catch that)
+    for vid, arr in vals[:2]:
+        v = np.asarray(arr, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        dq = np.round(v / scale) * scale
+        assert rep[vid]["max_abs_err"] == round(float(np.abs(v - dq).max()), 4)
+        cos = float(v @ dq / (np.linalg.norm(v) * np.linalg.norm(dq)))
+        assert rep[vid]["cos_recon"] == round(cos, 4)
+    assert rep[1]["max_abs_err"] <= rep[1]["scale"] / 2 + 1e-9
+
+
+def test_quantization_report_full_frame_matches_per_row(spark):
+    """Regression: on a multi-row frame the report's per-row values must
+    equal the values computed on each row in isolation (the self-join
+    formulation silently mispaired scale across rows)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {
+        r["vec_id"]: r["max_abs_err"]
+        for r in similarity.quantization_report(emb).collect()
+    }
+    for vid, arr in rows:
+        v = np.asarray(arr, dtype=np.float32).astype(np.float64)
+        scale = np.abs(v).max() / 127.0
+        dq = np.round(v / scale) * scale
+        assert rep[vid] == round(float(np.abs(v - dq).max()), 4), vid
