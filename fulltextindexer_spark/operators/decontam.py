@@ -51,7 +51,11 @@ def contaminated_ids(
     per contaminated train document."""
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
-    tr = word_shingles(train, k, text_col, id_col, distinct=(min_hits > 1))
+    # word_shingles always emits its id column as "doc_id"; alias it
+    # back to the caller's id_col so the selects below hold for any key
+    tr = word_shingles(
+        train, k, text_col, id_col, distinct=(min_hits > 1)
+    ).select(F.col("doc_id").alias(id_col), "shingle")
     ev = (
         word_shingles(eval_docs, k, text_col, id_col, distinct=False)
         .select("shingle")

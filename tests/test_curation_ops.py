@@ -730,3 +730,19 @@ def test_quantization_report_full_frame_matches_per_row(spark):
         scale = np.abs(v).max() / 127.0
         dq = np.round(v / scale) * scale
         assert rep[vid] == round(float(np.abs(v - dq).max()), 4), vid
+
+
+def test_decontamination_custom_id_col(spark):
+    from fulltextindexer_spark.operators import decontam
+
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"), (11, "nothing shared here at all")],
+        "item_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(99, "quick brown fox runs")], "item_id long, text string"
+    )
+    bad = decontam.contaminated_ids(train, ev, k=3, id_col="item_id")
+    assert [r["item_id"] for r in bad.collect()] == [10]
+    kept = decontam.decontaminated_corpus(train, ev, k=3, id_col="item_id")
+    assert [r["item_id"] for r in kept.collect()] == [11]
