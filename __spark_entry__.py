@@ -628,22 +628,14 @@ def q_curate_pipeline(spark, sf_dir):
     decontaminate the train split against the held-out splits
     (5-gram overlap) → final (doc_id, split). PII masking composes
     after this (its own gate); the synthetic corpus has no PII so it
-    would be a no-op column here."""
-    docs = _documents(spark, sf_dir)
-    exact = dedup.deduplicated_keep_list(docs)
-    base = docs.join(exact, "doc_id", "left_semi")
-    q = base.withColumn("quality", F.length("text"))
-    near = dedup.neardup_keep_best(
-        q, "quality", n_hashes=8, bands=4, k=3, threshold=0.5
+    would be a no-op column here. One library definition shared with
+    `cli.py curate` (operators/curation.py)."""
+    from fulltextindexer_spark.operators.curation import (
+        assemble_training_corpus,
     )
-    kept = base.join(near, "doc_id", "left_semi")
-    split = textstats.corpus_split(docs)
-    withsplit = kept.join(split, "doc_id")
-    tr = withsplit.where(F.col("split") == "train").select("doc_id", "text")
-    ev = withsplit.where(F.col("split") != "train").select("doc_id", "text")
-    clean_tr = decontam.decontaminated_corpus(tr, ev, k=5).select("doc_id")
-    final = clean_tr.union(ev.select("doc_id"))
-    return final.join(split, "doc_id").select("doc_id", "split")
+
+    final = assemble_training_corpus(_documents(spark, sf_dir))
+    return final.select("doc_id", "split")
 
 
 def q_curate_decontam(spark, sf_dir):

@@ -112,6 +112,49 @@ def cmd_verify(args) -> dict:
     return {"sha256_mismatches": mismatches, "ok": mismatches == 0}
 
 
+def cmd_curate(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.operators.curation import (
+        assemble_training_corpus,
+    )
+    from fulltextindexer_spark.operators.textstats import corpus_report
+
+    spark = _get_spark("ftix-curate")
+    docs = spark.read.parquet(args.input)
+    final = assemble_training_corpus(
+        docs,
+        near_threshold=args.near_threshold,
+        decontam_k=args.decontam_k,
+        decontam_min_hits=args.decontam_min_hits,
+    )
+    (
+        final.write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(f"{args.output}/corpus")
+    )
+    out = spark.read.parquet(f"{args.output}/corpus")
+    report_cols = [
+        c for c in args.report_by.split(",") if c in out.columns
+    ]
+    n_report = 0
+    if report_cols:
+        rep = corpus_report(out, group_cols=tuple(report_cols))
+        rep.write.mode("overwrite").parquet(f"{args.output}/report")
+        n_report = rep.count()
+    splits = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "input_docs": docs.count(),
+        "output_docs": out.count(),
+        "splits": splits,
+        "report_groups": n_report,
+        "output": args.output,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="fulltextindexer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -150,6 +193,24 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["partial", "phrase", "structured", "bm25", "bm25-wand"],
     )
     qp.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "curate",
+        help="assemble a training corpus: exact + near dedup, split, "
+             "decontaminate; writes corpus/ (partitioned by split) and "
+             "report/ under --output",
+    )
+    c.add_argument("--input", required=True, help="docs parquet path")
+    c.add_argument("--output", required=True, help="output directory")
+    c.add_argument("--near-threshold", type=float, default=0.5)
+    c.add_argument("--decontam-k", type=int, default=5)
+    c.add_argument("--decontam-min-hits", type=int, default=1)
+    c.add_argument(
+        "--report-by", default="source,lang",
+        help="comma-separated group columns for the composition report "
+             "(columns missing from the corpus are skipped)",
+    )
+    c.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("verify", help="check the per-row sha256 invariant")
     v.add_argument("--input", required=True)

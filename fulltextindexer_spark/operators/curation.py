@@ -1,0 +1,70 @@
+"""End-to-end training-corpus assembly — the composition a real
+curation job runs, as one library operator shared by the gate query
+(`__spark_entry__.q_curate_pipeline`), the CLI (`cli.py curate`) and
+any user pipeline:
+
+1. exact dedup (lowest id per distinct content);
+2. quality-aware near-dup keep (highest quality member of every
+   LSH-verified transitive cluster, quality = content length by
+   default);
+3. deterministic md5 train/valid/test split;
+4. decontaminate the TRAIN split against the held-out splits (k-gram
+   overlap) — eval/test rows stay, contaminated train rows drop.
+
+Every stage is an operator with its own DuckDB-checked gate; this
+module only composes them (no new semantics), so the pipeline's
+correctness reduces to its parts plus the composition gate
+``curate_pipeline``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import decontam, dedup, textstats
+
+
+def assemble_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_n_hashes: int = 8,
+    near_bands: int = 4,
+    near_k: int = 3,
+    near_threshold: float = 0.5,
+    decontam_k: int = 5,
+    decontam_min_hits: int = 1,
+) -> DataFrame:
+    """The final corpus: all input columns plus ``split``; rows that
+    fail any stage are gone. The quality used for the near-dup keep is
+    content length (the simplest monotone proxy; swap by pre-computing
+    a ``quality`` column and calling the stages directly)."""
+    exact = dedup.deduplicated_keep_list(docs, text_col, id_col)
+    base = docs.join(exact, id_col, "left_semi")
+    near = dedup.neardup_keep_best(
+        base.withColumn("__quality", F.length(text_col)),
+        "__quality",
+        n_hashes=near_n_hashes,
+        bands=near_bands,
+        k=near_k,
+        threshold=near_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    kept = base.join(near, id_col, "left_semi")
+    split = textstats.corpus_split(docs, id_col=id_col).withColumnRenamed(
+        "doc_id", id_col
+    )
+    withsplit = kept.join(split, id_col)
+    tr = withsplit.where(F.col("split") == "train")
+    ev = withsplit.where(F.col("split") != "train")
+    clean_tr = decontam.decontaminated_corpus(
+        tr.drop("split"),
+        ev.select(id_col, text_col),
+        k=decontam_k,
+        min_hits=decontam_min_hits,
+        text_col=text_col,
+        id_col=id_col,
+    ).withColumn("split", F.lit("train"))
+    return clean_tr.unionByName(ev)

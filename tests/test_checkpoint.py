@@ -224,3 +224,31 @@ def test_cli_contains_and_combiner_flags(spark, tmp_path, docs_parquet, capsys):
     loaded = load_compact(spark, out + "/index", with_positions=False)
     assert loaded.config.entry_combiner == "max"
     assert loaded.config.prefix_expansion.mode == "substring"
+
+
+def test_cli_curate_writes_corpus_and_report(spark, tmp_path, capsys):
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon doc {i} words here now",
+             "web", "en")
+            for i in range(40)
+        ] + [(100, "alpha beta gamma delta epsilon doc 0 words here now",
+              "web", "en")],  # exact dup of doc 0 → dropped
+        "doc_id long, text string, source string, lang string",
+    )
+    inp = str(tmp_path / "cur_in")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cur_out")
+    assert cli_main(["curate", "--input", inp, "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] == 41
+    assert rep["output_docs"] <= 40  # the exact dup never survives
+    assert set(rep["splits"]) <= {"train", "valid", "test"}
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert "split" in corpus.columns
+    assert corpus.count() == rep["output_docs"]
+    assert 100 not in {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    report = spark.read.parquet(f"{out}/report")
+    assert {"source", "lang", "n_docs", "share"} <= set(report.columns)
