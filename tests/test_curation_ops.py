@@ -746,3 +746,44 @@ def test_decontamination_custom_id_col(spark):
     assert [r["item_id"] for r in bad.collect()] == [10]
     kept = decontam.decontaminated_corpus(train, ev, k=3, id_col="item_id")
     assert [r["item_id"] for r in kept.collect()] == [11]
+
+
+def test_decontamination_random_vs_python_oracle(spark):
+    """Randomized corpus: engine decontamination (both min_hits modes)
+    must equal a pure-Python shingle-set oracle."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    train_rows = [(i, doc(rng.randint(0, 12))) for i in range(60)]
+    eval_rows = [(1000 + i, doc(rng.randint(0, 12))) for i in range(10)]
+    k = 3
+
+    def shingles(text):
+        toks = [t for t in text.split(" ")]
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    ev_set = set().union(*(shingles(t) for _, t in eval_rows)) if eval_rows else set()
+    want = {
+        m: {i for i, t in train_rows if len(shingles(t) & ev_set) >= m}
+        for m in (1, 2)
+    }
+
+    from fulltextindexer_spark.operators import decontam
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    for m in (1, 2):
+        got = {
+            r["doc_id"]
+            for r in decontam.contaminated_ids(
+                train, ev, k=k, min_hits=m
+            ).collect()
+        }
+        assert got == want[m], f"min_hits={m}"
