@@ -43,6 +43,7 @@ from fulltextindexer_spark.operators import (
     dedup,
     similarity,
     textstats,
+    vectorize,
 )
 from fulltextindexer_spark.plans import cachereg
 from fulltextindexer_spark.operators import query as q
@@ -105,6 +106,11 @@ def _sql_list(values) -> str:
 STOP_IN = _sql_list(STEMMED_STOP)
 RAW_STOP_IN = _sql_list(RAW_STOP)
 STEM_T = stem_sql_case_expr("t")
+
+# Feature-hashing expressions shared verbatim with the Spark side
+# (operators/vectorize.py renders the identical md5-prefix hash).
+HASH_BUCKET = vectorize.bucket_sql("t", 64)
+HASH_SIGN = vectorize.sign_sql("t")
 
 # DuckDB CTEs shared by the full-text oracle queries: tokenize the
 # documents table (single-spaced text) and build per-(doc, term)
@@ -948,6 +954,41 @@ def q_corpus_split(spark, sf_dir):
     return textstats.corpus_split(_documents(spark, sf_dir))
 
 
+def q_hash_tf(spark, sf_dir):
+    """Feature-hashed signed TF vectors, sparse rows. The gate checks a
+    deterministic quarter of the corpus (doc_id % 4 = 0) to bound the
+    compared row count; weights are integers so the check is exact."""
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
+    return vectorize.hashed_tf(docs, n_dims=64)
+
+
+def q_hash_tfidf(spark, sf_dir):
+    """Feature-hashed TF-IDF vectors: IDF over the FULL corpus (that is
+    what makes it an IDF), output rows filtered to the same
+    deterministic quarter, weights rounded to 4dp."""
+    sp = vectorize.hashed_tfidf(_documents(spark, sf_dir), n_dims=64)
+    return sp.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "bucket", F.round("weight", 4).alias("weight")
+    )
+
+
+def q_hash_embed_topk(spark, sf_dir):
+    """Text -> vector -> ANN, end to end inside the engine: hashed
+    TF-IDF vectors then distributed sparse-cosine top-10 neighbours of
+    the lowest doc_id (broadcast query join, never a cartesian)."""
+    docs = _documents(spark, sf_dir)
+    qid = docs.agg(F.min("doc_id")).collect()[0][0]
+    return vectorize.hashed_topk(docs, query_doc_id=qid, n_dims=64, k=10)
+
+
+def q_skew_report(spark, sf_dir):
+    """Heavy-hitter term diagnostic over the built index — the report
+    that drives salting / champion-list decisions at 100 TB."""
+    from fulltextindexer_spark.operators.index_build import term_skew_report
+
+    return term_skew_report(_docs_index(spark, sf_dir), top_n=25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftix_top_terms": q_top_terms,
@@ -1009,6 +1050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
         "curate_report": q_corpus_report,
+        "text_hash_tf": q_hash_tf,
+        "text_hash_tfidf": q_hash_tfidf,
+        "text_embed_topk": q_hash_embed_topk,
+        "ftix_skew_report": q_skew_report,
     }
 
 
@@ -2059,5 +2104,81 @@ SELECT doc_id,
             WHEN md5(doc_id::VARCHAR) < 'e6' THEN 'valid'
             ELSE 'test' END AS split
 FROM documents
+""",
+        "text_hash_tf": f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id % 4 = 0)
+  WHERE t <> ''
+)
+SELECT doc_id, {HASH_BUCKET} AS bucket,
+       sum({HASH_SIGN})::BIGINT AS weight
+FROM tok GROUP BY doc_id, {HASH_BUCKET}
+""",
+        "text_hash_tfidf": f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+idf AS (
+  SELECT t, ln(((SELECT count(*) FROM documents) + 1)
+               / (count(DISTINCT doc_id) + 1)) + 1 AS idf
+  FROM tok GROUP BY t
+)
+SELECT doc_id, {HASH_BUCKET} AS bucket,
+       round(sum(tf.tf * idf.idf * {HASH_SIGN}), 4) AS weight
+FROM tf JOIN idf USING (t)
+WHERE doc_id % 4 = 0
+GROUP BY doc_id, {HASH_BUCKET}
+""",
+        "text_embed_topk": f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+idf AS (
+  SELECT t, ln(((SELECT count(*) FROM documents) + 1)
+               / (count(DISTINCT doc_id) + 1)) + 1 AS idf
+  FROM tok GROUP BY t
+),
+sp AS (
+  SELECT doc_id, {HASH_BUCKET} AS bucket,
+         sum(tf.tf * idf.idf * {HASH_SIGN}) AS weight
+  FROM tf JOIN idf USING (t) GROUP BY doc_id, {HASH_BUCKET}
+),
+qid AS (SELECT min(doc_id) AS qid FROM documents),
+q AS (SELECT bucket, weight AS qw FROM sp, qid WHERE doc_id = qid),
+norms AS (
+  SELECT doc_id, sqrt(sum(weight * weight)) AS nrm FROM sp GROUP BY doc_id
+),
+qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM q),
+dots AS (
+  SELECT sp.doc_id, sum(sp.weight * q.qw) AS dot
+  FROM sp JOIN q USING (bucket), qid
+  WHERE sp.doc_id <> qid.qid
+  GROUP BY sp.doc_id
+)
+SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "ftix_skew_report": f"""
+WITH {TOK_CTE},
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+per_term AS (
+  SELECT term, count(*) AS doc_freq, sum(tf)::BIGINT AS occurrences,
+         max(tf)::BIGINT AS max_tf
+  FROM dt GROUP BY term
+),
+total AS (SELECT sum(occurrences) AS total FROM per_term)
+SELECT term, doc_freq, occurrences, max_tf,
+       floor(occurrences * 1000000.0 / total)::BIGINT AS share_ppm
+FROM per_term CROSS JOIN total
+ORDER BY occurrences DESC, term LIMIT 25
 """,
     }

@@ -1048,3 +1048,38 @@ def build_term_dictionary(postings: DataFrame) -> DataFrame:
             )
 
     return with_pid.mapInArrow(assign, "term string, term_id long")
+
+
+def term_skew_report(index: InvertedIndex, top_n: int = 25) -> DataFrame:
+    """Heavy-hitter diagnostic: the terms whose posting lists dominate
+    the index, for skew planning (salting / champion-list / broadcast
+    decisions at scale). Returns the ``top_n`` terms by total
+    occurrences with per-term document frequency, occurrence count,
+    max in-document tf, and integer parts-per-million share of all
+    postings occurrences — deliberately all-integer so the report is
+    bit-reproducible across engines.
+
+    Plan shape: one partial-aggregated groupBy(term) (bounded by
+    |vocabulary|), a one-row total crossJoined back (AQE broadcasts
+    it), TakeOrdered for the top-n — no full sort, no skew of its own.
+    """
+    per_term = index.postings.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("occurrences"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    total = per_term.agg(F.sum("occurrences").alias("total"))
+    return (
+        per_term.crossJoin(total)
+        .select(
+            "term",
+            "doc_freq",
+            "occurrences",
+            "max_tf",
+            F.floor(
+                F.col("occurrences") * 1000000.0 / F.col("total")
+            ).cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("term"))
+        .limit(top_n)
+    )

@@ -1,0 +1,225 @@
+"""Feature-hashed document vectors (the "hashing trick").
+
+Bridges the text tier to the similarity tier without a trained
+vocabulary: every token is mapped to one of ``n_dims`` buckets by a
+cross-engine-stable hash (md5 hex prefix -> integer) with a second
+hash nibble supplying a +/-1 sign so collisions cancel in expectation
+(Weinberger et al., "Feature Hashing for Large Scale Multitask
+Learning", ICML 2009 — the HashingVectorizer construction). Output is
+either sparse ``(doc_id, bucket, weight)`` rows or a dense
+``array<double>`` column compatible with the similarity tier
+(:mod:`fulltextindexer_spark.operators.similarity`).
+
+Why this is the 100 TB featurizer shape: there is NO vocabulary —
+no driver-side fit pass, no dictionary broadcast, no state that grows
+with corpus size. TF is one narrow projection + one partial-aggregated
+``groupBy((doc_id, bucket))``; IDF adds one per-term doc-frequency
+aggregation (bounded by |vocabulary|, not |corpus|) joined back in.
+The query path (:func:`hashed_topk`) is a broadcast join against the
+<= ``n_dims``-row query vector — never a cartesian product.
+
+Tokens are raw whitespace tokens, matching the text-stats tier
+(:func:`fulltextindexer_spark.operators.textstats.token_stats`); the
+full-text tier's normaliser is deliberately NOT applied here — the
+vector space wants surface forms, and both engines must share the
+exact token stream for gate parity.
+
+Reference parity note: the reference engine has no vector tier; this
+module is part of the LLM-data-pipeline surface the Spark engine adds
+on top of the reference's index/query semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+__all__ = [
+    "hashed_tf",
+    "hashed_tfidf",
+    "densify",
+    "hashed_topk",
+    "bucket_sql",
+    "sign_sql",
+]
+
+
+def _bucket(term: Column, n_dims: int) -> Column:
+    """Hash bucket in ``[0, n_dims)``: first 8 md5 hex chars as an int.
+
+    ``conv`` parses unsigned hex, so the value is in ``[0, 2^32)`` and
+    the modulo never sees a negative operand (Spark's ``%`` keeps the
+    dividend's sign, which would otherwise split buckets in two).
+    """
+    return F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long") % n_dims
+
+
+def _sign(term: Column) -> Column:
+    """+1.0 / -1.0 from the 9th md5 hex nibble (independent of the
+    bucket bits, per the signed-hashing construction)."""
+    nibble = F.conv(F.substring(F.md5(term), 9, 1), 16, 10).cast("int")
+    return F.when(nibble < 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def bucket_sql(term_expr: str, n_dims: int) -> str:
+    """DuckDB rendering of :func:`_bucket` — used by the oracle SQL so
+    both engines share the hash verbatim (md5 hex is engine-identical)."""
+    return f"(('0x' || substr(md5({term_expr}), 1, 8))::BIGINT % {n_dims})"
+
+
+def sign_sql(term_expr: str) -> str:
+    """DuckDB rendering of :func:`_sign`."""
+    return (
+        f"(CASE WHEN ('0x' || substr(md5({term_expr}), 9, 1))::BIGINT < 8 "
+        f"THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def hashed_tf(
+    docs: DataFrame,
+    n_dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed term-frequency vectors, sparse: ``(doc_id, bucket, weight)``
+    where ``weight = sum(sign(token))`` over the doc's tokens landing in
+    the bucket (a BIGINT — collisions of opposite sign cancel).
+
+    One narrow projection + one groupBy — map-side partial aggregation
+    does the heavy lifting; the shuffle carries at most
+    ``|docs| * n_dims`` rows regardless of document length.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    return (
+        toks.select(
+            "doc_id",
+            _bucket(F.col("tok"), n_dims).alias("bucket"),
+            _sign(F.col("tok")).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    n_dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signed TF-IDF vectors, sparse: ``(doc_id, bucket, weight)`` with
+    ``weight = sum_terms(tf * idf(term) * sign(term))`` per bucket and
+    the smoothed IDF ``ln((N + 1) / (df + 1)) + 1`` (sklearn's
+    ``smooth_idf`` — never zero, never negative).
+
+    IDF is computed per *term* (before hashing) so two terms sharing a
+    bucket keep their own document frequencies — the standard
+    HashingVectorizer+TfidfTransformer composition. The per-term df
+    aggregation is bounded by vocabulary size; the corpus-size scalar
+    rides in via a one-row crossJoin (AQE broadcasts it).
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = df_.crossJoin(n_docs).select(
+        "tok",
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+    )
+    return (
+        tf.join(idf, "tok")
+        .select(
+            "doc_id",
+            _bucket(F.col("tok"), n_dims).alias("bucket"),
+            (F.col("tf") * F.col("idf") * _sign(F.col("tok"))).alias("w"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def densify(
+    sparse: DataFrame, n_dims: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Sparse ``(doc_id, bucket, weight)`` -> dense ``(doc_id,
+    embedding array<double>)`` for the similarity tier. Pure JVM:
+    map_from_entries + a sequence transform, no UDF."""
+    return (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "weight"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("long")).cast("double"),
+                    F.lit(0.0),
+                ),
+            ).alias("embedding"),
+        )
+    )
+
+
+def hashed_topk(
+    docs: DataFrame,
+    query_doc_id: int,
+    n_dims: int = 64,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k cosine neighbours of ``query_doc_id`` in hashed-TF-IDF
+    space, computed fully distributed on the SPARSE representation:
+
+    - dot products via an equi-join on ``bucket`` against the query
+      vector (<= ``n_dims`` rows — always broadcastable),
+    - norms via one per-doc aggregation,
+    - ``score desc, doc_id asc`` TakeOrdered for determinism.
+
+    Docs sharing no bucket with the query have cosine 0 and are
+    excluded (they can never enter a top-k that has k positive
+    matches). Returns ``(doc_id, cosine)`` with cosine rounded to 4dp
+    — the engine's cross-engine float convention.
+    """
+    sp = persist_tracked(
+        hashed_tfidf(docs, n_dims, text_col, id_col), scope="query"
+    )
+    q = sp.where(F.col("doc_id") == query_doc_id).select(
+        "bucket", F.col("weight").alias("qw")
+    )
+    norms = sp.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
+    )
+    qnorm = q.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
+    dots = (
+        sp.where(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    out = (
+        dots.join(norms, "doc_id")
+        .crossJoin(qnorm)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("nrm") * F.col("qn")), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return out

@@ -12,7 +12,29 @@ from fulltextindexer_spark.plans import cachereg
 SF = "/root/testdata/sf0.001"
 
 
+def _drain_persisted(spark, timeout_s: float = 30.0) -> None:
+    """Release caches left by previously-run test modules, including
+    localCheckpoint RDDs whose unpersist is asynchronous: dropping the
+    Python DataFrame releases the py4j handle, the JVM ContextCleaner
+    then unpersists on GC — force both and poll until drained so this
+    module is order-independent."""
+    import gc
+    import time
+
+    entry.release_caches()
+    gc.collect()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.sparkContext._jsc.getPersistentRDDs().size() == 0:
+            return
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+
+
 def test_release_all_leaves_no_persisted_rdds(spark):
+    # order-independence: drop anything a previously-run test module
+    # (e.g. the entry-contract gate sweep) left behind
+    _drain_persisted(spark)
     # exercise every cache-creating path: index build + postings
     # persist, BM25 stats tables, a self-computed persisted shingle
     # frame, the IVF build-once assignment
@@ -34,6 +56,7 @@ def test_release_all_leaves_no_persisted_rdds(spark):
 def test_managed_caches_context(spark):
     from fulltextindexer_spark.operators import dedup
 
+    _drain_persisted(spark)
     docs = spark.read.parquet(SF + "/documents.parquet")
     with cachereg.managed_caches():
         pairs = dedup.lsh_verified_jaccard_pairs(docs)

@@ -1,0 +1,171 @@
+"""Feature-hashed document vectors (operators/vectorize.py).
+
+Parity anchor: a pure-Python md5 reimplementation of the bucket/sign
+hash and a numpy brute-force cosine — the Spark results must match
+both exactly (integers) or to the 4dp rounding convention (floats).
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import vectorize as V
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the five boxing wizards jump quickly"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the the the quick quick fox"),
+]
+D = 16
+
+
+def py_bucket(tok: str, n_dims: int = D) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_dims
+
+
+def py_sign(tok: str) -> float:
+    return 1.0 if int(hashlib.md5(tok.encode()).hexdigest()[8], 16) < 8 else -1.0
+
+
+def py_tf(docs):
+    out = {}
+    for doc_id, text in docs:
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            k = (doc_id, py_bucket(tok))
+            out[k] = out.get(k, 0) + py_sign(tok)
+    return {k: int(v) for k, v in out.items() if True}
+
+
+def py_tfidf(docs):
+    n = len(docs)
+    df = {}
+    for _, text in docs:
+        for tok in set(t for t in text.split(" ") if t):
+            df[tok] = df.get(tok, 0) + 1
+    out = {}
+    for doc_id, text in docs:
+        tf = {}
+        for tok in text.split(" "):
+            if tok:
+                tf[tok] = tf.get(tok, 0) + 1
+        for tok, c in tf.items():
+            idf = math.log((n + 1) / (df[tok] + 1)) + 1
+            k = (doc_id, py_bucket(tok))
+            out[k] = out.get(k, 0.0) + c * idf * py_sign(tok)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_hashed_tf_matches_python(spark, docs_df):
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in V.hashed_tf(docs_df, D).collect()
+    }
+    assert got == py_tf(DOCS)
+
+
+def test_hashed_tf_weight_is_integer_long(spark, docs_df):
+    schema = dict(V.hashed_tf(docs_df, D).dtypes)
+    assert schema["weight"] == "bigint"
+    assert schema["bucket"] == "bigint"
+
+
+def test_hashed_tfidf_matches_python(spark, docs_df):
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in V.hashed_tfidf(docs_df, D).collect()
+    }
+    exp = py_tfidf(DOCS)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_densify_scatters_sparse(spark, docs_df):
+    sp = V.hashed_tfidf(docs_df, D)
+    dense = {
+        r["doc_id"]: r["embedding"] for r in V.densify(sp, D).collect()
+    }
+    exp = py_tfidf(DOCS)
+    for doc_id, _ in DOCS:
+        vec = dense[doc_id]
+        assert len(vec) == D
+        for b in range(D):
+            assert vec[b] == pytest.approx(exp.get((doc_id, b), 0.0), abs=1e-9)
+
+
+def test_hashed_topk_matches_numpy_brute_force(spark, docs_df):
+    exp_sparse = py_tfidf(DOCS)
+    mat = np.zeros((len(DOCS) + 1, D))
+    for (doc_id, b), w in exp_sparse.items():
+        mat[doc_id, b] = w
+    qv = mat[1]
+    cos = {}
+    for doc_id, _ in DOCS:
+        if doc_id == 1:
+            continue
+        v = mat[doc_id]
+        cos[doc_id] = round(
+            float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), 4
+        )
+    expected = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [
+        (r["doc_id"], r["cosine"])
+        for r in V.hashed_topk(docs_df, 1, D, k=4).collect()
+    ]
+    assert got == expected[:4]
+
+
+def test_hashed_topk_excludes_query_doc(spark, docs_df):
+    ids = [r["doc_id"] for r in V.hashed_topk(docs_df, 1, D, k=10).collect()]
+    assert 1 not in ids
+    assert len(ids) == len(set(ids))
+
+
+def test_term_skew_report_counts(spark):
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import (
+        build_index,
+        term_skew_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta"),
+            (2, "alpha beta beta"),
+            (3, "gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(
+        docs,
+        IndexConfig(
+            key_column="doc_id",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        ),
+    )
+    rows = {r["term"]: r for r in term_skew_report(idx, top_n=10).collect()}
+    # alpha: docs {1,2} occurrences 4 (3+1), beta: docs {1,2} occ 3,
+    # gamma: doc {3} occ 1 -> total 8 occurrences
+    assert rows["alpha~"]["doc_freq"] == 2
+    assert rows["alpha~"]["occurrences"] == 4
+    assert rows["alpha~"]["max_tf"] == 3
+    assert rows["alpha~"]["share_ppm"] == 500000
+    assert rows["beta~"]["occurrences"] == 3
+    assert rows["beta~"]["share_ppm"] == 375000
+    assert rows["gamma~"]["doc_freq"] == 1
+    # ordering: occurrences desc, term asc
+    ordered = [r["term"] for r in term_skew_report(idx, top_n=10).collect()]
+    assert ordered == ["alpha~", "beta~", "gamma~"]
