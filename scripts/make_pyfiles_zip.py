@@ -1,33 +1,30 @@
 #!/usr/bin/env python
 """Build the ``--py-files`` artifact for cluster submission.
 
+Thin alias kept for the documented name; the canonical implementation
+(deterministic ordering + timestamps) lives in scripts/package.py.
+
 Usage::
 
     python scripts/make_pyfiles_zip.py [out.zip]
     spark-submit --py-files fulltextindexer_spark.zip \
-        -m fulltextindexer_spark build --input ... --output ...
+        fulltextindexer_spark/cli.py build --input ... --output ...
 """
 
 import os
 import sys
-import zipfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from package import REPO, build_zip  # noqa: E402
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "fulltextindexer_spark.zip"
-    pkg = os.path.join(REPO, "fulltextindexer_spark")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if not f.endswith(".py"):
-                    continue
-                full = os.path.join(root, f)
-                zf.write(full, os.path.relpath(full, REPO))
-    print(out)
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "fulltextindexer_spark.zip"
+    )
+    n = build_zip(out)
+    print(f"{out}: {n} files")
 
 
 if __name__ == "__main__":

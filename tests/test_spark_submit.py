@@ -1,0 +1,99 @@
+"""End-to-end cluster-submission path.
+
+The engine's deployment story is ``spark-submit --py-files`` with the
+deterministic package zip (scripts/package.py). This test drives that
+path for real: build the zip, then run a driver script under
+spark-submit whose package imports must resolve from the --py-files
+zip alone (PYTHONPATH is stripped and the working directory holds only
+the driver), building an index over sf0.001 and running a
+partial-match query.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(
+    os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+)
+
+DRIVER = """\
+import sys
+
+from pyspark.sql import SparkSession
+
+# no .master() here: spark-submit's --master governs
+spark = (
+    SparkSession.builder.appName("pyfiles-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.query import get_partial_matches
+
+docs = spark.read.parquet(sys.argv[1] + "/documents.parquet")
+idx = build_index(
+    docs,
+    IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    ),
+)
+print("PYFILES_E2E_ROWS=%d" % get_partial_matches(idx, "data").count())
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_pyfiles_build_and_query(tmp_path):
+    zip_path = tmp_path / "fulltextindexer_spark.zip"
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "package.py"),
+            str(zip_path),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(DRIVER)
+
+    # imports must come from the zip: strip the repo from the
+    # interpreter's path and run from an empty working directory
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[4]",
+            "--py-files",
+            str(zip_path),
+            str(driver),
+            "/root/testdata/sf0.001",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    markers = [
+        ln
+        for ln in res.stdout.splitlines()
+        if ln.startswith("PYFILES_E2E_ROWS=")
+    ]
+    assert markers, (res.stdout[-2000:], res.stderr[-2000:])
+    assert int(markers[0].split("=")[1]) == 379  # pinned sf0.001 count
