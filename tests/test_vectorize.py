@@ -169,3 +169,37 @@ def test_term_skew_report_counts(spark):
     # ordering: occurrences desc, term asc
     ordered = [r["term"] for r in term_skew_report(idx, top_n=10).collect()]
     assert ordered == ["alpha~", "beta~", "gamma~"]
+
+
+# -- property: the cross-engine hash is bit-identical for any unicode
+#    token stream (Spark md5 casts string -> UTF-8 binary; the python
+#    anchor encodes UTF-8; DuckDB hashes the varchar's UTF-8 bytes — the
+#    gate SQL is rendered from the same helper, so python parity here
+#    transitively pins all three engines)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+token = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        blacklist_characters=" ",
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), token), min_size=1, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_hashed_tf_unicode_parity(spark, pairs):
+    docs = [(i, " ".join(t for j, t in pairs if j % 3 == i % 3)) for i in range(3)]
+    docs = [(i, text) for i, text in docs if text]
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in V.hashed_tf(df, D).collect()
+    }
+    assert got == py_tf(docs)
