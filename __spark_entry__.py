@@ -981,6 +981,14 @@ def q_hash_embed_topk(spark, sf_dir):
     return vectorize.hashed_topk(docs, query_doc_id=qid, n_dims=64, k=10)
 
 
+def q_highlight(spark, sf_dir):
+    """Snippet window per result doc: the char span covering the first
+    occurrence of every query term (AND semantics) — the display layer
+    the reference's SourceLocations exist for. All-integer output."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.get_highlight_spans(idx, "sort table")
+
+
 def q_skew_report(spark, sf_dir):
     """Heavy-hitter term diagnostic over the built index — the report
     that drives salting / champion-list decisions at 100 TB."""
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_tfidf": q_hash_tfidf,
         "text_embed_topk": q_hash_embed_topk,
         "ftix_skew_report": q_skew_report,
+        "ftix_highlight": q_highlight,
     }
 
 
@@ -2166,6 +2175,25 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "ftix_highlight": f"""
+WITH {TOKL_CTE},
+q(term, qti) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                        ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT tokl.doc_id, q.qti, tokl.src_idx, tokl.src_len
+      FROM tokl JOIN q ON tokl.term = q.term),
+firsts AS (SELECT doc_id, qti, min(src_idx) AS fi
+           FROM m GROUP BY doc_id, qti),
+f2 AS (SELECT m.doc_id, m.qti, m.src_idx, min(m.src_len) AS src_len
+       FROM m JOIN firsts ON m.doc_id = firsts.doc_id
+                         AND m.qti = firsts.qti AND m.src_idx = firsts.fi
+       GROUP BY m.doc_id, m.qti, m.src_idx),
+ok AS (SELECT doc_id FROM f2 GROUP BY doc_id HAVING count(DISTINCT qti) = 2)
+SELECT f2.doc_id,
+       min(src_idx) AS span_start,
+       max(src_idx + src_len) AS span_end,
+       max(src_idx + src_len) - min(src_idx) AS span_len
+FROM f2 JOIN ok USING (doc_id) GROUP BY f2.doc_id
 """,
         "ftix_skew_report": f"""
 WITH {TOK_CTE},

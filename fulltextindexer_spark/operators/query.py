@@ -766,3 +766,62 @@ def get_consecutive_matches_grouped_with_locations(
     if k is not None:
         result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return result
+
+
+def get_highlight_spans(index: InvertedIndex, source: str) -> DataFrame:
+    """Per-doc display span for a multi-term query: the character range
+    covering the FIRST occurrence of every query term — the snippet
+    window a result page shows. This is the consumer the reference
+    records SourceLocations for ("to support search-term highlighting",
+    Indexes/SourceLocation.cs:5-11, WeightedEntry.cs:24-30); the
+    reference leaves the span computation to the caller, so the rule
+    here is ours: AND semantics (every query token must match, as
+    GetPartialMatches' DefaultWeightCombiner gates), first occurrence =
+    lexicographic min (src_idx, src_len) per query token.
+
+    Returns ``(doc_id, span_start, span_end, span_len)`` — all
+    integers, so cross-engine comparison is exact. Plan shape: one
+    broadcast join on query terms, explode of only the matched
+    postings' location arrays, two keyed aggregations — the explode is
+    bounded by matches, never the whole index.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations to compute spans"
+        )
+    rows, n_tokens = _query_terms_df(index, source)
+    spark = index.postings.sparkSession
+    if n_tokens == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, span_start long, span_end long, span_len long",
+        )
+    qdf = spark.createDataFrame(rows, "term string, qti int")
+    matched = index.postings.join(F.broadcast(qdf), "term").select(
+        "doc_id", "qti", F.explode("positions").alias("loc")
+    )
+    firsts = matched.groupBy("doc_id", "qti").agg(
+        F.min(
+            F.struct(
+                F.col("loc.src_idx").alias("src_idx"),
+                F.col("loc.src_len").alias("src_len"),
+            )
+        ).alias("first")
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count_distinct("qti").alias("n_terms"),
+            F.min("first.src_idx").cast("long").alias("span_start"),
+            F.max(
+                F.col("first.src_idx") + F.col("first.src_len")
+            ).cast("long").alias("span_end"),
+        )
+        .where(F.col("n_terms") == n_tokens)
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

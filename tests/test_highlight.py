@@ -1,0 +1,68 @@
+"""Snippet-span extraction (query.get_highlight_spans)."""
+
+import pytest
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=True,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta alpha"),
+            (3, "gamma x alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_index(docs, CFG)
+
+
+def test_span_covers_first_occurrence_of_each_term(spark, idx):
+    rows = {
+        r["doc_id"]: r
+        for r in q.get_highlight_spans(idx, "alpha gamma").collect()
+    }
+    # doc 2 lacks gamma -> AND semantics exclude it
+    assert set(rows) == {1, 3}
+    # doc 1: first alpha [0,5), first gamma [11,16) -> span [0,16)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (0, 16)
+    assert rows[1]["span_len"] == 16
+    # doc 3: first gamma [0,5), first alpha [8,13) -> span [0,13)
+    assert (rows[3]["span_start"], rows[3]["span_end"]) == (0, 13)
+
+
+def test_single_term_span_is_that_token(spark, idx):
+    rows = {
+        r["doc_id"]: r for r in q.get_highlight_spans(idx, "beta").collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc 1: beta at [6,10); doc 2: beta at [0,4)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (6, 10)
+    assert (rows[2]["span_start"], rows[2]["span_end"]) == (0, 4)
+
+
+def test_requires_positions(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    nopos = build_index(
+        docs,
+        IndexConfig(
+            key_column="doc_id",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        ),
+    )
+    with pytest.raises(ValueError, match="locations"):
+        q.get_highlight_spans(nopos, "a")
+
+
+def test_empty_query_returns_empty(spark, idx):
+    assert q.get_highlight_spans(idx, "  ").count() == 0
