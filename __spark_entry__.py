@@ -981,6 +981,15 @@ def q_hash_embed_topk(spark, sf_dir):
     return vectorize.hashed_topk(docs, query_doc_id=qid, n_dims=64, k=10)
 
 
+def q_token_shards(spark, sf_dir):
+    """Trainer-shard assignment: ~2000-token shards per source with a
+    deterministic window rule (resumable, engine-independent — unlike
+    sample())."""
+    return textstats.token_shards(
+        _documents(spark, sf_dir), budget_tokens=2000, part_col="source"
+    )
+
+
 def q_highlight(spark, sf_dir):
     """Snippet window per result doc: the char span covering the first
     occurrence of every query term (AND semantics) — the display layer
@@ -1063,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_topk": q_hash_embed_topk,
         "ftix_skew_report": q_skew_report,
         "ftix_highlight": q_highlight,
+        "curate_shards": q_token_shards,
     }
 
 
@@ -2175,6 +2185,16 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "curate_shards": """
+SELECT doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+            AS BIGINT) AS shard_id
+FROM (SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+                 AS n_tokens
+      FROM documents)
 """,
         "ftix_highlight": f"""
 WITH {TOKL_CTE},

@@ -350,3 +350,59 @@ def corpus_report(
         ),
         F.round(F.col("n_docs") / F.col("corpus_docs"), 4).alias("share"),
     )
+
+
+def token_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    part_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard the corpus into ~``budget_tokens`` chunks per ``part_col``
+    group — the pre-training packing step that turns a curated corpus
+    into trainer-sized shards with stable, resumable boundaries.
+
+    The rule is deterministic and engine-independent: within each
+    ``part_col`` group, docs are ordered by ``doc_id`` and assigned
+    ``shard_id = floor(running_total_before_this_doc / budget)`` — a
+    shard closes once the docs placed in it reach the budget, so every
+    shard except a group's last holds >= ``budget_tokens``. Unlike
+    ``sample()``-style assignment this reproduces under task retry and
+    in any engine with window functions (the DuckDB oracle runs the
+    identical window).
+
+    Scale shape: ONE shuffle on ``part_col`` + an in-partition sort —
+    no global ordering (a global window would collapse to a single
+    partition). The caveat is group skew: a group is processed by one
+    task, so a corpus dominated by one source should pre-split it
+    (e.g. by ``lang`` or a date bucket) before sharding.
+
+    Returns ``(doc_id, <part_col>, n_tokens, shard_id)`` — all
+    integer/string, exact across engines.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    n_tokens = F.size(
+        F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(part_col),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        part_col,
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(budget_tokens)
+        ).cast("long").alias("shard_id"),
+    )

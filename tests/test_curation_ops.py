@@ -787,3 +787,50 @@ def test_decontamination_random_vs_python_oracle(spark):
             ).collect()
         }
         assert got == want[m], f"min_hits={m}"
+
+
+def test_token_shards_window_rule(spark):
+    """Shard closes once placed docs reach the budget; rule is
+    floor(running_total_before / budget) per (source) ordered by id."""
+    from fulltextindexer_spark.operators.textstats import token_shards
+
+    docs = spark.createDataFrame(
+        [
+            # source a: tokens 3, 4, 2, 5 with budget 5:
+            #   cum_before 0,3,7,9 -> shards 0,0,1,1
+            (1, "a", "x y z"),
+            (2, "a", "x y z w"),
+            (3, "a", "x y"),
+            (4, "a", "q w e r t"),
+            # source b: tokens 6, 1 -> cum_before 0,6 -> shards 0,1
+            (5, "b", "a b c d e f"),
+            (6, "b", "g"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["shard_id"])
+        for r in token_shards(docs, budget_tokens=5).collect()
+    }
+    assert rows == {
+        1: ("a", 3, 0),
+        2: ("a", 4, 0),
+        3: ("a", 2, 1),
+        4: ("a", 5, 1),
+        5: ("b", 6, 0),
+        6: ("b", 1, 1),
+    }
+
+
+def test_token_shards_custom_id_col_and_non_global_window(spark):
+    from fulltextindexer_spark.operators.textstats import token_shards
+
+    docs = spark.createDataFrame(
+        [(10, "a", "x"), (11, "a", "y")], "k long, source string, text string"
+    )
+    out = token_shards(docs, budget_tokens=1, id_col="k")
+    assert {r["doc_id"] for r in out.collect()} == {10, 11}
+    # the window must be partitioned (one shuffle by source), never a
+    # global single-partition sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
