@@ -998,6 +998,28 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-doc passage boilerplate: per-doc count + ppm share of
+    3-token chunks repeated verbatim in >= 2 docs. All-integer."""
+    return dedup.chunk_boilerplate_stats(
+        _documents(spark, sf_dir), chunk_tokens=3, min_docs=2
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """Doc→doc retrieval via the inverted index (Lucene MoreLikeThis
+    shape): top-25 interesting source terms by tf·idf, tf-idf dot
+    product against every other doc, deterministic rounded top-10."""
+    idx = _docs_index(spark, sf_dir)
+    stats = bm25.get_bm25_stats(idx)
+    mlt = bm25.more_like_this(idx, doc_id=42, k=None, stats=stats)
+    return (
+        mlt.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_skew_report(spark, sf_dir):
     """Heavy-hitter term diagnostic over the built index — the report
     that drives salting / champion-list decisions at 100 TB."""
@@ -1073,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_skew_report": q_skew_report,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
+        "ftix_more_like": q_more_like_this,
+        "dedup_boilerplate": q_boilerplate,
     }
 
 
@@ -2185,6 +2209,50 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "dedup_boilerplate": """
+WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS l
+              FROM documents),
+slots AS (SELECT doc_id,
+                 unnest(range(CAST(ceil(len(l) / 3.0) AS BIGINT))) AS i, l
+          FROM toks WHERE len(l) > 0),
+chunks AS (SELECT doc_id,
+                  array_to_string(l[(i*3+1):(i*3+3)], ' ') AS chunk
+           FROM slots),
+common AS (SELECT chunk FROM chunks
+           GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN cm.chunk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_common,
+       CAST(floor(1000000.0
+                  * sum(CASE WHEN cm.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS common_ppm
+FROM chunks c LEFT JOIN common cm USING (chunk)
+GROUP BY c.doc_id
+""",
+        "ftix_more_like": f"""
+WITH {TOK_CTE}, {POST_CTE},
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+src AS (SELECT term, w FROM post WHERE doc_id = 42),
+dfreq AS (SELECT term, count(*) AS df FROM post
+          WHERE term IN (SELECT term FROM src) GROUP BY term),
+-- interesting-term cut: round(w_src*idf, 4) desc, term asc, limit 25
+-- (identical cut to the engine's driver-side selection)
+qt AS (
+  SELECT s.term,
+         s.w * ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) AS qw
+  FROM src s JOIN dfreq d USING (term) CROSS JOIN n
+  ORDER BY round(s.w * ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)), 4)
+           DESC, s.term ASC
+  LIMIT 25
+),
+scored AS (SELECT p.doc_id, sum(p.w * q.qw) AS score
+           FROM post p JOIN qt q USING (term)
+           WHERE p.doc_id <> 42 GROUP BY p.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
         "curate_shards": """
 SELECT doc_id, source, n_tokens,

@@ -692,3 +692,75 @@ def _wand_two_pass(
         .agg(F.sum("c").alias("score"))
     )
     return _topk(pass1_df.unionByName(pass2), k)
+
+
+def more_like_this(
+    index: InvertedIndex,
+    doc_id: int,
+    k: Optional[int] = 10,
+    max_terms: int = 25,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """Find the ``k`` documents most similar to ``doc_id`` via the
+    inverted index (Lucene MoreLikeThis shape): select the source
+    doc's ``max_terms`` most *interesting* terms by tf·idf, then score
+    every other doc by the tf-idf dot product over just those terms::
+
+        interesting  = top max_terms by round(w_src(t) · idf(t), 4)
+                       desc, term asc          (deterministic cut)
+        score(d)     = Σ_t w_d(t) · w_src(t) · idf(t)²     (d ≠ src)
+
+    ``w`` is the index's own posting weight (field weights + stop-word
+    ×0.01 — so stop terms are naturally never "interesting").
+
+    Scale design: the source vector is one doc's postings (driver-tiny
+    collect, like the query-string path); idf comes from the
+    precomputed ``Bm25Stats`` term_stats when available (pruned ≤
+    |terms| row read) else a per-term df count over the term-filtered
+    postings. Scoring is a broadcast join of a ≤ ``max_terms``-row
+    query frame against postings — term-pruned at the scan — plus ONE
+    groupBy(doc_id) shuffle and a TakeOrdered. Identical job shape to
+    :func:`bm25_scores`; nothing is quadratic in corpus size.
+
+    Returns (doc_id, score) — score as raw double; callers round for
+    display (the gate rounds to 4dp).
+    """
+    spark = index.postings.sparkSession
+    src_rows = (
+        index.postings.where(F.col("doc_id") == F.lit(doc_id))
+        .select("term", "weight")
+        .collect()
+    )
+    if not src_rows:
+        return _empty(index)
+    w_src = {r["term"]: float(r["weight"]) for r in src_rows}
+    n_docs, _ = (
+        (stats.n_docs, stats.avgdl)
+        if stats is not None
+        else _cached_corpus_stats(index)
+    )
+    idf_rows = _idf_rows(index, sorted(w_src), n_docs, stats)
+    # deterministic interesting-term cut: round the selection key so a
+    # float32-vs-double weight ulp can't reorder near-ties; ties break
+    # on the term itself (the DuckDB oracle runs the identical cut)
+    ranked = sorted(
+        ((t, idf) for t, idf in idf_rows),
+        key=lambda ti: (-round(w_src[ti[0]] * ti[1], 4), ti[0]),
+    )[:max_terms]
+    if not ranked:
+        return _empty(index)
+    qdf = spark.createDataFrame(
+        [(t, w_src[t] * idf * idf) for t, idf in ranked],
+        "term string, qw double",
+    )
+    scored = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .where(F.col("doc_id") != F.lit(doc_id))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("weight").cast("double") * F.col("qw")).alias(
+                "score"
+            )
+        )
+    )
+    return _topk(scored, k)

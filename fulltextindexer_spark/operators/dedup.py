@@ -535,3 +535,76 @@ def simhash16(
         bit = F.when(F.col(f"v{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def chunk_boilerplate_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb
+    passage-dedup step): cut each doc into non-overlapping
+    ``chunk_tokens``-token passages and flag passages that appear
+    verbatim in ≥ ``min_docs`` distinct docs — headers, footers and
+    licence blocks repeated across a crawl. Complements
+    :func:`~.textstats.repetition_stats`, which is within-doc only.
+
+    Returns one all-integer row per doc: ``(doc_id, n_chunks,
+    n_common, common_ppm)`` where ``common_ppm = floor(1e6 · n_common /
+    n_chunks)`` — the removal filter is a threshold on ``common_ppm``.
+
+    Scale shape: chunking is a pure array expression (no shuffle);
+    then ONE hash-agg keyed by chunk for the document frequencies, one
+    equi-join back, one groupBy(doc). All linear; hot chunks (the
+    boilerplate itself) are exact-match join keys so AQE skew-splits
+    them. At 100 TB key the agg/join by ``xxhash64(chunk)`` instead of
+    the chunk string to narrow the shuffle — the corpus-exact string
+    key is kept here so the DuckDB oracle is collision-free.
+    """
+    w = int(chunk_tokens)
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(w)).cast("long")
+    chunked = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i * w + 1, w), " "
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    chunked = persist_tracked(chunked, scope="query")
+    common = (
+        chunked.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("chunk", F.lit(1).alias("is_common"))
+    )
+    return (
+        chunked.join(common, "chunk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0)))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_common",
+            F.floor(F.lit(1000000.0) * F.col("n_common") / F.col("n_chunks"))
+            .cast("long")
+            .alias("common_ppm"),
+        )
+    )

@@ -202,3 +202,28 @@ def test_doc_frequencies_salted_equals_plain(index):
         for r in bm25.doc_frequencies(index.postings, n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_more_like_this_excludes_source_and_ranks_overlap(index):
+    # doc 4 shares merge/sort/join/hash terms: doc 2 (merge, sort) and
+    # doc 6 (hash) should surface; doc 4 itself must be excluded
+    rows = bm25.more_like_this(index, doc_id=4, k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids
+    assert ids[0] == 2  # two shared informative terms beat one
+    assert 6 in ids
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+def test_more_like_this_missing_doc_is_empty(index):
+    assert bm25.more_like_this(index, doc_id=999, k=5).count() == 0
+
+
+def test_more_like_this_max_terms_cut(index):
+    # doc 4 term tf*idf ranking: 'join' (tf 3, df 1) > 'merge'
+    # (tf 2, df 2) > the rest. max_terms=1 keeps only 'join', which no
+    # other doc contains -> empty; max_terms=2 adds 'merge' -> doc 2
+    # (the only other merge doc) is the sole match
+    assert bm25.more_like_this(index, doc_id=4, k=None, max_terms=1).count() == 0
+    rows = bm25.more_like_this(index, doc_id=4, k=None, max_terms=2).collect()
+    assert [r["doc_id"] for r in rows] == [2]

@@ -834,3 +834,50 @@ def test_token_shards_custom_id_col_and_non_global_window(spark):
     # global single-partition sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_chunk_boilerplate_stats(spark):
+    """3-token chunks; 'x y z' repeats across docs 1/2, everything else
+    is unique -> hand-computed counts and ppm."""
+    from fulltextindexer_spark.operators.dedup import chunk_boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 chunks: 'x y z' | 'a b c'        -> 1 of 2 common
+            (1, "x y z a b c"),
+            # doc 2 chunks: 'x y z' | 'd e'          -> 1 of 2 common
+            (2, "x y z d e"),
+            # doc 3 chunks: 'p q r'                  -> 0 of 1 common
+            (3, "p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_chunks"], r["n_common"], r["common_ppm"])
+        for r in chunk_boilerplate_stats(docs, chunk_tokens=3).collect()
+    }
+    assert rows == {1: (2, 1, 500000), 2: (2, 1, 500000), 3: (1, 0, 0)}
+
+
+def test_chunk_boilerplate_within_doc_repeat_not_common(spark):
+    """A chunk repeated only WITHIN one doc is not cross-doc common
+    (df counts distinct docs), and min_docs raises the bar."""
+    from fulltextindexer_spark.operators.dedup import chunk_boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "q r s t")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_chunks"], r["n_common"])
+        for r in chunk_boilerplate_stats(docs, chunk_tokens=2).collect()
+    }
+    assert rows == {1: (2, 0), 2: (2, 0)}
+    # min_docs=1 flags every chunk
+    rows1 = {
+        r["doc_id"]: r["n_common"]
+        for r in chunk_boilerplate_stats(
+            docs, chunk_tokens=2, min_docs=1
+        ).collect()
+    }
+    assert rows1 == {1: 2, 2: 2}
