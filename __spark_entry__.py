@@ -42,6 +42,7 @@ from fulltextindexer_spark.operators import (
     decontam,
     dedup,
     similarity,
+    spell,
     textstats,
     vectorize,
 )
@@ -998,6 +999,20 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_spell(spark, sf_dir):
+    """'Did you mean' for the deletion-typo 'tabl': SymSpell deletion
+    neighbourhood join + levenshtein<=1 verify, ranked (dist, df desc,
+    term). Engine-side candidates come from the precomputed deletion
+    index; the oracle brute-forces levenshtein over the vocabulary —
+    same answer proves the neighbourhood loses nothing."""
+    return spell.suggest_spelling(_docs_index(spark, sf_dir), "tabl", k=5)
+
+
+def q_suggest(spark, sf_dir):
+    """Autocomplete: top-10 's'-prefixed vocabulary terms by df."""
+    return spell.suggest_prefix(_docs_index(spark, sf_dir), "s", k=10)
+
+
 def q_boilerplate(spark, sf_dir):
     """Cross-doc passage boilerplate: per-doc count + ppm share of
     3-token chunks repeated verbatim in >= 2 docs. All-integer."""
@@ -1097,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shards": q_token_shards,
         "ftix_more_like": q_more_like_this,
         "dedup_boilerplate": q_boilerplate,
+        "ftix_spell": q_spell,
+        "ftix_suggest": q_suggest,
     }
 
 
@@ -2209,6 +2226,20 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "ftix_spell": f"""
+WITH {TOK_CTE}, {POST_CTE},
+td AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+SELECT term, df, levenshtein(term, '{english_plurality_normalise("tabl")}')::INT AS dist
+FROM td
+WHERE levenshtein(term, '{english_plurality_normalise("tabl")}') <= 1
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
+""",
+        "ftix_suggest": f"""
+WITH {TOK_CTE}, {POST_CTE},
+td AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+SELECT term, df FROM td WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
 """,
         "dedup_boilerplate": """
 WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),

@@ -1,0 +1,111 @@
+"""Fuzzy term lookup over the index vocabulary: SymSpell-style spell
+suggestion and prefix autocomplete.
+
+The reference's TST gives cheap prefix walks and exact lookups
+(Core/Indexes/TernarySearchTree/*.cs); these are the two vocabulary
+consumers a search box needs on top of it. The Spark shapes:
+
+- **Autocomplete** — the term dictionary is a (term, df) frame; a
+  prefix filter is a range predicate on the sorted term column, so a
+  term-range-partitioned parquet dictionary prunes to the one range
+  partition covering the prefix (same pruning the compact tier pins).
+- **Spell suggestion** — SymSpell: precompute every ≤``max_deletes``
+  character-deletion variant of every vocabulary term ONCE (linear,
+  |terms| × (len+1) rows, pure array expressions); a query word joins
+  its own tiny variant set against that index and survivors are
+  verified with ``levenshtein() ≤ max_edits`` (JVM-side). Two words at
+  Levenshtein distance 1 always share a variant (delete the differing
+  char from whichever side has it), so the candidate join loses
+  nothing; the verify filter removes the distance-2 over-generation.
+  At 100 TB the deletion index is written next to the postings,
+  range-partitioned by variant — a suggestion is then a driver-tiny
+  IN-filter read, never a vocabulary scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+
+def term_dictionary_df(index: InvertedIndex) -> DataFrame:
+    """(term, df) — one row per vocabulary term with its document
+    frequency (postings hold one row per (term, doc))."""
+    return index.postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def _deletion_variants(col):
+    """Array of the term itself + every single-char-deletion variant
+    (distinct). Pure JVM expression; no Python in the loop."""
+    t = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.concat(
+            t.substr(F.lit(1), i - 1), t.substr(i + 1, F.length(t))
+        ),
+    )
+    return F.array_union(F.array(t), dels)
+
+
+def build_deletion_index(index: InvertedIndex) -> DataFrame:
+    """(variant, term, df): the SymSpell deletion neighbourhood of the
+    whole vocabulary, built once per index. Linear in vocabulary size;
+    persist/save range-partitioned by ``variant`` for pruned lookups.
+    """
+    terms = term_dictionary_df(index)
+    return terms.select(
+        F.explode(_deletion_variants("term")).alias("variant"),
+        "term",
+        "df",
+    )
+
+
+def suggest_spelling(
+    index: InvertedIndex,
+    word: str,
+    k: int = 5,
+    max_edits: int = 1,
+    deletions: DataFrame | None = None,
+) -> DataFrame:
+    """Vocabulary terms within ``max_edits`` Levenshtein distance of
+    ``word`` (normalised like any query token), ranked (dist asc,
+    df desc, term asc) — 'did you mean'. Pass a precomputed
+    ``deletions`` frame (:func:`build_deletion_index`) to skip the
+    build; the query side is a driver-tiny IN filter either way.
+    """
+    q = normalise_scalar(word, index.config.normaliser)
+    if not q:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term string, df long, dist int"
+        )
+    qvars = {q}
+    for i in range(len(q)):
+        qvars.add(q[:i] + q[i + 1 :])
+    dele = deletions if deletions is not None else build_deletion_index(index)
+    return (
+        dele.where(F.col("variant").isin(sorted(qvars)))
+        .select("term", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .where(F.col("dist") <= max_edits)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def suggest_prefix(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:
+    """Autocomplete: the ``k`` highest-document-frequency vocabulary
+    terms starting with ``prefix`` (df desc, term asc). The filter is
+    sargable — a range-partitioned on-disk dictionary prunes to one
+    partition."""
+    return (
+        term_dictionary_df(index)
+        .where(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -1,0 +1,74 @@
+"""SymSpell deletion-neighbourhood spell suggestion + prefix
+autocomplete over the index vocabulary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.operators import spell
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [
+    (1, "quick sort merge sort table scan"),
+    (2, "table scan hash table bucket"),
+    (3, "quick hash probe"),
+    (4, "stable tables stack"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+def test_suggest_spelling_finds_deletion_typo(index):
+    rows = spell.suggest_spelling(index, "tabl", k=5).collect()
+    terms = [r["term"] for r in rows]
+    assert normalise_scalar("table", CFG.normaliser) in terms
+    assert all(r["dist"] <= 1 for r in rows)
+
+
+def test_suggest_spelling_matches_bruteforce_levenshtein(index):
+    """The deletion-neighbourhood candidate join must lose nothing:
+    results equal a full-vocabulary levenshtein scan."""
+    for word in ("tabl", "quik", "hashs", "scanz", "sort"):
+        q = normalise_scalar(word, CFG.normaliser)
+        got = {
+            (r["term"], r["df"], r["dist"])
+            for r in spell.suggest_spelling(index, word, k=100).collect()
+        }
+        brute = {
+            (r["term"], r["df"], r["dist"])
+            for r in spell.term_dictionary_df(index)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .where(F.col("dist") <= 1)
+            .collect()
+        }
+        assert got == brute, word
+
+
+def test_suggest_spelling_empty_word(index):
+    assert spell.suggest_spelling(index, "", k=5).count() == 0
+
+
+def test_suggest_prefix_ranked_by_df(index):
+    rows = spell.suggest_prefix(index, "s", k=10).collect()
+    assert [r["term"] for r in rows] == sorted(
+        [r["term"] for r in rows],
+        key=lambda t: (-dict((x["term"], x["df"]) for x in rows)[t], t),
+    )
+    assert all(r["term"].startswith("s") for r in rows)
+    # df ordering: 'sort~' appears in 1 doc twice -> df 1; 'scan~' in
+    # docs 1,2 -> df 2 and must rank first among the s-terms
+    assert rows[0]["term"] == normalise_scalar("scan", CFG.normaliser)
