@@ -999,6 +999,13 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_near(spark, sf_dir):
+    """Proximity search: docs with 'sort' within 3 tokens of 'table',
+    closest-pair distance + qualifying pair count. All-integer."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.get_near_matches(idx, "sort", "table", slop=3)
+
+
 def q_spell(spark, sf_dir):
     """'Did you mean' for the deletion-typo 'tabl': SymSpell deletion
     neighbourhood join + levenshtein<=1 verify, ranked (dist, df desc,
@@ -1114,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate": q_boilerplate,
         "ftix_spell": q_spell,
         "ftix_suggest": q_suggest,
+        "ftix_near": q_near,
     }
 
 
@@ -2226,6 +2234,17 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "ftix_near": f"""
+WITH {TOKP_CTE},
+a AS (SELECT doc_id, pos FROM tokp
+      WHERE term = '{english_plurality_normalise("sort")}'),
+b AS (SELECT doc_id, pos FROM tokp
+      WHERE term = '{english_plurality_normalise("table")}'),
+p AS (SELECT a.doc_id, abs(a.pos - b.pos) AS d
+      FROM a JOIN b USING (doc_id) WHERE abs(a.pos - b.pos) <= 3)
+SELECT doc_id, min(d)::BIGINT AS min_dist, count(*)::BIGINT AS n_pairs
+FROM p GROUP BY doc_id
 """,
         "ftix_spell": f"""
 WITH {TOK_CTE}, {POST_CTE},

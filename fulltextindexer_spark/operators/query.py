@@ -825,3 +825,63 @@ def get_highlight_spans(index: InvertedIndex, source: str) -> DataFrame:
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def get_near_matches(
+    index: InvertedIndex,
+    source_a: str,
+    source_b: str,
+    slop: int = 3,
+) -> DataFrame:
+    """Proximity (NEAR/``slop``) matching: docs where an occurrence of
+    ``source_a`` and one of ``source_b`` sit within ``slop`` token
+    positions of each other **in the same field** — the relaxation of
+    phrase matching (``GetConsecutiveMatches`` is exactly ``slop = 1``
+    with fixed order; IndexData_Extensions_ConsecutiveMatches.cs:78-84
+    keys runs on the same (key, field, token-index) triplet this op
+    reuses).
+
+    Returns all-integer ``(doc_id, min_dist, n_pairs)``: the closest
+    pair distance and the number of qualifying occurrence pairs —
+    callers rank by ``min_dist asc`` (tighter is better) or weight
+    ``n_pairs``.
+
+    Scale shape: two term-pruned posting reads (parquet min/max skips
+    non-matching row groups on a term-sorted index), position explode
+    of only those match sets, one equi-join on (doc, field) + a range
+    predicate, one groupBy(doc). Never touches non-matching docs. If
+    both terms normalise identically the self-pairing at distance 0 is
+    kept (a doc with one occurrence still matches itself) — pass
+    distinct terms for meaningful proximity.
+    """
+    if not index.config.capture_positions:
+        raise ValueError("index must record source locations for NEAR")
+    ta = normalise_scalar(source_a, index.config.normaliser)
+    tb = normalise_scalar(source_b, index.config.normaliser)
+
+    def _pos(term: str, out: str) -> DataFrame:
+        return (
+            index.postings.where(F.col("term") == F.lit(term))
+            .select("doc_id", F.explode("positions").alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.field_idx").alias("field_idx"),
+                F.col("p.token_idx").alias(out),
+            )
+        )
+
+    if not ta or not tb:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, min_dist long, n_pairs long"
+        )
+    dist = F.abs(F.col("ia") - F.col("ib"))
+    return (
+        _pos(ta, "ia")
+        .join(_pos(tb, "ib"), ["doc_id", "field_idx"])
+        .where(dist <= slop)
+        .groupBy("doc_id")
+        .agg(
+            F.min(dist).cast("long").alias("min_dist"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )

@@ -832,3 +832,57 @@ def test_consecutive_token_combining(spark, tmp_path):
     idx.save(path)
     loaded = InvertedIndex.load(spark, path)
     assert loaded.config.consecutive_combine.max_tokens == 3
+
+
+def test_near_matches_proximity(spark):
+    """NEAR/slop: same-field pairs within the window only; min_dist and
+    n_pairs hand-computed."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    docs = [
+        # 'sort' at 0, 'table' at 2 and 5: dists 2 (in) and 5 (out)
+        {"id": 1, "text": "sort x table y z table"},
+        # adjacent: dist 1
+        {"id": 2, "text": "table sort"},
+        # too far: dist 4
+        {"id": 3, "text": "sort a b c table"},
+        # only one of the terms
+        {"id": 4, "text": "sort sort sort"},
+    ]
+    df = spark.createDataFrame(
+        [(d["id"], d["text"]) for d in docs], "id long, text string"
+    )
+    idx = build_index(df, cfg)
+    got = {
+        r["doc_id"]: (r["min_dist"], r["n_pairs"])
+        for r in q.get_near_matches(idx, "sort", "table", slop=3).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1)}
+    # widening the window admits doc 3 and doc 1's second pair
+    got5 = {
+        r["doc_id"]: (r["min_dist"], r["n_pairs"])
+        for r in q.get_near_matches(idx, "sort", "table", slop=5).collect()
+    }
+    assert got5 == {1: (2, 2), 2: (1, 1), 3: (4, 1)}
+
+
+def test_near_matches_field_boundary(spark):
+    """Occurrences in different fields never pair."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("a", 1.0), FieldConfig("b", 1.0)),
+        capture_positions=True,
+    )
+    df = spark.createDataFrame(
+        [(1, "sort", "table"), (2, "sort table", "x")],
+        "id long, a string, b string",
+    )
+    idx = build_index(df, cfg)
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in q.get_near_matches(idx, "sort", "table", slop=9).collect()
+    }
+    assert got == {2: 1}
