@@ -999,6 +999,11 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_keyterms(spark, sf_dir):
+    """Top-3 tf·idf keyterms per doc, deterministic rounded cut."""
+    return textstats.keyterms(_documents(spark, sf_dir), top_n=3)
+
+
 def q_near(spark, sf_dir):
     """Proximity search: docs with 'sort' within 3 tokens of 'table',
     closest-pair distance + qualifying pair count. All-integer."""
@@ -1122,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_spell": q_spell,
         "ftix_suggest": q_suggest,
         "ftix_near": q_near,
+        "text_keyterms": q_keyterms,
     }
 
 
@@ -2234,6 +2240,23 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "text_keyterms": """
+WITH rawtok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                  x -> x <> '')) AS term
+                FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM rawtok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln(n.n_docs / dfq.df), 4) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC)
+                      ::BIGINT AS rank
+           FROM scored)
+SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3
 """,
         "ftix_near": f"""
 WITH {TOKP_CTE},

@@ -406,3 +406,52 @@ def token_shards(
             / F.lit(budget_tokens)
         ).cast("long").alias("shard_id"),
     )
+
+
+def keyterms(
+    docs: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyterm extraction: the ``top_n`` whitespace tokens
+    with the highest tf·idf (idf = ln(N/df), df = docs containing the
+    token) — the tagging/faceting signal next to :func:`quality_stats`.
+
+    Deterministic cut: row_number over (round(tf·idf, 4) desc, term
+    asc) per doc — the rounding makes the ordering reproducible across
+    engines, the term tie-break makes it total.
+
+    Scale shape: tf is one (doc, term) hash agg off the token explode;
+    df one (term) agg over it; N one scalar; then a join back and ONE
+    per-doc window (partitioned by doc — never a global sort). All
+    linear; the df join key is the term, AQE skew-splits hot tokens.
+
+    Returns (doc_id, term, rank, score) with score rounded to 4dp.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    from pyspark.sql import Window
+
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "term", "rank", "score")
+    )

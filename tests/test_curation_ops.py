@@ -881,3 +881,35 @@ def test_chunk_boilerplate_within_doc_repeat_not_common(spark):
         ).collect()
     }
     assert rows1 == {1: 2, 2: 2}
+
+
+def test_keyterms_tfidf_ranking(spark):
+    """Hand-computed tf*idf: doc-exclusive tokens beat shared ones;
+    row_number cut is deterministic with the term tie-break."""
+    import math
+
+    from fulltextindexer_spark.operators.textstats import keyterms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+            (3, "banana shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in keyterms(docs, top_n=2).collect()
+    }
+    ln3 = math.log(3.0)
+    ln15 = math.log(1.5)
+    # doc 1: apple tf2 df1 -> 2*ln3; banana tf1 df2 -> ln1.5; shared df3 -> 0
+    assert rows[(1, 1)] == ("apple", round(2 * ln3, 4))
+    assert rows[(1, 2)] == ("banana", round(ln15, 4))
+    # doc 2: cherry tf1 df1 -> ln3 beats shared (tf2 but idf 0)
+    assert rows[(2, 1)] == ("cherry", round(ln3, 4))
+    assert rows[(2, 2)] == ("shared", 0.0)
+    # doc 3: banana ln1.5 then shared 0
+    assert rows[(3, 1)] == ("banana", round(ln15, 4))
+    assert rows[(3, 2)] == ("shared", 0.0)
