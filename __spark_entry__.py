@@ -999,6 +999,15 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Weighted data-mixing sample: keep 25% of src0, 50% of src1,
+    100% of everything else — md5 coin, integer thresholds, exact in
+    any engine."""
+    return textstats.corpus_sample(
+        _documents(spark, sf_dir), rates={"src0": 0.25, "src1": 0.5}
+    )
+
+
 def q_keyterms(spark, sf_dir):
     """Top-3 tf·idf keyterms per doc, deterministic rounded cut."""
     return textstats.keyterms(_documents(spark, sf_dir), top_n=3)
@@ -1128,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_suggest": q_suggest,
         "ftix_near": q_near,
         "text_keyterms": q_keyterms,
+        "curate_sample": q_corpus_sample,
     }
 
 
@@ -2240,6 +2250,13 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "curate_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('mix1' || doc_id::VARCHAR), 1, 8))::BIGINT
+      < CASE WHEN source = 'src0' THEN {int(0.25 * 4294967296.0)}
+             WHEN source = 'src1' THEN {int(0.5 * 4294967296.0)}
+             ELSE {int(1.0 * 4294967296.0)} END
 """,
         "text_keyterms": """
 WITH rawtok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),

@@ -455,3 +455,44 @@ def keyterms(
         .where(F.col("rank") <= top_n)
         .select("doc_id", "term", "rank", "score")
     )
+
+
+def corpus_sample(
+    docs: DataFrame,
+    rates: dict,
+    default_rate: float = 1.0,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix1",
+) -> DataFrame:
+    """Deterministic weighted sampling for data mixing: keep each doc
+    with the per-``part_col`` probability in ``rates`` (e.g. upsample
+    wiki, downsample crawl). The coin is content-free and retry-stable:
+    the first 8 hex chars of ``md5(seed ‖ id)`` read as a uint32 must
+    fall below ``floor(rate · 2³²)`` — the same rule any engine with
+    md5 reproduces exactly, so epoch mixes are auditable (same reason
+    :func:`corpus_split` hashes instead of ``sample()``). Changing
+    ``seed`` draws an independent mix; rates multiply out of 2³² as
+    precomputed integer literals, so there is no float boundary.
+
+    Pure per-row expression — no shuffle, no state; at 100 TB this is
+    a predicate fused into the scan.
+
+    Returns the kept (doc_id, <part_col>) rows.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(int(float(default_rate) * 4294967296.0))
+    for value, rate in sorted(rates.items(), reverse=True):
+        thr = F.when(
+            F.col(part_col) == F.lit(value),
+            F.lit(int(float(rate) * 4294967296.0)),
+        ).otherwise(thr)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(part_col), bucket.alias("b"), thr.alias("t"))
+        .where(F.col("b") < F.col("t"))
+        .select("doc_id", part_col)
+    )

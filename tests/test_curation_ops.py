@@ -913,3 +913,39 @@ def test_keyterms_tfidf_ranking(spark):
     # doc 3: banana ln1.5 then shared 0
     assert rows[(3, 1)] == ("banana", round(ln15, 4))
     assert rows[(3, 2)] == ("shared", 0.0)
+
+
+def test_corpus_sample_rates_and_determinism(spark):
+    """Per-source keep rates approximate the requested mix; the same
+    seed reproduces the identical keep set; a different seed draws an
+    independent one."""
+    from fulltextindexer_spark.operators.textstats import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "x") for i in range(2000)],
+        "doc_id long, source string, text string",
+    )
+    kept = corpus_sample(docs, rates={"a": 0.25}).collect()
+    a = sum(1 for r in kept if r["source"] == "a")
+    b = sum(1 for r in kept if r["source"] == "b")
+    assert b == 1000  # default rate 1.0 keeps everything
+    assert 180 <= a <= 320  # ~25% of 1000, md5-uniform
+    again = {r["doc_id"] for r in corpus_sample(docs, rates={"a": 0.25}).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    other = {
+        r["doc_id"]
+        for r in corpus_sample(docs, rates={"a": 0.25}, seed="mix2").collect()
+        if r["source"] == "a"
+    }
+    mine = {r["doc_id"] for r in kept if r["source"] == "a"}
+    assert other != mine
+
+
+def test_corpus_sample_zero_and_full_rates(spark):
+    from fulltextindexer_spark.operators.textstats import corpus_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, source string, text string"
+    )
+    kept = corpus_sample(docs, rates={"a": 0.0}).collect()
+    assert {r["source"] for r in kept} == {"b"}
