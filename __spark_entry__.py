@@ -48,7 +48,7 @@ from fulltextindexer_spark.operators import (
 )
 from fulltextindexer_spark.plans import cachereg
 from fulltextindexer_spark.operators import query as q
-from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.index_build import build_index, index_diff
 from fulltextindexer_spark.operators.querier import SparkQuerier
 from fulltextindexer_spark.sources.docs import documents_as_docs
 
@@ -999,6 +999,18 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_index_diff(spark, sf_dir):
+    """Vocabulary diff after dropping the src0 slice of the corpus:
+    per-term df_old/df_new + added/removed/grown/shrunk/same status —
+    the audit a snapshot promotion publishes."""
+    old = _docs_index(spark, sf_dir)
+    new = build_index(
+        _documents(spark, sf_dir).where(F.col("source") != "src0"),
+        DOCS_CONFIG,
+    )
+    return index_diff(old, new)
+
+
 def q_corpus_sample(spark, sf_dir):
     """Weighted data-mixing sample: keep 25% of src0, 50% of src1,
     100% of everything else — md5 coin, integer thresholds, exact in
@@ -1138,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_near": q_near,
         "text_keyterms": q_keyterms,
         "curate_sample": q_corpus_sample,
+        "ftix_index_diff": q_index_diff,
     }
 
 
@@ -2250,6 +2263,30 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "ftix_index_diff": f"""
+WITH {TOK_CTE},
+tok_new AS (
+  SELECT doc_id, {STEM_T} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE source <> 'src0')
+  WHERE t <> ''
+),
+a AS (SELECT term, count(*) AS df_old
+      FROM (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+      GROUP BY term),
+b AS (SELECT term, count(*) AS df_new
+      FROM (SELECT doc_id, term FROM tok_new GROUP BY doc_id, term)
+      GROUP BY term)
+SELECT term,
+       COALESCE(df_old, 0)::BIGINT AS df_old,
+       COALESCE(df_new, 0)::BIGINT AS df_new,
+       CASE WHEN df_old IS NULL THEN 'added'
+            WHEN df_new IS NULL THEN 'removed'
+            WHEN df_new > df_old THEN 'grown'
+            WHEN df_new < df_old THEN 'shrunk'
+            ELSE 'same' END AS status
+FROM a FULL JOIN b USING (term)
 """,
         "curate_sample": f"""
 SELECT doc_id, source FROM documents

@@ -1083,3 +1083,38 @@ def term_skew_report(index: InvertedIndex, top_n: int = 25) -> DataFrame:
         .orderBy(F.desc("occurrences"), F.asc("term"))
         .limit(top_n)
     )
+
+
+def index_diff(old: InvertedIndex, new: InvertedIndex) -> DataFrame:
+    """Vocabulary-level diff of two indexes — the audit companion to
+    the index algebra (Add/Remove/Combine, IIndexData contract the
+    reference composes in IndexGenerator.cs + IndexData_Extensions_*):
+    what a corpus update did to the dictionary before the new snapshot
+    is promoted (the incremental tier's ``_LATEST`` flip).
+
+    Per term: document frequency in each index and a status —
+    ``added`` (new vocab), ``removed``, ``grown``/``shrunk`` (df
+    moved), ``same``. All integer/string, exact across engines.
+
+    Scale shape: one groupBy(term) per side (map-side partial agg),
+    then a full outer join on the agg key — both sides arrive already
+    hash-partitioned by term, so the join adds no extra Exchange. At
+    100 TB run it on the saved term-range-partitioned dictionaries
+    instead of raw postings and the scan prunes to changed ranges.
+    """
+    a = old.postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_old"))
+    b = new.postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_new"))
+    joined = a.join(b, "term", "full_outer")
+    status = (
+        F.when(F.col("df_old").isNull(), F.lit("added"))
+        .when(F.col("df_new").isNull(), F.lit("removed"))
+        .when(F.col("df_new") > F.col("df_old"), F.lit("grown"))
+        .when(F.col("df_new") < F.col("df_old"), F.lit("shrunk"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(
+        "term",
+        F.coalesce(F.col("df_old"), F.lit(0)).cast("long").alias("df_old"),
+        F.coalesce(F.col("df_new"), F.lit(0)).cast("long").alias("df_new"),
+        status.alias("status"),
+    )

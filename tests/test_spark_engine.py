@@ -886,3 +886,42 @@ def test_near_matches_field_boundary(spark):
         for r in q.get_near_matches(idx, "sort", "table", slop=9).collect()
     }
     assert got == {2: 1}
+
+
+def test_index_diff_statuses(spark):
+    """All five statuses: added / removed / grown / shrunk / same."""
+    from fulltextindexer_spark.operators.index_build import index_diff
+
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    old = build_index(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta delta")],
+            "id long, text string",
+        ),
+        cfg,
+    )
+    new = build_index(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta epsilon"), (3, "beta gamma gamma")],
+            "id long, text string",
+        ),
+        cfg,
+    )
+    from fulltextindexer_spark.functions.normalize import (
+        english_plurality_normalise,
+    )
+
+    got = {
+        r["term"]: (r["df_old"], r["df_new"], r["status"])
+        for r in index_diff(old, new).collect()
+    }
+    n = lambda w: english_plurality_normalise(w)  # noqa: E731
+    assert got[n("alpha")] == (1, 1, "same")
+    assert got[n("beta")] == (2, 3, "grown")
+    assert got[n("gamma")] == (1, 1, "same")  # df unchanged (doc moved)
+    assert got[n("delta")] == (1, 0, "removed")
+    assert got[n("epsilon")] == (0, 1, "added")
