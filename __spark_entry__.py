@@ -999,6 +999,13 @@ def q_highlight(spark, sf_dir):
     return q.get_highlight_spans(idx, "sort table")
 
 
+def q_pmi(spark, sf_dir):
+    """Top-25 collocations by document-level PMI (min 5 co-docs)."""
+    return textstats.pmi_pairs(
+        _documents(spark, sf_dir), min_pair_docs=5, top_n=25
+    )
+
+
 def q_index_diff(spark, sf_dir):
     """Vocabulary diff after dropping the src0 slice of the corpus:
     per-term df_old/df_new + added/removed/grown/shrunk/same status —
@@ -1151,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_keyterms,
         "curate_sample": q_corpus_sample,
         "ftix_index_diff": q_index_diff,
+        "text_pmi": q_pmi,
     }
 
 
@@ -2263,6 +2271,26 @@ dots AS (
 SELECT d.doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cosine
 FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
 ORDER BY cosine DESC, doc_id ASC LIMIT 10
+""",
+        "text_pmi": """
+WITH rawt AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS term
+              FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM rawt),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+pairs AS (SELECT x.term AS term_a, y.term AS term_b,
+                 count(*)::BIGINT AS n_pair
+          FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.term < y.term
+          GROUP BY x.term, y.term
+          HAVING count(*) >= 5),
+scored AS (SELECT term_a, term_b, n_pair,
+                  round(ln(n.n_docs * n_pair / (a.df * b.df)), 4) AS pmi
+           FROM pairs JOIN dfq a ON pairs.term_a = a.term
+                      JOIN dfq b ON pairs.term_b = b.term
+           CROSS JOIN n)
+SELECT term_a, term_b, n_pair, pmi
+FROM scored ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 25
 """,
         "ftix_index_diff": f"""
 WITH {TOK_CTE},

@@ -496,3 +496,77 @@ def corpus_sample(
         .where(F.col("b") < F.col("t"))
         .select("doc_id", part_col)
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_pair_docs: int = 5,
+    top_n: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top co-occurring token pairs by pointwise mutual information:
+    ``pmi(a,b) = ln(N · df_ab / (df_a · df_b))`` over document-level
+    co-occurrence — the collocation/phrase-mining signal (and the
+    classic word-association diagnostic for a corpus).
+
+    Scale shape: per-doc DISTINCT token sets (bounded by doc length),
+    a within-doc pair expansion via self-join on doc_id with ``a < b``
+    — quadratic only in per-doc vocabulary, linear in corpus — then
+    one (a, b) hash agg, two broadcast-sized df joins (the unigram df
+    table is vocabulary-sized), and a deterministic rounded top-n cut.
+    ``min_pair_docs`` prunes the pair tail before the joins.
+
+    Returns (term_a, term_b, n_pair, pmi) with pmi rounded to 4dp,
+    ordered (pmi desc, term_a, term_b) limit ``top_n``.
+    """
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+    toks = persist_tracked(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.col(text_col), " "),
+                        lambda t: t != F.lit(""),
+                    )
+                )
+            ).alias("term"),
+        ),
+        scope="query",
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        toks.alias("x")
+        .join(toks.alias("y"), "doc_id")
+        .where(F.col("x.term") < F.col("y.term"))
+        .groupBy(
+            F.col("x.term").alias("term_a"), F.col("y.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_docs)
+    )
+    scored = (
+        pairs.join(dfreq.withColumnRenamed("term", "term_a"), "term_a")
+        .withColumnRenamed("df", "df_a")
+        .join(dfreq.withColumnRenamed("term", "term_b"), "term_b")
+        .withColumnRenamed("df", "df_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("n_pair")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(top_n)

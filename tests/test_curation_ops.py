@@ -949,3 +949,40 @@ def test_corpus_sample_zero_and_full_rates(spark):
     )
     kept = corpus_sample(docs, rates={"a": 0.0}).collect()
     assert {r["source"] for r in kept} == {"b"}
+
+
+def test_pmi_pairs_hand_computed(spark):
+    """pmi = ln(N * df_ab / (df_a * df_b)) on document-level
+    co-occurrence, deterministic rounded cut."""
+    import math
+
+    from fulltextindexer_spark.operators.textstats import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "alpha gamma"),
+            (4, "gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"])
+        for r in pmi_pairs(docs, min_pair_docs=1, top_n=10).collect()
+    }
+    # alpha df3, beta df2, pair 2 -> ln(4*2/6); alpha/gamma 1 -> ln(4/6)
+    assert rows[("alpha", "beta")] == (2, round(math.log(8 / 6), 4))
+    assert rows[("alpha", "gamma")] == (1, round(math.log(4 / 6), 4))
+    assert rows[("delta", "gamma")] == (1, round(math.log(4 / 2), 4))
+    # min_pair_docs prunes the tail
+    pruned = pmi_pairs(docs, min_pair_docs=2, top_n=10).collect()
+    assert {(r["term_a"], r["term_b"]) for r in pruned} == {("alpha", "beta")}
+    # within-doc repeats don't inflate co-occurrence (distinct per doc)
+    docs2 = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "x y")], "doc_id long, text string"
+    )
+    rows2 = pmi_pairs(docs2, min_pair_docs=1, top_n=5).collect()
+    assert [(r["term_a"], r["term_b"], r["n_pair"]) for r in rows2] == [
+        ("x", "y", 2)
+    ]
