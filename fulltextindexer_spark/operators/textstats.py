@@ -429,13 +429,20 @@ def keyterms(
 
     Returns (doc_id, term, rank, score) with score rounded to 4dp.
     """
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregation and the score join — persist so
+    # the corpus is tokenised once, not twice
+    tf = persist_tracked(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        scope="query",
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.col(id_col)).distinct().count()
     from pyspark.sql import Window
