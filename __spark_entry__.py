@@ -1032,6 +1032,40 @@ def q_keyterms(spark, sf_dir):
     return textstats.keyterms(_documents(spark, sf_dir), top_n=3)
 
 
+def q_facets(spark, sf_dir):
+    """Search-UI facet sidebar: per-lang matched-doc count + summed
+    score for the 'sort table' AND query — one doc_id join + one tiny
+    groupBy over the shared index's partial-match output."""
+    idx = _docs_index(spark, sf_dir)
+    matches = _round_score(q.get_partial_matches(idx, "sort table"))
+    return q.facet_counts(matches, _documents(spark, sf_dir), "lang")
+
+
+def q_containment(spark, sf_dir):
+    """Directed subset-duplication pairs: shingle containment
+    |inner∩outer|/|inner| ≥ 0.6 — catches short-doc-pasted-into-long
+    cases whose symmetric Jaccard stays below any near-dup cut."""
+    return dedup.ngram_containment_pairs(
+        _documents(spark, sf_dir), k=3, threshold=0.6
+    )
+
+
+def q_chunks(spark, sf_dir):
+    """Context-window packing spans: 64-token windows, 16-token
+    overlap, per-row sequence+explode (no shuffle). All-integer."""
+    return textstats.chunk_spans(
+        _documents(spark, sf_dir), window=64, overlap=16
+    )
+
+
+def q_lang_cap(spark, sf_dir):
+    """Corpus balancing: at most 30 docs per lang, chosen by the
+    deterministic md5 lottery (exact-k companion to curate_sample)."""
+    return textstats.stratified_cap(
+        _documents(spark, sf_dir), cap=30, part_col="lang"
+    )
+
+
 def q_near(spark, sf_dir):
     """Proximity search: docs with 'sort' within 3 tokens of 'table',
     closest-pair distance + qualifying pair count. All-integer."""
@@ -1159,6 +1193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample": q_corpus_sample,
         "ftix_index_diff": q_index_diff,
         "text_pmi": q_pmi,
+        "ftix_facets": q_facets,
+        "dedup_containment": q_containment,
+        "text_chunks": q_chunks,
+        "curate_lang_cap": q_lang_cap,
     }
 
 
@@ -2451,5 +2489,52 @@ SELECT term, doc_freq, occurrences, max_tf,
        floor(occurrences * 1000000.0 / total)::BIGINT AS share_ppm
 FROM per_term CROSS JOIN total
 ORDER BY occurrences DESC, term LIMIT 25
+""",
+        "ftix_facets": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term),
+res AS (SELECT doc_id, round(sum(w), 4) AS score FROM m
+        GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2)
+SELECT d.lang, count(*) AS n_docs, round(sum(res.score), 4) AS score_sum
+FROM res JOIN documents d USING (doc_id) GROUP BY d.lang
+""",
+        "dedup_containment": f"""
+WITH {SH3_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pb AS (SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb
+       FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id),
+dirs AS (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         round(shared * 1.0 / na, 4) AS containment FROM pb
+  UNION ALL
+  SELECT doc_b, doc_a, round(shared * 1.0 / nb, 4) FROM pb
+)
+SELECT doc_inner, doc_outer, containment FROM dirs WHERE containment >= 0.6
+""",
+        "text_chunks": """
+WITH t AS (SELECT doc_id,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x <> ''))::BIGINT AS n
+           FROM documents),
+s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 48)) AS start_tok
+      FROM t WHERE n > 0)
+SELECT doc_id, (start_tok // 48)::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok,
+       least(start_tok + 64, n)::BIGINT AS end_tok
+FROM s
+""",
+        "curate_lang_cap": """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY md5('cap1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 30
 """,
     }

@@ -162,6 +162,66 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Directed n-gram containment pairs: |inner ∩ outer| / |inner|.
+
+    Containment catches *subset* duplication that symmetric Jaccard
+    misses — a short document pasted verbatim inside a much longer one
+    scores containment ≈ 1.0 while its Jaccard stays tiny (the union is
+    dominated by the long doc). Standard curation companion to
+    :func:`ngram_jaccard_pairs` (e.g. Dolma/CCNet-style "quote/subset"
+    removal).
+
+    Returns (doc_inner, doc_outer, containment rounded to 4dp) for
+    ordered pairs with containment ≥ threshold; both directions of a
+    pair are emitted independently when both pass.
+
+    Scale shape is identical to the Jaccard op — one shared-shingle
+    equi-join computed once per *unordered* pair (doc_a < doc_b), then
+    both directed ratios derived from the same row, so the directed
+    output costs no extra shuffle. Like the Jaccard op this is the
+    verification tier; candidate generation at 100 TB stays with the
+    banded MinHash join. Pass ``shingles=`` (a *distinct*
+    (doc_id, shingle) frame) to share one tokenise pass across a
+    composed pipeline; self-computed shingles are persisted (tracked).
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else persist_tracked(word_shingles(docs, k, text_col, id_col))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    both = shared.join(sa, "doc_a").join(sb, "doc_b")
+    ab = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        F.round(F.col("shared") / F.col("na"), 4).alias("containment"),
+    )
+    ba = both.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        F.round(F.col("shared") / F.col("nb"), 4).alias("containment"),
+    )
+    return ab.unionByName(ba).where(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 8,

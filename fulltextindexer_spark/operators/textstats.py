@@ -577,3 +577,93 @@ def pmi_pairs(
     return scored.orderBy(
         F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
     ).limit(top_n)
+
+
+def chunk_spans(
+    docs: DataFrame,
+    window: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token-window chunk spans with overlap — the context-window
+    packing step that turns curated documents into trainer-/embedder-
+    sized pieces (the per-document complement of :func:`token_shards`,
+    which packs *across* documents).
+
+    The rule is deterministic and engine-independent: with
+    ``step = window - overlap``, chunk ``i`` covers whitespace-token
+    span ``[i*step, min(i*step + window, n_tokens))`` for every start
+    below ``n_tokens``; empty documents yield no chunks. The same rule
+    is one ``generate_series`` in any SQL engine, so chunk boundaries
+    are auditable and reproduce under task retry.
+
+    Pure per-row expression (``sequence`` + ``explode``): no shuffle,
+    no state — at 100 TB this is a flatMap fused into the scan, output
+    rows ≈ total_tokens / step.
+
+    Returns (doc_id, chunk_idx, start_tok, end_tok) — all integers,
+    exact across engines.
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    step = window - overlap
+    n = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    ).cast("long")
+    base = docs.select(F.col(id_col).alias("doc_id"), n.alias("n")).where(
+        F.col("n") > 0
+    )
+    start = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(step).cast("long"))
+    )
+    spans = base.select("doc_id", "n", start.alias("start_tok"))
+    return spans.select(
+        "doc_id",
+        (F.col("start_tok") / F.lit(step)).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.col("start_tok") + F.lit(window), F.col("n"))
+        .cast("long")
+        .alias("end_tok"),
+    )
+
+
+def stratified_cap(
+    docs: DataFrame,
+    cap: int,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "cap1",
+) -> DataFrame:
+    """Per-group document cap for corpus balancing: keep at most
+    ``cap`` docs per ``part_col`` value, chosen by a deterministic
+    content-free lottery (rank of ``md5(seed ‖ id)`` within the group,
+    ties broken by id). The hash order makes the cap a *uniform random
+    sample without replacement* that is retry-stable and reproducible
+    in any engine with md5 — the exact-k companion to
+    :func:`corpus_sample`'s per-row rate coin (use rates when a
+    proportion is wanted, a cap when a hard per-group budget is).
+
+    Scale shape: ONE shuffle on ``part_col`` + an in-partition sort for
+    the rank. A group is ranked by one task, so at extreme group sizes
+    pre-filter with an approximate hash-threshold cut (keep rows with
+    hash below ~(cap/|group|-quantile)) and rank only the survivors;
+    the gate runs the exact window rule.
+
+    Returns (doc_id, <part_col>, rk) for kept rows, rk in 1..cap.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(part_col), h.alias("h")
+    )
+    w = Window.partitionBy(part_col).orderBy("h", "doc_id")
+    return (
+        base.select(
+            "doc_id",
+            part_col,
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= cap)
+    )

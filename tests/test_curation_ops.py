@@ -986,3 +986,108 @@ def test_pmi_pairs_hand_computed(spark):
     assert [(r["term_a"], r["term_b"], r["n_pair"]) for r in rows2] == [
         ("x", "y", 2)
     ]
+
+
+def test_chunk_spans_rule(spark):
+    """Chunk i covers [i*step, min(i*step+window, n)); empty docs
+    yield nothing; a doc shorter than one window yields one span."""
+    from fulltextindexer_spark.operators.textstats import chunk_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7"),  # n=7: starts 0,3,6
+            (2, "a b c"),  # n=3: one span (0,3)
+            (3, ""),  # no tokens, no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["end_tok"])
+        for r in chunk_spans(docs, window=5, overlap=2).collect()
+    }
+    assert out == {
+        (1, 0): (0, 5),
+        (1, 1): (3, 7),
+        (1, 2): (6, 7),
+        (2, 0): (0, 3),
+    }
+
+
+def test_chunk_spans_rejects_bad_overlap(spark):
+    from fulltextindexer_spark.operators.textstats import chunk_spans
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_spans(docs, window=4, overlap=4)
+
+
+def test_stratified_cap_exact_k_and_deterministic(spark):
+    from fulltextindexer_spark.operators.textstats import stratified_cap
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    out = stratified_cap(docs, cap=10, part_col="lang")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["rk"]))
+    # big group capped at exactly 10, small group (10 docs) kept whole
+    assert len(by_lang["big"]) == 10
+    assert len(by_lang["small"]) == 10
+    assert sorted(rk for _, rk in by_lang["big"]) == list(range(1, 11))
+    # same lottery on a second call (retry-stability)
+    again = {
+        (r["doc_id"], r["lang"], r["rk"])
+        for r in stratified_cap(docs, cap=10, part_col="lang").collect()
+    }
+    assert again == {(r["doc_id"], r["lang"], r["rk"]) for r in rows}
+    # a different seed draws a different sample of the big group
+    other = stratified_cap(docs, cap=10, part_col="lang", seed="cap2")
+    picked = {r["doc_id"] for r in other.collect() if r["lang"] == "big"}
+    assert picked != {d for d, _ in by_lang["big"]}
+    # partitioned window, never a global single-partition sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_ngram_containment_directed(spark):
+    """A short doc pasted inside a long one: containment(short→long)
+    = 1.0 even though Jaccard is far below any near-dup cut."""
+    from fulltextindexer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short), (3, "unrelated text here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in ngram_containment_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+    # symmetric Jaccard misses the same pair at the same threshold
+    assert ngram_jaccard_pairs(docs, k=3, threshold=0.6).count() == 0
+
+
+def test_facet_counts_sums_and_counts(spark):
+    from fulltextindexer_spark.operators.query import facet_counts
+
+    results = spark.createDataFrame(
+        [(1, 2.0), (2, 1.5), (3, 0.5)], "doc_id long, score double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    out = {
+        r["lang"]: (r["n_docs"], r["score_sum"])
+        for r in facet_counts(results, docs, "lang").collect()
+    }
+    # unmatched facet values don't appear; counts and sums are per facet
+    assert out == {"en": (2, 3.5), "de": (1, 0.5)}
