@@ -66,6 +66,11 @@ DOCS_CONFIG_POS = IndexConfig(
     fields=(FieldConfig("text", 1.0),),
     capture_positions=True,
 )
+MULTIFIELD_POS_CONFIG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("source", 15.0), FieldConfig("text", 1.0)),
+    capture_positions=True,
+)
 DOCS_CONFIG_PREFIX = IndexConfig(
     key_column="doc_id",
     fields=(FieldConfig("text", 1.0),),
@@ -402,6 +407,37 @@ def q_search_or_sum(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
     return _round_score(
         q.get_partial_matches(idx, "merge tree", combiner="or_sum")
+    )
+
+
+def q_field_scoped(spark, sf_dir):
+    """Field-scoped retrieval: a two-field index (source ×15, text ×1,
+    positions recorded) queried with matching restricted to the text
+    field. The source field reserves field index 0 (the reference's
+    first-retriever quirk, IndexGenerator.cs:135-148), so text sections
+    are field 1 in every doc — scoping there means the ×15 source
+    weight never leaks into the score, and the oracle is simply the
+    plain text-only AND query (SourceFieldLocation.cs:13-39 is what
+    makes the filter possible)."""
+    idx = _docs_index(spark, sf_dir, MULTIFIELD_POS_CONFIG)
+    return _round_score(
+        q.get_partial_matches_field_scoped(idx, "sort table", field_idx=1)
+    )
+
+
+def q_explain(spark, sf_dir):
+    """Relevance-debug breakdown: one row per (gated doc, query term)
+    with the term's contribution to the ftix_search_and score — the
+    engine's Lucene-explain analogue (the reference surfaces the same
+    decomposition as per-token WeightedEntry matches,
+    PartialMatches.cs:69-78)."""
+    idx = _docs_index(spark, sf_dir)
+    ex = q.explain_partial_matches(idx, "sort table")
+    return ex.select(
+        "doc_id",
+        "token_idx",
+        "term",
+        F.round(F.col("weight").cast("double"), 4).alias("weight"),
     )
 
 
@@ -1124,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_or": q_search_or,
         "ftix_search_not": q_search_not,
         "ftix_search_or_sum": q_search_or_sum,
+        "ftix_field_scoped": q_field_scoped,
+        "ftix_explain": q_explain,
         "ftix_querier_max": q_querier_max,
         "ftix_string_keys": q_string_keys,
         "ftix_phrase": q_phrase,
@@ -1693,6 +1731,28 @@ m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
        round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        # the field-scoped query over the (source ×15, text ×1) index
+        # must equal the plain text-only AND query — the whole point of
+        # the scope is that the other field (and its weight) vanishes
+        "ftix_field_scoped": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "ftix_explain": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.term, p.w FROM post p
+      JOIN q ON p.term = q.term),
+ok AS (SELECT doc_id FROM m GROUP BY doc_id
+       HAVING count(DISTINCT token_idx) = 2)
+SELECT m.doc_id, m.token_idx, m.term, round(m.w, 4) AS weight
+FROM m JOIN ok USING (doc_id)
 """,
         "ftix_search_or_sum": f"""
 WITH {TOK_CTE}, {POST_CTE}

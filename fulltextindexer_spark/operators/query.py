@@ -119,6 +119,19 @@ def get_partial_matches(
         )
     qdf = spark.createDataFrame(rows, "term string, token_idx int")
     matched = index.postings.join(F.broadcast(qdf), "term")
+    return _fold_partial_matches(matched, n_tokens, require_all, fold, k)
+
+
+def _fold_partial_matches(
+    matched: DataFrame,
+    n_tokens: int,
+    require_all: bool,
+    fold: str,
+    k: Optional[int],
+) -> DataFrame:
+    """Shared tail of every partial-match variant: fold the per-doc
+    (token_idx, weight) match list into (doc_id, score) with the
+    selected combiner, optional deterministic top-k."""
     agg = matched.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("token_idx", "weight"))
@@ -141,6 +154,112 @@ def get_partial_matches(
     if k is not None:
         result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return result
+
+
+def get_partial_matches_field_scoped(
+    index: InvertedIndex,
+    source: str,
+    field_idx: int,
+    k: Optional[int] = None,
+    combiner: str = "and_sum",
+) -> DataFrame:
+    """Multi-term scoring restricted to ONE source field: only token
+    occurrences recorded at ``positions.field_idx == field_idx`` count
+    toward (and gate) the score — occurrences of the same terms in the
+    index's other fields are ignored entirely, field weights included.
+
+    The reference stamps a SourceFieldIndex on every match location
+    (Indexes/SourceFieldLocation.cs:13-39, surfaced through
+    GetPartialMatches' SourceLocations payloads) precisely so callers
+    can ask "which matches landed in the Title field"; this renders
+    that filter engine-side as a pre-aggregation ``F.filter`` over the
+    positions payload — a JVM array kernel on the posting row, no
+    extra shuffle versus :func:`get_partial_matches` (the per-doc fold
+    is the same single Exchange). The per-occurrence ``contribution``
+    values re-fold left-to-right in stored document-scan order with
+    the same f32 semantics as the build-time weight, so a field-scoped
+    score over a one-field index equals the unscoped score exactly.
+
+    Requires ``capture_positions=True``. Returns (doc_id, score).
+    """
+    require_all, fold = _parse_combiner(combiner)
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for field-scoped matching"
+        )
+    spark = index.postings.sparkSession
+    rows, n_tokens = _query_terms_df(index, source)
+    if n_tokens == 0:
+        return (
+            index.postings.select(
+                F.col("doc_id"), F.col("weight").alias("score")
+            ).limit(0)
+        )
+    qdf = spark.createDataFrame(rows, "term string, token_idx int")
+    scoped = F.filter(
+        "positions", lambda p: p["field_idx"] == F.lit(int(field_idx))
+    )
+    matched = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .withColumn("scoped", scoped)
+        .where(F.size("scoped") > 0)
+        .withColumn(
+            "weight",
+            _f32_fold_sum(F.col("scoped"), lambda p: p["contribution"]),
+        )
+    )
+    return _fold_partial_matches(matched, n_tokens, require_all, fold, k)
+
+
+def explain_partial_matches(
+    index: InvertedIndex,
+    source: str,
+    combiner: str = "and_sum",
+) -> DataFrame:
+    """Per-term score breakdown (the Lucene ``explain`` analogue): one
+    row per (matched doc, query term) with that term's contribution to
+    the combined :func:`get_partial_matches` score, emitted only for
+    docs that satisfy the combiner's gate — so summing ``weight`` per
+    doc reproduces the ``and_sum``/``or_sum`` score and max-ing it the
+    ``*_max`` score. The reference exposes the same decomposition as
+    the per-token WeightedEntry matches inside GetPartialMatches'
+    result (PartialMatches.cs:69-78); here it is the relevance-debug
+    surface for ranking work.
+
+    Single Exchange: matches collect per doc (the same shuffle the
+    scoring path uses), the gate applies, then the list explodes back
+    out — no second aggregation or semi-join against the scored set.
+
+    Returns (doc_id, token_idx, term, weight) in deterministic
+    (token_idx, term) order within each doc.
+    """
+    require_all, _ = _parse_combiner(combiner)
+    spark = index.postings.sparkSession
+    rows, n_tokens = _query_terms_df(index, source)
+    if n_tokens == 0:
+        return (
+            index.postings.select(
+                "doc_id",
+                F.lit(0).alias("token_idx"),
+                F.lit("").alias("term"),
+                F.col("weight"),
+            ).limit(0)
+        )
+    qdf = spark.createDataFrame(rows, "term string, token_idx int")
+    matched = index.postings.join(F.broadcast(qdf), "term")
+    agg = matched.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("token_idx", "term", "weight"))
+        ).alias("lst")
+    )
+    if require_all:
+        n_distinct = F.size(
+            F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+        )
+        agg = agg.where(n_distinct == F.lit(n_tokens))
+    return agg.select("doc_id", F.explode("lst").alias("m")).select(
+        "doc_id", "m.token_idx", "m.term", "m.weight"
+    )
 
 
 # result-location element type (reference Indexes/SourceFieldLocation.cs:13-39)

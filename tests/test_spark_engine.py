@@ -925,3 +925,100 @@ def test_index_diff_statuses(spark):
     assert got[n("gamma")] == (1, 1, "same")  # df unchanged (doc moved)
     assert got[n("delta")] == (1, 0, "removed")
     assert got[n("epsilon")] == (0, 1, "added")
+
+
+# -- field-scoped matching & explain ----------------------------------------
+
+
+def test_field_scoped_equals_single_field_index(spark, posts_b_index):
+    """Scoping the two-field (title, content) index to one field must
+    reproduce a single-field index's unscoped scores exactly: content
+    sections are field 1 in every doc (the title field reserves index
+    0, IndexGenerator.cs:135-148), titles are field 0."""
+    docs = _docs_df(spark, POSTS_B)
+    for scoped_field, only in ((1, "content"), (0, "title")):
+        single = build_index(
+            docs,
+            IndexConfig(
+                key_column="id", fields=(FieldConfig(only, 1.0),)
+            ),
+        )
+        for query in ["text indexer", "the", "Generator"]:
+            got = _scores(
+                q.get_partial_matches_field_scoped(
+                    posts_b_index, query, scoped_field
+                )
+            )
+            exp = _scores(q.get_partial_matches(single, query))
+            assert got == exp, (scoped_field, query)
+
+
+def test_field_scoped_combiner_and_topk(spark, posts_b_index):
+    """or_sum scoping keeps any-term docs; top-k ordering is
+    (score desc, doc_id asc) like the unscoped path."""
+    full = _scores(
+        q.get_partial_matches_field_scoped(
+            posts_b_index, "text indexer", 1, combiner="or_sum"
+        )
+    )
+    and_docs = {
+        d
+        for d, _ in _scores(
+            q.get_partial_matches_field_scoped(posts_b_index, "text indexer", 1)
+        )
+    }
+    assert and_docs <= {d for d, _ in full}
+    top1 = q.get_partial_matches_field_scoped(
+        posts_b_index, "text indexer", 1, combiner="or_sum", k=1
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in top1] == [full[0]]
+
+
+def test_field_scoped_requires_positions(spark):
+    idx = build_index(
+        _docs_df(spark, POSTS_A),
+        IndexConfig(
+            key_column="id",
+            fields=(FieldConfig("content", 1.0),),
+            capture_positions=False,
+        ),
+    )
+    with pytest.raises(ValueError, match="source locations"):
+        q.get_partial_matches_field_scoped(idx, "cat", 0)
+
+
+def test_explain_partial_matches_reproduces_scores(spark, posts_b_index):
+    """The per-term breakdown covers exactly the gated docs and its
+    per-doc f32 fold reproduces the combined and_sum score."""
+    scores = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in q.get_partial_matches(posts_b_index, "text indexer").collect()
+    }
+    rows = q.explain_partial_matches(posts_b_index, "text indexer").collect()
+    assert {r["doc_id"] for r in rows} == set(scores)
+    by_doc: dict = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["token_idx"], r["term"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["weight"])
+    for d, ws in by_doc.items():
+        acc = 0.0
+        for w in ws:
+            acc += float(w)
+        assert np.float32(acc) == scores[d], d
+    # every row names one of the two query terms by token index
+    assert {r["token_idx"] for r in rows} == {0, 1}
+
+
+def test_explain_or_gate_includes_partial_docs(spark, posts_b_index):
+    """With an or_* combiner the gate drops, so docs matching only one
+    query term appear in the breakdown too."""
+    and_docs = {
+        r["doc_id"]
+        for r in q.explain_partial_matches(posts_b_index, "text indexer").collect()
+    }
+    or_docs = {
+        r["doc_id"]
+        for r in q.explain_partial_matches(
+            posts_b_index, "text indexer", combiner="or_sum"
+        ).collect()
+    }
+    assert and_docs <= or_docs
