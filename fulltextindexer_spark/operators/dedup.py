@@ -285,6 +285,16 @@ def minhash_band_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_value")
+    # the equi-join below is banded-vs-banded: without a persist each
+    # side recomputes the whole shingle -> 8x md5 -> min-agg lineage
+    # (verified: the physical plan shows zero ReusedExchange — the
+    # round-robin input repartition is non-deterministic, so the two
+    # sides never canonicalise equal). Materialising the banded frame
+    # (linear in docs; MEMORY_AND_DISK spills rather than recomputes)
+    # halves the signature work at any scale and is the right 100 TB
+    # shape regardless: signatures are the cheap linear artefact, the
+    # join is the expensive step to feed twice from memory.
+    banded = persist_tracked(banded, scope="query")
     a = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_value"
     )
