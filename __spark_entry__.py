@@ -820,6 +820,23 @@ def q_semantic_keep(spark, sf_dir):
     return similarity.semantic_keep_list(emb, pairs)
 
 
+def q_quality_probe(spark, sf_dir):
+    """Distributed OLS quality probe: calibrate two cheap per-doc
+    features (avg_token_len, stopword_ratio) against the heuristic
+    quality label. One sufficient-stats aggregation (map-side
+    combinable; only k² scalars cross the exchange) + an O(k³) driver
+    solve — the textbook shape for small-k regression over huge n.
+    Output: coefficients, intercept, and R² at 4dp; the DuckDB oracle
+    solves the same normal equations with Cramer's rule."""
+    docs = _documents(spark, sf_dir)
+    feats = textstats.token_stats(docs).join(
+        textstats.quality_score(docs), "doc_id"
+    )
+    return textstats.fit_linear_probe(
+        feats, ["avg_token_len", "stopword_ratio"], "quality"
+    )
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
@@ -1201,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized": q_quantized,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
+        "curate_quality_probe": q_quality_probe,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_dedup": q_events_dedup,
@@ -2211,6 +2229,54 @@ SELECT doc_id,
               + n_distinct * 1.0 / n_tokens
               + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
 FROM stats
+""".format(raw_stop=RAW_STOP_IN),
+        # OLS normal equations solved by Cramer's rule over the same
+        # 4dp-rounded per-doc features/label the engine aggregates
+        "curate_quality_probe": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(avg(length(tok)), 4) AS x1,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS x2
+  FROM tok GROUP BY doc_id
+),
+f AS (
+  SELECT x1, x2,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(x2 - 0.4))) / 3.0, 4) AS y
+  FROM stats
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  FROM f
+),
+sol AS (
+  SELECT n, sy, syy, s1y, s2y,
+    (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+       + s2*(s1*s12 - s11*s2)) AS det,
+    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+       + s2*(s1y*s12 - s11*s2y)) AS det0,
+    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+       + s2*(s1*s2y - s1y*s2)) AS det1,
+    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+       + sy*(s1*s12 - s11*s2)) AS det2
+  FROM m
+)
+SELECT '(intercept)' AS feature, round(det0/det, 4) AS value FROM sol
+UNION ALL SELECT 'avg_token_len', round(det1/det, 4) FROM sol
+UNION ALL SELECT 'stopword_ratio', round(det2/det, 4) FROM sol
+UNION ALL
+SELECT 'r2', round(1.0 - (syy - ((det0/det)*sy + (det1/det)*s1y
+                                 + (det2/det)*s2y))
+                       / (syy - sy*sy/n), 4) FROM sol
 """.format(raw_stop=RAW_STOP_IN),
         "text_langid": f"""
 WITH tok AS (

@@ -1091,3 +1091,67 @@ def test_facet_counts_sums_and_counts(spark):
     }
     # unmatched facet values don't appear; counts and sums are per facet
     assert out == {"en": (2, 3.5), "de": (1, 0.5)}
+
+
+# -- linear quality probe ----------------------------------------------------
+
+
+def test_fit_linear_probe_recovers_exact_plane(spark):
+    """On exactly-linear data the OLS probe recovers the generating
+    coefficients and r2 == 1."""
+    rows = [
+        (float(i), float((i * 7) % 5), 2.0 + 3.0 * i + 0.5 * ((i * 7) % 5))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = {
+        r["feature"]: r["value"]
+        for r in textstats.fit_linear_probe(df, ["x1", "x2"], "y").collect()
+    }
+    assert got == {
+        "(intercept)": 2.0,
+        "x1": 3.0,
+        "x2": 0.5,
+        "r2": 1.0,
+    }
+
+
+def test_fit_linear_probe_matches_numpy_lstsq(spark):
+    """On noisy data the sufficient-stats solve equals numpy's direct
+    least squares on the collected rows (deterministic pseudo-noise)."""
+    import numpy as np
+
+    rows = []
+    for i in range(200):
+        x1 = (i % 13) / 3.0
+        x2 = ((i * 11) % 7) / 2.0
+        noise = (((i * 2654435761) % 1000) / 1000.0 - 0.5)  # in [-0.5, 0.5)
+        rows.append((x1, x2, 1.5 - 2.0 * x1 + 0.25 * x2 + noise))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = {
+        r["feature"]: r["value"]
+        for r in textstats.fit_linear_probe(df, ["x1", "x2"], "y").collect()
+    }
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["(intercept)"] == round(float(beta[0]), 4)
+    assert got["x1"] == round(float(beta[1]), 4)
+    assert got["x2"] == round(float(beta[2]), 4)
+    pred = X @ beta
+    r2 = 1.0 - float(((y - pred) ** 2).sum()) / float(
+        ((y - y.mean()) ** 2).sum()
+    )
+    assert got["r2"] == round(r2, 4)
+
+
+def test_predict_linear_applies_coefficients(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (0.0, -1.0)], "x1 double, x2 double"
+    )
+    coefs = {"(intercept)": 1.0, "x1": 2.0, "x2": -0.5}
+    got = sorted(
+        r["pred"]
+        for r in textstats.predict_linear(df, coefs, ["x1", "x2"]).collect()
+    )
+    assert got == [1.5, 2.0]
