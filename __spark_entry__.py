@@ -410,6 +410,30 @@ def q_search_or_sum(spark, sf_dir):
     )
 
 
+def q_synonyms(spark, sf_dir):
+    """Query-time synonym expansion: 'order' fills the same AND slot
+    as 'sort', so docs matching either satisfy the gate and
+    co-occurring alternatives sum into the slot's fold — one broadcast
+    join either way, the term list just grows."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        q.get_partial_matches(
+            idx, "sort table", synonyms={"sort": ["order"]}
+        )
+    )
+
+
+def q_paginate(spark, sf_dir):
+    """Keyset pagination: page 2 of the ftix_search_and result via the
+    (score, doc_id) cursor of page 1's last row — the filter prunes
+    before the TakeOrdered, so deep pages cost the same as page 1
+    (no OFFSET sort growth), and the cursor is insert-stable."""
+    idx = _docs_index(spark, sf_dir)
+    res = _round_score(q.get_partial_matches(idx, "sort table"))
+    last = q.paginate_topk(res, 5).collect()[-1]
+    return q.paginate_topk(res, 5, after=(last["score"], last["doc_id"]))
+
+
 def q_field_scoped(spark, sf_dir):
     """Field-scoped retrieval: a two-field index (source ×15, text ×1,
     positions recorded) queried with matching restricted to the text
@@ -1178,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_not": q_search_not,
         "ftix_search_or_sum": q_search_or_sum,
         "ftix_field_scoped": q_field_scoped,
+        "ftix_synonyms": q_synonyms,
+        "ftix_paginate": q_paginate,
         "ftix_explain": q_explain,
         "ftix_querier_max": q_querier_max,
         "ftix_string_keys": q_string_keys,
@@ -1749,6 +1775,25 @@ m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
        round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "ftix_synonyms": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("order")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "ftix_paginate": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term),
+scored AS (SELECT doc_id, round(sum(w), 4) AS score FROM m
+           GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 5 OFFSET 5
 """,
         # the field-scoped query over the (source ×15, text ×1) index
         # must equal the plain text-only AND query — the whole point of

@@ -98,6 +98,7 @@ def get_partial_matches(
     source: str,
     k: Optional[int] = None,
     combiner: str = "and_sum",
+    synonyms=None,
 ) -> DataFrame:
     """Multi-term scoring. Returns (doc_id, score), optionally top-k
     ordered by (score desc, doc_id asc).
@@ -107,6 +108,17 @@ def get_partial_matches(
     reference's DefaultWeightCombiner; ``or_sum`` scores any-term
     matches (the docstring example at PartialMatches.cs:13-16 inverted);
     ``*_max`` takes the best matched weight instead of the sum.
+
+    ``synonyms`` (optional) maps a query token (pre-normalisation) to
+    alternative tokens that fill the SAME query slot — any of the
+    alternatives matching satisfies that token's AND gate, and every
+    matching alternative's weight joins the fold (so ``and_sum`` sums
+    across synonyms that co-occur in a doc; use ``*_max`` for a
+    best-alternative-only score, the Lucene SynonymQuery flavour).
+    Alternatives are normalised with the index's normaliser like any
+    query token; alternatives that normalise onto an already-present
+    (term, slot) pair dedupe. The query stays one broadcast join — the
+    term list just grows by the synonym count.
     """
     require_all, fold = _parse_combiner(combiner)
     spark = index.postings.sparkSession
@@ -117,9 +129,52 @@ def get_partial_matches(
                 F.col("doc_id"), F.col("weight").alias("score")
             ).limit(0)
         )
+    if synonyms:
+        norm_syn = {
+            normalise_scalar(tok, index.config.normaliser): alts
+            for tok, alts in synonyms.items()
+        }
+        extra = []
+        for term, token_idx in rows:
+            for alt in norm_syn.get(term, ()):
+                extra.append(
+                    (normalise_scalar(alt, index.config.normaliser), token_idx)
+                )
+        rows = sorted(set(rows) | set(extra))
     qdf = spark.createDataFrame(rows, "term string, token_idx int")
     matched = index.postings.join(F.broadcast(qdf), "term")
     return _fold_partial_matches(matched, n_tokens, require_all, fold, k)
+
+
+def paginate_topk(
+    result: DataFrame,
+    k: int,
+    after: Optional[tuple] = None,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyset ("search after") pagination over the engine's
+    deterministic result order (``score desc, id asc``): page 1 is
+    ``after=None``; every later page passes the LAST row of the
+    previous page as ``after=(score, id)`` and gets the next ``k``.
+
+    Keyset beats OFFSET at scale for the same reason it does in any
+    database: the filter prunes BEFORE the sort, so page n costs one
+    scan + a k-row TakeOrdered like page 1, not an (n·k)-row sort —
+    and rows inserted between requests can't shift the window (the
+    cursor is a value, not a position). The (score, id) pair is a
+    total order over results, so pages partition the result set
+    exactly."""
+    if after is not None:
+        after_score, after_id = after
+        result = result.where(
+            (F.col(score_col) < after_score)
+            | (
+                (F.col(score_col) == after_score)
+                & (F.col(id_col) > after_id)
+            )
+        )
+    return result.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
 
 
 def _fold_partial_matches(

@@ -1022,3 +1022,79 @@ def test_explain_or_gate_includes_partial_docs(spark, posts_b_index):
         ).collect()
     }
     assert and_docs <= or_docs
+
+
+# -- synonym expansion & keyset pagination -----------------------------------
+
+
+def test_synonym_fills_same_slot(spark):
+    """A synonym satisfies the AND gate for its slot; co-occurring
+    alternatives sum into the fold; unrelated docs stay excluded."""
+    docs = _docs_df(
+        spark,
+        [
+            {"id": 1, "title": "a", "content": "sort the table"},
+            {"id": 2, "title": "b", "content": "order the table"},
+            {"id": 3, "title": "c", "content": "sort order table"},
+            {"id": 4, "title": "d", "content": "just a table"},
+        ],
+    )
+    idx = build_index(
+        docs,
+        IndexConfig(key_column="id", fields=(FieldConfig("content", 1.0),)),
+    )
+    got = dict(
+        _scores(
+            q.get_partial_matches(
+                idx, "sort table", synonyms={"sort": ["order"]}
+            )
+        )
+    )
+    assert set(got) == {1, 2, 3}
+    # doc 3 has both alternatives: its slot-0 fold carries both weights
+    assert got[3] == got[1] + 1.0
+    # no synonyms → original behaviour
+    plain = dict(_scores(q.get_partial_matches(idx, "sort table")))
+    assert set(plain) == {1, 3}
+
+
+def test_synonyms_normalise_and_dedupe(spark):
+    """Alternatives run through the index normaliser; an alternative
+    that stems onto the original term must not double-count."""
+    docs = _docs_df(
+        spark, [{"id": 1, "title": "a", "content": "cat story"}]
+    )
+    idx = build_index(
+        docs,
+        IndexConfig(key_column="id", fields=(FieldConfig("content", 1.0),)),
+    )
+    # "cats" normalises onto "cat" — same (term, slot) pair, deduped
+    with_syn = dict(
+        _scores(
+            q.get_partial_matches(idx, "cat", synonyms={"cat": ["cats"]})
+        )
+    )
+    plain = dict(_scores(q.get_partial_matches(idx, "cat")))
+    assert with_syn == plain
+
+
+def test_paginate_topk_partitions_result_exactly(spark, posts_b_index):
+    """Keyset pages are disjoint, ordered, and together equal the full
+    deterministic ordering."""
+    res = q.get_partial_matches(posts_b_index, "the", combiner="or_sum")
+    full = sorted(
+        ((r["doc_id"], r["score"]) for r in res.collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    pages = []
+    after = None
+    while True:
+        page = [
+            (r["doc_id"], r["score"])
+            for r in q.paginate_topk(res, 2, after=after).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1][1], page[-1][0])
+    assert pages == full
