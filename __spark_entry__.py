@@ -135,6 +135,44 @@ post AS (
   FROM tok GROUP BY doc_id, term
 )
 """
+# CTE chain shared by the ExactSubstr-style span gates (dedup_spans,
+# dedup_spans_trim): tok = 1-based token positions, g = 5-gram windows,
+# d = windows whose gram occurs >= 2 times corpus-wide, m/i = the
+# gaps-and-islands merge of marked windows into maximal spans.
+_DUP_SPAN_CTES = """
+WITH tok AS (
+  SELECT doc_id, t, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) WHERE t <> ''
+),
+g AS (
+  SELECT a.doc_id, a.pos, string_agg(b.t, ' ' ORDER BY b.pos) AS gram
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                       AND b.pos BETWEEN a.pos AND a.pos + 4
+  GROUP BY a.doc_id, a.pos HAVING count(*) = 5
+),
+d AS (
+  SELECT doc_id, pos FROM
+    (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g)
+  WHERE c >= 2
+),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_end
+  FROM d
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+)
+"""
+
 # tokens with 1-based positions (text is single-spaced, so ordinal
 # position == the engine's cumulative token index + 1)
 TOKP_CTE = f"""
@@ -861,6 +899,27 @@ def q_quality_probe(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate spans (Lee et al. 2022, trimming
+    variant at k-gram granularity): 5-token windows occurring >=2 times
+    corpus-wide mark their ranges; overlapping/adjacent marks merge to
+    maximal (doc_id, span_start, span_end) islands — window hashing is
+    a per-row JVM expression, so the only exchanges are the hash-count
+    groupBy, the join back, and one doc-partitioned window."""
+    return dedup.duplicate_spans(_documents(spark, sf_dir), k=5)
+
+
+def q_dup_trim(spark, sf_dir):
+    """The companion trim: drop every token inside a duplicate span and
+    re-join the survivors — (doc_id, text) for EVERY doc (fully-
+    duplicated docs come back empty; keep-list ops decide their fate).
+    The trim is an index-aware JVM array filter on the doc row, not an
+    explode of the corpus back to token rows."""
+    docs = _documents(spark, sf_dir)
+    spans = dedup.duplicate_spans(docs, k=5)
+    return dedup.trim_duplicate_spans(docs, spans)
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
@@ -1245,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "curate_quality_probe": q_quality_probe,
+        "dedup_spans": q_dup_spans,
+        "dedup_spans_trim": q_dup_trim,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_dedup": q_events_dedup,
@@ -1775,6 +1836,30 @@ m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
 SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
        round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        # shared CTE chain for the ExactSubstr-style span gates:
+        # tokenise with 1-based positions, build 5-gram windows via a
+        # bounded self-join, mark windows whose gram repeats corpus-wide,
+        # and merge marks into islands (gaps-and-islands via the
+        # running max of window ends). Engine coordinates are 0-based:
+        # span_start = min(pos)-1, span_end = max(pos)-1+5.
+        "dedup_spans": _DUP_SPAN_CTES + """
+SELECT doc_id, min(pos) - 1 AS span_start, max(pos) + 4 AS span_end
+FROM i GROUP BY doc_id, island
+""",
+        "dedup_spans_trim": _DUP_SPAN_CTES + """,
+spans AS (SELECT doc_id, min(pos) - 1 AS s, max(pos) + 4 AS e
+          FROM i GROUP BY doc_id, island),
+kept AS (
+  SELECT t.doc_id, t.pos, t.t
+  FROM tok t LEFT JOIN spans sp
+    ON t.doc_id = sp.doc_id AND t.pos - 1 >= sp.s AND t.pos - 1 < sp.e
+  WHERE sp.doc_id IS NULL
+),
+agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.txt, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         "ftix_synonyms": f"""
 WITH {TOK_CTE}, {POST_CTE},

@@ -678,3 +678,125 @@ def chunk_boilerplate_stats(
             .alias("common_ppm"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection at token granularity
+    (the trimming variant of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every k-token window whose
+    content occurs at least ``min_count`` times in the corpus — in any
+    document, including elsewhere in the same one — marks its token
+    range as duplicated, and overlapping/adjacent marked windows merge
+    into maximal spans. Returns one row per merged span:
+    (doc_id, span_start, span_end) in 0-based token coordinates,
+    end-exclusive.
+
+    The paper's suffix array finds duplicated substrings of length
+    >= threshold exactly; this k-gram rendering marks the same spans
+    when k = threshold (a shared run of L >= k tokens produces L-k+1
+    overlapping marked windows that merge back into the full run) at
+    the cost of up-to-(k-1)-token over-extension where distinct
+    duplicated runs abut. In exchange the plan is fully distributed:
+    window hashing is a per-row JVM expression (no tokenise shuffle),
+    the only exchanges are the hash-frequency groupBy (map-side
+    combinable), the join back, and one doc-partitioned window for the
+    gaps-and-islands merge — no suffix array, no global sort of the
+    corpus.
+    """
+    arr = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    wins = F.when(
+        F.size(arr) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(arr, i + 1, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
+    ).select("doc_id", "w.pos", "w.h")
+    dup_h = (
+        w.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+    marked = w.join(dup_h, "h").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        seq.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), 1
+    ).otherwise(0)
+    islands = marked.select(
+        "doc_id", "pos", F.sum(brk).over(seq).alias("island")
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+    ).select("doc_id", "span_start", "span_end")
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the duplicated token ranges found by
+    :func:`duplicate_spans` from each document: tokens whose 0-based
+    position falls inside any of the doc's spans are dropped, the rest
+    re-join single-spaced. Returns (doc_id, text) for EVERY input doc —
+    a fully-duplicated doc comes back with text '' (the caller decides
+    whether empty docs survive; the paper drops one copy, this engine's
+    keep-list ops handle that separately).
+
+    One aggregation collapses the spans per doc, one (left) join ships
+    them to the doc row, and the trim itself is a per-row JVM
+    index-aware filter over the token array — no explode of the corpus
+    back to token rows.
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans")
+    )
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text__")
+    ).join(per_doc, "doc_id", "left")
+    arr = F.filter(
+        F.split(F.col("__text__"), " "), lambda t: t != F.lit("")
+    )
+    sp = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.transform(
+            arr, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda x: ~F.exists(
+            sp, lambda r: (x["i"] >= r["s"]) & (x["i"] < r["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda x: x["t"])
+        ).alias("text"),
+    )

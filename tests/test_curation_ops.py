@@ -1155,3 +1155,77 @@ def test_predict_linear_applies_coefficients(spark):
         for r in textstats.predict_linear(df, coefs, ["x1", "x2"]).collect()
     )
     assert got == [1.5, 2.0]
+
+
+# -- ExactSubstr-style duplicate spans ---------------------------------------
+
+
+def _spans(df):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in df.collect()
+    )
+
+
+def test_duplicate_spans_cross_doc_run_merges(spark):
+    """A 6-token run shared by two docs yields, at k=3, four
+    overlapping windows per doc that merge back into the full run."""
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u unique one"),
+            (2, "other words p q r s t u"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _spans(dedup.duplicate_spans(docs, k=3))
+    assert got == [(1, 0, 6), (2, 2, 8)]
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    """min_count counts ALL occurrences, including a repeat inside the
+    same document."""
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x y a b c")], "doc_id long, text string"
+    )
+    got = _spans(dedup.duplicate_spans(docs, k=3))
+    assert got == [(1, 0, 3), (1, 5, 8)]
+
+
+def test_duplicate_spans_short_doc_safe(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    assert _spans(dedup.duplicate_spans(docs, k=3)) == []
+
+
+def test_trim_duplicate_spans_reconstructs(spark):
+    """Trim drops exactly the span tokens; untouched and fully-
+    duplicated docs both come back (the latter as '')."""
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u unique one"),
+            (2, "other words p q r s t u"),
+            (3, "nothing shared here at all"),
+            (4, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, k=3)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.trim_duplicate_spans(docs, spans).collect()
+    }
+    assert got == {
+        1: "unique one",
+        2: "other words",
+        3: "nothing shared here at all",
+        4: "",
+    }
