@@ -650,6 +650,23 @@ def q_bm25_wand(spark, sf_dir):
     )
 
 
+def q_bm25f(spark, sf_dir):
+    """Field-weighted BM25F (Zaragoza simple variant) over the
+    two-field positional index: per-field tfs come from the positions
+    payload, per-field lengths from a build-once stats frame, and the
+    cross-field weighted pseudo-frequency saturates ONCE — boosting a
+    source-field hit (w=2) differs structurally from boosting the
+    build weight. Query 'src3 data' hits field 0 via 'src3' and
+    field 1 via 'data'."""
+    idx = _docs_index(spark, sf_dir, MULTIFIELD_POS_CONFIG)
+    key = ("bm25f_stats", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = bm25.build_bm25f_stats(idx, n_fields=2)
+    return _round_score(
+        bm25.bm25f_scores(idx, "src3 data", (2.0, 1.0), _INDEX_CACHE[key])
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -1277,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_multifield": q_multifield,
         "ftix_max_combiner": q_max_combiner,
         "ftix_bm25": q_bm25,
+        "ftix_bm25f": q_bm25f,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
@@ -1980,6 +1998,46 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
         "ftix_multifield": _multifield_sql(),
         "ftix_max_combiner": _max_combiner_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
+        # BM25F: per-field tf + per-field length normalisation folded
+        # into one weighted pseudo-frequency, saturated once (w=(2,1),
+        # k1=1.2, b=0.75, Lucene idf; N = docs with any token)
+        "ftix_bm25f": f"""
+WITH tok AS (
+  SELECT doc_id, {STEM_T} AS term, f FROM (
+    SELECT doc_id, unnest(string_split(source, ' ')) AS t, 0 AS f
+    FROM documents
+    UNION ALL
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t, 1 AS f
+    FROM documents)
+  WHERE t <> ''
+),
+tfs AS (SELECT doc_id, term, f, count(*) AS tf
+        FROM tok GROUP BY doc_id, term, f),
+dls AS (SELECT doc_id, f, count(*) AS dl FROM tok GROUP BY doc_id, f),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+av AS (SELECT f, sum(dl) * 1.0 / (SELECT n FROM nn) AS avgdl
+       FROM dls GROUP BY f),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN ('{english_plurality_normalise("src3")}',
+                       '{english_plurality_normalise("data")}')
+        GROUP BY term),
+wtf AS (
+  SELECT t.doc_id, t.term,
+         sum((CASE WHEN t.f = 0 THEN 2.0 ELSE 1.0 END) * t.tf
+             / (0.25 + 0.75 * d.dl / a.avgdl)) AS wtf
+  FROM tfs t JOIN dfq USING (term)
+       JOIN dls d ON d.doc_id = t.doc_id AND d.f = t.f
+       JOIN av a ON a.f = t.f
+  GROUP BY t.doc_id, t.term
+),
+contrib AS (
+  SELECT w.doc_id,
+         ln(1 + ((SELECT n FROM nn) - q2.df + 0.5) / (q2.df + 0.5))
+           * w.wtf / (1.2 + w.wtf) AS c
+  FROM wtf w JOIN dfq q2 USING (term)
+)
+SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id
+""",
         "ftix_bm25_wand": _bm25_sql(topk=10),
         "ftix_remove": f"""
 WITH {TOK_CTE}

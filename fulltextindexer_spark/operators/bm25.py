@@ -764,3 +764,163 @@ def more_like_this(
         )
     )
     return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# BM25F — field-weighted BM25 (Zaragoza et al., TREC-13 "simple BM25F":
+# per-field length-normalised term frequencies fold into one weighted
+# pseudo-frequency, which saturates ONCE — boosting a title hit is then
+# structurally different from boosting the title index weight, because
+# saturation applies after the cross-field sum).
+
+
+def _field_tf_col(field_idx: int):
+    """Occurrences of the posting's term inside one source field —
+    counted from the positions payload (SourceFieldLocation.cs:13-39
+    stamps the field index on every location)."""
+    return F.size(
+        F.filter(
+            "positions", lambda p: p["field_idx"] == F.lit(field_idx)
+        )
+    ).cast("double")
+
+
+@dataclass(frozen=True)
+class Bm25fStats:
+    """Per-index BM25F artefacts: the per-doc field-length frame
+    (doc_id, dl_0 … dl_{F-1}, persisted/tracked) and the per-field
+    average lengths — built once per index, reused by every query,
+    the same build-once contract as :class:`Bm25Stats`."""
+
+    doc_lengths: DataFrame
+    avgdl: tuple
+    n_docs: int
+    n_fields: int
+
+
+def build_bm25f_stats(index: InvertedIndex, n_fields: int) -> Bm25fStats:
+    """One scan over the postings derives every BM25F corpus artefact:
+    dl_f(d) = Σ_t tf_{t,d,f} (each token occurrence lands in exactly
+    one posting row's positions, so summing per-field position counts
+    over a doc's rows reproduces the field length), then N and the
+    per-field averages from the (already tiny) per-doc frame. The dl
+    frame is a tracked persist — linear in docs, joined by every query.
+
+    Averages are over ALL docs in the index (a doc without the field
+    contributes dl_f = 0), keeping the oracle expressible as plain
+    aggregate SQL.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "BM25F needs per-field term frequencies: build the index "
+            "with capture_positions=True"
+        )
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+    dl = persist_tracked(
+        index.postings.groupBy("doc_id").agg(
+            *[
+                F.sum(_field_tf_col(f)).alias(f"dl_{f}")
+                for f in range(n_fields)
+            ]
+        )
+    )
+    row = dl.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"dl_{f}").alias(f"s_{f}") for f in range(n_fields)],
+    ).collect()[0]
+    n_docs = row["n"]
+    avgdl = tuple(
+        (row[f"s_{f}"] or 0.0) / n_docs if n_docs else 0.0
+        for f in range(n_fields)
+    )
+    return Bm25fStats(dl, avgdl, n_docs, n_fields)
+
+
+def bm25f_scores(
+    index: InvertedIndex,
+    source: str,
+    field_weights,
+    stats: Bm25fStats,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """BM25F scores (doc_id, score) for every matching doc::
+
+        wtf(t,d) = Σ_f  w_f · tf_{t,d,f} / ((1-b) + b · dl_f(d)/avgdl_f)
+        score(d) = Σ_t  idf(t) · wtf / (k1 + wtf)
+
+    with the Lucene idf this module uses throughout. OR semantics over
+    the distinct query terms. Plan shape: broadcast the query-term idf
+    rows onto the postings (parquet term pushdown applies), join the
+    per-doc field-length frame on doc_id (AQE-sized; the matched side
+    is query-term-bounded), one groupBy(doc_id) — the same
+    single-Exchange shape as plain :func:`bm25_scores` plus the dl
+    join that field-length normalisation genuinely requires.
+    """
+    if len(field_weights) != stats.n_fields:
+        raise ValueError(
+            f"{len(field_weights)} weights for {stats.n_fields} fields"
+        )
+    terms = _query_terms(index, source)
+    if not terms or stats.n_docs == 0:
+        return _empty(index)
+    df_rows = (
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    if not df_rows:
+        return _empty(index)
+    spark = index.postings.sparkSession
+    idf_rows = [
+        (
+            r["term"],
+            math.log(
+                1.0
+                + (stats.n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+            ),
+        )
+        for r in df_rows
+    ]
+    qdf = spark.createDataFrame(idf_rows, "term string, idf double")
+    matched = index.postings.join(F.broadcast(qdf), "term").select(
+        "doc_id",
+        "idf",
+        *[_field_tf_col(f).alias(f"tf_{f}") for f in range(stats.n_fields)],
+    )
+    withdl = matched.join(stats.doc_lengths, "doc_id")
+    wtf = None
+    for f in range(stats.n_fields):
+        if stats.avgdl[f] <= 0.0:
+            continue  # field empty corpus-wide: contributes nothing
+        norm = F.lit(1.0 - b) + F.lit(b) * F.col(f"dl_{f}") / F.lit(
+            stats.avgdl[f]
+        )
+        term_f = F.lit(float(field_weights[f])) * F.col(f"tf_{f}") / norm
+        wtf = term_f if wtf is None else wtf + term_f
+    if wtf is None:
+        return _empty(index)
+    contrib = F.col("idf") * wtf / (F.lit(k1) + wtf)
+    return (
+        withdl.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+        .where(F.col("score") > 0)
+    )
+
+
+def bm25f_topk(
+    index: InvertedIndex,
+    source: str,
+    field_weights,
+    stats: Bm25fStats,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Deterministic top-k BM25F: (doc_id, score), score desc, id asc."""
+    return _topk(
+        bm25f_scores(index, source, field_weights, stats, k1, b), k
+    )

@@ -227,3 +227,98 @@ def test_more_like_this_max_terms_cut(index):
     assert bm25.more_like_this(index, doc_id=4, k=None, max_terms=1).count() == 0
     rows = bm25.more_like_this(index, doc_id=4, k=None, max_terms=2).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+# -- BM25F -------------------------------------------------------------------
+
+POS_CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=True,
+)
+
+TWO_FIELD_CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("title", 3.0), FieldConfig("text", 1.0)),
+    capture_positions=True,
+)
+
+
+def test_bm25f_single_field_reduces_to_bm25(spark):
+    """With one field at weight 1, BM25F's saturated pseudo-frequency
+    wtf/(k1+wtf) equals plain BM25's tfnorm divided by (k1+1) — so the
+    two scorers agree up to that constant, term by term."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, POS_CFG)
+    stats = bm25.build_bm25f_stats(idx, n_fields=1)
+    k1 = 1.2
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25f_scores(
+            idx, "hash join", (1.0,), stats, k1=k1
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: r["score"] / (k1 + 1.0)
+        for r in bm25.bm25_scores(idx, "hash join").collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-9), d
+
+
+def test_bm25f_field_weight_boosts_field_hits(spark):
+    """Raising the title weight must rank a title hit above an
+    equal-tf body hit; at equal weights the doc with more occurrences
+    wins."""
+    docs = spark.createDataFrame(
+        [
+            (1, "merge", "a b c d"),
+            (2, "x", "merge b c d"),
+            (3, "x", "merge merge c d"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    idx = build_index(docs, TWO_FIELD_CFG)
+    stats = bm25.build_bm25f_stats(idx, n_fields=2)
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25f_scores(
+            idx, "merge", (5.0, 1.0), stats
+        ).collect()
+    }
+    assert boosted[1] > boosted[3] > boosted[2]
+    flat = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25f_scores(
+            idx, "merge", (1.0, 1.0), stats
+        ).collect()
+    }
+    assert flat[3] > max(flat[1], flat[2])
+
+
+def test_bm25f_stats_field_lengths(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two", "a b c"), (2, "three", "d e")],
+        "doc_id long, title string, text string",
+    )
+    idx = build_index(docs, TWO_FIELD_CFG)
+    stats = bm25.build_bm25f_stats(idx, n_fields=2)
+    dl = {
+        r["doc_id"]: (r["dl_0"], r["dl_1"])
+        for r in stats.doc_lengths.collect()
+    }
+    assert dl == {1: (2.0, 3.0), 2: (1.0, 2.0)}
+    assert stats.avgdl == (1.5, 2.5)
+    assert stats.n_docs == 2
+
+
+def test_bm25f_requires_positions_and_matching_weights(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    flat_idx = build_index(df, CFG)
+    with pytest.raises(ValueError, match="capture_positions"):
+        bm25.build_bm25f_stats(flat_idx, n_fields=1)
+    pos_idx = build_index(df, POS_CFG)
+    stats = bm25.build_bm25f_stats(pos_idx, n_fields=1)
+    with pytest.raises(ValueError, match="weights"):
+        bm25.bm25f_scores(pos_idx, "hash", (1.0, 2.0), stats)
