@@ -173,6 +173,30 @@ i AS (
 )
 """
 
+# CTE chain shared by the product-quantisation gates (sim_pq_codes,
+# sim_pq_topk): cent = 4 seeded codebook source vectors, cdd/ed = their
+# and the corpus's flattened dims, d2 = per (vec, centroid, subspace)
+# squared L2 over the 16-dim slice, best = argmin (first cid wins ties).
+_PQ_CTES = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT 4)
+),
+ed AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+              generate_subscripts(embedding, 1) AS idx FROM embeddings),
+cdd AS (SELECT cid, unnest(cvec)::DOUBLE AS y,
+               generate_subscripts(cvec, 1) AS idx FROM cent),
+d2 AS (SELECT e.vec_id, c.cid, (e.idx - 1) // 16 AS sub,
+              sum((e.x - c.y) * (e.x - c.y)) AS d2
+       FROM ed e JOIN cdd c ON e.idx = c.idx
+       GROUP BY e.vec_id, c.cid, (e.idx - 1) // 16),
+best AS (SELECT vec_id, sub, cid,
+                row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY d2, cid) AS rn
+         FROM d2)
+"""
+
 # tokens with 1-based positions (text is single-spaced, so ordinal
 # position == the engine's cumulative token index + 1)
 TOKP_CTE = f"""
@@ -884,6 +908,32 @@ def q_quantized(spark, sf_dir):
     return similarity.quantization_report(_embeddings(spark, sf_dir))
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantisation encode (Jégou et al. 2011): 64-dim vectors
+    → 4 subspace codes against seeded 4-entry codebooks, argmin-L2 per
+    subspace — per-row JVM expression folds, zero shuffle."""
+    emb = _embeddings(spark, sf_dir)
+    books = similarity.pq_seed_codebooks(emb, m=4, k=4)
+    codes = similarity.pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC top-k over PQ codes: the m×k query-to-centroid distance
+    table bakes in as one flat literal; each row costs m lookups, then
+    a TakeOrdered — no decode, no join."""
+    emb = _embeddings(spark, sf_dir)
+    books = similarity.pq_seed_codebooks(emb, m=4, k=4)
+    qrow = list(emb.where(F.col("vec_id") == 2).collect()[0]["embedding"])
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_adc_topk(codes, books, qrow, k=10)
+
+
 def q_semantic_keep(spark, sf_dir):
     """SemDeDup-style semantic dedup: the pairwise cosine verify is
     sharded by k-means cluster (seeded centroids; the same persisted
@@ -1319,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_ivf_recall,
         "sim_semantic_keep": q_semantic_keep,
         "sim_quantized": q_quantized,
+        "sim_pq_codes": q_pq_codes,
+        "sim_pq_topk": q_pq_topk,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "curate_quality_probe": q_quality_probe,
@@ -2218,6 +2270,32 @@ bfc AS (SELECT vec_id,
 exact AS (SELECT vec_id FROM bfc ORDER BY cos DESC, vec_id LIMIT 10)
 SELECT round(count(*) / 10.0, 4) AS recall
 FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
+""",
+        # PQ: seeded codebooks = the 4 lowest-id vectors sliced into 4
+        # subspaces of 16 dims; codes = argmin squared-L2 per subspace
+        # (first index wins ties, both engines); ADC = sum of the
+        # query-slice-to-centroid table entries the codes select
+        "sim_pq_codes": _PQ_CTES + """
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes
+FROM best WHERE rn = 1 GROUP BY vec_id
+""",
+        "sim_pq_topk": _PQ_CTES + """,
+qd AS (
+  SELECT c.cid, (c.idx - 1) // 16 AS sub,
+         sum((q.x - c.y) * (q.x - c.y)) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings WHERE vec_id = 2) q
+  JOIN cdd c ON q.idx = c.idx
+  GROUP BY c.cid, (c.idx - 1) // 16
+),
+co AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+ad AS (SELECT co.vec_id, sum(qd.d2) AS adist
+       FROM co JOIN qd ON qd.sub = co.sub AND qd.cid = co.cid
+       GROUP BY co.vec_id)
+SELECT vec_id, round(adist, 4) AS adist FROM ad
+ORDER BY adist, vec_id LIMIT 10
 """,
         "sim_quantized": """
 WITH base AS (

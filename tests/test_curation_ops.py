@@ -1229,3 +1229,59 @@ def test_trim_duplicate_spans_reconstructs(spark):
         3: "nothing shared here at all",
         4: "",
     }
+
+
+# -- product quantisation ----------------------------------------------------
+
+
+def test_pq_encode_seed_vectors_code_to_themselves(spark):
+    """Seed vectors are their own nearest codebook entry in every
+    subspace (distance 0), so their codes are (own_cid,)*m."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, -3.0, -3.0]),
+            (2, [0.1, 0.1, -2.9, -2.9]),  # sub0 near cid 0, sub1 near cid 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    books = similarity.pq_seed_codebooks(emb, m=2, k=2)
+    assert [len(b) for b in books] == [2, 2]
+    assert books[0][1] == [5.0, 5.0]
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert got == {0: [0, 0], 1: [1, 1], 2: [0, 1]}
+
+
+def test_pq_adc_matches_manual_table(spark):
+    """ADC distance equals the hand-computed sum of query-slice to
+    selected-centroid distances; ordering ascends."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, -3.0, -3.0]),
+            (2, [0.1, 0.1, -2.9, -2.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    books = similarity.pq_seed_codebooks(emb, m=2, k=2)
+    codes = similarity.pq_encode(emb, books)
+    query = [0.0, 0.0, -3.0, -3.0]
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in similarity.pq_adc_topk(codes, books, query, k=3).collect()
+    ]
+    # manual: table[s][c] = ||q_s - books[s][c]||^2
+    # q_s0=(0,0): c0=0, c1=50 ; q_s1=(-3,-3): c0=338, c1=0
+    # vec0 codes (0,0): 0+338=338 ; vec1 (1,1): 50+0=50 ; vec2 (0,1): 0+0=0
+    assert got == [(2, 0.0), (1, 50.0), (0, 338.0)]
+
+
+def test_pq_codebooks_require_divisible_dim(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_seed_codebooks(emb, m=2, k=1)
