@@ -934,6 +934,21 @@ def q_pq_topk(spark, sf_dir):
     return similarity.pq_adc_topk(codes, books, qrow, k=10)
 
 
+def q_pq_recall(spark, sf_dir):
+    """PQ quality audit: recall@10 of ADC against the exact squared-L2
+    top-10 for the same query — metric-matched so the number isolates
+    quantisation loss (cosine ground truth would confound it with the
+    L2/cosine mismatch)."""
+    emb = _embeddings(spark, sf_dir)
+    books = similarity.pq_seed_codebooks(emb, m=4, k=4)
+    qrow = list(emb.where(F.col("vec_id") == 2).collect()[0]["embedding"])
+    approx = similarity.pq_adc_topk(
+        similarity.pq_encode(emb, books), books, qrow, k=10
+    )
+    exact = similarity.l2_topk(emb, qrow, k=10)
+    return similarity.topk_recall(approx, exact, 10)
+
+
 def q_semantic_keep(spark, sf_dir):
     """SemDeDup-style semantic dedup: the pairwise cosine verify is
     sharded by k-means cluster (seeded centroids; the same persisted
@@ -1371,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized": q_quantized,
         "sim_pq_codes": q_pq_codes,
         "sim_pq_topk": q_pq_topk,
+        "sim_pq_recall": q_pq_recall,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
         "curate_quality_probe": q_quality_probe,
@@ -2296,6 +2312,31 @@ ad AS (SELECT co.vec_id, sum(qd.d2) AS adist
        GROUP BY co.vec_id)
 SELECT vec_id, round(adist, 4) AS adist FROM ad
 ORDER BY adist, vec_id LIMIT 10
+""",
+        "sim_pq_recall": _PQ_CTES + """,
+qd AS (
+  SELECT c.cid, (c.idx - 1) // 16 AS sub,
+         sum((q.x - c.y) * (q.x - c.y)) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings WHERE vec_id = 2) q
+  JOIN cdd c ON q.idx = c.idx
+  GROUP BY c.cid, (c.idx - 1) // 16
+),
+co AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1),
+approx AS (
+  SELECT co.vec_id FROM co JOIN qd ON qd.sub = co.sub AND qd.cid = co.cid
+  GROUP BY co.vec_id ORDER BY sum(qd.d2), co.vec_id LIMIT 10
+),
+bf AS (SELECT e.vec_id, e.x, qq.x AS y
+       FROM ed e JOIN (SELECT idx, x FROM ed WHERE vec_id = 2) qq
+         ON e.idx = qq.idx),
+exact AS (SELECT vec_id FROM
+            (SELECT vec_id, sum((x - y) * (x - y)) AS d2
+             FROM bf GROUP BY vec_id)
+          ORDER BY d2, vec_id LIMIT 10)
+SELECT round(count(*) / 10.0, 4) AS recall
+FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
 """,
         "sim_quantized": """
 WITH base AS (

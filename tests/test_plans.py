@@ -318,3 +318,54 @@ def test_clustered_pairs_plan_no_python_and_join_on_cluster(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "Python" not in plan and "InPandas" not in plan, plan
     assert "centroid_id" in plan, plan
+
+
+def test_pq_plans_are_shuffle_free(spark):
+    """PQ encode and ADC top-k must contain NO Exchange: encode is
+    per-row literal folds, ADC is per-row lookups + a TakeOrdered —
+    both embarrassingly parallel at any corpus size."""
+    from fulltextindexer_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    books = similarity.pq_seed_codebooks(emb, m=2, k=2)
+    enc = similarity.pq_encode(emb, books)
+    assert "Exchange" not in _plan(enc), _plan(enc)
+    adc = similarity.pq_adc_topk(enc, books, [0.0] * 8, k=5)
+    assert "Exchange" not in _plan(adc), _plan(adc)
+    assert "TakeOrdered" in _plan(adc)
+
+
+def test_duplicate_spans_plan_has_no_cartesian_or_python(spark, docs_df):
+    """The span detector must stay JVM-side and join-keyed: window
+    hashing is a per-row expression, so the plan may shuffle only for
+    the hash-count groupBy, the join back, and the doc-partitioned
+    window — never a CartesianProduct or a Python eval."""
+    from fulltextindexer_spark.operators import dedup
+
+    plan = _plan(
+        dedup.duplicate_spans(
+            docs_df.withColumnRenamed("id", "doc_id"), k=3
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bm25f_scoring_plan_broadcasts_terms(spark, docs_df):
+    """BM25F keeps plain BM25's shape: the query-term idf rows
+    broadcast onto the postings (no postings shuffle by term)."""
+    from fulltextindexer_spark.operators import bm25 as bm25_mod
+
+    pos_cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    idx = build_index(docs_df, pos_cfg)
+    stats = bm25_mod.build_bm25f_stats(idx, n_fields=1)
+    plan = _plan(bm25_mod.bm25f_scores(idx, "hash join", (1.0,), stats))
+    assert "BroadcastHashJoin" in plan, plan
