@@ -1065,6 +1065,38 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
+def q_prune_terms(spark, sf_dir):
+    """Index-maintenance vocabulary pruning: keep terms with df in
+    [5, 390] (hapax/noise cleanup + corpus-specific stop-term trim,
+    discovered FROM the index, not guessed); gate returns the top-20
+    surviving terms by df — one map-side-combinable df agg + an
+    AQE-sized semi join."""
+    pruned = _docs_index(spark, sf_dir).prune_terms(min_df=5, max_df=390)
+    return (
+        pruned.postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_event_props(spark, sf_dir):
+    """Semi-structured payload handling: typed get_json_object
+    extraction of the events' JSON props (declared paths, JVM-side —
+    no inference scan), then a per-type rollup of the extracted
+    field."""
+    from fulltextindexer_spark.streaming.windows import parse_event_props
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    parsed = parse_event_props(events, {"k": ("$.k", "int")})
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from fulltextindexer_spark.streaming.windows import hourly_event_stats
 
@@ -1393,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dup_spans,
         "dedup_spans_trim": q_dup_trim,
         "events_hourly": q_events_hourly,
+        "ftix_prune": q_prune_terms,
+        "events_props": q_event_props,
         "events_sessions": q_events_sessions,
         "events_dedup": q_events_dedup,
         "curate_corpus": q_curate,
@@ -2499,6 +2533,19 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 4) AS value_sum
 FROM seq GROUP BY user_id, sid
+""",
+        "ftix_prune": f"""
+WITH {TOK_CTE},
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, df FROM dfreq WHERE df BETWEEN 5 AND 390
+ORDER BY df DESC, term LIMIT 20
+""",
+        "events_props": """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events GROUP BY event_type
 """,
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -693,6 +693,42 @@ class InvertedIndex:
             remaining, self.config, self.key_map, self.natural_key
         )
 
+    def prune_terms(
+        self,
+        min_df: int = 1,
+        max_df: Optional[int] = None,
+    ) -> "InvertedIndex":
+        """Vocabulary pruning: keep only terms whose document frequency
+        lies in [min_df, max_df] — the index-maintenance rendering of
+        corpus-specific stop-term removal (drop df > max_df noise
+        terms) and hapax cleanup (drop df < min_df typos/ids). The
+        reference expresses the same intent statically via its
+        stop-word constructor arg (Constants.cs:8-22); at 100 TB the
+        offending vocabulary is discovered FROM the index, not guessed
+        up front.
+
+        One term-keyed df aggregation (map-side combinable — postings
+        are unique per (term, doc), so count(*) IS the df) and a
+        left-semi join back; no broadcast hint — the surviving
+        vocabulary can be nearly all terms (small max_df trims), so
+        AQE picks the join strategy from runtime sizes.
+        """
+        if max_df is None and min_df <= 1:
+            return self
+        dfreq = self.postings.groupBy("term").agg(
+            F.count("*").alias("df")
+        )
+        cond = F.col("df") >= min_df
+        if max_df is not None:
+            cond = cond & (F.col("df") <= max_df)
+        keep = dfreq.where(cond).select("term")
+        return InvertedIndex(
+            self.postings.join(keep, "term", "left_semi"),
+            self.config,
+            self.key_map,
+            self.natural_key,
+        )
+
     def _merge(self, unioned: DataFrame) -> DataFrame:
         """Re-aggregate after a union (reference IndexData.Combine:69-116:
         entry weights combined per (term, key) with the configured

@@ -97,3 +97,25 @@ def start_streaming_event_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def parse_event_props(
+    events: DataFrame,
+    fields: dict = None,
+    props_col: str = "props",
+) -> DataFrame:
+    """Typed extraction of the semi-structured JSON ``props`` payload:
+    ``fields`` maps output column name → (json path, cast type), e.g.
+    ``{"k": ("$.k", "int")}``. Uses ``get_json_object`` — a JVM-side
+    expression that scales as a plain projection (no Python, no
+    schema-inference pass over the corpus; at 100 TB schema inference
+    is a full extra scan, so the caller declares the paths it needs
+    and column pruning keeps the parquet scan minimal).
+    """
+    fields = fields or {"k": ("$.k", "int")}
+    cols = [c for c in events.columns if c != props_col]
+    extracted = [
+        F.get_json_object(F.col(props_col), path).cast(typ).alias(name)
+        for name, (path, typ) in fields.items()
+    ]
+    return events.select(*cols, *extracted)

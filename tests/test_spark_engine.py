@@ -1098,3 +1098,59 @@ def test_paginate_topk_partitions_result_exactly(spark, posts_b_index):
         pages.extend(page)
         after = (page[-1][1], page[-1][0])
     assert pages == full
+
+
+# -- vocabulary pruning & JSON props -----------------------------------------
+
+
+def test_prune_terms_df_bounds(spark):
+    from fulltextindexer_spark.functions.normalize import (
+        english_plurality_normalise as norm,
+    )
+
+    docs = _docs_df(
+        spark,
+        [
+            {"id": i, "title": "t", "content": f"common word{i % 2} rare{i}"}
+            for i in range(6)
+        ],
+    )
+    idx = build_index(
+        docs,
+        IndexConfig(key_column="id", fields=(FieldConfig("content", 1.0),)),
+    )
+    pruned = idx.prune_terms(min_df=2, max_df=5)
+    vocab = {
+        r["term"] for r in pruned.postings.select("term").distinct().collect()
+    }
+    # 'common' (df 6) exceeds max_df; rareN (df 1) miss min_df;
+    # word0/word1 (df 3 each) survive
+    assert vocab == {norm("word0"), norm("word1")}
+    # queries over the pruned index still work end to end
+    assert (
+        q.get_partial_matches(pruned, "word0").count() == 3
+    )
+    # no-op bounds return the same index object (no plan growth)
+    assert idx.prune_terms() is idx
+
+
+def test_parse_event_props_typed_extraction(spark):
+    from fulltextindexer_spark.streaming.windows import parse_event_props
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 7, "s": "x"}'),
+            (2, "view", '{"k": 9}'),
+            (3, "view", '{"s": "y"}'),  # missing path -> NULL
+        ],
+        "event_id long, event_type string, props string",
+    )
+    got = {
+        r["event_id"]: (r["k"], r["s"])
+        for r in parse_event_props(
+            events, {"k": ("$.k", "int"), "s": ("$.s", "string")}
+        ).collect()
+    }
+    assert got == {1: (7, "x"), 2: (9, None), 3: (None, "y")}
+    cols = parse_event_props(events, {"k": ("$.k", "int")}).columns
+    assert cols == ["event_id", "event_type", "k"]
