@@ -356,6 +356,25 @@ def run_default() -> dict:
         t0 = time.perf_counter()
         entrymod._compact_index(spark, SF_DIR).postings.count()
         timings["compact_tier_build"] = round(time.perf_counter() - t0, 3)
+        # the two-field positional index + BM25F field-length stats are
+        # likewise build-once artefacts (paid by whichever gate runs
+        # first otherwise) — time them as their own lines
+        t0 = time.perf_counter()
+        mf_idx = entrymod._docs_index(
+            spark, SF_DIR, entrymod.MULTIFIELD_POS_CONFIG
+        )
+        mf_idx.postings.count()
+        timings["multifield_index_build"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        key = ("bm25f_stats", id(spark), SF_DIR)
+        if key not in entrymod._INDEX_CACHE:
+            entrymod._INDEX_CACHE[key] = bm25_mod.build_bm25f_stats(
+                mf_idx, n_fields=2
+            )
+        entrymod._INDEX_CACHE[key].doc_lengths.count()
+        timings["bm25f_stats_build"] = round(time.perf_counter() - t0, 3)
 
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()

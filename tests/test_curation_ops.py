@@ -1285,3 +1285,54 @@ def test_pq_codebooks_require_divisible_dim(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_seed_codebooks(emb, m=2, k=1)
+
+
+def test_pq_trained_codebooks_compose(spark):
+    """The production path: train_kmeans per subspace slice feeds
+    pq_encode/pq_adc_topk unchanged, and trained codebooks quantise at
+    least as well as seeded ones on the training data (total ADC
+    self-distance — each vector's ADC distance to itself as the query
+    table is derived from the SAME slices — never worse after Lloyd
+    iterations on this fixed corpus)."""
+    import math as _math
+
+    rows = [
+        (
+            i,
+            [
+                float(((i * 7 + j * 3) % 11) - 5) / (1.0 + (j % 4))
+                for j in range(8)
+            ],
+        )
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sub = 4
+    trained = []
+    for s in range(2):
+        sliced = emb.select(
+            "vec_id",
+            F.slice("embedding", s * sub + 1, sub).alias("embedding"),
+        )
+        trained.append(similarity.train_kmeans(sliced, k=2, n_iter=3))
+    seeded = similarity.pq_seed_codebooks(emb, m=2, k=2)
+
+    def total_self_dist(books):
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in similarity.pq_encode(emb, books).collect()
+        }
+        tot = 0.0
+        for vid, vec in rows:
+            for s in range(2):
+                c = books[s][codes[vid][s]]
+                q = vec[s * sub : (s + 1) * sub]
+                tot += sum((a - b) * (a - b) for a, b in zip(q, c))
+        return tot
+
+    assert total_self_dist(trained) <= total_self_dist(seeded) + 1e-6
+    # the full query path runs on trained books too
+    out = similarity.pq_adc_topk(
+        similarity.pq_encode(emb, trained), trained, rows[0][1], k=5
+    ).collect()
+    assert len(out) == 5 and all(_math.isfinite(r["adist"]) for r in out)
