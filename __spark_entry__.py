@@ -691,6 +691,27 @@ def q_bm25f(spark, sf_dir):
     )
 
 
+def q_rrf(spark, sf_dir):
+    """Hybrid-retrieval fusion: the BM25 and weighted-or_sum rankings
+    of one query fused by reciprocal rank (k=60, top-20 each side) —
+    rank-based, so the incomparable score scales need no calibration.
+    Ranks derive from the display-rounded scores (the gate convention)
+    so both engines rank identically; the corpus-scale work happened
+    in the scorers, the fusion windows span 20 rows."""
+    idx = _docs_index(spark, sf_dir)
+    bm = _round_score(
+        bm25.bm25_scores(
+            idx, "data stream", stats=bm25.get_bm25_stats(idx)
+        )
+    )
+    ws = _round_score(
+        q.get_partial_matches(idx, "data stream", combiner="or_sum")
+    )
+    return q.rrf_fuse(
+        [q.paginate_topk(bm, 20), q.paginate_topk(ws, 20)], k=60
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -1392,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_max_combiner": q_max_combiner,
         "ftix_bm25": q_bm25,
         "ftix_bm25f": q_bm25f,
+        "ftix_rrf": q_rrf,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
@@ -2100,6 +2122,42 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
         "ftix_multifield": _multifield_sql(),
         "ftix_max_combiner": _max_combiner_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
+        # RRF over two rounded rankings of 'data stream': BM25 and the
+        # weighted or_sum — rank = row_number over (rounded score desc,
+        # doc_id), fused = sum of 1/(60 + rank)
+        "ftix_rrf": f"""
+WITH {TOK_CTE}, {POST_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{english_plurality_normalise("data")}',
+                         '{english_plurality_normalise("stream")}')
+          GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bscore AS (SELECT doc_id, round(sum(c), 4) AS s FROM contrib
+           GROUP BY doc_id),
+btop AS (SELECT doc_id, s FROM bscore ORDER BY s DESC, doc_id LIMIT 20),
+br AS (SELECT doc_id,
+              row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM btop),
+wscore AS (SELECT doc_id, round(sum(w), 4) AS s FROM post
+           WHERE term IN ('{english_plurality_normalise("data")}',
+                          '{english_plurality_normalise("stream")}')
+           GROUP BY doc_id),
+wtop AS (SELECT doc_id, s FROM wscore ORDER BY s DESC, doc_id LIMIT 20),
+wr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM wtop),
+u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM br
+      UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM wr)
+SELECT doc_id, round(sum(c), 4) AS score FROM u GROUP BY doc_id
+""",
         # BM25F: per-field tf + per-field length normalisation folded
         # into one weighted pseudo-frequency, saturated once (w=(2,1),
         # k1=1.2, b=0.75, Lucene idf; N = docs with any token)

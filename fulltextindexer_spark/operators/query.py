@@ -1092,3 +1092,51 @@ def facet_counts(
             F.round(F.sum(score_col), 4).alias("score_sum"),
         )
     )
+
+
+def rrf_fuse(
+    results,
+    k: int = 60,
+    topk: Optional[int] = None,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    or more ranked result lists: ``fused(d) = Σ_lists 1/(k + rank_d)``,
+    the standard hybrid-retrieval combiner (e.g. BM25 ⊕ embedding
+    ANN) — rank-based, so scorers on incomparable scales fuse without
+    calibration; a doc absent from one list simply contributes nothing.
+
+    Ranks derive from (``score_col`` desc, ``id_col`` asc). Feed
+    DISPLAY-ROUNDED scores (the engine's gate convention) so rank
+    order is reproducible across engines — raw f32/f64 near-ties would
+    otherwise rank differently and change the fused sums.
+
+    Scale note: each input is a k-bounded result list (a top-k cut),
+    so the unpartitioned rank window here spans k rows, not the
+    corpus — the single-partition window warning does not apply to a
+    fused candidate set; the corpus-scale work happened upstream in
+    the scorers. Returns (doc_id, score) with the fused score rounded
+    to 4dp, optionally cut to ``topk`` (fused desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    if len(results) < 2:
+        raise ValueError("rrf_fuse needs at least two result lists")
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    parts = [
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(k) + F.row_number().over(w))).alias("c"),
+        )
+        for df in results
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 4).alias("score")
+    )
+    if topk is not None:
+        fused = fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    return fused

@@ -1154,3 +1154,35 @@ def test_parse_event_props_typed_extraction(spark):
     assert got == {1: (7, "x"), 2: (9, None), 3: (None, "y")}
     cols = parse_event_props(events, {"k": ("$.k", "int")}).columns
     assert cols == ["event_id", "event_type", "k"]
+
+
+def test_rrf_fuse_known_ranks(spark):
+    """Hand-checked fusion: rank ties break by doc_id, docs missing
+    from one list contribute nothing from it, topk cuts (fused desc,
+    id asc)."""
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.7), (4, 0.9)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in q.rrf_fuse([a, b], k=60).collect()
+    }
+    # list a ranks: 1->1, 2->2 (5.0 tie, lower id first), 3->3
+    # list b ranks: 4->1, 2->2
+    exp = {
+        1: round(1 / 61, 4),
+        2: round(1 / 62 + 1 / 62, 4),
+        3: round(1 / 63, 4),
+        4: round(1 / 61, 4),
+    }
+    assert got == exp
+    top2 = [
+        r["doc_id"] for r in q.rrf_fuse([a, b], k=60, topk=2).collect()
+    ]
+    # fused: doc2 0.0323 > doc1 0.0164 == doc4 0.0164 (id asc) > doc3
+    assert top2 == [2, 1]
+    with pytest.raises(ValueError, match="at least two"):
+        q.rrf_fuse([a])
