@@ -184,6 +184,74 @@ def test_windowed_event_stats_streaming_vs_batch(spark, tmp_path):
     assert got == want
 
 
+def test_sliding_event_counts_streaming_vs_batch(spark, tmp_path):
+    """Sliding (1h / 30min) trending counts: the streaming watermarked
+    form over a drained file stream emits exactly the finalised
+    windows of the batch form, and every event lands in exactly
+    window/slide = 2 windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.streaming import windows as W
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=3 * i),
+            i % 7,
+            ["view", "click", "error"][i % 3],
+            float(i % 10),
+            "{}",
+        )
+        for i in range(200)
+    ]
+    input_dir = str(tmp_path / "sl_in")
+    out_dir = str(tmp_path / "sl_out")
+    ckpt = str(tmp_path / "sl_ck")
+    df = spark.createDataFrame(rows, W.EVENTS_DDL)
+    df.write.mode("append").parquet(input_dir)
+
+    batch = W.sliding_event_counts(df, "1 hour", "30 minutes")
+    # explode factor is exactly window/slide
+    assert (
+        batch.agg(F.sum("n_events")).collect()[0][0] == 2 * len(rows)
+    )
+    # rank is a dense 1..n permutation per window
+    per_w = batch.groupBy("window_start").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx"),
+        F.min("rank").alias("mn"), F.count_distinct("rank").alias("d"),
+    )
+    bad = per_w.where(
+        (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+        | (F.col("d") != F.col("n"))
+    )
+    assert bad.count() == 0
+
+    q = W.start_streaming_sliding_counts(
+        spark, input_dir, out_dir, ckpt, watermark="2 hours"
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.schema(
+        "window_start timestamp, event_type string, n_events long, "
+        "n_users_approx long"
+    ).parquet(out_dir)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in streamed.collect()
+    }
+    assert got, "no finalised windows emitted"
+    max_ts = df.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=2)
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in batch.collect()
+        if r["window_start"] + dt.timedelta(hours=1) <= horizon
+    }
+    assert got == want
+
+
 def test_stateful_sessionization(spark, tmp_path):
     """applyInPandasWithState sessionizer: every emitted session equals
     the batch lag/cumsum sessionizer's session for that (user, start);
