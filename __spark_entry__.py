@@ -1134,6 +1134,26 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_trending(spark, sf_dir):
+    """Sliding-window trending: per (1h window sliding by 30min,
+    event_type) count + distinct users + in-window rank. The batch
+    twin of the streaming sliding aggregation (same F.window op);
+    all-integer."""
+    from fulltextindexer_spark.streaming.windows import sliding_event_counts
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t = sliding_event_counts(events, "1 hour", "30 minutes")
+    return t.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "n_users",
+        "rank",
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via the batch lag/cumsum
     pipeline — the same sessions the applyInPandasWithState streaming
@@ -1358,6 +1378,25 @@ def q_suggest(spark, sf_dir):
     return spell.suggest_prefix(_docs_index(spark, sf_dir), "s", k=10)
 
 
+def q_fuzzy(spark, sf_dir):
+    """Typo-tolerant search: 'sorrt tabl' finds the 'sort table' docs —
+    per-slot distance-1 vocabulary candidates from the SymSpell
+    deletion index, then the standard and_sum fold. The oracle
+    brute-forces levenshtein over the vocabulary, proving candidate
+    completeness end to end."""
+    res = spell.fuzzy_search(_docs_index(spark, sf_dir), "sorrt tabl")
+    return _round_score(res)
+
+
+def q_wildcard(spark, sf_dir):
+    """Wildcard term query 's*t~' over the stored vocabulary (the
+    Lucene MultiTermQuery convention: the pattern bypasses the
+    analyzer, so it sees the stemmer's ~ marker): every matching term
+    fills one OR slot, per-doc f32 fold."""
+    res = q.wildcard_matches(_docs_index(spark, sf_dir), "s*t~")
+    return _round_score(res)
+
+
 def q_boilerplate(spark, sf_dir):
     """Cross-doc passage boilerplate: per-doc count + ppm share of
     3-token chunks repeated verbatim in >= 2 docs. All-integer."""
@@ -1447,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dup_spans,
         "dedup_spans_trim": q_dup_trim,
         "events_hourly": q_events_hourly,
+        "events_trending": q_events_trending,
         "ftix_prune": q_prune_terms,
         "events_props": q_event_props,
         "events_sessions": q_events_sessions,
@@ -1473,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate": q_boilerplate,
         "ftix_spell": q_spell,
         "ftix_suggest": q_suggest,
+        "ftix_wildcard": q_wildcard,
+        "ftix_fuzzy": q_fuzzy,
         "ftix_near": q_near,
         "text_keyterms": q_keyterms,
         "curate_sample": q_corpus_sample,
@@ -2612,6 +2654,31 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
 """,
+        # each event belongs to exactly window/slide = 2 epoch-aligned
+        # sliding windows: starts = time_bucket(slide) - i*slide for
+        # i in 0..1 with ts < start + window (always true at i<=1 here,
+        # kept for generality)
+        "events_trending": """
+WITH slots AS (SELECT unnest(range(2)) AS i),
+w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - to_minutes(30 * i) AS ws,
+         event_type, user_id, ts
+  FROM events CROSS JOIN slots
+),
+agg AS (
+  SELECT ws, event_type, count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM w WHERE ts < ws + INTERVAL '1 hour'
+  GROUP BY ws, event_type
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       n_events, n_users,
+       row_number() OVER (PARTITION BY ws
+                          ORDER BY n_events DESC, event_type ASC)
+           ::BIGINT AS rank
+FROM agg
+""",
         "text_stats": """
 WITH tok AS (
   SELECT doc_id, t AS tok
@@ -2940,6 +3007,28 @@ WITH {TOK_CTE}, {POST_CTE},
 td AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
 SELECT term, df FROM td WHERE term LIKE 's%'
 ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "ftix_wildcard": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(sum(w), 4) AS score FROM post
+WHERE term LIKE 's%t~' GROUP BY doc_id
+""",
+        "ftix_fuzzy": f"""
+WITH {TOK_CTE}, {POST_CTE},
+td AS (SELECT DISTINCT term FROM post),
+m AS (
+  SELECT doc_id, 0 AS slot, w FROM post
+  WHERE term IN (SELECT term FROM td
+                 WHERE levenshtein(term,
+                         '{english_plurality_normalise("sorrt")}') <= 1)
+  UNION ALL
+  SELECT doc_id, 1 AS slot, w FROM post
+  WHERE term IN (SELECT term FROM td
+                 WHERE levenshtein(term,
+                         '{english_plurality_normalise("tabl")}') <= 1)
+)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT slot) = 2
 """,
         "dedup_boilerplate": """
 WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '),

@@ -1094,6 +1094,57 @@ def facet_counts(
     )
 
 
+def _wildcard_like(pattern: str) -> str:
+    """Translate a ``*``-wildcard pattern to a SQL LIKE pattern,
+    escaping LIKE metacharacters in the literal parts."""
+    esc = (
+        pattern.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+    )
+    return esc.replace("*", "%")
+
+
+def wildcard_matches(
+    index: InvertedIndex,
+    pattern: str,
+    k: Optional[int] = None,
+    fold: str = "sum",
+) -> DataFrame:
+    """Lucene-WildcardQuery analogue: ``*`` matches any run of
+    characters; every vocabulary term matching the pattern fills ONE
+    query slot (OR semantics), and a doc's score folds the matched
+    weights with ``fold`` ('sum' = ordered f32 fold, 'max').
+
+    The pattern matches the STORED (normalised) vocabulary — the
+    MultiTermQuery convention: wildcard patterns bypass the analyzer,
+    so e.g. stemmed terms carry their ``~`` marker
+    (``EnglishPluralityStringNormaliser``'s, Constants.cs's rule
+    tables). Callers matching user text should normalise literals
+    first or end the pattern with ``*``.
+
+    Scale shape: both predicates apply straight to the postings scan —
+    the literal prefix before the first ``*`` is a sargable
+    range filter (parquet min/max prunes a term-range-sorted index to
+    the one prefix range, the same pruning the compact tier pins) and
+    the full pattern verifies as a JVM LIKE. No join, no Python. A
+    leading-``*`` pattern degrades to a vocabulary-wide term scan —
+    still one pass, but route hot leading-wildcard workloads through a
+    reversed-term dictionary instead (the classic trick; not needed
+    here).
+    """
+    if fold not in ("sum", "max"):
+        raise ValueError(f"unknown fold {fold!r}; expected 'sum' or 'max'")
+    prefix = pattern.split("*", 1)[0]
+    matched = index.postings
+    if prefix:
+        matched = matched.where(F.col("term").startswith(prefix))
+    matched = matched.where(
+        F.col("term").like(_wildcard_like(pattern))
+    ).withColumn("token_idx", F.lit(0))
+    return _fold_partial_matches(matched, 1, False, fold, k)
+
+
 def rrf_fuse(
     results,
     k: int = 60,

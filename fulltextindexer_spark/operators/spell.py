@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.functions.tokenize import break_tokens
 from fulltextindexer_spark.operators.index_build import InvertedIndex
 
 
@@ -96,6 +97,89 @@ def suggest_spelling(
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def fuzzy_candidates(
+    index: InvertedIndex,
+    source: str,
+    max_edits: int = 1,
+    deletions: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """(token_idx, term) vocabulary candidates within ``max_edits`` of
+    each query token (the Lucene FuzzyQuery per-clause rewrite),
+    generated in ONE job: every token's deletion-variant set joins the
+    SymSpell index together, then a ``levenshtein ≤ max_edits`` verify
+    against that slot's normalised token. Candidate-complete at
+    distance 1 (two strings at distance ≤ 1 always share a
+    single-deletion variant); deeper edits would need a deeper
+    deletion index, so ``max_edits`` is pinned to 1.
+
+    Returns (candidates frame, query token count). The frame is
+    vocabulary-bounded and usually tiny — downstream joins are left to
+    AQE, no forced hint."""
+    if max_edits != 1:
+        raise ValueError(
+            "fuzzy matching is candidate-complete only at max_edits=1 "
+            "(the deletion index holds single deletions)"
+        )
+    tokens = break_tokens(source, index.config.break_chars)
+    rows = []
+    for slot, (tok, _, _, _) in enumerate(tokens):
+        qn = normalise_scalar(tok, index.config.normaliser)
+        if not qn:
+            continue
+        variants = {qn} | {qn[:i] + qn[i + 1 :] for i in range(len(qn))}
+        rows.extend((slot, qn, v) for v in sorted(variants))
+    spark = index.postings.sparkSession
+    if not rows:
+        empty = spark.createDataFrame([], "token_idx int, term string")
+        return empty, len(tokens)
+    qdf = spark.createDataFrame(
+        rows, "token_idx int, q string, variant string"
+    )
+    dele = deletions if deletions is not None else build_deletion_index(index)
+    cand = (
+        dele.join(F.broadcast(qdf), "variant")
+        .where(F.levenshtein(F.col("term"), F.col("q")) <= max_edits)
+        .select("token_idx", "term")
+        .distinct()
+    )
+    return cand, len(tokens)
+
+
+def fuzzy_search(
+    index: InvertedIndex,
+    source: str,
+    max_edits: int = 1,
+    k: int | None = None,
+    combiner: str = "and_sum",
+    deletions: DataFrame | None = None,
+) -> DataFrame:
+    """Typo-tolerant GetPartialMatches: each query token's slot is
+    filled by every vocabulary term within ``max_edits`` (so 'sorrt
+    tabl' finds the docs 'sort table' finds), then the standard
+    partial-match fold/gate applies — same combiner enum, same f32
+    semantics, same (doc_id, score) contract.
+
+    Plan: one candidate-generation job (deletion-index join, see
+    :func:`fuzzy_candidates`) feeding one postings equi-join on term +
+    one groupBy(doc_id) — the exact job shape of the non-fuzzy query;
+    the candidate frame is vocabulary-bounded so AQE broadcasts it at
+    runtime. Pass a precomputed ``deletions`` artefact in production
+    (saved range-partitioned by variant) to skip the index build."""
+    from fulltextindexer_spark.operators.query import (
+        _fold_partial_matches,
+        _parse_combiner,
+    )
+
+    require_all, fold = _parse_combiner(combiner)
+    cand, n_tokens = fuzzy_candidates(index, source, max_edits, deletions)
+    if n_tokens == 0:
+        return index.postings.select(
+            F.col("doc_id"), F.col("weight").alias("score")
+        ).limit(0)
+    matched = index.postings.join(cand, "term")
+    return _fold_partial_matches(matched, n_tokens, require_all, fold, k)
 
 
 def suggest_prefix(index: InvertedIndex, prefix: str, k: int = 10) -> DataFrame:

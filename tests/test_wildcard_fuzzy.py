@@ -1,0 +1,167 @@
+"""Wildcard term queries and typo-tolerant fuzzy search."""
+
+import fnmatch
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators import spell
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [
+    (1, "quick sort merge sort table scan"),
+    (2, "table scan hash table bucket"),
+    (3, "quick hash probe split"),
+    (4, "stable tables stack shift"),
+    (5, "under_score pct%lit"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+def _norm(w):
+    return normalise_scalar(w, CFG.normaliser)
+
+
+def _expected_wildcard(index, pattern):
+    """Python-oracle wildcard evaluation: fnmatch over the vocabulary,
+    then sum weights per doc."""
+    vocab = [r["term"] for r in index.postings.select("term").distinct().collect()]
+    # fnmatch treats [,],?,* specially; our patterns only use * so
+    # escape everything else
+    matched_terms = {
+        t
+        for t in vocab
+        if fnmatch.fnmatchcase(t, pattern.replace("[", "[[]").replace("?", "[?]"))
+    }
+    rows = index.postings.where(F.col("term").isin(sorted(matched_terms))).collect()
+    agg = {}
+    for r in rows:
+        agg[r["doc_id"]] = agg.get(r["doc_id"], 0.0) + r["weight"]
+    return {d: round(s, 4) for d, s in agg.items() if s > 0}
+
+
+@pytest.mark.parametrize("pattern", ["s*", "s*t~", "*able~", "*a*", "zzz*"])
+def test_wildcard_matches_python_oracle(index, pattern):
+    got = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in q.wildcard_matches(index, pattern).collect()
+    }
+    assert got == _expected_wildcard(index, pattern), pattern
+
+
+def test_wildcard_escapes_like_metachars(index):
+    # '_' and '%' in the pattern literal must match themselves, not act
+    # as LIKE wildcards ('under_score' must not be reachable via
+    # 'underXscore' shapes, and 'pct%lit' only via the literal %)
+    assert q.wildcard_matches(index, _norm("under_score")).count() == 1
+    assert q.wildcard_matches(index, "underXscore~").count() == 0
+    assert q.wildcard_matches(index, _norm("pct%lit")).count() == 1
+    assert q.wildcard_matches(index, "pctXlit~").count() == 0
+
+
+def test_wildcard_fold_max(index):
+    # doc 1 has sort twice (weight 2) and scan once; with 's*' and max
+    # fold the score is the max matched weight, not the sum
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in q.wildcard_matches(index, "s*", fold="max").collect()
+    }
+    sums = {
+        r["doc_id"]: r["score"]
+        for r in q.wildcard_matches(index, "s*", fold="sum").collect()
+    }
+    assert set(rows) == set(sums)
+    assert all(rows[d] <= sums[d] for d in rows)
+    assert rows[1] == 2.0  # sort~ appears twice in doc 1
+
+
+def test_wildcard_rejects_unknown_fold(index):
+    with pytest.raises(ValueError):
+        q.wildcard_matches(index, "s*", fold="median")
+
+
+def test_fuzzy_search_equals_exact_when_no_typo(index):
+    exact = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.get_partial_matches(index, "table scan").collect()
+    }
+    # distance-1 candidates of 'table~'/'scan~' may add terms; restrict
+    # to a vocabulary where they don't: 'bucket probe'
+    exact2 = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.get_partial_matches(index, "bucket probe").collect()
+    }
+    fuzzy2 = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in spell.fuzzy_search(index, "bucket probe").collect()
+    }
+    assert fuzzy2 == exact2
+    assert exact is not None  # smoke: exact query ran
+
+
+def test_fuzzy_search_recovers_typos(index):
+    want = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.get_partial_matches(index, "bucket probe").collect()
+    }
+    # no vocabulary term is within distance 1 of both typo and another
+    # term here, so the typo query scores identically
+    got = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in spell.fuzzy_search(index, "buckket probe").collect()
+    }
+    assert got == want
+
+
+def test_fuzzy_candidates_match_bruteforce(index):
+    cand, n = spell.fuzzy_candidates(index, "tabl quik")
+    assert n == 2
+    got = {(r["token_idx"], r["term"]) for r in cand.collect()}
+    vocab = [r["term"] for r in index.postings.select("term").distinct().collect()]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for slot, word in enumerate(["tabl", "quik"]):
+        qn = _norm(word)
+        want |= {(slot, t) for t in vocab if lev(qn, t) <= 1}
+    assert got == want
+
+
+def test_fuzzy_search_and_gate_requires_every_slot(index):
+    # 'zzzzz' has no distance-1 vocabulary candidate: AND-gated query
+    # returns nothing, OR-gated still scores the other slot
+    assert spell.fuzzy_search(index, "zzzzz probe").count() == 0
+    rows = spell.fuzzy_search(index, "zzzzz probe", combiner="or_sum").count()
+    assert rows > 0
+
+
+def test_fuzzy_search_rejects_deep_edits(index):
+    with pytest.raises(ValueError):
+        spell.fuzzy_search(index, "tabl", max_edits=2)
