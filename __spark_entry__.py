@@ -1200,6 +1200,23 @@ def q_langid(spark, sf_dir):
     return textstats.langid(_documents(spark, sf_dir))
 
 
+def q_quality_quantile(spark, sf_dir):
+    """Per-source quality floor: drop the bottom quartile of each
+    source by the deterministic rank rule (quality asc, doc_id asc;
+    rn <= ceil(0.25 n) drops)."""
+    return textstats.quality_quantile_gate(
+        _documents(spark, sf_dir), q=0.25, by="source"
+    )
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality proxy (CCNet shape): per-doc mean negative
+    log-likelihood under a Laplace-smoothed unigram model trained on
+    the lang='en' slice."""
+    docs = _documents(spark, sf_dir)
+    return textstats.unigram_lm_score(docs, docs.where(F.col("lang") == "en"))
+
+
 def q_text_repetition(spark, sf_dir):
     return textstats.repetition_stats(_documents(spark, sf_dir), k=3)
 
@@ -1499,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_lm_score": q_lm_score,
+        "curate_quantile": q_quality_quantile,
         "text_patterns": q_text_patterns,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
@@ -2691,6 +2710,51 @@ SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
              / count(*), 4) AS stopword_ratio
 FROM tok GROUP BY doc_id
 """.format(raw_stop=RAW_STOP_IN),
+        "curate_quantile": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+),
+r AS (
+  SELECT q.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality ASC, q.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS n
+  FROM qual q JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, quality FROM r WHERE rn > ceil(0.25 * n)
+""".format(raw_stop=RAW_STOP_IN),
+        "text_lm_score": """
+WITH t AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+ref AS (SELECT tok FROM t JOIN documents USING (doc_id) WHERE lang = 'en'),
+c AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok),
+s AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT tok)::DOUBLE AS v FROM ref),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok)
+SELECT tf.doc_id,
+       sum(tf.tf)::BIGINT AS n_tokens,
+       round(-sum(tf.tf * ln((COALESCE(c.c, 0) + 1.0) / (s.n + s.v)))
+             / sum(tf.tf), 4) AS nll
+FROM tf LEFT JOIN c USING (tok) CROSS JOIN s
+GROUP BY tf.doc_id
+""",
         "text_quality": """
 WITH tok AS (
   SELECT doc_id, t AS tok

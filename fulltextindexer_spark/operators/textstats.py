@@ -745,3 +745,100 @@ def predict_linear(
     for c in feature_cols:
         expr = expr + F.lit(float(coefs[c])) * F.col(c).cast("double")
     return df.withColumn(out_col, expr)
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: the mean negative
+    log-likelihood of each document under a Laplace-smoothed unigram
+    model trained on a trusted reference corpus (CCNet trains a KenLM
+    on Wikipedia and buckets by perplexity; a unigram model is the
+    engine-portable rung of that ladder and already separates
+    gibberish/off-domain text from reference-like text).
+
+    ``nll(d) = -(1/|d|) Σ_t tf(t,d) · ln((c_ref(t)+1)/(N_ref+V_ref))``
+    — lower is more reference-like; OOV tokens pay the full smoothing
+    penalty.
+
+    Scale shape: one groupBy over the reference tokens (counts), one
+    two-scalar driver read (N, V — bounded), one vocabulary-sized left
+    join from the per-doc tf frame (AQE broadcasts the model side when
+    it fits; a trained unigram model is vocabulary-sized, not
+    corpus-sized), one groupBy(doc). All arithmetic is JVM-side; the
+    model can be persisted and reused across scoring runs.
+
+    Returns (doc_id, n_tokens, nll rounded to 4dp).
+    """
+    ref_tok = _tokens(ref, text_col, id_col)
+    counts = ref_tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n, v = counts.agg(
+        F.sum("c").cast("double"), F.count("*").cast("double")
+    ).collect()[0]
+    if not n:
+        raise ValueError("reference corpus has no tokens")
+    denom = float(n) + float(v)
+    tf = _tokens(docs, text_col, id_col).groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom))
+    return (
+        tf.join(counts, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * logp) / F.sum("tf"), 4
+            ).alias("nll"),
+        )
+    )
+
+
+def quality_quantile_gate(
+    docs: DataFrame,
+    q: float = 0.25,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quality floor: drop the bottom ``q`` fraction of
+    documents WITHIN each ``by`` group (so a weak source is trimmed
+    against its own distribution, not a global bar that would delete
+    it wholesale — the standard per-source curation cut).
+
+    The cut is a rank rule, not an interpolated percentile: within a
+    group ordered by (quality asc, doc_id asc), rows ranked
+    ``<= ceil(q·n)`` drop. Exact, tie-stable, and reproducible in any
+    engine with window functions — interpolated quantiles differ
+    across engines and float-tie handling, a correctness hazard for a
+    keep-list.
+
+    Scale shape: one shuffle on ``by`` + an in-partition sort (groups
+    are per-source — bounded; for pathological single-source corpora
+    pre-cut with an approximate quantile and rank survivors, as
+    :func:`stratified_cap` documents). The quality join is id-keyed
+    and linear.
+
+    Returns kept rows (doc_id, <by>, quality).
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(docs, text_col, id_col)
+    joined = scored.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(by)), "doc_id"
+    )
+    w = Window.partitionBy(by).orderBy(F.asc("quality"), F.asc("doc_id"))
+    n = Window.partitionBy(by)
+    ranked = joined.select(
+        "doc_id",
+        by,
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    return ranked.where(
+        F.col("rn") > F.ceil(F.lit(q) * F.col("n"))
+    ).select("doc_id", by, "quality")

@@ -1336,3 +1336,75 @@ def test_pq_trained_codebooks_compose(spark):
         similarity.pq_encode(emb, trained), trained, rows[0][1], k=5
     ).collect()
     assert len(out) == 5 and all(_math.isfinite(r["adist"]) for r in out)
+
+
+def test_unigram_lm_score_pinned(spark):
+    """Hand-computed Laplace unigram NLL on a 2-doc reference."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "zzz zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.where(F.col("doc_id") <= 2)
+    # ref counts: a=3, b=1, c=1; N=5, V=3 -> denom 8
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in textstats.unigram_lm_score(docs, ref).collect()
+    }
+    la, lb, lc = (
+        math.log(4 / 8),
+        math.log(2 / 8),
+        math.log(2 / 8),
+    )
+    oov = math.log(1 / 8)
+    assert got[1] == (3, round(-(2 * la + lb) / 3, 4))
+    assert got[2] == (2, round(-(la + lc) / 2, 4))
+    assert got[3] == (2, round(-oov, 4))
+    # OOV-only doc scores strictly worse (higher nll) than in-vocab docs
+    assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
+
+
+def test_unigram_lm_score_empty_reference_raises(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.unigram_lm_score(docs, docs.where(F.lit(False)))
+
+
+def test_quality_quantile_gate_rank_rule(spark):
+    """Per-group cut drops exactly ceil(q*n) rows, the lowest-quality
+    (ties by doc_id) within each group."""
+    import math
+
+    rows = []
+    # two sources with distinct sizes; vary text length for quality spread
+    for i in range(10):
+        rows.append((i, "srcA", "tok" + str(i) + " " + "a b c " * (i + 1)))
+    for i in range(7):
+        rows.append((100 + i, "srcB", "x y " * (i + 2)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = textstats.quality_quantile_gate(docs, q=0.25, by="source")
+    got = {(r["doc_id"], r["source"]) for r in kept.collect()}
+
+    qual = {
+        r["doc_id"]: r["quality"]
+        for r in textstats.quality_score(docs).collect()
+    }
+    want = set()
+    for src, ids in (("srcA", range(10)), ("srcB", range(100, 107))):
+        ordered = sorted(ids, key=lambda d: (qual[d], d))
+        drop = math.ceil(0.25 * len(ordered))
+        want |= {(d, src) for d in ordered[drop:]}
+    assert got == want
+
+
+def test_quality_quantile_gate_q_zero_keeps_all(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d"), (2, "s", "a a a a")],
+        "doc_id long, source string, text string",
+    )
+    assert textstats.quality_quantile_gate(docs, q=0.0, by="source").count() == 2
