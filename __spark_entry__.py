@@ -1395,6 +1395,21 @@ def q_suggest(spark, sf_dir):
     return spell.suggest_prefix(_docs_index(spark, sf_dir), "s", k=10)
 
 
+def q_batch_search(spark, sf_dir):
+    """Many queries, ONE job: three AND-sum queries share a single
+    term join + one (query, doc) aggregation — the batched serving /
+    eval-sweep shape at 100 TB."""
+    res = q.get_partial_matches_batch(
+        _docs_index(spark, sf_dir),
+        {"q1": "sort table", "q2": "merge tree", "q3": "hash join"},
+    )
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
+
+
 def q_fuzzy(spark, sf_dir):
     """Typo-tolerant search: 'sorrt tabl' finds the 'sort table' docs —
     per-slot distance-1 vocabulary candidates from the SymSpell
@@ -1534,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_suggest": q_suggest,
         "ftix_wildcard": q_wildcard,
         "ftix_fuzzy": q_fuzzy,
+        "ftix_batch_search": q_batch_search,
         "ftix_near": q_near,
         "text_keyterms": q_keyterms,
         "curate_sample": q_corpus_sample,
@@ -3076,6 +3092,20 @@ ORDER BY df DESC, term ASC LIMIT 10
 WITH {TOK_CTE}, {POST_CTE}
 SELECT doc_id, round(sum(w), 4) AS score FROM post
 WHERE term LIKE 's%t~' GROUP BY doc_id
+""",
+        "ftix_batch_search": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(query_id, term, token_idx) AS (VALUES
+  ('q1', '{english_plurality_normalise("sort")}', 0),
+  ('q1', '{english_plurality_normalise("table")}', 1),
+  ('q2', '{english_plurality_normalise("merge")}', 0),
+  ('q2', '{english_plurality_normalise("tree")}', 1),
+  ('q3', '{english_plurality_normalise("hash")}', 0),
+  ('q3', '{english_plurality_normalise("join")}', 1)),
+m AS (SELECT q.query_id, p.doc_id, q.token_idx, p.w
+      FROM post p JOIN q USING (term))
+SELECT query_id, doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY query_id, doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_fuzzy": f"""
 WITH {TOK_CTE}, {POST_CTE},

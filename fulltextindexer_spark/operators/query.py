@@ -1094,6 +1094,75 @@ def facet_counts(
     )
 
 
+def get_partial_matches_batch(
+    index: InvertedIndex,
+    queries: dict,
+    k: Optional[int] = None,
+    combiner: str = "and_sum",
+) -> DataFrame:
+    """Score MANY queries against the index in ONE job — the shape a
+    100 TB serving/eval workload needs (N queries = N broadcast joins
+    and N shuffles if run one-by-one; batched it is one term join +
+    one (query, doc) aggregation regardless of N).
+
+    ``queries`` maps query_id (string) → query text. Each query is
+    tokenised/normalised on the driver (queries are request-sized, not
+    data-sized), producing one small (query_id, term, token_idx) frame
+    that joins the postings once; the fold/gate then runs per
+    (query_id, doc_id) with the same combiner enum and f32 semantics
+    as :func:`get_partial_matches`. With ``k``, top-k applies PER
+    query via a query-partitioned window over the gated matches (never
+    a global sort; a query's match set is the window's partition).
+
+    Returns (query_id, doc_id, score).
+    """
+    require_all, fold = _parse_combiner(combiner)
+    spark = index.postings.sparkSession
+    rows, meta = [], []
+    for qid, text in sorted(queries.items()):
+        terms, n_tokens = _query_terms_df(index, text)
+        rows.extend((qid, term, token_idx) for term, token_idx in terms)
+        meta.append((qid, n_tokens))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score float"
+        )
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, token_idx int"
+    )
+    matched = index.postings.join(F.broadcast(qdf), "term")
+    agg = matched.groupBy("query_id", "doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("token_idx", "weight"))
+        ).alias("lst")
+    )
+    if require_all:
+        ndf = spark.createDataFrame(meta, "query_id string, n_tokens int")
+        n_distinct = F.size(
+            F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
+        )
+        agg = agg.join(F.broadcast(ndf), "query_id").where(
+            n_distinct == F.col("n_tokens")
+        )
+    result = agg.select(
+        "query_id",
+        "doc_id",
+        _combine_matched(F.col("lst"), fold).alias("score"),
+    ).where(F.col("score") > 0)
+    if k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        result = (
+            result.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+    return result
+
+
 def _wildcard_like(pattern: str) -> str:
     """Translate a ``*``-wildcard pattern to a SQL LIKE pattern,
     escaping LIKE metacharacters in the literal parts."""

@@ -1,0 +1,78 @@
+"""Batched multi-query scoring: one job, per-query parity with the
+single-query operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [
+    (1, "quick sort merge sort table scan"),
+    (2, "table scan hash table bucket"),
+    (3, "quick hash probe split"),
+    (4, "stable tables stack shift the the"),
+]
+
+QUERIES = {
+    "q1": "sort table",
+    "q2": "hash probe",
+    "q3": "table",
+    "q4": "absent words",
+}
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+@pytest.mark.parametrize("combiner", ["and_sum", "or_sum", "and_max", "or_max"])
+def test_batch_equals_per_query(index, combiner):
+    batch = {
+        (r["query_id"], r["doc_id"], round(r["score"], 4))
+        for r in q.get_partial_matches_batch(
+            index, QUERIES, combiner=combiner
+        ).collect()
+    }
+    single = set()
+    for qid, text in QUERIES.items():
+        for r in q.get_partial_matches(index, text, combiner=combiner).collect():
+            single.add((qid, r["doc_id"], round(r["score"], 4)))
+    assert batch == single
+
+
+def test_batch_topk_is_per_query(index):
+    rows = q.get_partial_matches_batch(index, QUERIES, k=1).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in QUERIES.items():
+        want = q.get_partial_matches(index, text, k=1).collect()
+        got = per_q.get(qid, [])
+        assert [(r["doc_id"], round(r["score"], 4)) for r in got] == [
+            (r["doc_id"], round(r["score"], 4)) for r in want
+        ], qid
+
+
+def test_batch_empty_queries(index):
+    assert q.get_partial_matches_batch(index, {}).count() == 0
+
+
+def test_batch_single_job_shape(index):
+    """The batched plan contains exactly one postings->query broadcast
+    join, not one per query (the point of batching)."""
+    plan = q.get_partial_matches_batch(index, QUERIES)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") <= 2  # term join (+ AND-gate meta)
