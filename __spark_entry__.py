@@ -754,6 +754,13 @@ def _neardup_comp(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Candidate-generator audit: recall of the banded-minhash join
+    against exact Jaccard>=0.5 pairs, one all-integer row. The number
+    that justifies LSH parameters before a full-corpus run."""
+    return dedup.lsh_candidate_recall(_documents(spark, sf_dir))
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-dup clusters: LSH-verified pairs closed under transitivity
     (distributed connected components — min-label propagation with
@@ -1200,6 +1207,15 @@ def q_langid(spark, sf_dir):
     return textstats.langid(_documents(spark, sf_dir))
 
 
+def q_mix_plan(spark, sf_dir):
+    """Data-mixing plan: per-source token shares + the sampling weight
+    (target share / actual share) that corpus_sample or epoch
+    repetition should apply. Targets: src0 50%, src1 25%, rest 0."""
+    return textstats.mix_plan(
+        _documents(spark, sf_dir), {"src0": 0.5, "src1": 0.25}
+    )
+
+
 def q_quality_quantile(spark, sf_dir):
     """Per-source quality floor: drop the bottom quartile of each
     source by the deterministic rank rule (quality asc, doc_id asc;
@@ -1215,6 +1231,14 @@ def q_lm_score(spark, sf_dir):
     the lang='en' slice."""
     docs = _documents(spark, sf_dir)
     return textstats.unigram_lm_score(docs, docs.where(F.col("lang") == "en"))
+
+
+def q_lm_bigram(spark, sf_dir):
+    """Bigram-LM quality proxy: per-doc mean bigram NLL under a
+    Laplace-smoothed conditional model trained on the lang='en'
+    slice."""
+    docs = _documents(spark, sf_dir)
+    return textstats.bigram_lm_score(docs, docs.where(F.col("lang") == "en"))
 
 
 def q_text_repetition(spark, sf_dir):
@@ -1495,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
+        "dedup_lsh_recall": q_lsh_recall,
         "dedup_cluster": q_dedup_cluster,
         "dedup_near_keep": q_dedup_near_keep,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1532,7 +1557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_repetition": q_text_repetition,
         "text_lm_score": q_lm_score,
+        "text_lm_bigram": q_lm_bigram,
         "curate_quantile": q_quality_quantile,
+        "curate_mix_plan": q_mix_plan,
         "text_patterns": q_text_patterns,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
@@ -2323,6 +2350,36 @@ FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_value = b.band_value
      AND a.doc_id < b.doc_id
 """,
+        "dedup_lsh_recall": f"""
+WITH {SH3_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truep AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+hit AS (SELECT t.doc_a FROM truep t JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT (SELECT count(*) FROM truep)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       CAST(floor(1000000.0 * (SELECT count(*) FROM hit)
+                  / greatest((SELECT count(*) FROM truep), 1))
+            AS BIGINT) AS recall_ppm
+""",
         "dedup_simhash": _simhash_sql(),
         "dedup_lsh_verified": f"""
 WITH {SH3_CTE},
@@ -2726,6 +2783,26 @@ SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
              / count(*), 4) AS stopword_ratio
 FROM tok GROUP BY doc_id
 """.format(raw_stop=RAW_STOP_IN),
+        "curate_mix_plan": """
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+),
+agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS n_tokens
+        FROM tok GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM agg)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(1000000.0 * n_tokens / tot.total) AS BIGINT) AS share_ppm,
+       CAST(floor(1000000.0 * (CASE WHEN source = 'src0' THEN 0.5
+                                    WHEN source = 'src1' THEN 0.25
+                                    ELSE 0.0 END)) AS BIGINT) AS target_ppm,
+       round((CASE WHEN source = 'src0' THEN 0.5
+                   WHEN source = 'src1' THEN 0.25
+                   ELSE 0.0 END) * tot.total / n_tokens, 4) AS weight
+FROM agg CROSS JOIN tot
+""",
         "curate_quantile": """
 WITH tok AS (
   SELECT doc_id, t AS tok
@@ -2754,6 +2831,37 @@ r AS (
 )
 SELECT doc_id, source, quality FROM r WHERE rn > ceil(0.25 * n)
 """.format(raw_stop=RAW_STOP_IN),
+        "text_lm_bigram": """
+WITH t AS (
+  SELECT doc_id, t AS tok, pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE t <> ''
+),
+bgn AS (
+  SELECT doc_id, prev, tok FROM (
+    SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok
+    FROM t)
+  WHERE prev IS NOT NULL
+),
+refbg AS (SELECT b.prev, b.tok FROM bgn b
+          JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+c2 AS (SELECT prev, tok, count(*) AS c2 FROM refbg GROUP BY prev, tok),
+c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+v AS (SELECT count(DISTINCT t.tok)::DOUBLE AS v
+      FROM t JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+tf AS (SELECT doc_id, prev, tok, count(*) AS tf
+       FROM bgn GROUP BY doc_id, prev, tok)
+SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+       round(-sum(tf.tf * ln((COALESCE(c2.c2, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + v.v))) / sum(tf.tf),
+             4) AS nll
+FROM tf LEFT JOIN c2 USING (prev, tok) LEFT JOIN c1 USING (prev)
+CROSS JOIN v
+GROUP BY tf.doc_id
+""",
         "text_lm_score": """
 WITH t AS (
   SELECT doc_id, t AS tok

@@ -800,3 +800,59 @@ def trim_duplicate_spans(
             " ", F.transform(kept, lambda x: x["t"])
         ).alias("text"),
     )
+
+
+def lsh_candidate_recall(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit of the near-dup candidate generator: what fraction of the
+    TRUE pairs (exact Jaccard ≥ ``threshold``) does the banded MinHash
+    join surface? The number that justifies (or vetoes) the LSH
+    parameters before a 100 TB run — the quadratic exact tier is only
+    affordable at audit-sample scale, which is exactly how this op is
+    meant to be used: run it on a sampled slice, read recall, then run
+    the linear candidate+verify pipeline on the full corpus.
+
+    One shingle pass feeds both tiers (persisted, tracked); the
+    candidate frame is persisted too (it feeds the count and the
+    intersection). All-integer output, one row:
+    (n_true, n_candidates, n_hit, recall_ppm).
+    """
+    sh = persist_tracked(
+        word_shingles(docs, k, text_col, id_col), scope="query"
+    )
+    true_pairs = ngram_jaccard_pairs(
+        docs, k, threshold, text_col, id_col, shingles=sh
+    ).select("doc_a", "doc_b")
+    cand = persist_tracked(
+        minhash_band_pairs(
+            docs, n_hashes, bands, k, text_col, id_col, shingles=sh
+        ),
+        scope="query",
+    )
+    hit = true_pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = true_pairs.agg(F.count("*").alias("n_true"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.floor(
+                1000000.0
+                * F.col("n_hit")
+                / F.greatest(F.col("n_true"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -842,3 +842,117 @@ def quality_quantile_gate(
     return ranked.where(
         F.col("rn") > F.ceil(F.lit(q) * F.col("n"))
     ).select("doc_id", by, "quality")
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality proxy — the next rung above
+    :func:`unigram_lm_score` on the CCNet perplexity ladder: mean
+    negative log-likelihood of each document's bigrams under
+    ``p(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V)``
+    where c2 counts reference bigrams, c1 = Σ_w c2(prev, w) (bigram-
+    left counts, so the conditional normalises), and V is the
+    reference unigram vocabulary size (Laplace).
+
+    Bigram extraction is a pure array expression over the token split
+    (``transform`` + ``slice``) — zero shuffle until the count
+    aggregations. Model side is bigram-vocabulary-sized; the scoring
+    join is left + AQE-sized like the unigram scorer. Docs with fewer
+    than 2 tokens have no bigrams and are omitted.
+
+    Returns (doc_id, n_bigrams, nll rounded to 4dp).
+    """
+    def bigrams(df):
+        arr = F.split(F.col(text_col), " ")
+        arr = F.filter(arr, lambda x: x != "")
+        pairs = F.transform(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                F.element_at(arr, i + 1).alias("prev"), x.alias("tok")
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+        ).select("doc_id", F.col("bg.prev").alias("prev"),
+                 F.col("bg.tok").alias("tok"))
+
+    ref_bg = bigrams(ref)
+    c2 = ref_bg.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = (
+        _tokens(ref, text_col, id_col)
+        .agg(F.count_distinct("tok").cast("double"))
+        .collect()[0][0]
+    )
+    if not v:
+        raise ValueError("reference corpus has no tokens")
+    tf = bigrams(docs).groupBy("doc_id", "prev", "tok").agg(
+        F.count("*").alias("tf")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(v)))
+    )
+    return (
+        tf.join(c2, ["prev", "tok"], "left")
+        .join(c1, "prev", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf") * logp) / F.sum("tf"), 4).alias("nll"),
+        )
+    )
+
+
+def mix_plan(
+    docs: DataFrame,
+    targets: dict,
+    default_target: float = 0.0,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch data-mixing plan: given TARGET corpus shares per ``by``
+    group (fractions of the total token budget, e.g. from a DoReMi-
+    style tuning run), report each group's actual token share and the
+    sampling weight ``target_share / actual_share`` that
+    :func:`corpus_sample` (weight < 1: keep rate) or epoch repetition
+    (weight > 1: repeat factor) should apply to hit the target.
+
+    One scan (token counts are an array-length expression) + one
+    group-sized aggregation; the share window runs over the
+    #groups-row aggregate, never the corpus. Shares are floor-ppm
+    integers; the weight is the exact double rounded to 4dp.
+
+    Returns (<by>, n_docs, n_tokens, share_ppm, target_ppm, weight).
+    """
+    from pyspark.sql import Window
+
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    agg = (
+        docs.select(F.col(by), n.alias("n"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    target = F.lit(float(default_target))
+    for grp, share in sorted(targets.items()):
+        target = F.when(F.col(by) == grp, F.lit(float(share))).otherwise(
+            target
+        )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        F.floor(1000000.0 * F.col("n_tokens") / total)
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor(target * 1000000.0).cast("long").alias("target_ppm"),
+        F.round(target * total / F.col("n_tokens"), 4).alias("weight"),
+    )

@@ -1408,3 +1408,81 @@ def test_quality_quantile_gate_q_zero_keeps_all(spark):
         "doc_id long, source string, text string",
     )
     assert textstats.quality_quantile_gate(docs, q=0.0, by="source").count() == 2
+
+
+def test_bigram_lm_score_pinned(spark):
+    """Hand-computed Laplace bigram NLL."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "q r")],
+        "doc_id long, text string",
+    )
+    ref = docs.where(F.col("doc_id") <= 2)
+    # ref bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c1: a->3, b->2; V=3
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in textstats.bigram_lm_score(docs, ref).collect()
+    }
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (2 + 3))
+    p_bc = math.log((1 + 1) / (2 + 3))
+    p_oov = math.log(1 / 3)  # c2=0, c1=0 -> 1/V
+    assert got[1] == (3, round(-(2 * p_ab + p_ba) / 3, 4))
+    assert got[2] == (2, round(-(p_ab + p_bc) / 2, 4))
+    assert got[3] == (1, round(-p_oov, 4))
+
+
+def test_bigram_lm_short_docs_omitted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "solo")], "doc_id long, text string"
+    )
+    out = textstats.bigram_lm_score(docs, docs)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_mix_plan_shares_and_weights(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d"),        # 4 tokens
+            (2, "s1", "a b"),            # 2
+            (3, "s2", "x y z w u v"),    # 6
+            (4, "s3", "m n o p q r s t"),  # 8
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in textstats.mix_plan(
+            docs, {"s1": 0.5, "s2": 0.5}
+        ).collect()
+    }
+    total = 20.0
+    assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 6
+    assert rows["s1"]["share_ppm"] == int(1e6 * 6 / total)
+    assert rows["s1"]["target_ppm"] == 500000
+    assert rows["s1"]["weight"] == round(0.5 * total / 6, 4)
+    assert rows["s2"]["weight"] == round(0.5 * total / 6, 4)
+    # unlisted source gets the default target 0 -> weight 0, dropped
+    assert rows["s3"]["target_ppm"] == 0 and rows["s3"]["weight"] == 0.0
+
+
+def test_lsh_candidate_recall_invariants(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),   # near dup
+            (4, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    row = dedup.lsh_candidate_recall(docs, threshold=0.5).collect()[0]
+    assert row["n_hit"] <= row["n_true"]
+    assert row["n_hit"] <= row["n_candidates"]
+    # identical docs share every band: the exact-dup pair must be hit,
+    # and with these sizes every true pair is found
+    assert row["n_true"] >= 1
+    assert row["recall_ppm"] == 1000000
