@@ -1093,6 +1093,43 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
+def q_rel_shipping(spark, sf_dir):
+    """Relational coverage (TPC-H Q3 shape): selective predicates
+    pushed into all three parquet scans, customer→orders broadcast +
+    orders→lineitem equi-join left to AQE, revenue agg, deterministic
+    top-10 on the display-rounded value."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cut = "1998-01-01"
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(seg), o["o_custkey"] == seg["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
 def q_prune_terms(spark, sf_dir):
     """Index-maintenance vocabulary pruning: keep terms with df in
     [5, 390] (hapax/noise cleanup + corpus-specific stop-term trim,
@@ -1205,6 +1242,12 @@ def q_text_quality(spark, sf_dir):
 
 def q_langid(spark, sf_dir):
     return textstats.langid(_documents(spark, sf_dir))
+
+
+def q_rollup_report(spark, sf_dir):
+    """One-pass OLAP rollup: corpus composition at (source, lang),
+    per-source subtotal, and grand total. All-integer."""
+    return textstats.corpus_report_rollup(_documents(spark, sf_dir))
 
 
 def q_mix_plan(spark, sf_dir):
@@ -1551,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
+        "rel_shipping": q_rel_shipping,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -1560,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_bigram": q_lm_bigram,
         "curate_quantile": q_quality_quantile,
         "curate_mix_plan": q_mix_plan,
+        "curate_rollup": q_rollup_report,
         "text_patterns": q_text_patterns,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
@@ -2695,6 +2740,20 @@ SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.total_spend, s.n_orders
 FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
 ORDER BY s.total_spend DESC, c.c_custkey LIMIT 20
 """,
+        "rel_shipping": """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+""",
         "events_dedup": """
 WITH all_ev AS (
   SELECT event_id, user_id, event_type, value FROM events
@@ -2783,6 +2842,13 @@ SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
              / count(*), 4) AS stopword_ratio
 FROM tok GROUP BY doc_id
 """.format(raw_stop=RAW_STOP_IN),
+        "curate_rollup": """
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len(list_filter(string_split(text, ' '),
+               x -> x <> '')))::BIGINT AS n_tokens
+FROM documents GROUP BY ROLLUP (source, lang)
+""",
         "curate_mix_plan": """
 WITH tok AS (
   SELECT source,

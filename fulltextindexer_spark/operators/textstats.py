@@ -956,3 +956,33 @@ def mix_plan(
         F.floor(target * 1000000.0).cast("long").alias("target_ppm"),
         F.round(target * total / F.col("n_tokens"), 4).alias("weight"),
     )
+
+
+def corpus_report_rollup(
+    docs: DataFrame,
+    by: tuple = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """OLAP rollup of the corpus composition: doc and token counts at
+    every prefix level of ``by`` — per (source, lang), per source
+    subtotal, and the grand total — in ONE aggregation pass
+    (``rollup`` computes all levels with map-side partials; no
+    self-union of per-level groupBys). NULL grouping slots render as
+    'ALL' so the output is join- and diff-friendly.
+
+    Returns (<by...>, n_docs, n_tokens), all-integer.
+    """
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    agg = (
+        docs.select(*by, n.alias("n"))
+        .rollup(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        *[F.coalesce(F.col(c), F.lit("ALL")).alias(c) for c in by],
+        "n_docs",
+        "n_tokens",
+    )

@@ -1486,3 +1486,25 @@ def test_lsh_candidate_recall_invariants(spark):
     # and with these sizes every true pair is found
     assert row["n_true"] >= 1
     assert row["recall_ppm"] == 1000000
+
+
+def test_corpus_report_rollup_levels(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en", "a b"),
+            (2, "s1", "de", "c"),
+            (3, "s2", "en", "d e f"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    rows = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in textstats.corpus_report_rollup(docs).collect()
+    }
+    assert rows[("s1", "en")] == (1, 2)
+    assert rows[("s1", "de")] == (1, 1)
+    assert rows[("s2", "en")] == (1, 3)
+    assert rows[("s1", "ALL")] == (2, 3)
+    assert rows[("s2", "ALL")] == (1, 3)
+    assert rows[("ALL", "ALL")] == (3, 6)
+    assert len(rows) == 6
