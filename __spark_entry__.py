@@ -929,6 +929,18 @@ def q_neardup(spark, sf_dir):
     )
 
 
+def q_mmr(spark, sf_dir):
+    """MMR diversified top-5 over the cosine top-20 (lam=0.7):
+    distributed candidate cut, request-sized greedy selection with
+    4dp-rounded rel/sims so any engine reproduces the picks. Oracle =
+    a DuckDB recursive CTE running the same greedy."""
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.mmr_rerank(
+        emb, [float(x) for x in qv], n_candidates=20, k=5, lam=0.7
+    )
+
+
 def q_quantized(spark, sf_dir):
     """Int8 embedding quantisation audit: per vector the scale, max
     reconstruction error, and original-vs-dequantised cosine — the
@@ -1577,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_recall": q_ivf_recall,
         "sim_semantic_keep": q_semantic_keep,
         "sim_quantized": q_quantized,
+        "sim_mmr": q_mmr,
         "sim_pq_codes": q_pq_codes,
         "sim_pq_topk": q_pq_topk,
         "sim_pq_recall": q_pq_recall,
@@ -2522,6 +2535,51 @@ dots AS (SELECT vec_id, sum(x * y) AS dot,
          FROM pairs GROUP BY vec_id)
 SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
 FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        # greedy MMR as a recursive CTE: anchor = pure-relevance argmax,
+        # each step LATERAL-picks argmax(0.7·rel − 0.3·max sim to the
+        # chosen list), ties by vec_id — the same 4dp-rounded greedy the
+        # engine runs
+        "sim_mmr": """
+WITH RECURSIVE
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qpairs AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                  unnest(qv.v)::DOUBLE AS y
+           FROM embeddings e, qv),
+dots AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx,
+                sqrt(sum(y*y)) AS ny
+         FROM qpairs GROUP BY vec_id),
+cand AS (
+  SELECT * FROM (
+    SELECT d.vec_id, round(d.dot/(d.nx*d.ny), 4) AS rel, e.embedding AS v
+    FROM dots d JOIN embeddings e USING (vec_id)
+    ORDER BY rel DESC, vec_id LIMIT 20)
+),
+cd AS (SELECT vec_id, unnest(v)::DOUBLE AS x,
+              generate_subscripts(v, 1) AS i FROM cand),
+sims AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         round(sum(a.x*b.x)/(sqrt(sum(a.x*a.x))*sqrt(sum(b.x*b.x))), 4) AS s
+  FROM cd a JOIN cd b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sel(rank, vec_id, mmr, chosen) AS (
+  SELECT 1::BIGINT AS rank, vec_id, rel AS mmr, [vec_id] AS chosen
+  FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT sel.rank + 1, nxt.vec_id, nxt.mmr,
+         list_append(sel.chosen, nxt.vec_id)
+  FROM sel JOIN LATERAL (
+    SELECT c.vec_id, 0.7*c.rel - 0.3*max(s.s) AS mmr
+    FROM cand c JOIN sims s ON s.ai = c.vec_id
+                           AND list_contains(sel.chosen, s.bi)
+    WHERE NOT list_contains(sel.chosen, c.vec_id)
+    GROUP BY c.vec_id, c.rel
+    ORDER BY mmr DESC, c.vec_id LIMIT 1
+  ) nxt ON TRUE
+  WHERE sel.rank < 5
+)
+SELECT rank, vec_id, round(mmr, 4) AS mmr FROM sel
 """,
         "sim_lsh_buckets": f"""
 SELECT vec_id, {lsh_bits} AS bucket FROM embeddings

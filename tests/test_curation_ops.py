@@ -1508,3 +1508,42 @@ def test_corpus_report_rollup_levels(spark):
     assert rows[("s2", "ALL")] == (1, 3)
     assert rows[("ALL", "ALL")] == (3, 6)
     assert len(rows) == 6
+
+
+def test_mmr_rerank_diversifies(spark):
+    """With lam=0.5, a near-duplicate of the best hit is deferred in
+    favour of a less-similar but still-relevant vector."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query itself
+        (1, [0.99, 0.14, 0.0]),      # top hit
+        (2, [0.98, 0.17, 0.0]),      # near-dup of 1
+        (3, [0.7, 0.0, 0.7]),        # relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mmr_rerank(
+        emb.where(F.col("vec_id") != 0),
+        [1.0, 0.0, 0.0],
+        n_candidates=3,
+        k=3,
+        lam=0.5,
+    ).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 1           # pure relevance first
+    assert order[1] == 3           # diversity beats the near-dup
+    assert order[2] == 2
+    # rank-1 mmr is the rounded relevance itself
+    assert sorted(out, key=lambda r: r["rank"])[0]["mmr"] == pytest.approx(
+        0.99, abs=0.01
+    )
+
+
+def test_mmr_rerank_k_exceeding_candidates(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mmr_rerank(emb, [1.0, 0.0], n_candidates=5, k=10)
+    assert out.count() == 2
+
+
+def test_mmr_rerank_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.mmr_rerank(emb, [1.0, 0.0], k=3).count() == 0
