@@ -1229,6 +1229,46 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every event gets the user's most recent 'click' at
+    or before it (ties to the highest click id) — tagged-union + one
+    keyed window, never a non-equi nested loop. Exact integer
+    microsecond gaps."""
+    from fulltextindexer_spark.operators.temporal import asof_join
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = events.where(F.col("event_type") == "click")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    out = asof_join(events, clicks)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "matched_event_id",
+        F.date_format("matched_ts", fmt).alias("matched_ts"),
+        "gap_us",
+    )
+
+
+def q_events_range(spark, sf_dir):
+    """Range join via bin-bucketing: events land into their session
+    intervals through a (user, hour-bin) equi-join + exact range
+    verify — per-session event counts (which must and do equal the
+    sessionizer's own n_events)."""
+    from fulltextindexer_spark.operators.temporal import range_join_binned
+    from fulltextindexer_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize_batch(events, gap="30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    joined = range_join_binned(events, sess, bin_seconds=3600)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.groupBy(
+        "user_id", F.date_format("session_start", fmt).alias("session_start")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def q_events_dedup(spark, sf_dir):
     """Ingestion dedup (batch twin of the streaming
     dropDuplicatesWithinWatermark operator; stream==batch is
@@ -1604,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_event_props,
         "events_sessions": q_events_sessions,
         "events_dedup": q_events_dedup,
+        "events_asof": q_events_asof,
+        "events_range": q_events_range,
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
@@ -2842,6 +2884,49 @@ SELECT user_id,
        count(*) AS n_events,
        round(sum(value), 4) AS value_sum
 FROM seq GROUP BY user_id, sid
+""",
+        # as-of oracle: for each event the max prior-or-equal click ts,
+        # then the max click id at that ts — exactly the engine's
+        # (ts, then highest right id) tie rule
+        "events_asof": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT e.event_id, e.user_id, e.ts, max(c.ts) AS a_ts
+  FROM events e JOIN clicks c
+    ON c.user_id = e.user_id AND c.ts <= e.ts
+  GROUP BY e.event_id, e.user_id, e.ts
+)
+SELECT m.event_id, m.user_id,
+       strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       max(c.event_id)::BIGINT AS matched_event_id,
+       strftime(m.a_ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+       (epoch_us(m.ts) - epoch_us(m.a_ts))::BIGINT AS gap_us
+FROM m JOIN clicks c ON c.user_id = m.user_id AND c.ts = m.a_ts
+GROUP BY m.event_id, m.user_id, m.ts, m.a_ts
+""",
+        "events_range": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+seq AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (SELECT user_id, min(ts) AS s, max(ts) AS e
+         FROM seq GROUP BY user_id, sid)
+SELECT s.user_id,
+       strftime(s.s, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*)::BIGINT AS n_points
+FROM sess s JOIN events e
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.s AND s.e
+GROUP BY s.user_id, s.s
 """,
         "ftix_prune": f"""
 WITH {TOK_CTE},

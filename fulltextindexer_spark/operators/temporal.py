@@ -1,0 +1,136 @@
+"""Temporal joins over event streams: as-of join and range join.
+
+Neither is a reference operator (the reference is a text engine); both
+are table stakes for the telemetry side of a training-data pipeline
+(attach "the user's last login" to every event; land events into
+session/interval tables). Spark has no native ASOF/RANGE join, and the
+naive formulations are non-equi joins that plan as a per-key cartesian
+(BroadcastNestedLoopJoin) — unusable at 100 TB. These are the two
+standard scalable rewrites:
+
+- **as-of join** — union-tag both sides, ONE window pass per key
+  (`last(anchor, ignorenulls)` over rows up to the current one): one
+  shuffle on the key, linear state, no nested loop. The same trick a
+  time-series store's ASOF JOIN compiles to.
+- **range join** — explode each interval into the coarse time bins it
+  spans and equi-join points on (key, bin), then verify the exact
+  range predicate. Fan-out is bounded by interval_length/bin_width;
+  the join is a plain hash join AQE can size and skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Backward-inclusive as-of join: for every left row, the LATEST
+    right row with ``right.ts <= left.ts`` within the same ``by`` key
+    (ties on ts resolved to the highest right id — a total,
+    engine-portable order). Left rows with no prior anchor are
+    omitted (keeps the output null-free; outer-join behaviour is one
+    ``how='left'`` away for engine callers).
+
+    Implementation: tagged union + one keyed window — one shuffle on
+    ``by``, never a non-equi join (which Spark plans as a nested
+    loop). Ids are assumed integral (cast to long).
+
+    Returns (``left_id``, ``by``, ``ts_col``, matched_<right_id>,
+    matched_ts, gap_us) — the gap in exact integer microseconds.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.col(left_id).cast("long").alias("_lid"),
+        F.lit(None).cast("long").alias("_rid"),
+    )
+    r = right.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast("long").alias("_lid"),
+        F.col(right_id).cast("long").alias("_rid"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(
+            F.asc("_ts"),
+            F.desc(F.col("_rid").isNotNull().cast("int")),
+            F.asc(F.coalesce("_rid", "_lid")),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchor = F.last(
+        F.when(
+            F.col("_rid").isNotNull(),
+            F.struct(F.col("_ts").alias("a_ts"), F.col("_rid").alias("a_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = u.withColumn("_a", anchor).where(
+        F.col("_lid").isNotNull() & F.col("_a").isNotNull()
+    )
+    return out.select(
+        F.col("_lid").alias(left_id),
+        F.col("_by").alias(by),
+        F.col("_ts").alias(ts_col),
+        F.col("_a.a_id").alias(f"matched_{right_id}"),
+        F.col("_a.a_ts").alias("matched_ts"),
+        (
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_a.a_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join (inclusive both ends) via the
+    bin-bucketing rewrite: each interval explodes into the
+    ``bin_seconds``-wide time bins it spans, points map to their one
+    bin, and a plain (key, bin) equi-join + exact range verify
+    replaces the non-equi join. Pick ``bin_seconds`` near the typical
+    interval length: fan-out per interval is
+    ~len/bin_seconds + 1 rows, and each point probes one bin.
+
+    Returns points ⋈ intervals rows (all interval columns + the
+    point's ``ts_col`` and columns unique to the points frame survive
+    via the join).
+    """
+    us = 1_000_000
+
+    def _bin(c):
+        return F.floor(
+            F.unix_micros(F.col(c).cast("timestamp"))
+            / F.lit(bin_seconds * us)
+        )
+
+    iv = intervals.withColumn(
+        "_bin", F.explode(F.sequence(_bin(start_col), _bin(end_col)))
+    )
+    pt = points.withColumn("_bin", _bin(ts_col))
+    return (
+        pt.join(iv, [by, "_bin"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -1,0 +1,131 @@
+"""As-of join and binned range join over event streams."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.temporal import asof_join, range_join_binned
+
+EV_DDL = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_pinned(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "view"),
+            (2, _ts(5), 7, "click"),
+            (3, _ts(6), 7, "view"),     # matches click 2
+            (4, _ts(5), 7, "view"),     # same ts as click 2: inclusive
+            (5, _ts(1), 8, "view"),     # user 8 has no click: dropped
+            (6, _ts(9), 7, "click"),
+            (7, _ts(9), 7, "view"),     # tie ts with click 6: inclusive
+        ],
+        EV_DDL,
+    )
+    clicks = events.where(F.col("event_type") == "click")
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["gap_us"])
+        for r in asof_join(events, clicks).collect()
+    }
+    assert got[3] == (2, 60 * 1_000_000)
+    assert got[4] == (2, 0)
+    assert got[7] == (6, 0)
+    assert got[2] == (2, 0)  # a click matches itself
+    assert got[6] == (6, 0)
+    assert 5 not in got      # no prior anchor -> omitted
+    assert 1 not in got      # view before any click -> omitted
+
+
+def test_asof_join_tie_prefers_highest_right_id(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "click"),
+            (2, _ts(0), 7, "click"),   # same ts, higher id wins
+            (3, _ts(1), 7, "view"),
+        ],
+        EV_DDL,
+    )
+    clicks = events.where(F.col("event_type") == "click")
+    got = {
+        r["event_id"]: r["matched_event_id"]
+        for r in asof_join(events, clicks).collect()
+    }
+    assert got[3] == 2
+
+
+def test_range_join_binned_equals_naive(spark):
+    events = spark.createDataFrame(
+        [
+            (i, _ts(i % 60, (i * 7) % 60), i % 3, "view")
+            for i in range(1, 50)
+        ],
+        EV_DDL,
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts(0), _ts(10)),
+            (0, _ts(30), _ts(59)),
+            (1, _ts(5), _ts(5, 30)),
+            (2, _ts(0), _ts(59, 59)),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    # tiny bins force intervals to span many bins; result must be
+    # identical to the naive non-equi join
+    got = {
+        (r["event_id"], r["user_id"], str(r["session_start"]))
+        for r in range_join_binned(
+            events, intervals, bin_seconds=120
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["user_id"], str(r["session_start"]))
+        for r in events.alias("e")
+        .join(
+            intervals.alias("i"),
+            (F.col("e.user_id") == F.col("i.user_id"))
+            & (F.col("e.ts") >= F.col("i.session_start"))
+            & (F.col("e.ts") <= F.col("i.session_end")),
+        )
+        .select("e.event_id", "e.user_id", "i.session_start")
+        .collect()
+    }
+    assert got == naive and got
+
+
+def test_range_join_counts_match_sessionizer(spark):
+    """Events range-joined into their own sessions reproduce the
+    sessionizer's n_events exactly."""
+    import random
+
+    from fulltextindexer_spark.streaming.sessions import sessionize_batch
+
+    rng = random.Random(7)
+    rows, t = [], dt.datetime(2024, 1, 1)
+    for i in range(300):
+        t = t + dt.timedelta(minutes=rng.choice([1, 2, 3, 50]))
+        rows.append((i, t, i % 5, "view", float(i % 7), "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sess = sessionize_batch(events, gap="30 minutes")
+    joined = range_join_binned(
+        events, sess.select("user_id", "session_start", "session_end")
+    )
+    counts = {
+        (r["user_id"], str(r["session_start"])): r["n"]
+        for r in joined.groupBy("user_id", "session_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in sess.collect()
+    }
+    assert counts == want
