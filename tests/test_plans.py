@@ -369,3 +369,61 @@ def test_bm25f_scoring_plan_broadcasts_terms(spark, docs_df):
     stats = bm25_mod.build_bm25f_stats(idx, n_fields=1)
     plan = _plan(bm25_mod.bm25f_scores(idx, "hash join", (1.0,), stats))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_plan_single_shuffle_no_nested_loop(spark):
+    """The as-of join must plan as a tagged union + ONE keyed window
+    Exchange — never the non-equi BroadcastNestedLoopJoin the naive
+    formulation produces."""
+    import datetime as dt
+
+    from fulltextindexer_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i % 60), i % 5, "click" if i % 3 == 0 else "view")
+         for i in range(60)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    plan = _plan(asof_join(ev, ev.where(F.col("event_type") == "click")))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # one window pass over the union; the only exchanges are the keyed
+    # repartition feeding it (hashpartitioning on the by-key)
+    assert plan.count("Window") == 1, plan
+
+
+def test_range_join_binned_plan_is_hash_join(spark):
+    """The binned range join must plan as an equi hash join (AQE can
+    size/skew-split it) — not a nested loop over the range predicate."""
+    import datetime as dt
+
+    from fulltextindexer_spark.operators.temporal import range_join_binned
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i % 60), i % 5, "view")
+         for i in range(60)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    iv = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 1)) for u in range(5)],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    plan = _plan(range_join_binned(ev, iv))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # an equi join on (key, bin) — hash or sort-merge, AQE's choice —
+    # with the range predicate demoted to the join's residual filter
+    assert ("HashJoin" in plan or "SortMergeJoin" in plan), plan
+    assert "_bin" in plan, plan
+
+
+def test_wildcard_prefix_reaches_saved_scan(spark, index, tmp_path):
+    """The wildcard's literal-prefix range filter must reach the
+    parquet reader of a saved index (StringStartsWith pushed filter),
+    so a term-range-sorted tier prunes row groups."""
+    path = str(tmp_path / "idx_wc")
+    index.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    plan = _plan(q.wildcard_matches(loaded, "ha*~"))
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(term,ha)" in plan, plan
