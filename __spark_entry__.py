@@ -770,6 +770,27 @@ def q_dedup_cluster(spark, sf_dir):
     return _neardup_comp(spark, sf_dir)
 
 
+def q_cluster_sizes(spark, sf_dir):
+    """Near-dup audit: histogram of transitive-cluster sizes (how much
+    of the corpus collapses, and into how large clumps) — two tiny
+    aggs over the components frame. All-integer."""
+    comp = _neardup_comp(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def q_quality_hist(spark, sf_dir):
+    """Decile histogram of the heuristic quality score — the audit
+    view read before choosing quantile/threshold cuts. All-integer."""
+    qual = textstats.quality_score(_documents(spark, sf_dir))
+    bucket = F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("long")
+    return qual.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def q_dedup_near_keep(spark, sf_dir):
     """Near-dup keep list: smallest doc_id per near-dup cluster — the
     curation step that actually drops transitive near-duplicates
@@ -1617,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": q_lsh_recall,
         "dedup_cluster": q_dedup_cluster,
         "dedup_near_keep": q_dedup_near_keep,
+        "dedup_cluster_sizes": q_cluster_sizes,
+        "text_quality_hist": q_quality_hist,
         "dedup_keep_best": q_dedup_keep_best,
         "curate_decontam": q_curate_decontam,
         "curate_pipeline": q_curate_pipeline,
@@ -2526,6 +2549,43 @@ SELECT d.doc_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 WHERE coalesce(c.component, d.doc_id) = d.doc_id
 """,
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {SH3_CTE},
+bands AS (
+{bands}
+),
+{_CLUSTER_CTES},
+allc AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sz AS (SELECT component, count(*)::BIGINT AS size
+       FROM allc GROUP BY component)
+SELECT size, count(*)::BIGINT AS n_clusters FROM sz GROUP BY size
+""",
+        "text_quality_hist": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+)
+SELECT least(floor(quality * 10), 9)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM qual GROUP BY 1
+""".format(raw_stop=RAW_STOP_IN),
         "dedup_keep_best": f"""
 WITH RECURSIVE {SH3_CTE},
 bands AS (
