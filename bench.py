@@ -376,10 +376,17 @@ def run_default() -> dict:
         entrymod._INDEX_CACHE[key].doc_lengths.count()
         timings["bm25f_stats_build"] = round(time.perf_counter() - t0, 3)
 
+        from fulltextindexer_spark.plans import cachereg
+
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))
             timings[name] = round(time.perf_counter() - t0, 3)
+            # the serving-loop contract (plans/cachereg.py): free each
+            # gate's per-query intermediates, keep warm artefacts — a
+            # 100+-gate run otherwise accumulates dozens of persisted
+            # frames and late gates pay their GC/eviction pressure
+            cachereg.release_all(scope="query")
 
         total = round(build_sec + sum(timings.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
