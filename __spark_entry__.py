@@ -730,6 +730,28 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_stream_pairs(spark, sf_dir):
+    """Continuous-ingestion near-dup: the corpus arrives in two
+    micro-batches; each batch's banded signatures join the accumulated
+    band store (new×old ∪ new×new). Chunked processing must — and does
+    — emit exactly the one-shot band self-join's pairs, so the oracle
+    is the SAME SQL as dedup_minhash_pairs."""
+    import tempfile
+
+    from fulltextindexer_spark.streaming import neardup as nd
+
+    docs = _documents(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="ftix_gate_ndstream_")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    nd.merge_neardup_batch(
+        spark, docs.where(F.col("doc_id") <= half), store, batch_id=0
+    )
+    nd.merge_neardup_batch(
+        spark, docs.where(F.col("doc_id") > half), store, batch_id=1
+    )
+    return nd.neardup_pairs_so_far(spark, store)
+
+
 def q_lsh_verified(spark, sf_dir):
     return dedup.lsh_verified_jaccard_pairs(
         _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
@@ -1636,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_lsh_recall": q_lsh_recall,
+        "dedup_stream_pairs": q_stream_pairs,
         "dedup_cluster": q_dedup_cluster,
         "dedup_near_keep": q_dedup_near_keep,
         "dedup_cluster_sizes": q_cluster_sizes,
@@ -2464,6 +2487,18 @@ SELECT doc_id,
 FROM sh GROUP BY doc_id
 """,
         "dedup_minhash_pairs": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+     AND a.doc_id < b.doc_id
+""",
+        # chunked == one-shot (pinned in tests), so the incremental
+        # tier's oracle is the full-batch band self-join verbatim
+        "dedup_stream_pairs": f"""
 WITH {SH3_CTE},
 bands AS (
 {bands}

@@ -255,6 +255,38 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_id, band_idx, band_value): the banded MinHash signature
+    frame — ``bands`` rows per document, each concatenating
+    ``n_hashes // bands`` consecutive signature values. The linear
+    artefact every LSH consumer joins on (batch self-join in
+    :func:`minhash_band_pairs`; accumulated store in the streaming
+    incremental tier). Not persisted here — callers own the lifecycle.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, k, text_col, id_col, shingles)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_value"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_value")
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     n_hashes: int = 8,
@@ -271,20 +303,9 @@ def minhash_band_pairs(
     candidates — this is the linear-time scale path for near-dup
     detection (verify candidates with :func:`ngram_jaccard_pairs`).
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, k, text_col, id_col, shingles)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat(
-                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_value"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_value")
+    banded = banded_signatures(
+        docs, n_hashes, bands, k, text_col, id_col, shingles
+    )
     # the equi-join below is banded-vs-banded: without a persist each
     # side recomputes the whole shingle -> 8x md5 -> min-agg lineage
     # (verified: the physical plan shows zero ReusedExchange — the

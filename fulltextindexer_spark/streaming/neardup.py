@@ -1,0 +1,143 @@
+"""Incremental near-duplicate detection over a growing corpus.
+
+The production near-dup shape is CONTINUOUS: documents arrive in
+micro-batches and each batch must be checked against everything seen
+so far — re-running the full-corpus band self-join per batch would be
+quadratic in ingestion history. This module keeps the banded MinHash
+signature frame (`operators/dedup.py::banded_signatures` — linear in
+docs) as an append-only parquet store and, per batch, joins only
+
+    new × accumulated  ∪  new × new
+
+on (band_idx, band_value). Processing a corpus in ANY chunking yields
+EXACTLY the candidate pairs of the one-shot full-batch join (each
+unordered pair is emitted once, by the batch in which its later member
+arrives) — pinned by ``tests/test_streaming.py``.
+
+Idempotence mirrors ``streaming/incremental.py``: foreachBatch is
+at-least-once, so each batch id is recorded in a manifest and replays
+are skipped. Layout:
+
+    <store_dir>/bands/          append-only (doc_id, band_idx, band_value)
+    <store_dir>/pairs/          append-only (doc_a, doc_b)
+    <store_dir>/_BATCHES.json   applied batch ids (atomic replace)
+
+At 100 TB the band store is the LSM analogue of the bucketed postings
+tier: write it bucketed BY (band_idx, band_value) and the per-batch
+join prunes to touched buckets with no shuffle on the accumulated
+side (the same zero-Exchange argument `operators/bucketed.py` pins).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.dedup import banded_signatures
+
+BANDS_SCHEMA = "doc_id long, band_idx int, band_value string"
+PAIRS_SCHEMA = "doc_a long, doc_b long"
+
+
+def _batches_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_BATCHES.json")
+
+
+def applied_batch_ids(store_dir: str) -> set:
+    p = _batches_path(store_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def _record_batch_id(store_dir: str, batch_id: int) -> None:
+    ids = sorted(applied_batch_ids(store_dir) | {batch_id})
+    tmp = _batches_path(store_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ids, fh)
+    os.replace(tmp, _batches_path(store_dir))
+
+
+def merge_neardup_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Ingest one micro-batch: emit its new candidate pairs into the
+    pairs table and append its bands to the store. Returns the number
+    of new pairs (0 on a replayed batch id — at-least-once safe).
+
+    Join shape per batch: new bands are persisted once (they feed the
+    store append, the new×old probe, and the new×new self-join), the
+    accumulated side streams from parquet — at scale, bucketed by band
+    so only touched buckets are read and nothing reshuffles.
+    """
+    if batch_id in applied_batch_ids(store_dir):
+        return 0
+    os.makedirs(store_dir, exist_ok=True)
+    bands_dir = os.path.join(store_dir, "bands")
+    pairs_dir = os.path.join(store_dir, "pairs")
+
+    new_bands = banded_signatures(
+        batch_docs, n_hashes, bands, k, text_col, id_col
+    ).persist()
+    try:
+        if os.path.exists(bands_dir):
+            old_bands = spark.read.schema(BANDS_SCHEMA).parquet(bands_dir)
+        else:
+            old_bands = spark.createDataFrame([], BANDS_SCHEMA)
+
+        a = new_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", "band_value"
+        )
+        # new × old: every pair is unordered-normalised afterwards, so
+        # direction here doesn't matter; new × new: doc_a < doc_b
+        vs_old = a.join(
+            old_bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+            ),
+            ["band_idx", "band_value"],
+        )
+        b = new_bands.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+        )
+        vs_new = a.join(b, ["band_idx", "band_value"]).where(
+            F.col("doc_a") < F.col("doc_b")
+        )
+        pairs = (
+            vs_old.unionByName(vs_new)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        n_pairs = pairs.count()
+        if n_pairs:
+            pairs.write.mode("append").parquet(pairs_dir)
+        new_bands.write.mode("append").parquet(bands_dir)
+    finally:
+        new_bands.unpersist()
+    _record_batch_id(store_dir, batch_id)
+    return n_pairs
+
+
+def neardup_pairs_so_far(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All candidate pairs emitted so far (distinct — a pair emitted by
+    several bands within one batch is already deduped; across batches
+    a pair cannot re-emit, see module docstring)."""
+    pairs_dir = os.path.join(store_dir, "pairs")
+    if not os.path.exists(pairs_dir):
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    return spark.read.schema(PAIRS_SCHEMA).parquet(pairs_dir).distinct()

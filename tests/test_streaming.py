@@ -450,3 +450,51 @@ def test_streaming_event_dedup_across_microbatches(spark, tmp_path):
     )
     want = sorted(r["event_id"] for r in batch.collect())
     assert got == want
+
+
+def test_incremental_neardup_equals_full_batch(spark, tmp_path):
+    """Processing the corpus in any chunking yields exactly the pairs
+    of the one-shot band self-join; replayed batch ids are no-ops."""
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.operators import dedup
+    from fulltextindexer_spark.streaming import neardup as nd
+
+    rows = []
+    for i in range(30):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        if i % 3 == 0:
+            rows.append((i, base))                       # exact dups
+        elif i % 3 == 1:
+            rows.append((i, base.replace("zeta", f"w{i}")))  # near dups
+        else:
+            rows.append((i, f"unique {i} words only here {i} x y z"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "nd_store")
+
+    chunks = [
+        docs.where(F.col("doc_id") < 10),
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 17)),
+        docs.where(F.col("doc_id") >= 17),
+    ]
+    for bid, chunk in enumerate(chunks):
+        nd.merge_neardup_batch(spark, chunk, store, batch_id=bid)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.neardup_pairs_so_far(spark, store).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_band_pairs(docs).collect()
+    }
+    assert got == want and got
+
+    # replaying a batch id changes nothing
+    assert nd.merge_neardup_batch(spark, chunks[1], store, batch_id=1) == 0
+    again = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.neardup_pairs_so_far(spark, store).collect()
+    }
+    assert again == want
+    assert nd.applied_batch_ids(store) == {0, 1, 2}

@@ -129,3 +129,41 @@ def test_range_join_counts_match_sessionizer(spark):
         for r in sess.collect()
     }
     assert counts == want
+
+
+def test_asof_join_random_vs_naive(spark):
+    """Randomized: the tagged-union window as-of join equals the naive
+    non-equi formulation (max prior anchor, ties to max id)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                _ts(rng.randrange(60), rng.randrange(60)),
+                rng.randrange(6),
+                rng.choice(["view", "click", "error"]),
+            )
+        )
+    events = spark.createDataFrame(rows, EV_DDL)
+    clicks = events.where(F.col("event_type") == "click")
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["gap_us"])
+        for r in asof_join(events, clicks).collect()
+    }
+
+    ev = [(r[0], r[1], r[2]) for r in rows]
+    cl = [(r[0], r[1], r[2]) for r in rows if r[3] == "click"]
+    want = {}
+    for eid, ts, uid in ev:
+        cands = [(cts, cid) for cid, cts, cuid in cl if cuid == uid and cts <= ts]
+        if cands:
+            best_ts = max(c[0] for c in cands)
+            best_id = max(cid for cts, cid in cands if cts == best_ts)
+            want[eid] = (
+                best_id,
+                int((ts - best_ts).total_seconds() * 1_000_000),
+            )
+    assert got == want
