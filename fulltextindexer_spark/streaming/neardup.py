@@ -141,3 +141,48 @@ def neardup_pairs_so_far(spark: SparkSession, store_dir: str) -> DataFrame:
     if not os.path.exists(pairs_dir):
         return spark.createDataFrame([], PAIRS_SCHEMA)
     return spark.read.schema(PAIRS_SCHEMA).parquet(pairs_dir).distinct()
+
+
+DOCS_STREAM_DDL = "doc_id long, text string"
+
+
+def start_incremental_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+):
+    """Structured Streaming driver for the incremental near-dup tier:
+    tail a growing documents directory, feed each micro-batch through
+    :func:`merge_neardup_batch` (foreachBatch; the batch-id manifest
+    turns at-least-once replays into no-ops). ``available_now=True``
+    drains the currently-visible files and stops — the batch-refresh
+    mode the index maintainer (`incremental.start_incremental_index`)
+    uses; the invariant is the same: after ANY drain schedule,
+    :func:`neardup_pairs_so_far` equals the one-shot full-corpus band
+    self-join."""
+    os.makedirs(store_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_neardup_batch(
+            spark, batch_df, store_dir, batch_id,
+            n_hashes=n_hashes, bands=bands, k=k,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -498,3 +498,38 @@ def test_incremental_neardup_equals_full_batch(spark, tmp_path):
     }
     assert again == want
     assert nd.applied_batch_ids(store) == {0, 1, 2}
+
+
+def test_streaming_neardup_driver_matches_full_batch(spark, tmp_path):
+    """The readStream driver over a growing docs directory converges to
+    the one-shot band self-join across two drains."""
+    from fulltextindexer_spark.operators import dedup
+    from fulltextindexer_spark.streaming import neardup as nd
+
+    rows1 = [(i, "alpha beta gamma delta epsilon") for i in range(5)]
+    rows2 = [(10 + i, "alpha beta gamma delta zeta") for i in range(4)] + [
+        (20, "totally different words here now")
+    ]
+    input_dir = str(tmp_path / "nds_in")
+    store = str(tmp_path / "nds_store")
+    ckpt = str(tmp_path / "nds_ck")
+    ddl = "doc_id long, text string"
+
+    spark.createDataFrame(rows1, ddl).write.mode("append").parquet(input_dir)
+    q = nd.start_incremental_neardup(spark, input_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(rows2, ddl).write.mode("append").parquet(input_dir)
+    q = nd.start_incremental_neardup(spark, input_dir, store, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.neardup_pairs_so_far(spark, store).collect()
+    }
+    full = spark.createDataFrame(rows1 + rows2, ddl)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_band_pairs(full).collect()
+    }
+    assert got == want and got
