@@ -1572,6 +1572,16 @@ def q_batch_search(spark, sf_dir):
     )
 
 
+def q_regex(spark, sf_dir):
+    """Regex term query over the stored vocabulary (RE2-compatible
+    subset, PII-rule contract): terms matching ^s[a-z]*t~$ fill one
+    OR slot; sargable literal head 's' pushed ahead of the regex."""
+    res = q.regex_matches(
+        _docs_index(spark, sf_dir), "^s[a-z]*t~$", prefix="s"
+    )
+    return _round_score(res)
+
+
 def q_fuzzy(spark, sf_dir):
     """Typo-tolerant search: 'sorrt tabl' finds the 'sort table' docs —
     per-slot distance-1 vocabulary candidates from the SymSpell
@@ -1721,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_spell": q_spell,
         "ftix_suggest": q_suggest,
         "ftix_wildcard": q_wildcard,
+        "ftix_regex": q_regex,
         "ftix_fuzzy": q_fuzzy,
         "ftix_batch_search": q_batch_search,
         "ftix_near": q_near,
@@ -3518,6 +3529,12 @@ m AS (SELECT q.query_id, p.doc_id, q.token_idx, p.w
       FROM post p JOIN q USING (term))
 SELECT query_id, doc_id, round(sum(w), 4) AS score FROM m
 GROUP BY query_id, doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "ftix_regex": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(sum(w), 4) AS score FROM post
+WHERE regexp_matches(term, '^s[a-z]*t~$')
+GROUP BY doc_id
 """,
         "ftix_fuzzy": f"""
 WITH {TOK_CTE}, {POST_CTE},

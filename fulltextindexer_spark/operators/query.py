@@ -1214,6 +1214,35 @@ def wildcard_matches(
     return _fold_partial_matches(matched, 1, False, fold, k)
 
 
+def regex_matches(
+    index: InvertedIndex,
+    pattern: str,
+    k: Optional[int] = None,
+    fold: str = "sum",
+    prefix: str = "",
+) -> DataFrame:
+    """Lucene-RegexpQuery analogue: vocabulary terms matching
+    ``pattern`` (Java regex, ``rlike`` semantics — keep to the
+    RE2-compatible subset for cross-engine parity, the same contract
+    the PII rules use) fill ONE OR slot; per-doc fold as in
+    :func:`wildcard_matches`.
+
+    Regex predicates don't push down to parquet, so pass ``prefix``
+    (any literal the pattern implies, e.g. its anchored head) to keep
+    the scan sargable — without it a leading-anchor-free pattern is a
+    vocabulary-wide term scan (one pass, but no row-group pruning).
+    """
+    if fold not in ("sum", "max"):
+        raise ValueError(f"unknown fold {fold!r}; expected 'sum' or 'max'")
+    matched = index.postings
+    if prefix:
+        matched = matched.where(F.col("term").startswith(prefix))
+    matched = matched.where(
+        F.col("term").rlike(pattern)
+    ).withColumn("token_idx", F.lit(0))
+    return _fold_partial_matches(matched, 1, False, fold, k)
+
+
 def rrf_fuse(
     results,
     k: int = 60,

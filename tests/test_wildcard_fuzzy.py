@@ -165,3 +165,38 @@ def test_fuzzy_search_and_gate_requires_every_slot(index):
 def test_fuzzy_search_rejects_deep_edits(index):
     with pytest.raises(ValueError):
         spell.fuzzy_search(index, "tabl", max_edits=2)
+
+
+def test_regex_matches_python_oracle(index):
+    import re
+
+    vocab = [
+        r["term"]
+        for r in index.postings.select("term").distinct().collect()
+    ]
+    for pattern in [r"^s[a-z]*t~$", r"^st.*$", r"^[qh].*"]:
+        matched_terms = {t for t in vocab if re.search(pattern, t)}
+        want = {}
+        for r in index.postings.where(
+            F.col("term").isin(sorted(matched_terms))
+        ).collect():
+            want[r["doc_id"]] = round(
+                want.get(r["doc_id"], 0.0) + r["weight"], 4
+            )
+        got = {
+            r["doc_id"]: round(r["score"], 4)
+            for r in q.regex_matches(index, pattern).collect()
+        }
+        assert got == {d: s for d, s in want.items() if s > 0}, pattern
+
+
+def test_regex_prefix_hint_does_not_change_result(index):
+    a = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.regex_matches(index, r"^s[a-z]*~$").collect()
+    }
+    b = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.regex_matches(index, r"^s[a-z]*~$", prefix="s").collect()
+    }
+    assert a == b and a
