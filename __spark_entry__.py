@@ -1339,6 +1339,18 @@ def q_langid(spark, sf_dir):
     return textstats.langid(_documents(spark, sf_dir))
 
 
+def q_quality_auc(spark, sf_dir):
+    """Probe evaluation: ROC AUC of the heuristic quality score
+    against the lang='en' label via the exact binned estimator —
+    integer/half-exact arithmetic, engine-portable."""
+    docs = _documents(spark, sf_dir)
+    scored = textstats.quality_score(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")),
+        "doc_id",
+    )
+    return textstats.binned_auc(scored, "quality", "label", bins=1000)
+
+
 def q_rollup_report(spark, sf_dir):
     """One-pass OLAP rollup: corpus composition at (source, lang),
     per-source subtotal, and grand total. All-integer."""
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_quantile": q_quality_quantile,
         "curate_mix_plan": q_mix_plan,
         "curate_rollup": q_rollup_report,
+        "curate_quality_auc": q_quality_auc,
         "text_patterns": q_text_patterns,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
@@ -3090,6 +3103,46 @@ SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
        round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
              / count(*), 4) AS stopword_ratio
 FROM tok GROUP BY doc_id
+""".format(raw_stop=RAW_STOP_IN),
+        "curate_quality_auc": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+qual AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+),
+lab AS (
+  SELECT q.quality, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM qual q JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT greatest(least(floor(quality * 1000), 999), 0) AS bucket,
+         sum(label)::BIGINT AS pos, sum(1 - label)::BIGINT AS neg
+  FROM lab GROUP BY 1
+),
+cumed AS (
+  SELECT pos, neg,
+         COALESCE(sum(neg) OVER (ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS cneg
+  FROM per
+)
+SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       round(sum(pos * cneg + pos * neg / 2.0)
+             / (sum(pos) * sum(neg)), 4) AS auc
+FROM cumed
 """.format(raw_stop=RAW_STOP_IN),
         "curate_rollup": """
 SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,

@@ -986,3 +986,57 @@ def corpus_report_rollup(
         "n_docs",
         "n_tokens",
     )
+
+
+def binned_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 1000,
+) -> DataFrame:
+    """Distributed ROC AUC via fixed score binning — the evaluation
+    companion to :func:`fit_linear_probe` / :func:`quality_score`:
+    how well does a cheap score separate a trusted binary label?
+
+    Scores land in ``bins`` equal buckets over [0, 1); per bucket one
+    map-side-combinable (n_pos, n_neg) aggregation; AUC sums, over
+    buckets ascending, ``n_pos·(negatives below) + n_pos·n_neg/2``
+    (the within-bucket tie trapezoid) over ``P·N``. Exact for the
+    binned scores — and every intermediate is an integer or an exact
+    half, so the result is bit-reproducible in any engine regardless
+    of summation order; only the bins-row cumulative window (≤ bins
+    rows, never the corpus) orders anything.
+
+    Returns one row (n_pos, n_neg, auc rounded to 4dp).
+    """
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col).cast("int")
+    bucket = F.greatest(
+        F.least(F.floor(F.col(score_col) * bins).cast("long"), F.lit(bins - 1)),
+        F.lit(0),
+    )
+    per = df.groupBy(bucket.alias("bucket")).agg(
+        F.sum(lbl).alias("pos"),
+        F.sum(1 - lbl).alias("neg"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = F.col("pos") * F.coalesce(
+        F.sum("neg").over(w), F.lit(0)
+    ) + F.col("pos") * F.col("neg") / 2.0
+    agg = per.select(
+        F.col("pos"), F.col("neg"), contrib.alias("c")
+    ).agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum("c").alias("num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("num") / (F.col("n_pos") * F.col("n_neg")), 4
+        ).alias("auc"),
+    )

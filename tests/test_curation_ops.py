@@ -1547,3 +1547,41 @@ def test_mmr_rerank_k_exceeding_candidates(spark):
 def test_mmr_rerank_empty(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.mmr_rerank(emb, [1.0, 0.0], k=3).count() == 0
+
+
+def test_binned_auc_pinned(spark):
+    # perfect separation -> 1.0; reversed -> 0.0; identical scores -> 0.5
+    rows = [(i, 0.9 + i * 0.0001, 1) for i in range(10)]
+    rows += [(100 + i, 0.1 + i * 0.0001, 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    r = textstats.binned_auc(df, "score", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (10, 10, 1.0)
+
+    inv = df.withColumn("label", 1 - F.col("label"))
+    assert textstats.binned_auc(inv, "score", "label").collect()[0]["auc"] == 0.0
+
+    tied = df.withColumn("score", F.lit(0.5))
+    assert textstats.binned_auc(tied, "score", "label").collect()[0]["auc"] == 0.5
+
+
+def test_binned_auc_matches_exact_rank_auc(spark):
+    """With distinct in-bin scores, binned AUC equals the exact
+    Mann-Whitney rank AUC computed in Python."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, round(rng.random(), 3), 1 if rng.random() < 0.4 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = textstats.binned_auc(df, "score", "label", bins=1000).collect()[0]
+
+    pos = sorted(r[1] for r in rows if r[2] == 1)
+    neg = sorted(r[1] for r in rows if r[2] == 0)
+    num = 0.0
+    for p in pos:
+        for n in neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    want = round(num / (len(pos) * len(neg)), 4)
+    assert got["auc"] == want
