@@ -792,6 +792,21 @@ def q_dedup_cluster(spark, sf_dir):
     return _neardup_comp(spark, sf_dir)
 
 
+def q_degree_hist(spark, sf_dir):
+    """Candidate-graph degree histogram: per-doc degree in the banded
+    candidate-pair graph, bucketed — the skew audit for the
+    connected-components rounds (a hub is a hot shuffle key).
+    All-integer."""
+    pairs = dedup.minhash_band_pairs(_documents(spark, sf_dir))
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_cluster_sizes(spark, sf_dir):
     """Near-dup audit: histogram of transitive-cluster sizes (how much
     of the corpus collapses, and into how large clumps) — two tiny
@@ -1635,6 +1650,27 @@ def q_more_like_this(spark, sf_dir):
     )
 
 
+def q_zipf(spark, sf_dir):
+    """Zipf diagnostic: OLS slope/intercept/R² of ln(occurrences) on
+    ln(rank) over the vocabulary — the sanity plot behind stop-word,
+    champion-list and salting decisions, via the sufficient-stats
+    probe. The rank window is VOCABULARY-sized (never the corpus);
+    logs are 4dp-rounded before the fit so both engines sum identical
+    doubles."""
+    from pyspark.sql import Window
+
+    idx = _docs_index(spark, sf_dir)
+    occ = idx.postings.groupBy("term").agg(F.sum("tf").alias("occ"))
+    w = Window.orderBy(F.desc("occ"), F.asc("term"))
+    feat = occ.select(
+        F.round(
+            F.log(F.row_number().over(w).cast("double")), 4
+        ).alias("log_rank"),
+        F.round(F.log(F.col("occ").cast("double")), 4).alias("log_occ"),
+    )
+    return textstats.fit_linear_probe(feat, ["log_rank"], "log_occ")
+
+
 def q_skew_report(spark, sf_dir):
     """Heavy-hitter term diagnostic over the built index — the report
     that drives salting / champion-list decisions at 100 TB."""
@@ -1684,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_near_keep": q_dedup_near_keep,
         "dedup_cluster_sizes": q_cluster_sizes,
+        "dedup_degree_hist": q_degree_hist,
         "text_quality_hist": q_quality_hist,
         "dedup_keep_best": q_dedup_keep_best,
         "curate_decontam": q_curate_decontam,
@@ -1737,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_tfidf": q_hash_tfidf,
         "text_embed_topk": q_hash_embed_topk,
         "ftix_skew_report": q_skew_report,
+        "ftix_zipf": q_zipf,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
         "ftix_more_like": q_more_like_this,
@@ -2608,6 +2646,25 @@ SELECT d.doc_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 WHERE coalesce(c.component, d.doc_id) = d.doc_id
 """,
+        "dedup_degree_hist": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+    SELECT doc_a AS doc_id FROM cand
+    UNION ALL SELECT doc_b AS doc_id FROM cand
+  ) GROUP BY doc_id
+)
+SELECT degree, count(*)::BIGINT AS n_docs FROM deg GROUP BY degree
+""",
         "dedup_cluster_sizes": f"""
 WITH RECURSIVE {SH3_CTE},
 bands AS (
@@ -3313,6 +3370,24 @@ SELECT 'r2', round(1.0 - (syy - ((det0/det)*sy + (det1/det)*s1y
                                  + (det2/det)*s2y))
                        / (syy - sy*sy/n), 4) FROM sol
 """.format(raw_stop=RAW_STOP_IN),
+        "ftix_zipf": f"""
+WITH {TOK_CTE},
+occ AS (SELECT term, count(*) AS occ FROM tok GROUP BY term),
+r AS (SELECT round(ln(row_number()
+                      OVER (ORDER BY occ DESC, term ASC)), 4) AS x,
+             round(ln(occ), 4) AS y
+      FROM occ),
+m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+      FROM r),
+sol AS (SELECT n, sx, sy, sxy, syy,
+               (n*sxy - sx*sy)/(n*sxx - sx*sx) AS b1 FROM m),
+sol2 AS (SELECT *, (sy - b1*sx)/n AS b0 FROM sol)
+SELECT '(intercept)' AS feature, round(b0, 4) AS value FROM sol2
+UNION ALL SELECT 'log_rank', round(b1, 4) FROM sol2
+UNION ALL SELECT 'r2', round(1.0 - (syy - (b0*sy + b1*sxy))
+                                   / (syy - sy*sy/n), 4) FROM sol2
+""",
         "text_langid": f"""
 WITH tok AS (
   SELECT doc_id, t AS tok
