@@ -783,6 +783,16 @@ def q_lsh_recall(spark, sf_dir):
     return dedup.lsh_candidate_recall(_documents(spark, sf_dir))
 
 
+def q_winnow(spark, sf_dir):
+    """MOSS-style winnowing overlap report: pairs sharing >= 2
+    window-minimum 4-gram fingerprints (Schleimer et al. 2003 —
+    guaranteed to catch any shared run of >= k+w-1 tokens while
+    storing ~2/(w+1) of the grams). All-integer."""
+    return dedup.winnow_pairs(
+        _documents(spark, sf_dir), min_shared=2, k=4, window=5
+    )
+
+
 def q_dedup_cluster(spark, sf_dir):
     """Near-dup clusters: LSH-verified pairs closed under transitivity
     (distributed connected components — min-label propagation with
@@ -1721,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_keep": q_dedup_near_keep,
         "dedup_cluster_sizes": q_cluster_sizes,
         "dedup_degree_hist": q_degree_hist,
+        "dedup_winnow": q_winnow,
         "text_quality_hist": q_quality_hist,
         "dedup_keep_best": q_dedup_keep_best,
         "curate_decontam": q_curate_decontam,
@@ -2645,6 +2656,34 @@ bands AS (
 SELECT d.doc_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 WHERE coalesce(c.component, d.doc_id) = d.doc_id
+""",
+        # winnowing: per-doc 4-gram md5s with positions, window-of-5
+        # minima via a rows-frame min, selection rows pos <= max(m-4, 1)
+        # (short docs contribute the min over all their grams)
+        "dedup_winnow": """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+g0 AS (SELECT doc_id, pos,
+              tok || ' ' || lead(tok, 1) OVER w || ' '
+                  || lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS gram
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, pos, md5(gram) AS h FROM g0 WHERE gram IS NOT NULL),
+cnt AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM g
+),
+fps AS (
+  SELECT DISTINCT w.doc_id, w.fp
+  FROM wins w JOIN cnt USING (doc_id)
+  WHERE w.pos <= greatest(cnt.m - 4, 1)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "dedup_degree_hist": f"""
 WITH {SH3_CTE},

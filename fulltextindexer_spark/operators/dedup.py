@@ -877,3 +877,84 @@ def lsh_candidate_recall(
             .alias("recall_ppm"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every word k-gram, then keep the MINIMUM
+    hash of each sliding window of ``window`` consecutive k-grams.
+    Winnowing guarantees any shared run of ≥ k+window−1 tokens between
+    two documents shares at least one selected fingerprint, while
+    storing ~2/(window+1) of the grams — the robust local
+    fingerprinting tier between exact hashing (brittle) and full
+    shingle sets (heavy).
+
+    Pure array expressions per row (split → gram md5s → window minima
+    → distinct), zero shuffle before the output distinct; md5-on-string
+    keeps selection identical in any engine (hex strings compare
+    lexicographically everywhere). Documents shorter than one window
+    contribute the minimum over all their grams.
+
+    Returns (doc_id, fp) distinct.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_grams")
+    m = F.size(g)
+    wins = F.when(
+        m >= F.lit(window),
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(g, j, window)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(g))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
+        .select("doc_id", F.explode(wins).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    the MOSS-style overlap report. Same one-equi-join-per-unordered-
+    pair shape as the shingle verify tier, but over the winnowed ~2/(w+1)
+    subset, so the join input is a fraction of the full shingle set.
+    Returns (doc_a, doc_b, n_shared)."""
+    fps = persist_tracked(
+        winnow_fingerprints(docs, k, window, text_col, id_col),
+        scope="query",
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1585,3 +1585,46 @@ def test_binned_auc_matches_exact_rank_auc(spark):
             num += 1.0 if p > n else (0.5 if p == n else 0.0)
     want = round(num / (len(pos) * len(neg)), 4)
     assert got["auc"] == want
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing's core guarantee: two docs sharing a run of at least
+    k + window - 1 tokens share at least one selected fingerprint."""
+    from fulltextindexer_spark.operators import dedup
+
+    run = "one two three four five six seven eight"  # 8 = k+w-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc " + run + " dd ee"),
+            (2, run + " xx yy zz ww qq"),
+            (3, "totally different words with no common runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_short_doc_and_density(spark):
+    from fulltextindexer_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # exactly k tokens: 1 gram
+            (2, "a b c"),              # shorter than k: no grams
+            (3, " ".join(f"t{i}" for i in range(100))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(docs, k=4, window=5)
+    per = {r["doc_id"]: r["n"] for r in
+           fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per[1] == 1
+    assert 2 not in per
+    # 97 grams, 93 windows; distinct minima ~ 2/(w+1) of grams — loose
+    # sanity bounds, exact value depends on hashes
+    assert 2 <= per[3] <= 93
