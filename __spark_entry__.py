@@ -1042,6 +1042,41 @@ def q_pq_topk(spark, sf_dir):
     return similarity.pq_adc_topk(codes, books, qrow, k=10)
 
 
+def q_ivf_pq(spark, sf_dir):
+    """IVF-PQ (the FAISS IVFPQ composition): a coarse quantizer prunes
+    to the n_probe=2 nearest inverted lists, ADC scores only those
+    candidates — candidate volume × PQ compression in one query. The
+    coarse quantizer here is the 4-seed-vector argmin-L2 (expressed as
+    a 1-codebook pq_encode — the same deterministic cross-engine trick
+    as the PQ codebooks; swap train_kmeans lists in production)."""
+    emb = _embeddings(spark, sf_dir)
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    qrow = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 2).collect()[0]["embedding"]
+    ]
+    # coarse assignment: one 4-centroid codebook over the full vector
+    coarse = similarity.pq_encode(emb, [seeds]).select(
+        "vec_id", F.col("codes")[0].alias("centroid_id")
+    )
+    dists = [
+        (sum((a - b) * (a - b) for a, b in zip(qrow, s)), i)
+        for i, s in enumerate(seeds)
+    ]
+    probes = [i for _, i in sorted(dists)[:2]]
+    books = similarity.pq_seed_codebooks(emb, m=4, k=4)
+    codes = similarity.pq_encode(emb, books)
+    cand = codes.join(
+        coarse.where(F.col("centroid_id").isin(probes)).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    return similarity.pq_adc_topk(cand, books, qrow, k=10)
+
+
 def q_pq_recall(spark, sf_dir):
     """PQ quality audit: recall@10 of ADC against the exact squared-L2
     top-10 for the same query — metric-matched so the number isolates
@@ -1580,6 +1615,15 @@ def q_near(spark, sf_dir):
     return q.get_near_matches(idx, "sort", "table", slop=3)
 
 
+def q_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix (MultiPhraseQuery) matching: docs where a 'j…'
+    term immediately follows 'hash' — search-as-you-type completion of
+    a phrase; wildcard slot resolved against the vocabulary at query
+    time. All-integer."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.phrase_prefix_matches(idx, "hash", "j")
+
+
 def q_spell(spark, sf_dir):
     """'Did you mean' for the deletion-typo 'tabl': SymSpell deletion
     neighbourhood join + levenshtein<=1 verify, ranked (dist, df desc,
@@ -1748,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": q_mmr,
         "sim_pq_codes": q_pq_codes,
         "sim_pq_topk": q_pq_topk,
+        "sim_ivf_pq_topk": q_ivf_pq,
         "sim_pq_recall": q_pq_recall,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
@@ -1797,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_fuzzy": q_fuzzy,
         "ftix_batch_search": q_batch_search,
         "ftix_near": q_near,
+        "ftix_phrase_prefix": q_phrase_prefix,
         "text_keyterms": q_keyterms,
         "curate_sample": q_corpus_sample,
         "ftix_index_diff": q_index_diff,
@@ -2882,6 +2928,39 @@ SELECT vec_id,
        string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes
 FROM best WHERE rn = 1 GROUP BY vec_id
 """,
+        "sim_ivf_pq_topk": _PQ_CTES + """,
+d2full AS (SELECT e.vec_id, c.cid, sum((e.x - c.y) * (e.x - c.y)) AS d2
+           FROM ed e JOIN cdd c ON e.idx = c.idx
+           GROUP BY e.vec_id, c.cid),
+coarse AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d2full) WHERE rn = 1),
+qfull AS (SELECT c.cid, sum((q.x - c.y) * (q.x - c.y)) AS d2
+          FROM (SELECT unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS idx
+                FROM embeddings WHERE vec_id = 2) q
+          JOIN cdd c ON q.idx = c.idx GROUP BY c.cid),
+probes AS (SELECT cid FROM qfull ORDER BY d2, cid LIMIT 2),
+qd AS (
+  SELECT c.cid, (c.idx - 1) // 16 AS sub,
+         sum((q.x - c.y) * (q.x - c.y)) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings WHERE vec_id = 2) q
+  JOIN cdd c ON q.idx = c.idx
+  GROUP BY c.cid, (c.idx - 1) // 16
+),
+co AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1
+       AND vec_id IN (SELECT vec_id FROM coarse
+                      WHERE cid IN (SELECT cid FROM probes))),
+ad AS (SELECT co.vec_id, sum(qd.d2) AS adist
+       FROM co JOIN qd ON qd.sub = co.sub AND qd.cid = co.cid
+       GROUP BY co.vec_id)
+SELECT vec_id, round(adist, 4) AS adist FROM ad
+ORDER BY adist, vec_id LIMIT 10
+""",
         "sim_pq_topk": _PQ_CTES + """,
 qd AS (
   SELECT c.cid, (c.idx - 1) // 16 AS sub,
@@ -3663,6 +3742,17 @@ p AS (SELECT a.doc_id, abs(a.pos - b.pos) AS d
       FROM a JOIN b USING (doc_id) WHERE abs(a.pos - b.pos) <= 3)
 SELECT doc_id, min(d)::BIGINT AS min_dist, count(*)::BIGINT AS n_pairs
 FROM p GROUP BY doc_id
+""",
+        "ftix_phrase_prefix": f"""
+WITH {TOKP_CTE},
+a AS (SELECT doc_id, pos FROM tokp
+      WHERE term = '{english_plurality_normalise("hash")}'),
+b AS (SELECT doc_id, pos FROM tokp WHERE term LIKE 'j%'),
+m AS (SELECT a.doc_id, a.pos FROM a
+      JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+SELECT doc_id, count(*)::BIGINT AS n_matches,
+       CAST(min(pos) - 1 AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
 """,
         "ftix_spell": f"""
 WITH {TOK_CTE}, {POST_CTE},

@@ -1061,6 +1061,71 @@ def get_near_matches(
     )
 
 
+def phrase_prefix_matches(
+    index: InvertedIndex,
+    lead: str,
+    prefix: str,
+    k: Optional[int] = None,
+) -> DataFrame:
+    """Lucene MultiPhraseQuery / phrase-prefix shape ("hash j*"): docs
+    where a term starting with ``prefix`` immediately follows an
+    occurrence of ``lead`` in the same field — the search-as-you-type
+    completion of a phrase. The wildcard slot is resolved at query
+    time against the stored vocabulary (prefix = a sargable range
+    filter on the term-sorted postings, same pruning as
+    :func:`wildcard_matches`).
+
+    Returns all-integer ``(doc_id, n_matches, first_pos)``: qualifying
+    adjacent pairs and the earliest match position — callers rank by
+    ``n_matches desc`` or feed the doc set to a scorer.
+
+    Scale shape: two term-pruned posting reads (exact lead term;
+    prefix range), position explode of only those match sets, one
+    equi-join on (doc, field, adjacent index), one groupBy(doc) —
+    the NEAR op's job shape with the range predicate replaced by
+    adjacency.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for phrase-prefix"
+        )
+    tl = normalise_scalar(lead, index.config.normaliser)
+    if not tl or not prefix:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, n_matches long, first_pos long"
+        )
+    a = (
+        index.postings.where(F.col("term") == F.lit(tl))
+        .select("doc_id", F.explode("positions").alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.field_idx").alias("field_idx"),
+            F.col("p.token_idx").alias("ia"),
+        )
+    )
+    b = (
+        index.postings.where(F.col("term").startswith(prefix))
+        .select("doc_id", F.explode("positions").alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.field_idx").alias("field_idx"),
+            F.col("p.token_idx").alias("ib"),
+        )
+    )
+    out = (
+        a.join(b, ["doc_id", "field_idx"])
+        .where(F.col("ib") == F.col("ia") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ia").cast("long").alias("first_pos"),
+        )
+    )
+    if k is not None:
+        out = out.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+    return out
+
+
 def facet_counts(
     results: DataFrame,
     docs: DataFrame,

@@ -200,3 +200,32 @@ def test_regex_prefix_hint_does_not_change_result(index):
         for r in q.regex_matches(index, r"^s[a-z]*~$", prefix="s").collect()
     }
     assert a == b and a
+
+
+def test_phrase_prefix_matches(spark):
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import build_index
+
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join merge hash joint"),
+            (2, "hash table scan"),
+            (3, "join hash nothing"),   # wrong order: no adjacency
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, cfg)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in q.phrase_prefix_matches(idx, "hash", "j").collect()
+    }
+    # doc 1: 'hash join' at 0 and 'hash joint' at 3 -> 2 matches
+    assert got == {1: (2, 0)}
+    # empty prefix / unknown lead -> empty
+    assert q.phrase_prefix_matches(idx, "hash", "").count() == 0
+    assert q.phrase_prefix_matches(idx, "zzz", "j").count() == 0
