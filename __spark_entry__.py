@@ -1372,6 +1372,26 @@ def q_events_range(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered product funnel view→click→purchase (first-touch): one
+    keyed min-agg per step, time gate applied before each agg.
+    All-integer."""
+    from fulltextindexer_spark.operators.temporal import funnel_counts
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity week,
+    counted in every later week they reappear (epoch-aligned 7-day
+    periods, pure integer arithmetic). All-integer."""
+    from fulltextindexer_spark.operators.temporal import retention_cohorts
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return retention_cohorts(events, period_days=7)
+
+
 def q_events_dedup(spark, sf_dir):
     """Ingestion dedup (batch twin of the streaming
     dropDuplicatesWithinWatermark operator; stream==batch is
@@ -1807,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup": q_events_dedup,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
@@ -3221,6 +3243,37 @@ SELECT s.user_id,
 FROM sess s JOIN events e
   ON e.user_id = s.user_id AND e.ts BETWEEN s.s AND s.e
 GROUP BY s.user_id, s.s
+""",
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+       GROUP BY e.user_id)
+SELECT 1::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1)::BIGINT AS n_keys
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+""",
+        "events_retention": """
+WITH pe AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / (7::BIGINT * 86400 * 1000000))
+              AS BIGINT) AS p
+  FROM events
+),
+f AS (SELECT user_id, min(p) AS c FROM pe GROUP BY user_id)
+SELECT f.c AS cohort_period, (pe.p - f.c)::BIGINT AS period_offset,
+       count(*)::BIGINT AS n_active
+FROM pe JOIN f USING (user_id)
+GROUP BY f.c, pe.p - f.c
 """,
         "ftix_prune": f"""
 WITH {TOK_CTE},

@@ -134,3 +134,81 @@ def range_join_binned(
         )
         .drop("_bin")
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many ``by`` keys performed step 1, then
+    step 2 at-or-after their first step 1, then step 3 at-or-after
+    that, … (first-touch semantics — the standard product funnel).
+
+    Shape: one keyed min-aggregation per step, each joined to the
+    previous step's frame on the key with the time constraint applied
+    BEFORE the aggregation (a filter, not a non-equi join output:
+    every step frame stays one row per key). len(steps) keyed
+    shuffles, no window over the corpus.
+
+    Returns one row per step: (step, event_type, n_keys).
+    """
+    prev = None
+    rows = []
+    for i, step in enumerate(steps):
+        cur = events.where(F.col(type_col) == step).select(
+            F.col(by), F.col(ts_col).alias("_t")
+        )
+        if prev is not None:
+            cur = cur.join(
+                prev.select(by, F.col("_t").alias("_pt")), by
+            ).where(F.col("_t") >= F.col("_pt")).select(by, "_t")
+        cur = cur.groupBy(by).agg(F.min("_t").alias("_t"))
+        rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                "n_keys",
+            )
+        )
+        prev = cur
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention table: keys grouped by their FIRST activity
+    period (cohort), counted as retained in every later period they
+    reappear. Periods are epoch-aligned ``period_days`` buckets —
+    engine-portable integer arithmetic on epoch days, no calendar
+    functions.
+
+    Shape: one keyed min-agg (first period), one join back, one
+    (cohort, offset) count — all map-side-combinable.
+
+    Returns (cohort_period, period_offset, n_active), all-integer.
+    """
+    period = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(period_days * 86400 * 1_000_000)
+    ).cast("long")
+    pe = events.select(F.col(by), period.alias("_p"))
+    first = pe.groupBy(by).agg(F.min("_p").alias("_c"))
+    return (
+        pe.distinct()
+        .join(first, by)
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -167,3 +167,66 @@ def test_asof_join_random_vs_naive(spark):
                 int((ts - best_ts).total_seconds() * 1_000_000),
             )
     assert got == want
+
+
+def test_funnel_counts_pinned(spark):
+    from fulltextindexer_spark.operators.temporal import funnel_counts
+
+    events = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, _ts(0), 1, "view"), (2, _ts(1), 1, "click"),
+            (3, _ts(2), 1, "purchase"),
+            # user 2: click BEFORE view -> counts for view only
+            (4, _ts(0), 2, "click"), (5, _ts(1), 2, "view"),
+            # user 3: view + click, no purchase
+            (6, _ts(0), 3, "view"), (7, _ts(3), 3, "click"),
+            # user 4: purchase only -> no step
+            (8, _ts(0), 4, "purchase"),
+        ],
+        EV_DDL,
+    )
+    got = {
+        r["step"]: (r["event_type"], r["n_keys"])
+        for r in funnel_counts(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_same_timestamp_counts(spark):
+    """At-or-after semantics: a step at the same instant as the
+    previous step's first touch counts."""
+    from fulltextindexer_spark.operators.temporal import funnel_counts
+
+    events = spark.createDataFrame(
+        [(1, _ts(0), 1, "view"), (2, _ts(0), 1, "click")], EV_DDL
+    )
+    got = {r["step"]: r["n_keys"]
+           for r in funnel_counts(events, ["view", "click"]).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_retention_cohorts_pinned(spark):
+    from fulltextindexer_spark.operators.temporal import retention_cohorts
+
+    base = dt.datetime(2024, 1, 4)  # epoch-aligned week boundary region
+    rows = [
+        (1, base, 1, "view"),
+        (2, base + dt.timedelta(days=8), 1, "view"),    # week +1
+        (3, base + dt.timedelta(days=15), 1, "view"),   # week +2
+        (4, base + dt.timedelta(days=8), 2, "view"),    # cohort +1
+        (5, base + dt.timedelta(days=9), 2, "view"),    # same period
+    ]
+    events = spark.createDataFrame(rows, EV_DDL)
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(events, period_days=7).collect()
+    }
+    weeks = sorted({c for c, _ in got})
+    c1 = weeks[0]
+    # user 1 cohort c1 active offsets 0,1,2; user 2 cohort c1+1 offset 0
+    assert got[(c1, 0)] == 1 and got[(c1, 1)] == 1 and got[(c1, 2)] == 1
+    assert got[(c1 + 1, 0)] == 1
+    assert len(got) == 4
