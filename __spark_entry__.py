@@ -1077,6 +1077,25 @@ def q_ivf_pq(spark, sf_dir):
     return similarity.pq_adc_topk(cand, books, qrow, k=10)
 
 
+def q_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ quality audit: recall@10 of the pruned+compressed query
+    against exact squared-L2 — reads coarse-pruning loss AND
+    quantisation loss together (compare with sim_pq_recall to isolate
+    the pruning share)."""
+    approx = q_ivf_pq(spark, sf_dir)
+    exact = similarity.l2_topk(
+        _embeddings(spark, sf_dir),
+        [
+            float(x)
+            for x in _embeddings(spark, sf_dir)
+            .where(F.col("vec_id") == 2)
+            .collect()[0]["embedding"]
+        ],
+        k=10,
+    )
+    return similarity.topk_recall(approx, exact, 10)
+
+
 def q_pq_recall(spark, sf_dir):
     """PQ quality audit: recall@10 of ADC against the exact squared-L2
     top-10 for the same query — metric-matched so the number isolates
@@ -1813,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_pq_codes,
         "sim_pq_topk": q_pq_topk,
         "sim_ivf_pq_topk": q_ivf_pq,
+        "sim_ivf_pq_recall": q_ivf_pq_recall,
         "sim_pq_recall": q_pq_recall,
         "dedup_keep": q_dedup_keep,
         "text_token_count": q_token_count,
@@ -2982,6 +3002,47 @@ ad AS (SELECT co.vec_id, sum(qd.d2) AS adist
        GROUP BY co.vec_id)
 SELECT vec_id, round(adist, 4) AS adist FROM ad
 ORDER BY adist, vec_id LIMIT 10
+""",
+        "sim_ivf_pq_recall": _PQ_CTES + """,
+d2full AS (SELECT e.vec_id, c.cid, sum((e.x - c.y) * (e.x - c.y)) AS d2
+           FROM ed e JOIN cdd c ON e.idx = c.idx
+           GROUP BY e.vec_id, c.cid),
+coarse AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d2full) WHERE rn = 1),
+qfull AS (SELECT c.cid, sum((q.x - c.y) * (q.x - c.y)) AS d2
+          FROM (SELECT unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS idx
+                FROM embeddings WHERE vec_id = 2) q
+          JOIN cdd c ON q.idx = c.idx GROUP BY c.cid),
+probes AS (SELECT cid FROM qfull ORDER BY d2, cid LIMIT 2),
+qd AS (
+  SELECT c.cid, (c.idx - 1) // 16 AS sub,
+         sum((q.x - c.y) * (q.x - c.y)) AS d2
+  FROM (SELECT unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings WHERE vec_id = 2) q
+  JOIN cdd c ON q.idx = c.idx
+  GROUP BY c.cid, (c.idx - 1) // 16
+),
+co AS (SELECT vec_id, sub, cid FROM best WHERE rn = 1
+       AND vec_id IN (SELECT vec_id FROM coarse
+                      WHERE cid IN (SELECT cid FROM probes))),
+approx AS (
+  SELECT co.vec_id FROM co JOIN qd ON qd.sub = co.sub AND qd.cid = co.cid
+  GROUP BY co.vec_id ORDER BY sum(qd.d2), co.vec_id LIMIT 10
+),
+bf AS (SELECT e.vec_id, e.x, qq.x AS y
+       FROM ed e JOIN (SELECT idx, x FROM ed WHERE vec_id = 2) qq
+         ON e.idx = qq.idx),
+exact AS (SELECT vec_id FROM
+            (SELECT vec_id, sum((x - y) * (x - y)) AS d2
+             FROM bf GROUP BY vec_id)
+          ORDER BY d2, vec_id LIMIT 10)
+SELECT round(count(*) / 10.0, 4) AS recall
+FROM approx WHERE approx.vec_id IN (SELECT vec_id FROM exact)
 """,
         "sim_pq_topk": _PQ_CTES + """,
 qd AS (
