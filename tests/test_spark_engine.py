@@ -1186,3 +1186,40 @@ def test_rrf_fuse_known_ranks(spark):
     assert top2 == [2, 1]
     with pytest.raises(ValueError, match="at least two"):
         q.rrf_fuse([a])
+
+
+def test_consecutive_combining_reference_fixture_spans(spark):
+    """The reference's own T4 test values, verbatim: 'one two three'
+    with max 3 must emit combined tokens carrying the FIRST token's
+    index and the WHOLE source segment's span (separators included) —
+    (0,0,7) for 'one two', (1,4,9) for 'two three', (0,0,13) for the
+    triple (ConsecutiveTokenCombiningTokenBreakerTests.cs:17-44)."""
+    from fulltextindexer_spark.config import ConsecutiveCombineConfig
+    from fulltextindexer_spark.functions.normalize import normalise_scalar
+
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+        consecutive_combine=ConsecutiveCombineConfig(max_tokens=3),
+    )
+    df = spark.createDataFrame([(1, "one two three")], "id long, text string")
+    idx = build_index(df, cfg)
+    norm = lambda t: normalise_scalar(t, cfg.normaliser)
+    got = {
+        r["term"]: (
+            r["positions"][0]["token_idx"],
+            r["positions"][0]["src_idx"],
+            r["positions"][0]["src_len"],
+        )
+        for r in idx.postings.collect()
+    }
+    want = {
+        norm("one"): (0, 0, 3),
+        norm("two"): (1, 4, 3),
+        norm("three"): (2, 8, 5),
+        norm("one two"): (0, 0, 7),
+        norm("two three"): (1, 4, 9),
+        norm("one two three"): (0, 0, 13),
+    }
+    assert got == want
