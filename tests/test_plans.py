@@ -427,3 +427,54 @@ def test_wildcard_prefix_reaches_saved_scan(spark, index, tmp_path):
     plan = _plan(q.wildcard_matches(loaded, "ha*~"))
     assert "PushedFilters" in plan
     assert "StringStartsWith(term,ha)" in plan, plan
+
+
+def test_new_jvm_operators_have_no_python_nodes(spark):
+    """Every operator added in the continuation session that claims to
+    be pure-JVM must plan without BatchEvalPython / ArrowEvalPython /
+    MapInPandas nodes (Python in a hot path is the engine's no-go)."""
+    import datetime as dt
+
+    from fulltextindexer_spark.operators import dedup, textstats
+    from fulltextindexer_spark.operators.temporal import (
+        asof_join,
+        funnel_counts,
+        range_join_binned,
+        retention_cohorts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "en", "a b c d e f g h") for i in range(20)],
+        "doc_id long, source string, lang string, text string",
+    )
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, i % 60), i % 3, "view")
+         for i in range(40)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    iv = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 1))],
+        "user_id long, session_start timestamp, session_end timestamp",
+    )
+    frames = [
+        textstats.unigram_lm_score(docs, docs),
+        textstats.bigram_lm_score(docs, docs),
+        textstats.quality_quantile_gate(docs),
+        textstats.mix_plan(docs, {"s0": 0.5}),
+        textstats.corpus_report_rollup(docs),
+        textstats.binned_auc(
+            textstats.quality_score(docs).withColumn("label", F.lit(1)),
+            "quality", "label",
+        ),
+        dedup.winnow_fingerprints(docs),
+        dedup.lsh_candidate_recall(docs),
+        asof_join(ev, ev.where(F.col("event_type") == "view")),
+        range_join_binned(ev, iv),
+        funnel_counts(ev, ["view"]),
+        retention_cohorts(ev),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, (marker, plan[:2000])
