@@ -1677,6 +1677,26 @@ def q_suggest(spark, sf_dir):
     return spell.suggest_prefix(_docs_index(spark, sf_dir), "s", k=10)
 
 
+def q_sql_surface(spark, sf_dir):
+    """SQL-first surface: the index registered as temp views
+    (InvertedIndex.create_views) and queried with pure spark.sql —
+    Catalyst plans it exactly like the DataFrame API. AND-sum over
+    'merge sort' expressed declaratively."""
+    idx = _docs_index(spark, sf_dir)
+    idx.create_views("ftix")
+    mt = english_plurality_normalise("merge")
+    st = english_plurality_normalise("sort")
+    return spark.sql(
+        f"""
+        SELECT doc_id, round(CAST(sum(weight) AS DOUBLE), 4) AS score
+        FROM ftix_postings
+        WHERE term IN ('{mt}', '{st}')
+        GROUP BY doc_id
+        HAVING count(DISTINCT term) = 2
+        """
+    )
+
+
 def q_batch_search(spark, sf_dir):
     """Many queries, ONE job: three AND-sum queries share a single
     term join + one (query, doc) aggregation — the batched serving /
@@ -1883,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_regex": q_regex,
         "ftix_fuzzy": q_fuzzy,
         "ftix_batch_search": q_batch_search,
+        "ftix_sql": q_sql_surface,
         "ftix_near": q_near,
         "ftix_phrase_prefix": q_phrase_prefix,
         "text_keyterms": q_keyterms,
@@ -3886,6 +3907,13 @@ ORDER BY df DESC, term ASC LIMIT 10
 WITH {TOK_CTE}, {POST_CTE}
 SELECT doc_id, round(sum(w), 4) AS score FROM post
 WHERE term LIKE 's%t~' GROUP BY doc_id
+""",
+        "ftix_sql": f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT doc_id, round(sum(w), 4) AS score FROM post
+WHERE term IN ('{english_plurality_normalise("merge")}',
+               '{english_plurality_normalise("sort")}')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
 """,
         "ftix_batch_search": f"""
 WITH {TOK_CTE}, {POST_CTE},

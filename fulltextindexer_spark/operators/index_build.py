@@ -729,6 +729,26 @@ class InvertedIndex:
             self.natural_key,
         )
 
+    def create_views(self, prefix: str = "ftix") -> list:
+        """Register the index as session temp views for the SQL-first
+        surface: ``<prefix>_postings`` (term, doc_id, weight, tf, dl
+        [, positions]) and ``<prefix>_terms`` (term, df, occurrences) —
+        any `spark.sql` consumer (BI layer, notebook, another team's
+        job) can then query the index declaratively and Catalyst plans
+        it exactly like the DataFrame API (same pushdown, same joins).
+
+        Returns the created view names. Views are session-scoped
+        metadata only — nothing is materialised or copied.
+        """
+        p = f"{prefix}_postings"
+        t = f"{prefix}_terms"
+        self.postings.createOrReplaceTempView(p)
+        self.postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("occurrences"),
+        ).createOrReplaceTempView(t)
+        return [p, t]
+
     def _merge(self, unioned: DataFrame) -> DataFrame:
         """Re-aggregate after a union (reference IndexData.Combine:69-116:
         entry weights combined per (term, key) with the configured

@@ -1223,3 +1223,41 @@ def test_consecutive_combining_reference_fixture_spans(spark):
         norm("one two three"): (0, 0, 13),
     }
     assert got == want
+
+
+def test_create_views_sql_equals_dataframe_api(spark):
+    """The SQL surface (create_views + spark.sql) returns exactly the
+    DataFrame API's result, and the terms view aggregates df /
+    occurrences correctly."""
+    df = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "hash table"), (3, "merge sort")],
+        "id long, text string",
+    )
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    idx = build_index(df, cfg)
+    views = idx.create_views("vtest")
+    assert views == ["vtest_postings", "vtest_terms"]
+    from fulltextindexer_spark.functions.normalize import normalise_scalar
+
+    ht = normalise_scalar("hash", cfg.normaliser)
+    got = {
+        (r["doc_id"], np.float32(r["score"]))
+        for r in spark.sql(
+            f"SELECT doc_id, sum(weight) AS score FROM vtest_postings "
+            f"WHERE term = '{ht}' GROUP BY doc_id"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], np.float32(r["score"]))
+        for r in q.get_partial_matches(idx, "hash").collect()
+    }
+    assert got == want
+    terms = {
+        r["term"]: (r["df"], r["occurrences"])
+        for r in spark.sql("SELECT * FROM vtest_terms").collect()
+    }
+    assert terms[ht] == (2, 3)
