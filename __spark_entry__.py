@@ -41,6 +41,7 @@ from fulltextindexer_spark.operators import (
     bm25,
     decontam,
     dedup,
+    packing,
     similarity,
     spell,
     textstats,
@@ -469,6 +470,51 @@ def q_search_or_sum(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
     return _round_score(
         q.get_partial_matches(idx, "merge tree", combiner="or_sum")
+    )
+
+
+CODE_IDS_CONFIG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    prefix_expansion=PrefixExpansionConfig(2, 255, 0.5, mode="identifier"),
+)
+
+
+def q_code_ids(spark, sf_dir):
+    """Code-identifier segment search: the corpus is deterministically
+    'camelized' (adjacent lowercase word pairs joined with '_' — the
+    same one-regex rewrite runs in the oracle), indexed with
+    mode='identifier' expansion, and queried with plain words that now
+    exist ONLY inside snake_case identifiers — exercising the
+    segment-splitting path end-to-end. Segment weight = 0.5 × parent
+    weight; standalone leftover words keep parent weight 1.0."""
+    key = ("code_ids", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(
+                "text", "([a-z]+) ([a-z]+)", "$1_$2"
+            ).alias("text"),
+        )
+        idx = build_index(docs, CODE_IDS_CONFIG)
+        cachereg.persist_tracked(idx.postings)
+        _INDEX_CACHE[key] = idx
+    return _round_score(
+        q.get_partial_matches(_INDEX_CACHE[key], "agg scan")
+    )
+
+
+def q_min_should(spark, sf_dir):
+    """minimum_should_match gate: 'merge sort tree' scored or_sum but
+    only docs matching >= 2 of the 3 query slots qualify — the
+    Lucene/Elasticsearch dial between the reference's AND gate
+    (DefaultWeightCombiner) and a bare OR."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        q.get_partial_matches(
+            idx, "merge sort tree", combiner="or_sum", min_match=2
+        )
     )
 
 
@@ -1498,6 +1544,25 @@ def q_text_patterns(spark, sf_dir):
     return textstats.pattern_stats(_documents(spark, sf_dir))
 
 
+def q_curate_gopher(spark, sf_dir):
+    """Gopher-rules conjunctive quality gate: keep docs inside the
+    published heuristic bounds (token window, mean word length,
+    stop-word presence, repetition caps)."""
+    return textstats.gopher_filter(_documents(spark, sf_dir))
+
+
+def q_text_encoding(spark, sf_dir):
+    """Encoding-quality signals: replacement chars, control-char and
+    ASCII ratios, mojibake lead-sequence hits."""
+    return textstats.encoding_stats(_documents(spark, sf_dir))
+
+
+def q_curate_pack(spark, sf_dir):
+    """Concat-and-chunk sequence-packing manifest at block 2048 —
+    which slice of which doc lands where in which training sequence."""
+    return packing.pack_sequences(_documents(spark, sf_dir), block_size=2048)
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
@@ -1799,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_or": q_search_or,
         "ftix_search_not": q_search_not,
         "ftix_search_or_sum": q_search_or_sum,
+        "ftix_min_should": q_min_should,
+        "ftix_code_ids": q_code_ids,
         "ftix_field_scoped": q_field_scoped,
         "ftix_synonyms": q_synonyms,
         "ftix_paginate": q_paginate,
@@ -1885,6 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_rollup": q_rollup_report,
         "curate_quality_auc": q_quality_auc,
         "text_patterns": q_text_patterns,
+        "curate_gopher": q_curate_gopher,
+        "curate_pack": q_curate_pack,
+        "text_encoding": q_text_encoding,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
         "curate_report": q_corpus_report,
@@ -2482,6 +2552,52 @@ SELECT doc_id, round(sum(w), 4) AS score FROM post
 WHERE term IN ('{english_plurality_normalise("merge")}',
                '{english_plurality_normalise("tree")}')
 GROUP BY doc_id
+""",
+        "ftix_min_should": f"""
+WITH {TOK_CTE}, {POST_CTE},
+m AS (SELECT doc_id, term, w FROM post
+      WHERE term IN ('{english_plurality_normalise("merge")}',
+                     '{english_plurality_normalise("sort")}',
+                     '{english_plurality_normalise("tree")}')),
+ok AS (SELECT doc_id FROM m GROUP BY doc_id
+       HAVING count(DISTINCT term) >= 2)
+SELECT m.doc_id, round(sum(m.w), 4) AS score
+FROM m JOIN ok USING (doc_id) GROUP BY m.doc_id
+""",
+        "ftix_code_ids": f"""
+WITH ctext AS (
+  SELECT doc_id,
+         regexp_replace(text, '([a-z]+) ([a-z]+)', '\\1_\\2', 'g') AS text
+  FROM documents
+),
+ctok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM ctext)
+  WHERE t <> ''
+),
+seg AS (
+  SELECT doc_id, unnest(string_split(t, '_')) AS s,
+         len(string_split(t, '_')) AS nseg
+  FROM ctok
+),
+sterm AS (
+  SELECT doc_id, {stem_sql_case_expr('s')} AS term,
+         CASE WHEN nseg = 1 THEN 1.0 ELSE 0.5 END AS mult
+  FROM seg WHERE s <> '' AND (nseg = 1 OR length(s) >= 2)
+),
+spost AS (
+  SELECT doc_id, term,
+         sum(mult * CASE WHEN term IN ({STOP_IN}) THEN 0.01 ELSE 1.0 END)
+             AS w
+  FROM sterm GROUP BY doc_id, term
+),
+m AS (SELECT doc_id, term, w FROM spost
+      WHERE term IN ('{english_plurality_normalise("agg")}',
+                     '{english_plurality_normalise("scan")}')),
+ok AS (SELECT doc_id FROM m GROUP BY doc_id
+       HAVING count(DISTINCT term) = 2)
+SELECT m.doc_id, round(sum(m.w), 4) AS score
+FROM m JOIN ok USING (doc_id) GROUP BY m.doc_id
 """,
         "ftix_querier_max": f"""
 WITH {TOK_CTE}, {POST_CTE}
@@ -3675,6 +3791,83 @@ SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
        tt.top_token_ratio
 FROM tt LEFT JOIN gs USING (doc_id)
 """,
+        "text_encoding": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '�'))::BIGINT AS n_replacement,
+       round((length(text)
+              - length(regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 4) AS control_ratio,
+       round((length(text)
+              - length(regexp_replace(text,
+                       '[\\x20-\\x7E\\x09\\x0A\\x0D]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 4) AS ascii_ratio,
+       (len(regexp_extract_all(text, 'Ã[\\x80-\\xBF]'))
+        + len(regexp_extract_all(text, 'â€')))::BIGINT AS mojibake_hits
+FROM documents
+""",
+        "curate_pack": """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_toks
+  FROM documents
+),
+nz AS (SELECT * FROM n WHERE n_toks > 0),
+c AS (SELECT doc_id, n_toks,
+             sum(n_toks) OVER (ORDER BY doc_id)::BIGINT AS cum_end
+      FROM nz),
+s AS (SELECT doc_id, n_toks, cum_end, cum_end - n_toks AS cum_start FROM c)
+SELECT s.doc_id,
+       t.seq_id::BIGINT AS seq_id,
+       (greatest(s.cum_start, t.seq_id * 2048)
+        - t.seq_id * 2048)::BIGINT AS seq_offset,
+       (least(s.cum_end, (t.seq_id + 1) * 2048)
+        - greatest(s.cum_start, t.seq_id * 2048))::BIGINT AS n_tokens
+FROM s, UNNEST(range(s.cum_start // 2048,
+                     (s.cum_end - 1) // 2048 + 1)) AS t(seq_id)
+""",
+        "curate_gopher": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(length(tok)), 4) AS avg_token_len,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+g0 AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, g FROM g0 WHERE g IS NOT NULL AND g <> ''),
+gs AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 4)
+                AS dup_kgram_ratio
+       FROM g GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok <> ''
+       GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, round(max(tf) * 1.0 / sum(tf), 4) AS top_token_ratio
+       FROM tf GROUP BY doc_id),
+rep AS (
+  SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
+         tt.top_token_ratio
+  FROM tt LEFT JOIN gs USING (doc_id)
+)
+SELECT s.doc_id, s.n_tokens, s.avg_token_len, s.stopword_ratio,
+       r.dup_kgram_ratio, r.top_token_ratio
+FROM stats s JOIN rep r USING (doc_id)
+WHERE s.n_tokens BETWEEN 15 AND 10000
+  AND s.avg_token_len BETWEEN 3.0 AND 10.0
+  AND s.stopword_ratio >= 0.1
+  AND r.dup_kgram_ratio <= 0.3
+  AND r.top_token_ratio <= 0.3
+""".format(raw_stop=RAW_STOP_IN),
         "text_patterns": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,

@@ -62,6 +62,16 @@ class PrefixExpansionConfig:
     loop; the reference's high-surrogate fragment guard (:155-161)
     holds structurally here — expansion operates on Unicode code
     points, so a fragment can never split a surrogate pair.
+
+    ``mode="identifier"`` targets the source-code corpus: each token is
+    additionally indexed as its identifier segments — split at
+    ``_``/``-``/``.`` separators, camelCase humps, and
+    ACRONYMBoundaries (the two-regex rule, lookahead-free so the same
+    rule runs under Java regex and RE2) — so a query for ``config``
+    finds ``parse_config``, ``ParseConfig`` and ``HTTPConfigServer``.
+    Segments equal to the whole token are not re-emitted (the parent
+    token already indexes them); [min_len, max_len] bounds apply to
+    raw segment length.
     """
 
     min_len: int = 3
@@ -77,7 +87,7 @@ class PrefixExpansionConfig:
     weight_rule: str = "constant"
 
     def __post_init__(self):
-        if self.mode not in ("prefix", "substring"):
+        if self.mode not in ("prefix", "substring", "identifier"):
             raise ValueError(f"unknown expansion mode: {self.mode!r}")
         if self.weight_rule not in ("constant", "proportional"):
             raise ValueError(f"unknown weight_rule: {self.weight_rule!r}")

@@ -352,6 +352,63 @@ def expand_prefixes(
     return out
 
 
+# identifier segmentation (mode="identifier"): the classic two-rule
+# camel splitter. Both rules are lookahead-free, so the SAME rule text
+# is valid under Java regex (Spark), RE2 (DuckDB) and Python re — the
+# cross-engine contract the oracle gates rely on.
+ID_ACRONYM_RULE = (r"([A-Z]+)([A-Z][a-z])", r"\1 \2")  # HTTPServer → HTTP Server
+ID_CAMEL_RULE = (r"([a-z0-9])([A-Z])", r"\1 \2")  # parseConfig → parse Config
+ID_SEPARATOR_RE = r"[_\-. ]+"  # snake/kebab/dotted + the inserted spaces
+
+
+def expand_identifiers(
+    tokens: pd.DataFrame,
+    min_len: int = 2,
+    max_len: int = 255,
+) -> pd.DataFrame:
+    """Identifier-segment variations for a ``tokenize_frame`` output
+    (``PrefixExpansionConfig(mode="identifier")``, aimed at the
+    source-code corpus: ``parse_config`` / ``ParseConfig`` /
+    ``HTTPConfigParser`` all additionally index ``parse``/``config``
+    segments so a plain-word query finds them).
+
+    Splitting = acronym rule, then camel rule, then separator split
+    (:data:`ID_ACRONYM_RULE` / :data:`ID_CAMEL_RULE` /
+    :data:`ID_SEPARATOR_RE`). Segments keep the parent's token_idx /
+    src_idx / src_len (the source location marks the whole identifier,
+    same contract as prefix variants, PartialMatchingTokenBreaker.cs:
+    99-107); ``variant_rank`` is the segment ordinal so the combine
+    fold keeps left-to-right segment order. Segments equal to the full
+    token are dropped — the parent token already indexes them — and
+    raw segment length is bounded to [min_len, max_len]. Case is left
+    to the index's normaliser like every other variant.
+    """
+    if tokens.empty:
+        return tokens.iloc[0:0].assign(variant_rank=np.int64(0))
+    s = tokens["token"]
+    seg_lists = (
+        s.str.replace(ID_ACRONYM_RULE[0], ID_ACRONYM_RULE[1], regex=True)
+        .str.replace(ID_CAMEL_RULE[0], ID_CAMEL_RULE[1], regex=True)
+        .str.split(ID_SEPARATOR_RE, regex=True)
+    )
+    counts = seg_lists.str.len().to_numpy(dtype=np.int64)
+    parent_idx = np.repeat(np.arange(len(tokens)), counts)
+    segs = np.concatenate([np.asarray(l, dtype=object) for l in seg_lists])
+    ranks = np.concatenate([np.arange(c) for c in counts if c > 0])
+    seg_len = np.fromiter((len(x) for x in segs), np.int64, len(segs))
+    keep = (
+        (seg_len >= min_len)
+        & (seg_len <= max_len)
+        & (segs != s.to_numpy()[parent_idx])
+    )
+    if not keep.any():
+        return tokens.iloc[0:0].assign(variant_rank=np.int64(0))
+    out = tokens.iloc[parent_idx[keep]].copy().reset_index(drop=True)
+    out["token"] = segs[keep]
+    out["variant_rank"] = ranks[keep]
+    return out
+
+
 def expand_substrings(
     tokens: pd.DataFrame,
     min_len: int,

@@ -53,6 +53,7 @@ from fulltextindexer_spark.functions.normalize import (
     normalise_series,
 )
 from fulltextindexer_spark.functions.tokenize import (
+    expand_identifiers,
     expand_prefixes,
     expand_substrings,
     tokenize_frame,
@@ -126,6 +127,10 @@ def _expand_partial(toks: pd.DataFrame, pe) -> pd.DataFrame:
         # all-offsets contains mode; expand_substrings carries its own
         # (offset, length) enumeration order
         pre = expand_substrings(toks, pe.min_len, pe.max_len)
+    elif pe.mode == "identifier":
+        # code-identifier segments; expand_identifiers carries the
+        # segment-ordinal enumeration order
+        pre = expand_identifiers(toks, pe.min_len, pe.max_len)
     else:
         pre = expand_prefixes(toks, pe.min_len, pe.max_len)
         if not pre.empty:

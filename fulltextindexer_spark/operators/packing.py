@@ -1,0 +1,149 @@
+"""Sequence packing for LLM pretraining: concatenate the corpus's
+token stream (documents in ``doc_id`` order) and slice it into
+fixed-length training sequences ("concat-and-chunk" packing, the
+standard GPT-style data loader shape). The output is a *span
+manifest* — one row per (document, sequence) overlap telling the
+loader which slice of which document lands where in which training
+sequence — not materialised token arrays, so the operator's output is
+O(rows), never O(tokens).
+
+Scale design: the global prefix sum over per-document token counts is
+the only inherently ordered step. A naive ``Window.orderBy(doc_id)``
+with no partition key collapses the corpus onto ONE task — at 100 TB
+that is the job. Instead we run the classic two-phase distributed
+prefix sum:
+
+1. bucket documents by a monotone range function of ``doc_id``
+   (min/max from one cheap aggregate; a double-ratio floor stays
+   monotone even for xxhash64-spread ids where integer arithmetic
+   would overflow),
+2. cumsum *within* each bucket (a partitioned window — parallel),
+3. cumsum *across* buckets on the bucket-totals frame (≤ ``n_buckets``
+   rows, driver-collected) and add the broadcast per-bucket offset.
+
+Cost: two aggregates (one collecting ``n_buckets`` rows), one window
+shuffle keyed by bucket, one broadcast join of an ``n_buckets``-row
+frame. No global single-partition stage; bucket skew affects balance
+only, never correctness, because bucket boundaries are monotone in
+``doc_id``.
+
+No reference-parity citation: FullTextIndexer has no training-data
+packer — this is part of the LLM-pipeline operator suite alongside
+``textstats`` / ``dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.cachereg import persist_tracked
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    block_size: int = 2048,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span manifest of concat-and-chunk packing at ``block_size``.
+
+    Documents are laid head-to-tail in ``doc_id`` order (whitespace
+    token counts; empty docs are skipped) and the stream is cut every
+    ``block_size`` tokens. Each output row is one document×sequence
+    overlap::
+
+        (doc_id, seq_id, seq_offset, n_tokens)
+
+    - ``seq_id``: 0-based training-sequence index,
+    - ``seq_offset``: where this document's slice starts inside the
+      sequence (0 ≤ seq_offset < block_size),
+    - ``n_tokens``: slice length; a document longer than a sequence
+      spans several rows, summing to its full token count.
+
+    Invariants (pinned in tests): per-doc slices sum to the doc's
+    token count; per-sequence slices sum to ``block_size`` (except the
+    final sequence); slices within a sequence tile it contiguously.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    nz = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+    # three downstream actions (min/max, bucket totals, the manifest)
+    # must not re-tokenise the corpus three times
+    nz = persist_tracked(nz, scope="query")
+
+    lo, hi = nz.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return nz.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("seq_id"),
+            F.lit(0).cast("long").alias("seq_offset"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    span = float(hi - lo) + 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col("doc_id") - F.lit(lo)).cast("double")
+            / F.lit(span)
+            * F.lit(n_buckets)
+        ),
+    ).alias("bucket")
+    nz = nz.select("doc_id", "n_toks", bucket)
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = nz.withColumn("cum_in", F.sum("n_toks").over(w_in))
+
+    # bucket totals: ≤ n_buckets rows — driver prefix, broadcast back
+    totals = {
+        r["bucket"]: r["t"]
+        for r in nz.groupBy("bucket").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        acc += int(totals[b])
+    off_df = cum_in.sparkSession.createDataFrame(
+        offsets, "bucket long, bucket_offset long"
+    )
+    cum = cum_in.join(F.broadcast(off_df), "bucket").select(
+        "doc_id",
+        "n_toks",
+        (F.col("bucket_offset") + F.col("cum_in")).alias("cum_end"),
+    )
+
+    B = F.lit(block_size).cast("long")
+    cs = (F.col("cum_end") - F.col("n_toks")).alias("cum_start")
+    spans = cum.select("doc_id", "n_toks", "cum_end", cs).select(
+        "doc_id",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum_start") / B),
+                F.floor((F.col("cum_end") - 1) / B),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("cum_start"), F.col("seq_id") * B)
+    seg_end = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * B)
+    return spans.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("seq_id") * B).cast("long").alias("seq_offset"),
+        (seg_end - seg_start).cast("long").alias("n_tokens"),
+    )

@@ -99,6 +99,7 @@ def get_partial_matches(
     k: Optional[int] = None,
     combiner: str = "and_sum",
     synonyms=None,
+    min_match: Optional[int] = None,
 ) -> DataFrame:
     """Multi-term scoring. Returns (doc_id, score), optionally top-k
     ordered by (score desc, doc_id asc).
@@ -119,6 +120,15 @@ def get_partial_matches(
     query token; alternatives that normalise onto an already-present
     (term, slot) pair dedupe. The query stays one broadcast join — the
     term list just grows by the synonym count.
+
+    ``min_match`` (optional) is the Lucene/Elasticsearch
+    ``minimum_should_match`` dial between the two gates the reference
+    exposes: a doc qualifies when at least ``min_match`` DISTINCT query
+    token slots matched (clamped to [1, n_tokens]). It overrides the
+    combiner's own gate (``and_`` ⇒ n_tokens, ``or_`` ⇒ 1); the fold
+    half of ``combiner`` still picks sum-vs-max scoring. Same single
+    broadcast join + per-doc fold — the gate is one extra array
+    expression, no added shuffle.
     """
     require_all, fold = _parse_combiner(combiner)
     spark = index.postings.sparkSession
@@ -143,7 +153,9 @@ def get_partial_matches(
         rows = sorted(set(rows) | set(extra))
     qdf = spark.createDataFrame(rows, "term string, token_idx int")
     matched = index.postings.join(F.broadcast(qdf), "term")
-    return _fold_partial_matches(matched, n_tokens, require_all, fold, k)
+    return _fold_partial_matches(
+        matched, n_tokens, require_all, fold, k, min_match=min_match
+    )
 
 
 def paginate_topk(
@@ -183,22 +195,29 @@ def _fold_partial_matches(
     require_all: bool,
     fold: str,
     k: Optional[int],
+    min_match: Optional[int] = None,
 ) -> DataFrame:
     """Shared tail of every partial-match variant: fold the per-doc
     (token_idx, weight) match list into (doc_id, score) with the
-    selected combiner, optional deterministic top-k."""
+    selected combiner, optional deterministic top-k. ``min_match``
+    (clamped to [1, n_tokens]) generalises the AND gate to "at least m
+    distinct query slots matched"."""
     agg = matched.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("token_idx", "weight"))
         ).alias("lst")
     )
-    if require_all:
-        # AND semantics: every query token index 0..n-1 matched at
-        # least once (DefaultWeightCombiner, PartialMatches.cs:115-137)
+    required = n_tokens if require_all else 1
+    if min_match is not None:
+        required = max(1, min(int(min_match), n_tokens))
+    if required > 1:
+        # gate on distinct matched slots: AND semantics when required ==
+        # n_tokens (DefaultWeightCombiner, PartialMatches.cs:115-137),
+        # minimum_should_match in between
         n_distinct = F.size(
             F.array_distinct(F.transform("lst", lambda x: x["token_idx"]))
         )
-        agg = agg.where(n_distinct == F.lit(n_tokens))
+        agg = agg.where(n_distinct >= F.lit(required))
     result = (
         agg.select(
             "doc_id",

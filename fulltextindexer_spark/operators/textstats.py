@@ -1040,3 +1040,92 @@ def binned_auc(
             F.col("num") / (F.col("n_pos") * F.col("n_neg")), 4
         ).alias("auc"),
     )
+
+
+def encoding_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-quality signals a web-scrape curation pipeline filters
+    on: (doc_id, n_replacement, control_ratio, ascii_ratio,
+    mojibake_hits).
+
+    - ``n_replacement``: U+FFFD replacement characters — a decoder
+      already gave up on those bytes;
+    - ``control_ratio``: C0 control characters (minus tab/newline/CR)
+      per character — binary-in-text and terminal-escape junk;
+    - ``ascii_ratio``: printable-pipeline sanity dial (NOT a filter on
+      its own — legitimate non-Latin text scores low);
+    - ``mojibake_hits``: occurrences of the classic UTF-8-read-as-
+      Latin-1 lead sequences ('Ã'+continuation, 'â€¦'-family) — the
+      signature of double-decoded text.
+
+    Pure JVM ``regexp_count``/``length`` arithmetic; the same
+    character-class regexes (hex escapes only — valid in both Java
+    regex and RE2) run verbatim in the SQL oracle. Ratios 4dp.
+    """
+    text = F.col(text_col)
+    n = F.greatest(F.length(text), F.lit(1))
+    no_ctrl = F.regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    no_ascii = F.regexp_replace(text, "[\\x20-\\x7E\\x09\\x0A\\x0D]", "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(text, F.lit("�")).alias("n_replacement"),
+        F.round((F.length(text) - F.length(no_ctrl)) / n, 4).alias(
+            "control_ratio"
+        ),
+        F.round((F.length(text) - F.length(no_ascii)) / n, 4).alias(
+            "ascii_ratio"
+        ),
+        (
+            F.regexp_count(text, F.lit("Ã[\\x80-\\xBF]"))
+            + F.regexp_count(text, F.lit("â€"))
+        ).alias("mojibake_hits"),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 15,
+    max_tokens: int = 10000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_stopword_ratio: float = 0.1,
+    max_dup_kgram: float = 0.3,
+    max_top_token: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, §A1.1 adapted):
+    keep documents passing ALL of the published heuristic bounds —
+    token-count window, mean-word-length window, a minimum stop-word
+    presence, and the repetition caps (duplicate k-gram share, top
+    token share). Each signal is an already-gated operator
+    (:func:`token_stats`, :func:`repetition_stats`); the gate is their
+    doc-keyed join + a conjunctive threshold filter, so the composite
+    costs two stat aggregations and one join, never an extra corpus
+    scan.
+
+    All thresholds compare 4dp-rounded ratios — the same values any
+    engine reproduces. Returns kept rows with the full signal vector
+    (doc_id, n_tokens, avg_token_len, stopword_ratio, dup_kgram_ratio,
+    top_token_ratio).
+    """
+    stats = token_stats(docs, text_col, id_col)
+    rep = repetition_stats(docs, 3, text_col, id_col)
+    joined = stats.join(rep, "doc_id")
+    return joined.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("avg_token_len") >= min_avg_len)
+        & (F.col("avg_token_len") <= max_avg_len)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("dup_kgram_ratio") <= max_dup_kgram)
+        & (F.col("top_token_ratio") <= max_top_token)
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "dup_kgram_ratio",
+        "top_token_ratio",
+    )

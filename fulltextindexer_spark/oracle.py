@@ -18,6 +18,7 @@ Reference files reproduced here:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Iterable, Optional, Sequence
 
@@ -25,7 +26,12 @@ import numpy as np
 
 from fulltextindexer_spark.config import IndexConfig
 from fulltextindexer_spark.functions.normalize import normalise_scalar
-from fulltextindexer_spark.functions.tokenize import break_tokens
+from fulltextindexer_spark.functions.tokenize import (
+    ID_ACRONYM_RULE,
+    ID_CAMEL_RULE,
+    ID_SEPARATOR_RE,
+    break_tokens,
+)
 from fulltextindexer_spark.operators import query_ast as ast
 
 F32 = np.float32
@@ -179,7 +185,24 @@ def _index_section(
             expanded.append((tok, tidx, sidx, slen, F32(1.0)))
             if len(tok) < pe.min_len:
                 continue
-            if pe.mode == "substring":
+            if pe.mode == "identifier":
+                # code-identifier segments: acronym rule, camel rule,
+                # separator split — the same two-regex contract as the
+                # engine kernel (tokenize.ID_ACRONYM_RULE/ID_CAMEL_RULE)
+                spaced = re.sub(*ID_ACRONYM_RULE, tok)
+                spaced = re.sub(*ID_CAMEL_RULE, spaced)
+                for seg in re.split(ID_SEPARATOR_RE, spaced):
+                    if (
+                        len(seg) < pe.min_len
+                        or len(seg) > pe.max_len
+                        or seg == tok
+                    ):
+                        continue
+                    m = frag_mult(len(seg), len(tok))
+                    if m <= 0:
+                        continue
+                    expanded.append((seg, tidx, sidx, slen, m))
+            elif pe.mode == "substring":
                 # all-offsets mode (reference
                 # PartialMatchingTokenBreaker.cs:142-176):
                 # (offset asc, length asc), full token excluded

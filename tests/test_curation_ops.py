@@ -224,6 +224,55 @@ def test_repetition_and_pattern_stats(spark):
     assert pat[2]["n_urls"] == 0 and pat[2]["n_emails"] == 0
 
 
+def test_encoding_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text only"),
+            (2, "bad bytes � here � and \x00\x01 control"),
+            (3, "double decoded: cafÃ© and â€œquotedâ€"),
+            (4, "tab\tand\nnewline are fine"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.encoding_stats(docs).collect()}
+    assert rows[1]["n_replacement"] == 0
+    assert rows[1]["control_ratio"] == 0.0
+    assert rows[1]["ascii_ratio"] == 1.0
+    assert rows[1]["mojibake_hits"] == 0
+    assert rows[2]["n_replacement"] == 2
+    assert rows[2]["control_ratio"] > 0
+    # 'Ã©' (cafÃ©) and two 'â€' sequences are the double-decode signature
+    assert rows[3]["mojibake_hits"] == 3
+    # tab/newline/CR are NOT control junk and stay fully ascii
+    assert rows[4]["control_ratio"] == 0.0
+    assert rows[4]["ascii_ratio"] == 1.0
+
+
+def test_gopher_filter(spark):
+    good = (
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch from the forest and wonder about their dinner"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes every rule
+            (2, "too short"),  # fails min token count
+            (3, "buy now " * 20),  # repetition caps + no stop words
+            (4, ("supercalifragilistic " * 20).strip()),  # avg len + top-token
+        ],
+        "doc_id long, text string",
+    )
+    kept = textstats.gopher_filter(docs).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    [row] = kept
+    # the full signal vector rides along for downstream threshold tuning
+    assert row["n_tokens"] == 22
+    assert 3.0 <= row["avg_token_len"] <= 10.0
+    assert row["stopword_ratio"] >= 0.1
+    assert row["dup_kgram_ratio"] <= 0.3
+    assert row["top_token_ratio"] <= 0.3
+
+
 def test_topk_recall(spark):
     a = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
     b = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")

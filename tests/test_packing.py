@@ -1,0 +1,80 @@
+"""Sequence-packing manifest invariants: slices tile each training
+sequence contiguously, per-doc slices sum to the doc's token count,
+and the two-phase distributed prefix sum equals the single-window
+ground truth regardless of bucketing."""
+
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.packing import pack_sequences
+
+
+def _docs(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 11)))
+            for i in range(1, 40)]
+    rows.append((40, ""))  # empty doc must vanish from the manifest
+    rows.append((41, " ".join(f"x{j}" for j in range(50))))  # spans blocks
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_invariants(spark):
+    docs = _docs(spark)
+    B = 16
+    m = pack_sequences(docs, block_size=B, n_buckets=4).collect()
+    assert all(r["doc_id"] != 40 for r in m)
+
+    # per-doc slices sum to the doc's token count
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    got = {}
+    for r in m:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_tokens"]
+    assert got == want
+
+    # sequences tile contiguously: sorted slices of each seq_id start at
+    # 0, abut exactly, and fill block_size (except the last sequence)
+    seqs = {}
+    for r in m:
+        seqs.setdefault(r["seq_id"], []).append(
+            (r["seq_offset"], r["n_tokens"])
+        )
+    total = sum(want.values())
+    last_seq = (total - 1) // B
+    assert sorted(seqs) == list(range(last_seq + 1))
+    for sid, slices in seqs.items():
+        pos = 0
+        for off, n in sorted(slices):
+            assert off == pos and n > 0
+            pos += n
+        assert pos == (B if sid < last_seq else total - last_seq * B)
+
+
+def test_pack_matches_global_window_any_bucketing(spark):
+    docs = _docs(spark)
+    base = sorted(
+        tuple(r) for r in pack_sequences(docs, 16, n_buckets=1).collect()
+    )
+    for nb in (3, 8, 64):
+        alt = sorted(
+            tuple(r) for r in pack_sequences(docs, 16, n_buckets=nb).collect()
+        )
+        assert alt == base
+
+
+def test_pack_long_doc_spans_many_sequences(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(100)))],
+        "doc_id long, text string",
+    )
+    m = sorted(
+        (r["seq_id"], r["seq_offset"], r["n_tokens"])
+        for r in pack_sequences(docs, block_size=8).collect()
+    )
+    assert m == [(s, 0, 8) for s in range(12)] + [(12, 0, 4)]

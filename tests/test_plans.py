@@ -436,6 +436,7 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
     import datetime as dt
 
     from fulltextindexer_spark.operators import dedup, textstats
+    from fulltextindexer_spark.operators.packing import pack_sequences
     from fulltextindexer_spark.operators.temporal import (
         asof_join,
         funnel_counts,
@@ -472,6 +473,8 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
         range_join_binned(ev, iv),
         funnel_counts(ev, ["view"]),
         retention_cohorts(ev),
+        textstats.gopher_filter(docs, min_tokens=1, min_stopword_ratio=0.0),
+        pack_sequences(docs, block_size=4, n_buckets=2),
     ]
     for df in frames:
         plan = _plan(df)

@@ -213,6 +213,42 @@ def test_substring_expansion_parity(spark):
     assert hit_any  # the fragments genuinely match mid-word content
 
 
+def test_identifier_expansion_parity(spark):
+    """Code-identifier mode: engine == oracle on snake_case, camelCase
+    and ACRONYMCase corpora — a plain-word query finds the identifiers
+    containing it as a segment."""
+    docs = [
+        {"id": 1, "title": "utils", "content": "parse_config and retry-loop"},
+        {"id": 2, "title": "api", "content": "ParseConfig HTTPServerError"},
+        {"id": 3, "title": "plain", "content": "configuration parse config"},
+    ]
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("title", 1.0), FieldConfig("content", 1.0)),
+        prefix_expansion=PrefixExpansionConfig(
+            2, 255, 0.5, mode="identifier"
+        ),
+    )
+    idx = build_index(_docs_df(spark, docs), cfg)
+    oracle_idx = oracle.generate_index(docs, cfg)
+    hit_any = False
+    for term in ["config", "parse", "http", "server", "loop", "retry"]:
+        got = sorted(
+            (r["doc_id"], np.float32(r["weight"]))
+            for r in q.get_matches(idx, term).collect()
+        )
+        exp = sorted((e.key, e.weight) for e in oracle_idx.get_matches(term))
+        assert got == exp, term
+        hit_any = hit_any or bool(exp)
+    assert hit_any
+    # segment weight = parent weight × multiplier: doc 1's 'config'
+    # segment (0.5) vs doc 3's standalone token (1.0)
+    got = {r["doc_id"]: np.float32(r["weight"])
+           for r in q.get_matches(idx, "config").collect()}
+    assert got[1] == np.float32(0.5) and got[2] == np.float32(0.5)
+    assert got[3] == np.float32(1.0)
+
+
 def test_index_algebra_remove(spark):
     docs = [
         {"id": 1, "title": "", "content": "Product"},
@@ -972,6 +1008,63 @@ def test_field_scoped_combiner_and_topk(spark, posts_b_index):
         posts_b_index, "text indexer", 1, combiner="or_sum", k=1
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in top1] == [full[0]]
+
+
+def test_min_should_match_interpolates_between_gates(spark, posts_b_index):
+    """minimum_should_match: m=1 ≡ or gate, m=n ≡ and gate, and the
+    middle keeps exactly the docs matching >= m distinct query slots
+    (scores unchanged — the gate filters, the fold still sums all
+    matched weights)."""
+    query = "text indexer generator"
+    or_res = _scores(
+        q.get_partial_matches(posts_b_index, query, combiner="or_sum")
+    )
+    and_res = _scores(q.get_partial_matches(posts_b_index, query))
+    assert (
+        _scores(
+            q.get_partial_matches(
+                posts_b_index, query, combiner="or_sum", min_match=1
+            )
+        )
+        == or_res
+    )
+    assert {
+        d
+        for d, _ in _scores(
+            q.get_partial_matches(
+                posts_b_index, query, combiner="or_sum", min_match=3
+            )
+        )
+    } == {d for d, _ in and_res}
+
+    # ground truth for m=2: distinct per-term match sets
+    slots = {}
+    for i, term in enumerate(query.split()):
+        for d, _ in _scores(q.get_partial_matches(posts_b_index, term)):
+            slots.setdefault(d, set()).add(i)
+    want = {d for d, s in slots.items() if len(s) >= 2}
+    mid = _scores(
+        q.get_partial_matches(
+            posts_b_index, query, combiner="or_sum", min_match=2
+        )
+    )
+    assert {d for d, _ in mid} == want
+    # gated docs keep their ungated or_sum score
+    or_map = dict(or_res)
+    assert all(s == or_map[d] for d, s in mid)
+    # out-of-range m clamps instead of erroring
+    assert (
+        _scores(
+            q.get_partial_matches(
+                posts_b_index, query, combiner="or_sum", min_match=99
+            )
+        )
+        == _scores(
+            q.get_partial_matches(
+                posts_b_index, query, combiner="or_sum", min_match=3
+            )
+        )
+    )
 
 
 def test_field_scoped_requires_positions(spark):
