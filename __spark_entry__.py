@@ -758,6 +758,25 @@ def q_rrf(spark, sf_dir):
     )
 
 
+def q_hybrid(spark, sf_dir):
+    """alpha-weighted hybrid fusion (0.7 BM25 / 0.3 weighted-or) of the
+    same two top-20 lists the RRF gate fuses — min-max normalised per
+    list, display-rounded before blending so both engines fuse
+    identical values."""
+    idx = _docs_index(spark, sf_dir)
+    bm = _round_score(
+        bm25.bm25_scores(
+            idx, "data stream", stats=bm25.get_bm25_stats(idx)
+        )
+    )
+    ws = _round_score(
+        q.get_partial_matches(idx, "data stream", combiner="or_sum")
+    )
+    return q.weighted_fuse(
+        [q.paginate_topk(bm, 20), q.paginate_topk(ws, 20)], [0.7, 0.3]
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -1885,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_bm25": q_bm25,
         "ftix_bm25f": q_bm25f,
         "ftix_rrf": q_rrf,
+        "ftix_hybrid": q_hybrid,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
@@ -2704,6 +2724,45 @@ wr AS (SELECT doc_id,
               row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM wtop),
 u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM br
       UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM wr)
+SELECT doc_id, round(sum(c), 4) AS score FROM u GROUP BY doc_id
+""",
+        "ftix_hybrid": f"""
+WITH {TOK_CTE}, {POST_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{english_plurality_normalise("data")}',
+                         '{english_plurality_normalise("stream")}')
+          GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bscore AS (SELECT doc_id, round(sum(c), 4) AS s FROM contrib
+           GROUP BY doc_id),
+btop AS (SELECT doc_id, s FROM bscore ORDER BY s DESC, doc_id LIMIT 20),
+bmm AS (SELECT min(s) AS lo, max(s) AS hi FROM btop),
+bn AS (SELECT doc_id,
+              round(CASE WHEN hi = lo THEN 1.0
+                         ELSE (s - lo) / (hi - lo) END, 4) AS ns
+       FROM btop CROSS JOIN bmm),
+wscore AS (SELECT doc_id, round(sum(w), 4) AS s FROM post
+           WHERE term IN ('{english_plurality_normalise("data")}',
+                          '{english_plurality_normalise("stream")}')
+           GROUP BY doc_id),
+wtop AS (SELECT doc_id, s FROM wscore ORDER BY s DESC, doc_id LIMIT 20),
+wmm AS (SELECT min(s) AS lo, max(s) AS hi FROM wtop),
+wn AS (SELECT doc_id,
+              round(CASE WHEN hi = lo THEN 1.0
+                         ELSE (s - lo) / (hi - lo) END, 4) AS ns
+       FROM wtop CROSS JOIN wmm),
+u AS (SELECT doc_id, 0.7 * ns AS c FROM bn
+      UNION ALL SELECT doc_id, 0.3 * ns FROM wn)
 SELECT doc_id, round(sum(c), 4) AS score FROM u GROUP BY doc_id
 """,
         # BM25F: per-field tf + per-field length normalisation folded

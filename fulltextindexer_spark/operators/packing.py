@@ -27,6 +27,11 @@ frame. No global single-partition stage; bucket skew affects balance
 only, never correctness, because bucket boundaries are monotone in
 ``doc_id``.
 
+:func:`pack_batch` is the continuous-ingestion tier: each micro-batch
+continues the token stream exactly where the previous batches ended
+(a one-integer state file), so chunked ingestion emits the same
+manifest as a one-shot pack — the equality is pinned in tests.
+
 No reference-parity citation: FullTextIndexer has no training-data
 packer — this is part of the LLM-pipeline operator suite alongside
 ``textstats`` / ``dedup``.
@@ -34,12 +39,106 @@ packer — this is part of the LLM-pipeline operator suite alongside
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.cachereg import persist_tracked
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "pack_batch", "packed_so_far"]
+
+MANIFEST_SCHEMA = "doc_id long, seq_id long, seq_offset long, n_tokens long"
+
+
+def _token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_toks"),
+    ).where(F.col("n_toks") > 0)
+
+
+def _empty_manifest(nz: DataFrame) -> DataFrame:
+    return nz.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("seq_id"),
+        F.lit(0).cast("long").alias("seq_offset"),
+        F.lit(0).cast("long").alias("n_tokens"),
+    )
+
+
+def _pack_from_counts(
+    nz: DataFrame, block_size: int, n_buckets: int, base: int
+) -> tuple[DataFrame, int]:
+    """(doc_id, n_toks) frame → (manifest, total batch tokens); the
+    token stream starts at global offset ``base``. ``nz`` must already
+    be persisted — three actions read it."""
+    lo, hi = nz.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return _empty_manifest(nz), 0
+    span = float(hi - lo) + 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col("doc_id") - F.lit(lo)).cast("double")
+            / F.lit(span)
+            * F.lit(n_buckets)
+        ),
+    ).alias("bucket")
+    nz = nz.select("doc_id", "n_toks", bucket)
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = nz.withColumn("cum_in", F.sum("n_toks").over(w_in))
+
+    # bucket totals: ≤ n_buckets rows — driver prefix, broadcast back
+    totals = {
+        r["bucket"]: r["t"]
+        for r in nz.groupBy("bucket").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = [], int(base)
+    for b in sorted(totals):
+        offsets.append((int(b), acc))
+        acc += int(totals[b])
+    off_df = cum_in.sparkSession.createDataFrame(
+        offsets, "bucket long, bucket_offset long"
+    )
+    cum = cum_in.join(F.broadcast(off_df), "bucket").select(
+        "doc_id",
+        "n_toks",
+        (F.col("bucket_offset") + F.col("cum_in")).alias("cum_end"),
+    )
+
+    B = F.lit(block_size).cast("long")
+    cs = (F.col("cum_end") - F.col("n_toks")).alias("cum_start")
+    spans = cum.select("doc_id", "n_toks", "cum_end", cs).select(
+        "doc_id",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cum_start") / B),
+                F.floor((F.col("cum_end") - 1) / B),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("cum_start"), F.col("seq_id") * B)
+    seg_end = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * B)
+    manifest = spans.select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_start - F.col("seq_id") * B).cast("long").alias("seq_offset"),
+        (seg_end - seg_start).cast("long").alias("n_tokens"),
+    )
+    return manifest, acc - int(base)
 
 
 def pack_sequences(
@@ -70,80 +169,89 @@ def pack_sequences(
     """
     if block_size <= 0:
         raise ValueError("block_size must be positive")
-    nz = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-        )
-        .cast("long")
-        .alias("n_toks"),
-    ).where(F.col("n_toks") > 0)
     # three downstream actions (min/max, bucket totals, the manifest)
     # must not re-tokenise the corpus three times
-    nz = persist_tracked(nz, scope="query")
+    nz = persist_tracked(
+        _token_counts(docs, text_col, id_col), scope="query"
+    )
+    manifest, _ = _pack_from_counts(nz, block_size, n_buckets, 0)
+    return manifest
 
-    lo, hi = nz.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        return nz.select(
-            "doc_id",
-            F.lit(0).cast("long").alias("seq_id"),
-            F.lit(0).cast("long").alias("seq_offset"),
-            F.lit(0).cast("long").alias("n_tokens"),
+
+# ---------------------------------------------------------------------------
+# continuous-ingestion tier
+# ---------------------------------------------------------------------------
+
+
+def _state_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_STATE.json")
+
+
+def _read_state(store_dir: str) -> dict:
+    p = _state_path(store_dir)
+    if not os.path.exists(p):
+        return {"total_tokens": 0, "batch_ids": []}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_state(store_dir: str, state: dict) -> None:
+    tmp = _state_path(store_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _state_path(store_dir))
+
+
+def pack_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    block_size: int = 2048,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Ingest one micro-batch into a running packing manifest: the new
+    documents continue the corpus token stream exactly where the
+    previous batches ended (the store keeps one integer of state —
+    total tokens packed so far — plus the applied-batch-id list, so
+    at-least-once replays are no-ops). Returns the batch's token count
+    (0 on a replayed batch id).
+
+    Chunked == one-shot: provided batches arrive in ascending
+    ``doc_id`` order across batches (append-only ingestion with
+    monotone ids — the same precondition any log-structured ingest
+    has), the union of per-batch manifests equals
+    :func:`pack_sequences` over the whole corpus; pinned in tests.
+    The final partial sequence of batch N is simply *continued* by
+    batch N+1 — sequences spanning a batch boundary get span rows from
+    both batches.
+    """
+    state = _read_state(store_dir)
+    if batch_id in set(state["batch_ids"]):
+        return 0
+    os.makedirs(store_dir, exist_ok=True)
+    nz = _token_counts(batch_docs, text_col, id_col).persist()
+    try:
+        manifest, n_toks = _pack_from_counts(
+            nz, block_size, n_buckets, int(state["total_tokens"])
         )
-    span = float(hi - lo) + 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col("doc_id") - F.lit(lo)).cast("double")
-            / F.lit(span)
-            * F.lit(n_buckets)
-        ),
-    ).alias("bucket")
-    nz = nz.select("doc_id", "n_toks", bucket)
-
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum_in = nz.withColumn("cum_in", F.sum("n_toks").over(w_in))
-
-    # bucket totals: ≤ n_buckets rows — driver prefix, broadcast back
-    totals = {
-        r["bucket"]: r["t"]
-        for r in nz.groupBy("bucket").agg(F.sum("n_toks").alias("t")).collect()
-    }
-    offsets, acc = [], 0
-    for b in sorted(totals):
-        offsets.append((int(b), acc))
-        acc += int(totals[b])
-    off_df = cum_in.sparkSession.createDataFrame(
-        offsets, "bucket long, bucket_offset long"
-    )
-    cum = cum_in.join(F.broadcast(off_df), "bucket").select(
-        "doc_id",
-        "n_toks",
-        (F.col("bucket_offset") + F.col("cum_in")).alias("cum_end"),
-    )
-
-    B = F.lit(block_size).cast("long")
-    cs = (F.col("cum_end") - F.col("n_toks")).alias("cum_start")
-    spans = cum.select("doc_id", "n_toks", "cum_end", cs).select(
-        "doc_id",
-        "cum_start",
-        "cum_end",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("cum_start") / B),
-                F.floor((F.col("cum_end") - 1) / B),
+        if n_toks:
+            manifest.write.mode("append").parquet(
+                os.path.join(store_dir, "manifest")
             )
-        ).alias("seq_id"),
-    )
-    seg_start = F.greatest(F.col("cum_start"), F.col("seq_id") * B)
-    seg_end = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * B)
-    return spans.select(
-        "doc_id",
-        F.col("seq_id").cast("long").alias("seq_id"),
-        (seg_start - F.col("seq_id") * B).cast("long").alias("seq_offset"),
-        (seg_end - seg_start).cast("long").alias("n_tokens"),
-    )
+    finally:
+        nz.unpersist()
+    state["total_tokens"] = int(state["total_tokens"]) + n_toks
+    state["batch_ids"] = sorted(set(state["batch_ids"]) | {batch_id})
+    _write_state(store_dir, state)
+    return n_toks
+
+
+def packed_so_far(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accumulated manifest across every applied batch."""
+    p = os.path.join(store_dir, "manifest")
+    if not os.path.exists(p):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    return spark.read.schema(MANIFEST_SCHEMA).parquet(p)

@@ -1327,6 +1327,64 @@ def regex_matches(
     return _fold_partial_matches(matched, 1, False, fold, k)
 
 
+def weighted_fuse(
+    results,
+    weights,
+    topk: Optional[int] = None,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Linear (convex) score fusion of two or more result lists after
+    per-list min-max normalisation — the calibrated alternative to
+    :func:`rrf_fuse` when the caller wants to DIAL the sparse/dense
+    balance (``alpha``-weighted hybrid search):
+    ``fused(d) = Σ_i w_i × (s_i(d) − min_i) / (max_i − min_i)``.
+    A doc absent from a list contributes nothing for it; a constant
+    list (max == min) normalises to 1.0 for every member.
+
+    Per-list min/max come from one tiny aggregate broadcast back onto
+    the list (inputs are top-k cuts, so each side is k rows — no
+    corpus-scale work here; that happened upstream in the scorers).
+    Normalised scores are display-rounded to 4dp BEFORE weighting so
+    both engines fuse identical values (gate convention). Returns
+    (doc_id, score) rounded to 4dp, optionally cut to ``topk``.
+    """
+    if len(results) < 2:
+        raise ValueError("weighted_fuse needs at least two result lists")
+    if len(results) != len(weights):
+        raise ValueError("one weight per result list required")
+    parts = []
+    for df, wgt in zip(results, weights):
+        mm = df.agg(
+            F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+        )
+        parts.append(
+            df.crossJoin(F.broadcast(mm)).select(
+                F.col(id_col).alias("doc_id"),
+                (
+                    F.lit(float(wgt))
+                    * F.round(
+                        F.when(F.col("_hi") == F.col("_lo"), F.lit(1.0))
+                        .otherwise(
+                            (F.col(score_col) - F.col("_lo"))
+                            / (F.col("_hi") - F.col("_lo"))
+                        ),
+                        4,
+                    )
+                ).alias("c"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 4).alias("score")
+    )
+    if topk is not None:
+        fused = fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+    return fused
+
+
 def rrf_fuse(
     results,
     k: int = 60,

@@ -1,0 +1,61 @@
+"""Structured Streaming driver for the incremental packing tier
+(`operators/packing.pack_batch`): tail a growing documents directory
+and extend the training-sequence span manifest batch by batch.
+
+One caveat separates this from the near-dup stream
+(`streaming/neardup.py`): packing is ORDER-SENSITIVE — the manifest
+lays documents head-to-tail in doc_id order, so chunked == one-shot
+holds only when batches arrive in ascending doc_id order (append-only
+ingestion with monotone ids, the shape a log-structured ingest
+produces naturally). The file-source stream preserves file order per
+drain; within a batch the operator orders by doc_id itself. The
+operator-level equality is pinned in ``tests/test_packing.py``; the
+stream-level two-drain convergence in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.packing import pack_batch
+
+DOCS_STREAM_DDL = "doc_id long, text string"
+
+
+def start_incremental_packing(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    block_size: int = 2048,
+    n_buckets: int = 256,
+):
+    """Tail ``input_dir`` and feed each micro-batch through
+    :func:`pack_batch` (foreachBatch; the applied-batch-id manifest
+    turns at-least-once replays into no-ops). ``available_now=True``
+    drains the currently-visible files and stops — the batch-refresh
+    schedule the other incremental tiers use."""
+    os.makedirs(store_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pack_batch(
+            spark, batch_df, store_dir, batch_id,
+            block_size=block_size, n_buckets=n_buckets,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -68,6 +68,35 @@ def test_pack_matches_global_window_any_bucketing(spark):
         assert alt == base
 
 
+def test_pack_batch_chunked_equals_one_shot(spark, tmp_path):
+    from fulltextindexer_spark.operators.packing import (
+        pack_batch,
+        packed_so_far,
+    )
+
+    docs = _docs(spark)
+    store = str(tmp_path / "packstore")
+    # three chunks in ascending doc_id order (append-only ingestion)
+    for bid, (lo, hi) in enumerate([(0, 15), (15, 30), (30, 99)]):
+        chunk = docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        pack_batch(spark, chunk, store, bid, block_size=16)
+    got = sorted(tuple(r) for r in packed_so_far(spark, store).collect())
+    want = sorted(
+        tuple(r) for r in pack_sequences(docs, block_size=16).collect()
+    )
+    assert got == want
+
+    # at-least-once replay is a no-op
+    chunk0 = docs.where(F.col("doc_id") < 15)
+    assert pack_batch(spark, chunk0, store, 0, block_size=16) == 0
+    assert (
+        sorted(tuple(r) for r in packed_so_far(spark, store).collect())
+        == want
+    )
+
+
 def test_pack_long_doc_spans_many_sequences(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{j}" for j in range(100)))],

@@ -1281,6 +1281,38 @@ def test_rrf_fuse_known_ranks(spark):
         q.rrf_fuse([a])
 
 
+def test_weighted_fuse_minmax_and_weights(spark):
+    """Hand-checked alpha blend: per-list min-max to [0,1], 4dp before
+    weighting, constant list normalises to 1.0, absent docs contribute
+    nothing, mismatched weights rejected."""
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.7), (4, 0.7)], "doc_id long, score double"  # constant
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in q.weighted_fuse([a, b], [0.7, 0.3]).collect()
+    }
+    exp = {
+        1: round(0.7 * 1.0, 4),
+        2: round(0.7 * 0.5 + 0.3 * 1.0, 4),
+        3: 0.0,  # min of list a normalises to 0, absent from b
+        4: round(0.3 * 1.0, 4),
+    }
+    assert got == exp
+    top2 = [
+        r["doc_id"]
+        for r in q.weighted_fuse([a, b], [0.7, 0.3], topk=2).collect()
+    ]
+    assert top2 == [1, 2]  # 0.7 > 0.65
+    with pytest.raises(ValueError, match="one weight per"):
+        q.weighted_fuse([a, b], [0.5])
+    with pytest.raises(ValueError, match="at least two"):
+        q.weighted_fuse([a], [1.0])
+
+
 def test_consecutive_combining_reference_fixture_spans(spark):
     """The reference's own T4 test values, verbatim: 'one two three'
     with max 3 must emit combined tokens carrying the FIRST token's

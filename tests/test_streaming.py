@@ -500,6 +500,46 @@ def test_incremental_neardup_equals_full_batch(spark, tmp_path):
     assert nd.applied_batch_ids(store) == {0, 1, 2}
 
 
+def test_streaming_packing_driver_matches_one_shot(spark, tmp_path):
+    """The readStream packing driver over a growing docs directory
+    converges to the one-shot concat-and-chunk manifest across two
+    drains (append-only ascending doc_id ingestion)."""
+    from fulltextindexer_spark.operators.packing import (
+        pack_sequences,
+        packed_so_far,
+    )
+    from fulltextindexer_spark.streaming import packing as sp
+
+    rows1 = [(i, " ".join(f"w{i}_{j}" for j in range(5 + i))) for i in range(6)]
+    rows2 = [
+        (10 + i, " ".join(f"x{i}_{j}" for j in range(3 + i)))
+        for i in range(5)
+    ]
+    input_dir = str(tmp_path / "pk_in")
+    store = str(tmp_path / "pk_store")
+    ckpt = str(tmp_path / "pk_ck")
+    ddl = "doc_id long, text string"
+
+    spark.createDataFrame(rows1, ddl).write.mode("append").parquet(input_dir)
+    q = sp.start_incremental_packing(
+        spark, input_dir, store, ckpt, block_size=16
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(rows2, ddl).write.mode("append").parquet(input_dir)
+    q = sp.start_incremental_packing(
+        spark, input_dir, store, ckpt, block_size=16
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in packed_so_far(spark, store).collect())
+    full = spark.createDataFrame(rows1 + rows2, ddl)
+    want = sorted(
+        tuple(r) for r in pack_sequences(full, block_size=16).collect()
+    )
+    assert got == want and got
+
+
 def test_streaming_neardup_driver_matches_full_batch(spark, tmp_path):
     """The readStream driver over a growing docs directory converges to
     the one-shot band self-join across two drains."""
