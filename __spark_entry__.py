@@ -505,6 +505,15 @@ def q_code_ids(spark, sf_dir):
     )
 
 
+def q_boost(spark, sf_dir):
+    """Lucene-style per-term query boost ('sort^2 table'): the sort
+    slot's matched weights double before the AND-sum fold."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        q.get_partial_matches(idx, "sort table", boosts={"sort": 2.0})
+    )
+
+
 def q_min_should(spark, sf_dir):
     """minimum_should_match gate: 'merge sort tree' scored or_sum but
     only docs matching >= 2 of the 3 query slots qualify — the
@@ -960,6 +969,15 @@ def q_curate_decontam(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return dedup.simhash16(_documents(spark, sf_dir))
+
+
+def q_batch_topk(spark, sf_dir):
+    """Batched exact ANN: top-5 by cosine for THREE query vectors in
+    one corpus scan (broadcast query set, per-query rank window)."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.cosine_topk_batch(
+        emb, emb.where(F.col("vec_id").isin(0, 1, 2)), k=5
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1885,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_search_or_sum": q_search_or_sum,
         "ftix_min_should": q_min_should,
         "ftix_code_ids": q_code_ids,
+        "ftix_boost": q_boost,
         "ftix_field_scoped": q_field_scoped,
         "ftix_synonyms": q_synonyms,
         "ftix_paginate": q_paginate,
@@ -1927,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontam": q_curate_decontam,
         "curate_pipeline": q_curate_pipeline,
         "sim_cosine_topk": q_cosine_topk,
+        "sim_batch_topk": q_batch_topk,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_rplsh_buckets": q_rplsh_buckets,
         "sim_neardup": q_neardup,
@@ -2483,6 +2503,16 @@ SELECT doc_id, round(sum(w), 4) AS score FROM post
 WHERE term IN ('{english_plurality_normalise("data")}',
                '{english_plurality_normalise("stream")}')
 GROUP BY doc_id
+""",
+        "ftix_boost": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx, boost) AS (
+    VALUES ('{english_plurality_normalise("sort")}', 0, 2.0),
+           ('{english_plurality_normalise("table")}', 1, 1.0)),
+m AS (SELECT p.doc_id, q.token_idx, p.w * q.boost AS w
+      FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_search_not": f"""
 WITH {TOK_CTE}, {POST_CTE}
@@ -3065,6 +3095,24 @@ SELECT doc_id FROM tr
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
         "curate_pipeline": _pipeline_sql(bands),
+        "sim_batch_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+dots AS (SELECT query_id, vec_id, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY query_id, vec_id),
+sc AS (SELECT query_id, vec_id, round(dot / (nx * ny), 4) AS cosine
+       FROM dots),
+r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM sc)
+SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+""",
         "sim_cosine_topk": """
 WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
 pairs AS (

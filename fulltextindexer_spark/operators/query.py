@@ -100,6 +100,7 @@ def get_partial_matches(
     combiner: str = "and_sum",
     synonyms=None,
     min_match: Optional[int] = None,
+    boosts=None,
 ) -> DataFrame:
     """Multi-term scoring. Returns (doc_id, score), optionally top-k
     ordered by (score desc, doc_id asc).
@@ -129,6 +130,13 @@ def get_partial_matches(
     half of ``combiner`` still picks sum-vs-max scoring. Same single
     broadcast join + per-doc fold — the gate is one extra array
     expression, no added shuffle.
+
+    ``boosts`` (optional) maps a query token (pre-normalisation, like
+    ``synonyms``) to a multiplier applied to that slot's matched
+    weights before the fold — Lucene's ``term^boost``. The boost rides
+    the broadcast query frame as one extra column (f32 multiply on the
+    matched row, no added shuffle); synonym alternatives inherit their
+    slot's boost. Unlisted tokens boost 1.0.
     """
     require_all, fold = _parse_combiner(combiner)
     spark = index.postings.sparkSession
@@ -151,8 +159,30 @@ def get_partial_matches(
                     (normalise_scalar(alt, index.config.normaliser), token_idx)
                 )
         rows = sorted(set(rows) | set(extra))
-    qdf = spark.createDataFrame(rows, "term string, token_idx int")
+    if boosts:
+        import numpy as np
+
+        slot_boost = {}
+        for token_idx, (tok, _, _, _) in enumerate(
+            break_tokens(source, index.config.break_chars)
+        ):
+            if tok in boosts:
+                slot_boost[token_idx] = float(boosts[tok])
+        brows = [
+            (term, ti, np.float32(slot_boost.get(ti, 1.0)).item())
+            for term, ti in rows
+        ]
+        qdf = spark.createDataFrame(
+            brows, "term string, token_idx int, boost float"
+        )
+    else:
+        qdf = spark.createDataFrame(rows, "term string, token_idx int")
     matched = index.postings.join(F.broadcast(qdf), "term")
+    if boosts:
+        matched = matched.withColumn(
+            "weight",
+            (F.col("weight") * F.col("boost")).cast("float"),
+        )
     return _fold_partial_matches(
         matched, n_tokens, require_all, fold, k, min_match=min_match
     )

@@ -273,6 +273,36 @@ def test_gopher_filter(spark):
     assert row["top_token_ratio"] <= 0.3
 
 
+def test_cosine_topk_batch_matches_per_query(spark):
+    """One-scan batched top-k == running each query separately (same
+    rounded-then-ranked cut)."""
+    import random
+
+    rnd = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id").isin(0, 5, 9))
+    batch = similarity.cosine_topk_batch(emb, queries, k=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    assert set(got) == {0, 5, 9}
+    for qid in (0, 5, 9):
+        qv = emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        single = (
+            similarity.cosine_scores(emb, list(qv))
+            .select("vec_id", F.round("cosine", 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(4)
+            .collect()
+        )
+        assert got[qid] == [(r["vec_id"], r["cosine"]) for r in single], qid
+        # the query's own vector is its nearest neighbour
+        assert got[qid][0][0] == qid
+
+
 def test_topk_recall(spark):
     a = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
     b = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")

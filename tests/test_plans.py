@@ -429,6 +429,21 @@ def test_wildcard_prefix_reaches_saved_scan(spark, index, tmp_path):
     assert "StringStartsWith(term,ha)" in plan, plan
 
 
+def test_pack_sequences_plan_distributed_prefix_sum(spark):
+    """The packing manifest's only window runs PARTITIONED by bucket
+    (the two-phase prefix sum) — no stage may collapse the corpus to a
+    single partition, the failure mode of a naive global
+    Window.orderBy(doc_id)."""
+    from fulltextindexer_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(pack_sequences(docs, block_size=8, n_buckets=4))
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(bucket" in plan, plan[:2000]
+
+
 def test_new_jvm_operators_have_no_python_nodes(spark):
     """Every operator added in the continuation session that claims to
     be pure-JVM must plan without BatchEvalPython / ArrowEvalPython /

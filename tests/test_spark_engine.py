@@ -1067,6 +1067,36 @@ def test_min_should_match_interpolates_between_gates(spark, posts_b_index):
     )
 
 
+def test_query_boosts_scale_slot_weights(spark, posts_b_index):
+    """term^boost: the boosted slot's weights scale by the factor, the
+    other slot is untouched, and an unknown boost key is a no-op."""
+    base = dict(_scores(q.get_partial_matches(posts_b_index, "text indexer")))
+    boosted = dict(
+        _scores(
+            q.get_partial_matches(
+                posts_b_index, "text indexer", boosts={"text": 3.0}
+            )
+        )
+    )
+    assert set(base) == set(boosted)
+    # per-slot contributions from the single-term queries
+    t = dict(_scores(q.get_partial_matches(posts_b_index, "text")))
+    for d in base:
+        want = np.float32(
+            np.float32(3.0) * np.float32(t[d])
+            + np.float32(base[d] - t[d])
+        )
+        assert abs(boosted[d] - want) < 1e-5, d
+    noop = dict(
+        _scores(
+            q.get_partial_matches(
+                posts_b_index, "text indexer", boosts={"missing": 9.0}
+            )
+        )
+    )
+    assert noop == base
+
+
 def test_field_scoped_requires_positions(spark):
     idx = build_index(
         _docs_df(spark, POSTS_A),
