@@ -971,6 +971,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash16(_documents(spark, sf_dir))
 
 
+def q_range_query(spark, sf_dir):
+    """Radius retrieval: every vector with cosine >= 0.2 against one
+    query vector (rounded-before-compare boundary, unordered set)."""
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return similarity.cosine_range(emb, list(qv), threshold=0.2)
+
+
 def q_batch_topk(spark, sf_dir):
     """Batched exact ANN: top-5 by cosine for THREE query vectors in
     one corpus scan (broadcast query set, per-query rank window)."""
@@ -1347,6 +1355,52 @@ def q_rel_shipping(spark, sf_dir):
     )
 
 
+def q_rel_region_volume(spark, sf_dir):
+    """Relational coverage (TPC-H Q5 shape): 6-table star join —
+    region→nation pruned and broadcast (truly tiny dims), the
+    customer/orders/lineitem/supplier joins left to AQE (no forced
+    broadcast of mid-size tables — the round-2 lesson), revenue per
+    nation where the supplier sits in the customer's nation."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    r = region.where(F.col("r_name") == "ASIA").select("r_regionkey")
+    n = nation.join(
+        F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    o = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    c = cust.select("c_custkey", "c_nationkey").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = supp.select("s_suppkey", "s_nationkey")
+    j = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_prune_terms(spark, sf_dir):
     """Index-maintenance vocabulary pruning: keep terms with df in
     [5, 390] (hapax/noise cleanup + corpus-specific stop-term trim,
@@ -1492,6 +1546,16 @@ def q_events_retention(spark, sf_dir):
 
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return retention_cohorts(events, period_days=7)
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Hour-of-day seasonal anomaly flags (|z| >= 2 vs the same-hour
+    baseline) with the z-gate evaluated in INTEGER arithmetic — no
+    float mean/stddev crosses an engine boundary."""
+    from fulltextindexer_spark.operators.temporal import anomalous_hours
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return anomalous_hours(events, z=2)
 
 
 def q_events_dedup(spark, sf_dir):
@@ -1947,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline": q_curate_pipeline,
         "sim_cosine_topk": q_cosine_topk,
         "sim_batch_topk": q_batch_topk,
+        "sim_range_query": q_range_query,
         "sim_lsh_buckets": q_lsh_buckets,
         "sim_rplsh_buckets": q_rplsh_buckets,
         "sim_neardup": q_neardup,
@@ -1976,10 +2041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": q_events_range,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
         "curate_corpus": q_curate,
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "rel_shipping": q_rel_shipping,
+        "rel_region_volume": q_rel_region_volume,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_langid,
@@ -3095,6 +3162,18 @@ SELECT doc_id FROM tr
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
         "curate_pipeline": _pipeline_sql(bands),
+        "sim_range_query": """
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
+  FROM embeddings e, qv
+),
+dots AS (SELECT vec_id, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM dots WHERE round(dot / (nx * ny), 4) >= 0.2
+""",
         "sim_batch_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -3461,6 +3540,21 @@ SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.total_spend, s.n_orders
 FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
 ORDER BY s.total_spend DESC, c.c_custkey LIMIT 20
 """,
+        "rel_region_volume": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
         "rel_shipping": """
 SELECT o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -3566,6 +3660,25 @@ UNION ALL
 SELECT 2::BIGINT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+""",
+        "events_anomaly": """
+WITH ph AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         extract(hour FROM ts)::BIGINT AS hod,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT hod, count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+                sum(n_events * n_events)::BIGINT AS sq
+         FROM ph GROUP BY hod)
+SELECT strftime(ph.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       ph.hod, ph.n_events
+FROM ph JOIN base USING (hod)
+WHERE base.n >= 2
+  AND (ph.n_events * base.n - base.s) <> 0
+  AND (ph.n_events * base.n - base.s)
+      * (ph.n_events * base.n - base.s) * (base.n - 1)
+      >= 4 * base.n * (base.n * base.sq - base.s * base.s)
 """,
         "events_retention": """
 WITH pe AS (

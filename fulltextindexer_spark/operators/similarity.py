@@ -69,6 +69,26 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Range (radius) query — ALL vectors with cosine ≥ ``threshold``
+    against one query vector, the other half of the standard ANN API
+    next to top-k. One JVM scan, the cut on the display-rounded value
+    (gate convention: rounding before comparison makes the boundary
+    engine-exact). Returns (vec_id, cosine) unordered — at scale the
+    result set is unbounded, so no sort is imposed on it.
+    """
+    scored = cosine_scores(embeddings, query_vec, vec_col, id_col)
+    return scored.select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
 def cosine_topk_batch(
     embeddings: DataFrame,
     queries: DataFrame,

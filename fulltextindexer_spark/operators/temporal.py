@@ -212,3 +212,63 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def anomalous_hours(
+    events: DataFrame,
+    z: int = 2,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonal traffic-anomaly detection: flag hours whose event count
+    deviates ≥ ``z`` sample standard deviations from the same
+    hour-of-day's baseline across the whole stream (the standard
+    ops-dashboard rule, one integer of config).
+
+    Exactness contract: the z-gate is evaluated in INTEGER arithmetic —
+    with per-hour-of-day integer moments (n, Σ, Σx²) the condition
+    ``|x − mean| ≥ z·s`` is equivalent to
+
+        (x·n − Σ)² · (n−1) ≥ z² · n · (n·Σx² − Σ²)
+
+    so no floating-point mean/stddev ever enters the cut and any
+    engine reproduces the flag set bit-for-bit (stddev_samp round-trip
+    differences at the threshold boundary are the classic cross-engine
+    flake). A zero-variance baseline flags any deviating hour. Shape:
+    one count aggregation keyed by hour (linear), one 24-row baseline
+    aggregate joined back broadcast-size. Returns
+    (hour_start, hod, n_events) for flagged hours.
+    """
+    if z < 0:
+        raise ValueError("z must be non-negative")
+    ts = F.col(ts_col).cast("timestamp")
+    per_hour = (
+        events.select(
+            F.date_trunc("hour", ts).alias("hour_start"),
+            F.hour(ts).alias("hod"),
+        )
+        .groupBy("hour_start", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    base = per_hour.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sq"),
+    )
+    j = per_hour.join(F.broadcast(base), "hod")
+    dev = F.col("n_events") * F.col("n") - F.col("s")
+    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    flagged = j.where(
+        (F.col("n") >= 2)
+        & (
+            dev * dev * (F.col("n") - 1)
+            >= F.lit(int(z) * int(z)) * F.col("n") * var_num
+        )
+        & (dev != 0)
+    )
+    return flagged.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.col("hod").cast("long").alias("hod"),
+        "n_events",
+    )

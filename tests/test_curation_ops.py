@@ -303,6 +303,26 @@ def test_cosine_topk_batch_matches_per_query(spark):
         assert got[qid][0][0] == qid
 
 
+def test_cosine_range_query(spark):
+    """Radius retrieval: exactly the vectors at or above the rounded
+    threshold, boundary inclusive."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),        # cos = 1.0
+            (2, [1.0, 1.0]),        # cos ~ 0.7071
+            (3, [0.0, 1.0]),        # cos = 0.0
+            (4, [-1.0, 0.0]),       # cos = -1.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_range(emb, [1.0, 0.0], 0.7071).collect()
+    }
+    assert got == {1: 1.0, 2: 0.7071}  # boundary row kept
+    assert similarity.cosine_range(emb, [1.0, 0.0], 1.1).count() == 0
+
+
 def test_topk_recall(spark):
     a = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
     b = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")

@@ -429,6 +429,20 @@ def test_wildcard_prefix_reaches_saved_scan(spark, index, tmp_path):
     assert "StringStartsWith(term,ha)" in plan, plan
 
 
+def test_rel_region_volume_plan_pushdown_no_cartesian(spark):
+    """TPC-H Q5-shape gate: the date-range predicate reaches the orders
+    parquet scan (PushedFilters) and the 6-table join plans without a
+    CartesianProduct / nested loop."""
+    import __spark_entry__ as e
+
+    df = e.q_rel_region_volume(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or (
+        "GreaterThanOrEqual(o_orderdate" in plan
+    ), plan[:3000]
+
+
 def test_pack_sequences_plan_distributed_prefix_sum(spark):
     """The packing manifest's only window runs PARTITIONED by bucket
     (the two-phase prefix sum) — no stage may collapse the corpus to a

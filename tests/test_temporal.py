@@ -230,3 +230,34 @@ def test_retention_cohorts_pinned(spark):
     assert got[(c1, 0)] == 1 and got[(c1, 1)] == 1 and got[(c1, 2)] == 1
     assert got[(c1 + 1, 0)] == 1
     assert len(got) == 4
+
+
+def test_anomalous_hours_integer_z_gate(spark):
+    """Hour-of-day baseline: a spike hour is flagged, steady hours are
+    not, and the cut follows the integer inequality (no float stddev).
+    Hand check for the spike: n=7, s=90, sq=1500 -> dev=120,
+    120^2*6 = 86400 >= 4*7*(7*1500-8100) = 67200; for a 10-count day
+    dev=-20, 2400 < 67200."""
+    import datetime as dt
+
+    from fulltextindexer_spark.operators.temporal import anomalous_hours
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows, eid = [], 0
+    # hour-of-day 9 across 7 days: six steady days of 10, one spike 30
+    for day, cnt in enumerate([10] * 6 + [30]):
+        for i in range(cnt):
+            rows.append((eid, base + dt.timedelta(days=day, seconds=i), 1, "v"))
+            eid += 1
+    # hour-of-day 10 across 2 days: counts 5,6 — n=2 small-sample noise,
+    # dev=+-1: 1*1 = 1 < 4*2*(2*61-121) = 8 -> never flags
+    for day, cnt in enumerate([5, 6]):
+        for i in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(days=day, hours=1, seconds=i), 1, "v")
+            )
+            eid += 1
+    events = spark.createDataFrame(rows, EV_DDL)
+    flagged = anomalous_hours(events, z=2).collect()
+    assert [(r["hod"], r["n_events"]) for r in flagged] == [(9, 30)]
+    assert flagged[0]["hour_start"] == "2024-01-07 09:00:00"
