@@ -1658,6 +1658,17 @@ def q_text_encoding(spark, sf_dir):
     return textstats.encoding_stats(_documents(spark, sf_dir))
 
 
+def q_text_entropy(spark, sf_dir):
+    """Shannon token-entropy quality signal (nats, 4dp) per doc."""
+    return textstats.token_entropy(_documents(spark, sf_dir))
+
+
+def q_pack_stats(spark, sf_dir):
+    """Packing-efficiency summary: docs/tokens/sequences/spans and the
+    boundary-crossing doc count at block 2048. All-integer row."""
+    return packing.pack_stats(_documents(spark, sf_dir), block_size=2048)
+
+
 def q_curate_pack(spark, sf_dir):
     """Concat-and-chunk sequence-packing manifest at block 2048 —
     which slice of which doc lands where in which training sequence."""
@@ -2061,7 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_patterns": q_text_patterns,
         "curate_gopher": q_curate_gopher,
         "curate_pack": q_curate_pack,
+        "curate_pack_stats": q_pack_stats,
         "text_encoding": q_text_encoding,
+        "text_entropy": q_text_entropy,
         "text_pii_mask": q_pii_mask,
         "curate_split": q_corpus_split,
         "curate_report": q_corpus_report,
@@ -4011,6 +4024,17 @@ SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
        tt.top_token_ratio
 FROM tt LEFT JOIN gs USING (doc_id)
 """,
+        "text_entropy": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       round(ln(sum(tf)) - sum(tf * ln(tf)) * 1.0 / sum(tf), 4) AS entropy
+FROM tf GROUP BY doc_id
+""",
         "text_encoding": """
 SELECT doc_id,
        len(regexp_extract_all(text, '�'))::BIGINT AS n_replacement,
@@ -4046,6 +4070,36 @@ SELECT s.doc_id,
         - greatest(s.cum_start, t.seq_id * 2048))::BIGINT AS n_tokens
 FROM s, UNNEST(range(s.cum_start // 2048,
                      (s.cum_end - 1) // 2048 + 1)) AS t(seq_id)
+""",
+        "curate_pack_stats": """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_toks
+  FROM documents
+),
+nz AS (SELECT * FROM n WHERE n_toks > 0),
+c AS (SELECT doc_id, n_toks,
+             sum(n_toks) OVER (ORDER BY doc_id)::BIGINT AS cum_end
+      FROM nz),
+s AS (SELECT doc_id, n_toks, cum_end, cum_end - n_toks AS cum_start FROM c),
+man AS (
+  SELECT s.doc_id,
+         (least(s.cum_end, (t.seq_id + 1) * 2048)
+          - greatest(s.cum_start, t.seq_id * 2048))::BIGINT AS n_tokens
+  FROM s, UNNEST(range(s.cum_start // 2048,
+                       (s.cum_end - 1) // 2048 + 1)) AS t(seq_id)
+),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_spans_doc,
+              sum(n_tokens)::BIGINT AS doc_tokens
+       FROM man GROUP BY doc_id)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(doc_tokens)::BIGINT AS total_tokens,
+       ((sum(doc_tokens) - 1) // 2048 + 1)::BIGINT AS n_sequences,
+       sum(n_spans_doc)::BIGINT AS n_spans,
+       sum(CASE WHEN n_spans_doc > 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_boundary_docs
+FROM pd
 """,
         "curate_gopher": """
 WITH tok AS (

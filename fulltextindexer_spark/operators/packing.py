@@ -255,3 +255,36 @@ def packed_so_far(spark: SparkSession, store_dir: str) -> DataFrame:
     if not os.path.exists(p):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return spark.read.schema(MANIFEST_SCHEMA).parquet(p)
+
+
+def pack_stats(
+    docs: DataFrame,
+    block_size: int = 2048,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row packing-efficiency summary over the span manifest — the
+    numbers a data engineer reads before launching the real job:
+    (n_docs, total_tokens, n_sequences, n_spans, n_boundary_docs).
+    ``n_boundary_docs`` = documents split across sequences (the
+    attention-mask / document-boundary cost of concat-and-chunk at
+    this block size). All integers; derived from the manifest with one
+    extra aggregation, no second corpus scan.
+    """
+    m = pack_sequences(docs, block_size, n_buckets, text_col, id_col)
+    per_doc = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_doc"),
+        F.sum("n_tokens").alias("doc_tokens"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").alias("total_tokens"),
+        (F.floor((F.sum("doc_tokens") - 1) / F.lit(block_size)) + 1)
+        .cast("long")
+        .alias("n_sequences"),
+        F.sum("n_spans_doc").alias("n_spans"),
+        F.sum(F.when(F.col("n_spans_doc") > 1, 1).otherwise(0)).alias(
+            "n_boundary_docs"
+        ),
+    )

@@ -1042,6 +1042,32 @@ def binned_auc(
     )
 
 
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats, 4dp) —
+    the information-density quality signal: degenerate repetition
+    scores near 0, diverse natural text near ln(n_distinct).
+
+    Computed as ln(n) − (Σ tf·ln tf)/n from one tf aggregation — two
+    keyed shuffles, no UDF; the identical formula runs in the SQL
+    oracle, and the single per-doc float fold keeps cross-engine drift
+    far below the 4dp display rounding.
+    """
+    tf = (
+        _tokens(docs, text_col, id_col)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.round(
+            F.log(F.sum("tf"))
+            - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf"),
+            4,
+        ).alias("entropy")
+    )
+
+
 def encoding_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -303,6 +303,26 @@ def test_cosine_topk_batch_matches_per_query(spark):
         assert got[qid][0][0] == qid
 
 
+def test_token_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # degenerate → 0
+            (2, "a a b b"),          # uniform over 2 → ln 2
+            (3, "a b c d"),          # uniform over 4 → ln 4
+            (4, "a a a b"),          # ln4 - (3 ln3)/4
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    got = {r["doc_id"]: r["entropy"]
+           for r in textstats.token_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == round(math.log(2), 4)
+    assert got[3] == round(math.log(4), 4)
+    assert got[4] == round(math.log(4) - 3 * math.log(3) / 4, 4)
+
+
 def test_cosine_range_query(spark):
     """Radius retrieval: exactly the vectors at or above the rounded
     threshold, boundary inclusive."""

@@ -97,6 +97,26 @@ def test_pack_batch_chunked_equals_one_shot(spark, tmp_path):
     )
 
 
+def test_pack_stats_summary(spark):
+    from fulltextindexer_spark.operators.packing import pack_stats
+
+    docs = _docs(spark)
+    [row] = pack_stats(docs, block_size=16, n_buckets=4).collect()
+    m = pack_sequences(docs, block_size=16, n_buckets=4).collect()
+    per_doc = {}
+    for r in m:
+        per_doc.setdefault(r["doc_id"], []).append(r["n_tokens"])
+    total = sum(sum(v) for v in per_doc.values())
+    assert row["n_docs"] == len(per_doc)
+    assert row["total_tokens"] == total
+    assert row["n_sequences"] == (total - 1) // 16 + 1
+    assert row["n_spans"] == len(m)
+    assert row["n_boundary_docs"] == sum(
+        1 for v in per_doc.values() if len(v) > 1
+    )
+    assert row["n_boundary_docs"] > 0  # fixture genuinely crosses blocks
+
+
 def test_pack_long_doc_spans_many_sequences(spark):
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{j}" for j in range(100)))],

@@ -467,6 +467,7 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
     from fulltextindexer_spark.operators import dedup, textstats
     from fulltextindexer_spark.operators.packing import pack_sequences
     from fulltextindexer_spark.operators.temporal import (
+        anomalous_hours,
         asof_join,
         funnel_counts,
         range_join_binned,
@@ -503,7 +504,10 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
         funnel_counts(ev, ["view"]),
         retention_cohorts(ev),
         textstats.gopher_filter(docs, min_tokens=1, min_stopword_ratio=0.0),
+        textstats.token_entropy(docs),
+        textstats.encoding_stats(docs),
         pack_sequences(docs, block_size=4, n_buckets=2),
+        anomalous_hours(ev),
     ]
     for df in frames:
         plan = _plan(df)
