@@ -1658,9 +1658,26 @@ def q_text_encoding(spark, sf_dir):
     return textstats.encoding_stats(_documents(spark, sf_dir))
 
 
+def q_curate_dsir(spark, sf_dir):
+    """DSIR importance log-weights vs the lang='en' target slice —
+    hashed-unigram likelihood ratio, Laplace-smoothed, 64 buckets."""
+    docs = _documents(spark, sf_dir)
+    return textstats.dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=64
+    )
+
+
 def q_text_entropy(spark, sf_dir):
     """Shannon token-entropy quality signal (nats, 4dp) per doc."""
     return textstats.token_entropy(_documents(spark, sf_dir))
+
+
+def q_pack_shuffled(spark, sf_dir):
+    """Packing in md5(doc_id) order — the deterministic pre-packing
+    shuffle; same manifest invariants, different neighbourhoods."""
+    return packing.pack_sequences(
+        _documents(spark, sf_dir), block_size=2048, shuffle=True
+    )
 
 
 def q_pack_stats(spark, sf_dir):
@@ -2073,6 +2090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_gopher": q_curate_gopher,
         "curate_pack": q_curate_pack,
         "curate_pack_stats": q_pack_stats,
+        "curate_pack_shuffled": q_pack_shuffled,
+        "curate_dsir": q_curate_dsir,
         "text_encoding": q_text_encoding,
         "text_entropy": q_text_entropy,
         "text_pii_mask": q_pii_mask,
@@ -4024,6 +4043,33 @@ SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
        tt.top_token_ratio
 FROM tt LEFT JOIN gs USING (doc_id)
 """,
+        "curate_dsir": f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+tb AS (SELECT doc_id, {vectorize.bucket_sql("t", 64)} AS b FROM tok),
+ptok AS (
+  SELECT {vectorize.bucket_sql("t", 64)} AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE lang = 'en')
+  WHERE t <> ''
+),
+q AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
+p AS (SELECT b, count(*) AS cp FROM ptok GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tb) AS cq_tot,
+               (SELECT count(*) FROM ptok) AS cp_tot),
+lr AS (
+  SELECT q.b,
+         ln((COALESCE(p.cp, 0) + 1.0) / (tot.cp_tot + 64))
+         - ln((q.cq + 1.0) / (tot.cq_tot + 64)) AS lr
+  FROM q LEFT JOIN p USING (b) CROSS JOIN tot
+),
+dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b)
+SELECT doc_id, round(sum(c * lr), 4) AS dsir_logw
+FROM dc JOIN lr USING (b) GROUP BY doc_id
+""",
         "text_entropy": """
 WITH tok AS (
   SELECT doc_id, t AS tok
@@ -4060,6 +4106,28 @@ WITH n AS (
 nz AS (SELECT * FROM n WHERE n_toks > 0),
 c AS (SELECT doc_id, n_toks,
              sum(n_toks) OVER (ORDER BY doc_id)::BIGINT AS cum_end
+      FROM nz),
+s AS (SELECT doc_id, n_toks, cum_end, cum_end - n_toks AS cum_start FROM c)
+SELECT s.doc_id,
+       t.seq_id::BIGINT AS seq_id,
+       (greatest(s.cum_start, t.seq_id * 2048)
+        - t.seq_id * 2048)::BIGINT AS seq_offset,
+       (least(s.cum_end, (t.seq_id + 1) * 2048)
+        - greatest(s.cum_start, t.seq_id * 2048))::BIGINT AS n_tokens
+FROM s, UNNEST(range(s.cum_start // 2048,
+                     (s.cum_end - 1) // 2048 + 1)) AS t(seq_id)
+""",
+        "curate_pack_shuffled": """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_toks
+  FROM documents
+),
+nz AS (SELECT * FROM n WHERE n_toks > 0),
+c AS (SELECT doc_id, n_toks,
+             sum(n_toks) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+                 AS cum_end
       FROM nz),
 s AS (SELECT doc_id, n_toks, cum_end, cum_end - n_toks AS cum_start FROM c)
 SELECT s.doc_id,

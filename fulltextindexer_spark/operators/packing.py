@@ -73,28 +73,52 @@ def _empty_manifest(nz: DataFrame) -> DataFrame:
 
 
 def _pack_from_counts(
-    nz: DataFrame, block_size: int, n_buckets: int, base: int
+    nz: DataFrame,
+    block_size: int,
+    n_buckets: int,
+    base: int,
+    shuffle: bool = False,
 ) -> tuple[DataFrame, int]:
     """(doc_id, n_toks) frame → (manifest, total batch tokens); the
     token stream starts at global offset ``base``. ``nz`` must already
-    be persisted — three actions read it."""
+    be persisted — three actions read it.
+
+    ``shuffle=False`` lays documents in ``doc_id`` order;
+    ``shuffle=True`` in ``md5(doc_id)`` order — a deterministic,
+    engine-reproducible permutation (the pre-packing shuffle a trainer
+    wants so neighbouring source documents don't share sequences).
+    Either way the bucket function is MONOTONE in the chosen order, so
+    the two-phase prefix sum is identical in shape.
+    """
     lo, hi = nz.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:
         return _empty_manifest(nz), 0
-    span = float(hi - lo) + 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col("doc_id") - F.lit(lo)).cast("double")
-            / F.lit(span)
-            * F.lit(n_buckets)
-        ),
-    ).alias("bucket")
-    nz = nz.select("doc_id", "n_toks", bucket)
+    if shuffle:
+        skey = F.md5(F.col("doc_id").cast("string"))
+        # first hex byte → monotone bucket in md5 order (≤256 buckets)
+        bucket = F.floor(
+            F.conv(F.substring(skey, 1, 2), 16, 10).cast("double")
+            * F.lit(min(n_buckets, 256))
+            / F.lit(256.0)
+        ).alias("bucket")
+        nz = nz.select("doc_id", "n_toks", skey.alias("skey"), bucket)
+        order_cols = [F.col("skey"), F.col("doc_id")]
+    else:
+        span = float(hi - lo) + 1.0
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("doc_id") - F.lit(lo)).cast("double")
+                / F.lit(span)
+                * F.lit(n_buckets)
+            ),
+        ).alias("bucket")
+        nz = nz.select("doc_id", "n_toks", bucket)
+        order_cols = [F.col("doc_id")]
 
     w_in = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_in = nz.withColumn("cum_in", F.sum("n_toks").over(w_in))
@@ -147,6 +171,7 @@ def pack_sequences(
     n_buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shuffle: bool = False,
 ) -> DataFrame:
     """Span manifest of concat-and-chunk packing at ``block_size``.
 
@@ -166,6 +191,11 @@ def pack_sequences(
     Invariants (pinned in tests): per-doc slices sum to the doc's
     token count; per-sequence slices sum to ``block_size`` (except the
     final sequence); slices within a sequence tile it contiguously.
+
+    ``shuffle=True`` packs in ``md5(doc_id)`` order instead — the
+    deterministic pre-packing shuffle (same invariants, different
+    neighbourhoods). Incompatible with :func:`pack_batch`'s
+    append-only continuation, which requires arrival order.
     """
     if block_size <= 0:
         raise ValueError("block_size must be positive")
@@ -174,7 +204,9 @@ def pack_sequences(
     nz = persist_tracked(
         _token_counts(docs, text_col, id_col), scope="query"
     )
-    manifest, _ = _pack_from_counts(nz, block_size, n_buckets, 0)
+    manifest, _ = _pack_from_counts(
+        nz, block_size, n_buckets, 0, shuffle=shuffle
+    )
     return manifest
 
 

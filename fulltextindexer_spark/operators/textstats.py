@@ -1042,6 +1042,66 @@ def binned_auc(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, Data
+    Selection via Importance Resampling): score every corpus document
+    by how much its hashed-feature profile looks like a TARGET slice —
+    ``logw(doc) = Σ_b c_b(doc) · (ln p̂_b − ln q̂_b)`` with
+    Laplace-smoothed hashed-unigram distributions p̂ (target) and q̂
+    (raw corpus). High scores = resample first when building a
+    target-flavoured mixture.
+
+    Hashing reuses the engine's md5-prefix bucket (`vectorize._bucket`,
+    engine-identical hex in the SQL oracle). Scale shape: both feature
+    distributions are ``n_buckets``-row aggregates joined back
+    broadcast-size; the per-doc score is one (doc, bucket) count
+    aggregation + one broadcast join + one keyed sum — linear, two
+    shuffles, no UDF. 4dp rounding.
+    """
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+    from .vectorize import _bucket
+
+    tokc = _tokens(docs, text_col, id_col).select(
+        "doc_id", _bucket(F.col("tok"), n_buckets).alias("b")
+    )
+    tokp = _tokens(target, text_col, id_col).select(
+        _bucket(F.col("tok"), n_buckets).alias("b")
+    )
+    tokc = persist_tracked(tokc, scope="query")
+    q_counts = tokc.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    p_counts = tokp.groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    cq_tot = tokc.count()
+    cp_tot = tokp.count()
+    lr = (
+        q_counts.join(p_counts, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + 1.0)
+                    / F.lit(float(cp_tot + n_buckets))
+                )
+                - F.log(
+                    (F.col("cq") + 1.0) / F.lit(float(cq_tot + n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    dc = tokc.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("dsir_logw"))
+    )
+
+
 def token_entropy(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -303,6 +303,53 @@ def test_cosine_topk_batch_matches_per_query(spark):
         assert got[qid][0][0] == qid
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance log-weights: docs whose hashed-feature profile
+    matches the TARGET slice score higher than off-profile docs; the
+    weight is exactly sum(c_b * log-ratio_b) over the doc's buckets."""
+    import math
+
+    target_text = "alpha beta gamma alpha beta"
+    docs = spark.createDataFrame(
+        [
+            (1, target_text, "en"),
+            (2, "alpha beta gamma beta alpha", "xx"),  # target-like
+            (3, "zeta eta theta iota kappa", "xx"),    # off-profile
+        ],
+        "doc_id long, text string, lang string",
+    )
+    target = docs.where(F.col("lang") == "en")
+    got = {r["doc_id"]: r["dsir_logw"]
+           for r in textstats.dsir_weights(docs, target, n_buckets=8).collect()}
+    assert got[2] > got[3]
+    # hand check doc 3 against the closed-form Laplace log-ratio
+    from fulltextindexer_spark.operators.vectorize import _bucket  # noqa
+
+    def bucket(tok):
+        return int(__import__("hashlib").md5(tok.encode()).hexdigest()[:8], 16) % 8
+
+    corpus_toks = (target_text.split() + "alpha beta gamma beta alpha".split()
+                   + "zeta eta theta iota kappa".split())
+    tgt_toks = target_text.split()
+    cq, cp = {}, {}
+    for t in corpus_toks:
+        cq[bucket(t)] = cq.get(bucket(t), 0) + 1
+    for t in tgt_toks:
+        cp[bucket(t)] = cp.get(bucket(t), 0) + 1
+    B, CQ, CP = 8, len(corpus_toks), len(tgt_toks)
+    want = {}
+    for d, text in [(2, "alpha beta gamma beta alpha"),
+                    (3, "zeta eta theta iota kappa")]:
+        w = 0.0
+        for t in text.split():
+            b = bucket(t)
+            w += math.log((cp.get(b, 0) + 1) / (CP + B)) - math.log(
+                (cq[b] + 1) / (CQ + B)
+            )
+        want[d] = round(w, 4)
+    assert got[2] == want[2] and got[3] == want[3]
+
+
 def test_token_entropy_known_values(spark):
     docs = spark.createDataFrame(
         [

@@ -97,6 +97,34 @@ def test_pack_batch_chunked_equals_one_shot(spark, tmp_path):
     )
 
 
+def test_pack_shuffled_same_invariants_different_order(spark):
+    docs = _docs(spark)
+    plain = pack_sequences(docs, block_size=16)
+    shuf = pack_sequences(docs, block_size=16, shuffle=True)
+    p, s = plain.collect(), shuf.collect()
+
+    def per_doc(rows):
+        d = {}
+        for r in rows:
+            d[r["doc_id"]] = d.get(r["doc_id"], 0) + r["n_tokens"]
+        return d
+
+    # identical token totals per doc and overall sequence count...
+    assert per_doc(p) == per_doc(s)
+    assert max(r["seq_id"] for r in p) == max(r["seq_id"] for r in s)
+    # ...but a different layout (the permutation genuinely shuffles)
+    assert sorted(tuple(r) for r in p) != sorted(tuple(r) for r in s)
+    # shuffled manifests still tile sequences contiguously
+    seqs = {}
+    for r in s:
+        seqs.setdefault(r["seq_id"], []).append((r["seq_offset"], r["n_tokens"]))
+    for sid, slices in seqs.items():
+        pos = 0
+        for off, n in sorted(slices):
+            assert off == pos and n > 0
+            pos += n
+
+
 def test_pack_stats_summary(spark):
     from fulltextindexer_spark.operators.packing import pack_stats
 
