@@ -1658,6 +1658,12 @@ def q_text_encoding(spark, sf_dir):
     return textstats.encoding_stats(_documents(spark, sf_dir))
 
 
+def q_best_per_source(spark, sf_dir):
+    """Keep the best 5 docs per source by quality — group-partitioned
+    rank window, rounded-before-rank cut."""
+    return textstats.best_per_group(_documents(spark, sf_dir), k=5)
+
+
 def q_curate_dsir(spark, sf_dir):
     """DSIR importance log-weights vs the lang='en' target slice —
     hashed-unigram likelihood ratio, Laplace-smoothed, 64 buckets."""
@@ -2092,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_stats": q_pack_stats,
         "curate_pack_shuffled": q_pack_shuffled,
         "curate_dsir": q_curate_dsir,
+        "curate_best_per_source": q_best_per_source,
         "text_encoding": q_text_encoding,
         "text_entropy": q_text_entropy,
         "text_pii_mask": q_pii_mask,
@@ -4043,6 +4050,33 @@ SELECT tt.doc_id, COALESCE(gs.dup_kgram_ratio, 0.0) AS dup_kgram_ratio,
        tt.top_token_ratio
 FROM tt LEFT JOIN gs USING (doc_id)
 """,
+        "curate_best_per_source": """
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+         round(sum(CASE WHEN tok IN ({raw_stop}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS stopword_ratio
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         round((least(n_tokens / 100.0, 1.0)
+                + n_distinct * 1.0 / n_tokens
+                + (1.0 - abs(stopword_ratio - 0.4))) / 3.0, 4) AS quality
+  FROM stats
+),
+r AS (
+  SELECT d.source, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, q.doc_id) AS rnk
+  FROM documents d JOIN q USING (doc_id)
+)
+SELECT source, doc_id, quality, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5
+""".format(raw_stop=RAW_STOP_IN),
         "curate_dsir": f"""
 WITH tok AS (
   SELECT doc_id, t

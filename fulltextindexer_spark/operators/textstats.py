@@ -1042,6 +1042,33 @@ def binned_auc(
     )
 
 
+def best_per_group(
+    docs: DataFrame,
+    k: int = 10,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per group by quality score — the 'keep the best
+    N per domain' curation cut. The rank window is PARTITIONED by the
+    group column (distributed; no global sort), ordered on the
+    display-rounded quality with doc_id tiebreak so any engine
+    reproduces the cut. Returns (group, doc_id, quality, rnk)."""
+    from pyspark.sql import Window
+
+    q = quality_score(docs, text_col, id_col)
+    g = docs.select(F.col(id_col).alias("doc_id"), F.col(group_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        g.join(q, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(group_col, "doc_id", "quality", F.col("rnk").cast("long"))
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target: DataFrame,

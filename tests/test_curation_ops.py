@@ -303,6 +303,28 @@ def test_cosine_topk_batch_matches_per_query(spark):
         assert got[qid][0][0] == qid
 
 
+def test_best_per_group_cut_and_ties(spark):
+    """Top-k per group: rank partitioned by group, quality desc with
+    doc_id tiebreak, cut at k."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog today", "a"),
+            (2, "the quick brown fox jumps over a lazy dog today", "a"),
+            (3, "spam spam spam", "a"),
+            (4, "another perfectly ordinary sentence about the weather", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = [
+        (r["source"], r["doc_id"], r["rnk"])
+        for r in textstats.best_per_group(docs, k=2)
+        .orderBy("source", "rnk")
+        .collect()
+    ]
+    # docs 1 and 2 tie on quality -> doc_id breaks the tie; doc 3 cut
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 4, 1)]
+
+
 def test_dsir_weights_rank_target_like_docs_higher(spark):
     """DSIR importance log-weights: docs whose hashed-feature profile
     matches the TARGET slice score higher than off-profile docs; the
