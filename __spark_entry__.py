@@ -1992,6 +1992,58 @@ def q_skew_report(spark, sf_dir):
     return term_skew_report(_docs_index(spark, sf_dir), top_n=25)
 
 
+def q_dismax(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery combiner (dis_max, tie_breaker 0.3):
+    per-doc score = best matched slot + 0.3 × the remaining matched
+    mass — the fourth WeightCombiner flavour on the same single
+    broadcast-join + per-doc fold."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        q.get_partial_matches(idx, "merge tree", combiner="or_dismax")
+    )
+
+
+def q_salting_plan(spark, sf_dir):
+    """Skew-mitigation artefact: per hot term, the salt fan-out a keyed
+    aggregation should use (ceil(df / target)) — computed once per
+    snapshot, broadcast to every downstream job."""
+    from fulltextindexer_spark.operators.index_build import salting_plan
+
+    return salting_plan(_docs_index(spark, sf_dir), target_df=50)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard negatives: per query vector, the top-5
+    most-similar vectors with a DIFFERENT label, in one broadcast
+    corpus scan."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id").isin(0, 1, 2)), k=5
+    )
+
+
+def q_knn_label(spark, sf_dir):
+    """k-NN label-consistency audit: majority label among the 5 nearest
+    neighbours vs own label for the first 20 vectors — the
+    embedding-space label-noise probe."""
+    emb = _embeddings(spark, sf_dir)
+    return similarity.knn_label_audit(
+        emb, emb.where(F.col("vec_id") < 20), k=5
+    )
+
+
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility per source × lang: bytes/chars per token and
+    tokens per doc from exact integer sums."""
+    return textstats.fertility_report(_documents(spark, sf_dir))
+
+
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity per source (n = 1, 2, 3): distinct / total
+    n-gram ratio — the cross-doc templated-text signal."""
+    return textstats.distinct_ngrams(_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftix_top_terms": q_top_terms,
@@ -2130,6 +2182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_containment,
         "text_chunks": q_chunks,
         "curate_lang_cap": q_lang_cap,
+        "ftix_dismax": q_dismax,
+        "ftix_salting_plan": q_salting_plan,
+        "sim_hard_negatives": q_hard_negatives,
+        "sim_knn_label": q_knn_label,
+        "curate_fertility": q_fertility,
+        "text_distinct_ngrams": q_distinct_ngrams,
     }
 
 
@@ -4654,5 +4712,110 @@ WITH r AS (
              ORDER BY md5('cap1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents)
 SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 30
+""",
+        "ftix_dismax": f"""
+WITH {TOK_CTE}, {POST_CTE},
+m AS (SELECT doc_id, w FROM post
+      WHERE term IN ('{english_plurality_normalise("merge")}',
+                     '{english_plurality_normalise("tree")}'))
+SELECT doc_id,
+       round(max(w) + 0.3 * (sum(w) - max(w)), 4) AS score
+FROM m GROUP BY doc_id
+""",
+        "ftix_salting_plan": f"""
+WITH {TOK_CTE}, {POST_CTE},
+df AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY term)
+SELECT term, doc_freq, ceil(doc_freq / 50.0)::BIGINT AS n_salts
+FROM df WHERE doc_freq > 50
+""",
+        "sim_hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+pairs AS (
+  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+),
+dots AS (SELECT query_id, vec_id, label, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY query_id, vec_id, label),
+sc AS (SELECT query_id, vec_id, label, round(dot / (nx * ny), 4) AS cosine
+       FROM dots),
+r AS (SELECT *, row_number() OVER
+          (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM sc)
+SELECT query_id, vec_id, label, cosine FROM r WHERE rn <= 5
+""",
+        "sim_knn_label": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS nbr_id, e.label AS nbr_label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+dots AS (SELECT query_id, q_label, nbr_id, nbr_label, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY query_id, q_label, nbr_id, nbr_label),
+sc AS (SELECT query_id, q_label, nbr_id, nbr_label,
+              round(dot / (nx * ny), 4) AS cosine FROM dots),
+nbrs AS (SELECT * FROM
+           (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rn
+            FROM sc)
+         WHERE rn <= 5),
+votes AS (SELECT query_id, q_label, nbr_label, count(*) AS votes
+          FROM nbrs GROUP BY query_id, q_label, nbr_label),
+win AS (SELECT *, row_number() OVER
+            (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS vrn
+        FROM votes)
+SELECT query_id AS vec_id, q_label AS label, nbr_label AS knn_label,
+       votes, (q_label = nbr_label)::INTEGER AS agree
+FROM win WHERE vrn = 1
+""",
+        "curate_fertility": """
+WITH per AS (
+  SELECT source, lang,
+         strlen(text)::BIGINT AS nb, length(text)::BIGINT AS nc,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS nt
+  FROM documents)
+SELECT source, lang, count(*) AS n_docs,
+       sum(nb)::BIGINT AS total_bytes, sum(nt)::BIGINT AS total_tokens,
+       round(sum(nb) * 1.0 / sum(nt), 4) AS bytes_per_token,
+       round(sum(nc) * 1.0 / sum(nt), 4) AS chars_per_token,
+       round(sum(nt) * 1.0 / count(*), 4) AS tokens_per_doc
+FROM per GROUP BY source, lang
+""",
+        "text_distinct_ngrams": """
+WITH tokp AS (
+  SELECT d.source, t.doc_id, t.t,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS rn
+  FROM (SELECT doc_id, t, pos FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents) WHERE t <> '') t
+  JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT source, 1 AS n, t AS gram FROM tokp
+  UNION ALL
+  SELECT source, 2 AS n,
+         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id ORDER BY rn)
+  FROM tokp
+  UNION ALL
+  SELECT source, 3 AS n,
+         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id ORDER BY rn)
+           || ' ' || lead(t, 2) OVER (PARTITION BY doc_id ORDER BY rn)
+  FROM tokp
+),
+pg AS (SELECT source, n, gram, count(*) AS cnt
+       FROM g WHERE gram IS NOT NULL GROUP BY source, n, gram)
+SELECT source, n, sum(cnt)::BIGINT AS total_ngrams,
+       count(*)::BIGINT AS distinct_ngrams,
+       round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio
+FROM pg GROUP BY source, n
 """,
     }

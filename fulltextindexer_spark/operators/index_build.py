@@ -1179,3 +1179,36 @@ def index_diff(old: InvertedIndex, new: InvertedIndex) -> DataFrame:
         F.coalesce(F.col("df_new"), F.lit(0)).cast("long").alias("df_new"),
         status.alias("status"),
     )
+
+
+def salting_plan(index: InvertedIndex, target_df: int = 1000) -> DataFrame:
+    """Skew-mitigation plan: the per-term salt fan-out a keyed
+    aggregation over the postings should use so no reducer sees more
+    than ~``target_df`` rows of one term — the concrete artefact
+    behind the salted two-phase patterns the engine already applies
+    (``bm25.doc_frequencies``; the north rule's "skewed hot terms …
+    salted repartitioning"). At 100 TB this plan is computed once per
+    snapshot from the same linear df aggregation as the skew report,
+    broadcast (it is heavy-hitter-sized, not vocabulary-sized), and
+    every downstream job salts exactly the listed terms with
+    ``pmod(xxhash64(doc_id), n_salts)``.
+
+    Returns only the terms that need salting (``n_salts > 1``):
+    (term, doc_freq, n_salts) with n_salts = ceil(df / target_df) —
+    all integers, bit-reproducible across engines.
+    """
+    if target_df < 1:
+        raise ValueError("target_df must be >= 1")
+    per_term = index.postings.groupBy("term").agg(
+        F.count("*").alias("doc_freq")
+    )
+    return (
+        per_term.where(F.col("doc_freq") > target_df)
+        .select(
+            "term",
+            "doc_freq",
+            F.ceil(F.col("doc_freq") / F.lit(float(target_df)))
+            .cast("long")
+            .alias("n_salts"),
+        )
+    )

@@ -70,17 +70,34 @@ def _query_terms_df(index: InvertedIndex, source: str):
 # arbitrary delegate, PartialMatches.cs:106-109; these are the
 # combiners its docs/tests use): "and_" = every query token index must
 # match at least once (DefaultWeightCombiner's gate, :115-137), "or_" =
-# no gate; "_sum" = ordered f32 fold, "_max" = max matched weight.
-PARTIAL_MATCH_COMBINERS = ("and_sum", "or_sum", "and_max", "or_max")
+# no gate; "_sum" = ordered f32 fold, "_max" = max matched weight,
+# "_dismax" = Lucene DisjunctionMaxQuery: best match + tie_breaker ×
+# the rest (= max + tb·(sum − max)), blended in double over the f32
+# fold results then cast back to float32.
+PARTIAL_MATCH_COMBINERS = (
+    "and_sum", "or_sum", "and_max", "or_max", "and_dismax", "or_dismax"
+)
+
+DEFAULT_TIE_BREAKER = 0.3
 
 
-def _combine_matched(lst: Column, fold: str) -> Column:
+def _combine_matched(
+    lst: Column, fold: str, tie_breaker: float = DEFAULT_TIE_BREAKER
+) -> Column:
     """Fold a sorted (token_idx, weight) match list into the combined
     score with reference float32 semantics."""
+    mx = F.array_max(F.transform(lst, lambda x: x["weight"]))
     if fold == "max":
         # max over float32 values is exact — no accumulator concerns
-        return F.array_max(F.transform(lst, lambda x: x["weight"]))
-    return _f32_fold_sum(lst)
+        return mx
+    sm = _f32_fold_sum(lst)
+    if fold == "dismax":
+        return (
+            mx.cast("double")
+            + F.lit(float(tie_breaker))
+            * (sm.cast("double") - mx.cast("double"))
+        ).cast("float")
+    return sm
 
 
 def _parse_combiner(combiner: str) -> tuple[bool, str]:
@@ -101,6 +118,7 @@ def get_partial_matches(
     synonyms=None,
     min_match: Optional[int] = None,
     boosts=None,
+    tie_breaker: float = DEFAULT_TIE_BREAKER,
 ) -> DataFrame:
     """Multi-term scoring. Returns (doc_id, score), optionally top-k
     ordered by (score desc, doc_id asc).
@@ -109,7 +127,11 @@ def get_partial_matches(
     (:data:`PARTIAL_MATCH_COMBINERS`): the default ``and_sum`` is the
     reference's DefaultWeightCombiner; ``or_sum`` scores any-term
     matches (the docstring example at PartialMatches.cs:13-16 inverted);
-    ``*_max`` takes the best matched weight instead of the sum.
+    ``*_max`` takes the best matched weight instead of the sum;
+    ``*_dismax`` is Lucene's DisjunctionMaxQuery blend — the best
+    matched weight plus ``tie_breaker`` × the remaining matched mass
+    (max + tb·(sum − max)) — rewarding docs that match several slots
+    without letting weak slots swamp the best one.
 
     ``synonyms`` (optional) maps a query token (pre-normalisation) to
     alternative tokens that fill the SAME query slot — any of the
@@ -184,7 +206,8 @@ def get_partial_matches(
             (F.col("weight") * F.col("boost")).cast("float"),
         )
     return _fold_partial_matches(
-        matched, n_tokens, require_all, fold, k, min_match=min_match
+        matched, n_tokens, require_all, fold, k,
+        min_match=min_match, tie_breaker=tie_breaker,
     )
 
 
@@ -226,6 +249,7 @@ def _fold_partial_matches(
     fold: str,
     k: Optional[int],
     min_match: Optional[int] = None,
+    tie_breaker: float = DEFAULT_TIE_BREAKER,
 ) -> DataFrame:
     """Shared tail of every partial-match variant: fold the per-doc
     (token_idx, weight) match list into (doc_id, score) with the
@@ -251,7 +275,9 @@ def _fold_partial_matches(
     result = (
         agg.select(
             "doc_id",
-            _combine_matched(F.col("lst"), fold).alias("score"),
+            _combine_matched(
+                F.col("lst"), fold, tie_breaker=tie_breaker
+            ).alias("score"),
         )
         .where(F.col("score") > 0)
     )

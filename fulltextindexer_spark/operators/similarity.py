@@ -1012,3 +1012,120 @@ def mmr_rerank(
     return embeddings.sparkSession.createDataFrame(
         out, "rank long, vec_id long, mmr double"
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the ``k`` most-similar corpus vectors carrying a DIFFERENT
+    label (the near-misses a contrastive loss learns most from; see
+    e.g. dense-retrieval practice à la Karpukhin et al. 2020).
+
+    Same single-scan job shape as :func:`cosine_topk_batch` — the
+    query set broadcasts onto one corpus pass, dots are JVM
+    ``zip_with`` folds, and the per-query cut is a rank window
+    PARTITIONED by query id (one shuffle keyed by query, never a
+    global sort). The label-mismatch gate and the self-pair guard are
+    scan predicates, applied BEFORE the window so excluded rows never
+    shuffle. Cosines are display-rounded to 4dp before ranking (the
+    gate convention). Returns (query_id, vec_id, label, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("label"),
+    ).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        _norm(F.col("v")) * _norm(F.col("qv"))
+    )
+    scored = pairs.where(
+        (F.col("label") != F.col("q_label"))
+        & (F.col("vec_id") != F.col("query_id"))
+    ).select("query_id", "vec_id", "label", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "label", "cosine")
+    )
+
+
+def knn_label_audit(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label-consistency audit: for every query vector, the
+    majority label among its ``k`` nearest neighbours (self excluded)
+    vs its own label — the standard embedding-space label-noise /
+    cluster-coherence probe (docs whose neighbourhood disagrees are
+    mislabel or boundary candidates worth review before training).
+
+    Pipeline: one broadcast-batched exact top-k scan (the
+    :func:`cosine_topk_batch` shape with a self-pair guard), then a
+    vote count per (query, label) and a deterministic winner rule
+    (votes desc, label asc — engine-portable tie break). Every output
+    column is an integer, so the gate compares exactly. Returns
+    (vec_id, label, knn_label, votes, agree).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("nbr_label"),
+    ).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        _norm(F.col("v")) * _norm(F.col("qv"))
+    )
+    scored = pairs.where(F.col("nbr_id") != F.col("query_id")).select(
+        "query_id",
+        "q_label",
+        "nbr_id",
+        "nbr_label",
+        F.round(cos, 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    nbrs = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    votes = nbrs.groupBy("query_id", "q_label", "nbr_label").agg(
+        F.count("*").alias("votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    return (
+        votes.withColumn("vrn", F.row_number().over(vw))
+        .where(F.col("vrn") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.col("nbr_label").alias("knn_label"),
+            "votes",
+            (F.col("q_label") == F.col("nbr_label"))
+            .cast("int")
+            .alias("agree"),
+        )
+    )

@@ -1242,3 +1242,115 @@ def gopher_filter(
         "dup_kgram_ratio",
         "top_token_ratio",
     )
+
+
+def fertility_report(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility readout per group (default source × lang):
+    bytes-per-token, chars-per-token and tokens-per-doc ratios — the
+    numbers that size a token budget from a byte budget (and flag
+    languages/sources where whitespace tokenization under- or
+    over-segments) before a training-mix plan is committed.
+
+    Pure scan aggregation: per-doc byte/char/token counts are row
+    expressions, the group rollup is ONE partial-aggregated groupBy
+    over low-cardinality keys; ratios derive from exact integer sums
+    (4dp display rounding only at the end), so the report reproduces
+    bit-identically in any engine and at any partitioning.
+    """
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    )
+    per_doc = docs.select(
+        *group_cols,
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_bytes",
+            "total_tokens",
+            F.round(F.col("total_bytes") / F.col("total_tokens"), 4).alias(
+                "bytes_per_token"
+            ),
+            F.round(F.col("total_chars") / F.col("total_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias(
+                "tokens_per_doc"
+            ),
+        )
+    )
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016): per group and n-gram
+    order, the ratio of distinct n-grams to total n-grams — low
+    distinct-2/3 flags templated or repetitively-generated text the
+    way per-doc repetition stats can't (the duplication is *across*
+    docs inside a source).
+
+    n-grams are pure array expressions on the doc row (filtered token
+    array → adjacent windows; zero shuffle to build); the exact
+    distinct count is the standard two-phase aggregation — groupBy
+    (group, n, gram) partial-agg'd map-side, then a low-cardinality
+    rollup — never a count(DISTINCT) funnelling one reducer. Output
+    is integer counts + a 4dp ratio. Returns
+    (group, n, total_ngrams, distinct_ngrams, distinct_ratio).
+    """
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    per_n = []
+    for n in ns:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("arr", i, n)),
+        )
+        per_n.append(
+            docs.select(F.col(group_col).alias("grp"), arr.alias("arr"))
+            .where(F.size("arr") >= n)
+            .select(
+                "grp",
+                F.lit(n).alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+        )
+    exploded = per_n[0]
+    for other in per_n[1:]:
+        exploded = exploded.unionByName(other)
+    per_gram = exploded.groupBy("grp", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_gram.groupBy("grp", "n")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams"), 4
+            ).alias("distinct_ratio"),
+        )
+    )

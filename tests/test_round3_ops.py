@@ -1,0 +1,187 @@
+"""Unit tests for the round-3 continuation operators: dis_max query
+combiner, salting plan, hard-negative mining, kNN label audit,
+fertility report, distinct-n diversity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import similarity, textstats
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import (
+    build_index,
+    salting_plan,
+)
+
+TEXT_CONFIG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple"),
+            (3, "banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    return build_index(docs, TEXT_CONFIG)
+
+
+def _score_map(df):
+    return {r["doc_id"]: round(float(r["score"]), 4) for r in df.collect()}
+
+
+def test_dismax_combiner(tiny_index):
+    # weights: doc1 apple=1, banana=1; doc2 apple=1; doc3 banana=2
+    got = _score_map(
+        q.get_partial_matches(tiny_index, "apple banana", combiner="or_dismax")
+    )
+    # dis_max = max + 0.3*(sum - max)
+    assert got == {1: 1.3, 2: 1.0, 3: 2.0}
+    # AND gate keeps only doc1
+    got_and = _score_map(
+        q.get_partial_matches(
+            tiny_index, "apple banana", combiner="and_dismax"
+        )
+    )
+    assert got_and == {1: 1.3}
+    # tie_breaker dial: 0 -> pure max, 1 -> pure sum
+    got_max = _score_map(
+        q.get_partial_matches(
+            tiny_index, "apple banana", combiner="or_dismax", tie_breaker=0.0
+        )
+    )
+    assert got_max == _score_map(
+        q.get_partial_matches(tiny_index, "apple banana", combiner="or_max")
+    )
+    got_sum = _score_map(
+        q.get_partial_matches(
+            tiny_index, "apple banana", combiner="or_dismax", tie_breaker=1.0
+        )
+    )
+    assert got_sum == _score_map(
+        q.get_partial_matches(tiny_index, "apple banana", combiner="or_sum")
+    )
+
+
+def test_salting_plan(spark):
+    docs = spark.createDataFrame(
+        [(i, "hot" + (" cold" if i < 2 else "")) for i in range(5)],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, TEXT_CONFIG)
+    plan = {
+        r["term"]: (r["doc_freq"], r["n_salts"])
+        for r in salting_plan(idx, target_df=2).collect()
+    }
+    # 'hot' df=5 -> ceil(5/2)=3 salts; 'cold' df=2 is under the bar
+    # (terms carry the normaliser's '~' stem marker)
+    assert plan == {"hot~": (5, 3)}
+    with pytest.raises(ValueError):
+        salting_plan(idx, target_df=0)
+
+
+@pytest.fixture(scope="module")
+def labeled_emb(spark):
+    # 2-D embeddings: label 0 points near +x, label 1 near +y,
+    # vec 4 sits at +x but carries label 1 (a mislabel)
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+            (4, [0.95, 0.05], 1),
+            (5, [0.05, 0.95], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_hard_negatives(labeled_emb):
+    rows = similarity.hard_negatives(
+        labeled_emb, labeled_emb.where(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert all(r["query_id"] == 0 for r in rows)
+    # negatives all carry a different label and never include self
+    assert all(r["label"] != 0 for r in rows)
+    assert all(r["vec_id"] != 0 for r in rows)
+    # the mislabeled +x point is the hardest negative for vec 0
+    assert rows == sorted(
+        rows, key=lambda r: (-r["cosine"], r["vec_id"])
+    )
+    assert rows[0]["vec_id"] == 4
+
+
+def test_knn_label_audit(labeled_emb):
+    out = {
+        r["vec_id"]: r
+        for r in similarity.knn_label_audit(
+            labeled_emb, labeled_emb, k=2
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    # vec 0's two nearest (4 at cos~1, 1) vote labels {1, 0} ->
+    # tie broken to the LOWER label deterministically
+    assert out[0]["knn_label"] == 0 and out[0]["votes"] == 1
+    # the mislabeled vec 4 disagrees with its neighbourhood
+    assert out[4]["knn_label"] == 0 and out[4]["agree"] == 0
+    assert out[2]["knn_label"] == 1 and out[2]["agree"] == 1
+
+
+def test_fertility_report(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "ab cd", "en", "web"),
+            (2, "efgh", "en", "web"),
+            (3, "x y z", "de", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in textstats.fertility_report(docs).collect()
+    }
+    en = rows[("web", "en")]
+    # 2 docs, bytes 5+4=9, tokens 2+1=3
+    assert en["n_docs"] == 2
+    assert en["total_bytes"] == 9 and en["total_tokens"] == 3
+    assert en["bytes_per_token"] == 3.0
+    assert en["tokens_per_doc"] == 1.5
+    de = rows[("web", "de")]
+    assert de["total_tokens"] == 3 and de["bytes_per_token"] == round(
+        5 / 3, 4
+    )
+
+
+def test_distinct_ngrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "web")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["n"]: r for r in textstats.distinct_ngrams(docs).collect()
+    }
+    assert rows[1]["total_ngrams"] == 4 and rows[1]["distinct_ngrams"] == 2
+    assert rows[1]["distinct_ratio"] == 0.5
+    # bigrams: 'a b', 'b a', 'a b' -> 3 total, 2 distinct
+    assert rows[2]["total_ngrams"] == 3 and rows[2]["distinct_ngrams"] == 2
+    assert rows[2]["distinct_ratio"] == round(2 / 3, 4)
+    # trigrams: 'a b a', 'b a b' -> both unique
+    assert rows[3]["distinct_ratio"] == 1.0
+
+
+def test_distinct_ngrams_skips_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "only", "web")], "doc_id long, text string, source string"
+    )
+    rows = {
+        r["n"]: r for r in textstats.distinct_ngrams(docs).collect()
+    }
+    assert 1 in rows and 2 not in rows and 3 not in rows
