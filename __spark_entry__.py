@@ -1992,6 +1992,33 @@ def q_skew_report(spark, sf_dir):
     return term_skew_report(_docs_index(spark, sf_dir), top_n=25)
 
 
+def q_bm25_merged(spark, sf_dir):
+    """Incremental BM25/WAND maintenance: sufficient statistics built
+    per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
+    folds, intrinsic-rank champion re-cut — no corpus rescan), realized
+    into queryable wand stats. The top-k must equal the from-scratch
+    exact scorer — the oracle is the same SQL as ftix_bm25_wand."""
+    idx = _docs_index(spark, sf_dir)
+    key = ("bm25_merged_stats", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _documents(spark, sf_dir)
+        even = build_index(
+            docs.where(F.pmod("doc_id", F.lit(2)) == 0), DOCS_CONFIG
+        )
+        odd = build_index(
+            docs.where(F.pmod("doc_id", F.lit(2)) == 1), DOCS_CONFIG
+        )
+        _INDEX_CACHE[key] = bm25.realize_bm25_stats(
+            bm25.merge_bm25_suffstats(
+                bm25.build_bm25_suffstats(even),
+                bm25.build_bm25_suffstats(odd),
+            )
+        )
+    return _round_score(
+        bm25.bm25_topk_wand(idx, "data stream", k=10, stats=_INDEX_CACHE[key])
+    )
+
+
 def q_dismax(spark, sf_dir):
     """Lucene DisjunctionMaxQuery combiner (dis_max, tie_breaker 0.3):
     per-doc score = best matched slot + 0.3 × the remaining matched
@@ -2183,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_chunks,
         "curate_lang_cap": q_lang_cap,
         "ftix_dismax": q_dismax,
+        "ftix_bm25_merged": q_bm25_merged,
         "ftix_salting_plan": q_salting_plan,
         "sim_hard_negatives": q_hard_negatives,
         "sim_knn_label": q_knn_label,
@@ -4713,6 +4741,7 @@ WITH r AS (
   FROM documents)
 SELECT doc_id, lang, rk::BIGINT AS rk FROM r WHERE rk <= 30
 """,
+        "ftix_bm25_merged": _bm25_sql(topk=10),
         "ftix_dismax": f"""
 WITH {TOK_CTE}, {POST_CTE},
 m AS (SELECT doc_id, w FROM post

@@ -149,6 +149,12 @@ class Bm25Stats:
     term_stats: DataFrame
     block_stats: DataFrame
     champions: Optional[DataFrame]
+    # True for stats realized from merged sufficient statistics: the
+    # champion lists are then true postings (valid θ lower bounds) but
+    # their rank-1 row is NOT guaranteed to be the block max, so the
+    # champion-pass pruning bounds must come from block_stats (whose
+    # (max_tf, min_dl)-derived ub is a valid — if looser — bound).
+    bounds_from_blocks: bool = False
 
 
 DEFAULT_N_CHAMPIONS = 32
@@ -324,6 +330,7 @@ def save_bm25_stats(stats: Bm25Stats, path: str) -> None:
                 "b": stats.b,
                 "n_blocks": stats.n_blocks,
                 "n_champions": stats.n_champions,
+                "bounds_from_blocks": stats.bounds_from_blocks,
             },
             fh,
         )
@@ -350,6 +357,7 @@ def load_bm25_stats(spark: SparkSession, path: str) -> Optional[Bm25Stats]:
             if os.path.isdir(champ_dir)
             else None
         ),
+        bounds_from_blocks=bool(meta.get("bounds_from_blocks", False)),
     )
 
 
@@ -589,7 +597,10 @@ def _wand_champion_pass(
         {r["term"]: float(r["idf"]) for r in champ_rows}.items()
     )
     # per-block upper bound = Σ over terms of that term's block max
-    # (champion rank 1 per (term, block) is the max contribution)
+    # (champion rank 1 per (term, block) is the max contribution —
+    # EXCEPT for merged stats, where champions are true postings but
+    # not necessarily the block argmax; there the bound table is
+    # block_stats, a second driver-tiny pruned read)
     block_ub: dict[int, float] = {}
     best_per_tb: dict[tuple[str, int], float] = {}
     lower: dict[int, float] = {}
@@ -600,8 +611,17 @@ def _wand_champion_pass(
             best_per_tb[key] = c
         d = int(r["doc_id"])
         lower[d] = lower.get(d, 0.0) + c
-    for (term, block), mx in best_per_tb.items():
-        block_ub[block] = block_ub.get(block, 0.0) + mx
+    if stats.bounds_from_blocks:
+        bound_rows = stats.block_stats.where(
+            F.col("term").isin(terms)
+        ).collect()
+        for r in bound_rows:
+            block_ub[int(r["block"])] = block_ub.get(
+                int(r["block"]), 0.0
+            ) + float(r["ub"])
+    else:
+        for (term, block), mx in best_per_tb.items():
+            block_ub[block] = block_ub.get(block, 0.0) + mx
     theta = None
     if len(lower) >= k:
         theta = sorted(lower.values(), reverse=True)[k - 1]
@@ -923,4 +943,224 @@ def bm25f_topk(
     """Deterministic top-k BM25F: (doc_id, score), score desc, id asc."""
     return _topk(
         bm25f_scores(index, source, field_weights, stats, k1, b), k
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable sufficient statistics (incremental maintenance of Bm25Stats)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bm25SuffStats:
+    """Mergeable sufficient statistics for BM25 + block-max WAND.
+
+    ``Bm25Stats``'s derived tables (idf, block ub, champion contribs)
+    all bake in the corpus-level constants N and avgdl, so they cannot
+    be combined when a corpus grows (an Add/Combine on the index side):
+    adding documents changes avgdl, which silently re-ranks every
+    tfnorm. This class stores only quantities that merge EXACTLY under
+    corpus union:
+
+    - ``n_docs`` / ``total_dl`` — add (avgdl is re-derived);
+    - ``block_suff`` (term, block, df_part, max_tf, min_dl) — df_part
+      sums, max_tf maxes, min_dl mins. The block key is
+      ``pmod(xxhash64(doc_id), n_blocks)`` — doc-intrinsic, so a doc
+      lands in the same block no matter which sub-corpus built it;
+    - ``champ_suff`` (term, block, doc_id, tf, dl) — the top
+      ``n_champions`` postings per (term, block) by the row-INTRINSIC
+      rank (tf desc, dl asc, doc_id asc). Because the rank key never
+      references avgdl, top-C is associatively mergeable:
+      top-C(A ∪ B) = top-C(top-C(A) ∪ top-C(B)).
+
+    Disjoint-corpus precondition: the merged sides must not share
+    doc_ids (the same contract as the index algebra's Add). Removals
+    require a rebuild — max/min and top-C are not subtractable.
+
+    :func:`realize_bm25_stats` turns suffstats into a regular
+    ``Bm25Stats`` consumed unchanged by every query path. The realized
+    block bound uses ub = idf × tfnorm(max_tf, min_dl) ≥ the true
+    block max (tfnorm is increasing in tf and decreasing in dl at any
+    avgdl), so WAND pruning stays EXACT — merely a little looser than
+    a from-scratch build; the realized stats carry
+    ``bounds_from_blocks=True`` so the champion pass reads its pruning
+    bounds from this table instead of champion rank 1 (which after a
+    merge is a true posting but not necessarily the block argmax).
+    """
+
+    n_docs: int
+    total_dl: int
+    k1: float
+    b: float
+    n_blocks: int
+    n_champions: int
+    block_suff: DataFrame
+    champ_suff: DataFrame
+
+
+def _champ_topc(champ: DataFrame, n_champions: int) -> DataFrame:
+    """Top-C postings per (term, block) by the avgdl-free intrinsic
+    rank (tf desc, dl asc, doc_id asc)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term", "block").orderBy(
+        F.desc("tf"), F.asc("dl"), F.asc("doc_id")
+    )
+    return (
+        champ.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_champions)
+        .drop("rn")
+    )
+
+
+def build_bm25_suffstats(
+    index: InvertedIndex,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    n_blocks: int = DEFAULT_N_BLOCKS,
+    n_champions: int = DEFAULT_N_CHAMPIONS,
+) -> Bm25SuffStats:
+    """Linear suffstats pass over one index's postings: a doc-distinct
+    corpus aggregate plus one (term, block)-keyed aggregation (the
+    block key spreads hot terms over ``n_blocks`` reducers — salting is
+    structural here) and a bounded top-C window for the champion
+    candidates."""
+    postings = index.postings
+    doc_row = (
+        postings.select("doc_id", "dl")
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+        )
+        .collect()[0]
+    )
+    base = postings.select(
+        "term", "doc_id", _block_col(n_blocks).alias("block"), "tf", "dl"
+    )
+    block_suff = base.groupBy("term", "block").agg(
+        F.count("*").alias("df_part"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.min("dl").cast("long").alias("min_dl"),
+    )
+    champ_suff = _champ_topc(
+        base.select("term", "block", "doc_id", "tf", "dl"), n_champions
+    )
+    return Bm25SuffStats(
+        n_docs=int(doc_row["n"]),
+        total_dl=int(doc_row["total_dl"]),
+        k1=k1,
+        b=b,
+        n_blocks=n_blocks,
+        n_champions=n_champions,
+        block_suff=block_suff,
+        champ_suff=champ_suff,
+    )
+
+
+def merge_bm25_suffstats(a: Bm25SuffStats, b: Bm25SuffStats) -> Bm25SuffStats:
+    """Exact merge of two disjoint corpora's suffstats: scalars add,
+    block aggregates fold with the same sum/max/min, champion lists
+    union and re-cut with the intrinsic rank (each (term, block) key
+    holds ≤ 2·C rows going into the window — bounded shuffle)."""
+    if (a.k1, a.b, a.n_blocks, a.n_champions) != (
+        b.k1,
+        b.b,
+        b.n_blocks,
+        b.n_champions,
+    ):
+        raise ValueError("suffstats parameters do not match")
+    block_suff = (
+        a.block_suff.unionByName(b.block_suff)
+        .groupBy("term", "block")
+        .agg(
+            F.sum("df_part").alias("df_part"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+    )
+    champ_suff = _champ_topc(
+        a.champ_suff.unionByName(b.champ_suff), a.n_champions
+    )
+    return Bm25SuffStats(
+        n_docs=a.n_docs + b.n_docs,
+        total_dl=a.total_dl + b.total_dl,
+        k1=a.k1,
+        b=a.b,
+        n_blocks=a.n_blocks,
+        n_champions=a.n_champions,
+        block_suff=block_suff,
+        champ_suff=champ_suff,
+    )
+
+
+def realize_bm25_stats(suff: Bm25SuffStats) -> Bm25Stats:
+    """Derive a queryable :class:`Bm25Stats` from (possibly merged)
+    sufficient statistics. Vocabulary-sized work only — the corpus is
+    NOT rescanned: idf comes from the folded per-term df, the block
+    bound from (max_tf, min_dl) at the re-derived avgdl, champion
+    contributions from the stored true (tf, dl) postings. The result
+    is exact for scoring and exact-though-looser for pruning (see
+    :class:`Bm25SuffStats`)."""
+    n_docs = suff.n_docs
+    avgdl = (suff.total_dl / n_docs) if n_docs else 0.0
+    spark = suff.block_suff.sparkSession
+    if n_docs == 0 or avgdl == 0.0:
+        empty_t = spark.createDataFrame([], "term string, df long, idf double")
+        empty_b = spark.createDataFrame(
+            [], "term string, block long, ub double"
+        )
+        empty_c = spark.createDataFrame(
+            [],
+            "term string, block long, doc_id long, contrib double, idf double",
+        )
+        return Bm25Stats(
+            n_docs, avgdl, suff.k1, suff.b, suff.n_blocks,
+            suff.n_champions, empty_t, empty_b, empty_c,
+            bounds_from_blocks=True,
+        )
+    term_stats = (
+        suff.block_suff.groupBy("term")
+        .agg(F.sum("df_part").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    ub_tfnorm = (
+        suff.block_suff.select(
+            "term",
+            "block",
+            F.col("max_tf").alias("tf"),
+            F.col("min_dl").alias("dl"),
+        )
+        .withColumn("tfnorm", _tfnorm_col(avgdl, suff.k1, suff.b))
+        .select("term", "block", "tfnorm")
+    )
+    block_stats = ub_tfnorm.join(
+        term_stats.select("term", "idf"), "term"
+    ).select("term", "block", (F.col("idf") * F.col("tfnorm")).alias("ub"))
+    champions = (
+        suff.champ_suff.withColumn(
+            "tfnorm", _tfnorm_col(avgdl, suff.k1, suff.b)
+        )
+        .join(term_stats.select("term", "idf"), "term")
+        .select(
+            "term", "block", "doc_id",
+            (F.col("idf") * F.col("tfnorm")).alias("contrib"),
+            "idf",
+        )
+    )
+    term_stats = persist_tracked(term_stats)
+    block_stats = persist_tracked(block_stats)
+    champions = persist_tracked(champions)
+    champions.count()
+    return Bm25Stats(
+        n_docs, avgdl, suff.k1, suff.b, suff.n_blocks, suff.n_champions,
+        term_stats, block_stats, champions, bounds_from_blocks=True,
     )

@@ -322,3 +322,107 @@ def test_bm25f_requires_positions_and_matching_weights(spark):
     stats = bm25.build_bm25f_stats(pos_idx, n_fields=1)
     with pytest.raises(ValueError, match="weights"):
         bm25.bm25f_scores(pos_idx, "hash", (1.0, 2.0), stats)
+
+
+# ---------------------------------------------------------------------------
+# mergeable sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def _half_indexes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    full = build_index(df, CFG)
+    even = build_index(df.where(F.pmod("doc_id", F.lit(2)) == 0), CFG)
+    odd = build_index(df.where(F.pmod("doc_id", F.lit(2)) == 1), CFG)
+    return full, even, odd
+
+
+def _rows(df):
+    return set(map(tuple, df.collect()))
+
+
+def test_merged_suffstats_equal_direct_build(spark):
+    full, even, odd = _half_indexes(spark)
+    sa = bm25.build_bm25_suffstats(even, n_champions=2)
+    sb = bm25.build_bm25_suffstats(odd, n_champions=2)
+    merged = bm25.merge_bm25_suffstats(sa, sb)
+    direct = bm25.build_bm25_suffstats(full, n_champions=2)
+    assert merged.n_docs == direct.n_docs
+    assert merged.total_dl == direct.total_dl
+    assert _rows(merged.block_suff) == _rows(direct.block_suff)
+    # champion candidates use the avgdl-free intrinsic rank, so top-C
+    # merges associatively: merged lists equal the from-scratch lists
+    assert _rows(merged.champ_suff) == _rows(direct.champ_suff)
+
+
+def test_wand_with_merged_stats_identical_to_exact(spark):
+    full, even, odd = _half_indexes(spark)
+    sa = bm25.build_bm25_suffstats(even)
+    sb = bm25.build_bm25_suffstats(odd)
+    stats = bm25.realize_bm25_stats(bm25.merge_bm25_suffstats(sa, sb))
+    assert stats.bounds_from_blocks is True
+    for query, k in [("dog fox", 3), ("merge hash", 2), ("sort", 4)]:
+        exact = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25.bm25_topk(full, query, k=k).collect()
+        ]
+        wand = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25.bm25_topk_wand(full, query, k=k, stats=stats)
+            .collect()
+        ]
+        assert wand == exact
+    # deep k beyond the champion depth exercises the two-pass strategy
+    shallow = bm25.realize_bm25_stats(
+        bm25.merge_bm25_suffstats(
+            bm25.build_bm25_suffstats(even, n_champions=1),
+            bm25.build_bm25_suffstats(odd, n_champions=1),
+        )
+    )
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25.bm25_topk(full, "dog fox", k=4).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25.bm25_topk_wand(full, "dog fox", k=4, stats=shallow)
+        .collect()
+    ]
+    assert wand == exact
+
+
+def test_realized_block_bounds_dominate_champions(spark):
+    """The (max_tf, min_dl)-derived ub must upper-bound every champion
+    contribution in its (term, block) — the invariant that keeps WAND
+    pruning exact when the champion rank-1 is not the block argmax."""
+    from pyspark.sql import functions as F
+
+    full, even, odd = _half_indexes(spark)
+    stats = bm25.realize_bm25_stats(
+        bm25.merge_bm25_suffstats(
+            bm25.build_bm25_suffstats(even), bm25.build_bm25_suffstats(odd)
+        )
+    )
+    joined = stats.champions.groupBy("term", "block").agg(
+        F.max("contrib").alias("best")
+    ).join(stats.block_stats, ["term", "block"])
+    bad = joined.where(F.col("best") > F.col("ub") + 1e-12).count()
+    assert bad == 0
+
+
+def test_merge_suffstats_param_mismatch_raises(spark):
+    _, even, odd = _half_indexes(spark)
+    sa = bm25.build_bm25_suffstats(even, n_blocks=8)
+    sb = bm25.build_bm25_suffstats(odd, n_blocks=16)
+    with pytest.raises(ValueError):
+        bm25.merge_bm25_suffstats(sa, sb)
+
+
+def test_realize_empty_suffstats(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_index(df, CFG)
+    suff = bm25.build_bm25_suffstats(idx)
+    stats = bm25.realize_bm25_stats(suff)
+    assert stats.n_docs == 0 and stats.avgdl == 0.0
