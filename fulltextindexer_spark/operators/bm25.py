@@ -1164,3 +1164,49 @@ def realize_bm25_stats(suff: Bm25SuffStats) -> Bm25Stats:
         n_docs, avgdl, suff.k1, suff.b, suff.n_blocks, suff.n_champions,
         term_stats, block_stats, champions, bounds_from_blocks=True,
     )
+
+
+def save_bm25_suffstats(suff: Bm25SuffStats, path: str) -> None:
+    """Persist sufficient statistics next to an index snapshot
+    (term-range partitioned like the other stats tables) so the NEXT
+    incremental merge folds its delta into them without rescanning the
+    accumulated corpus."""
+    os.makedirs(path, exist_ok=True)
+    suff.block_suff.repartitionByRange("term").sortWithinPartitions(
+        "term", "block"
+    ).write.mode("overwrite").parquet(os.path.join(path, "block_suff"))
+    suff.champ_suff.repartitionByRange("term").sortWithinPartitions(
+        "term", "block"
+    ).write.mode("overwrite").parquet(os.path.join(path, "champ_suff"))
+    with open(os.path.join(path, "bm25_suff_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": suff.n_docs,
+                "total_dl": suff.total_dl,
+                "k1": suff.k1,
+                "b": suff.b,
+                "n_blocks": suff.n_blocks,
+                "n_champions": suff.n_champions,
+            },
+            fh,
+        )
+
+
+def load_bm25_suffstats(
+    spark: SparkSession, path: str
+) -> Optional[Bm25SuffStats]:
+    meta_path = os.path.join(path, "bm25_suff_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    return Bm25SuffStats(
+        n_docs=int(meta["n_docs"]),
+        total_dl=int(meta["total_dl"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+        n_blocks=int(meta["n_blocks"]),
+        n_champions=int(meta["n_champions"]),
+        block_suff=spark.read.parquet(os.path.join(path, "block_suff")),
+        champ_suff=spark.read.parquet(os.path.join(path, "champ_suff")),
+    )

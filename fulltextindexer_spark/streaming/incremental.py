@@ -99,12 +99,26 @@ def load_latest(
     return InvertedIndex(postings, config)
 
 
+def load_latest_bm25_suffstats(spark: SparkSession, index_dir: str):
+    """The latest snapshot's BM25 sufficient statistics (or None when
+    the tier doesn't maintain them / no snapshot exists)."""
+    from fulltextindexer_spark.operators.bm25 import load_bm25_suffstats
+
+    v = current_version(index_dir)
+    if v < 0:
+        return None
+    return load_bm25_suffstats(
+        spark, os.path.join(_snapshot_dir(index_dir, v), "bm25_suff")
+    )
+
+
 def merge_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
     index_dir: str,
     config: IndexConfig,
     batch_id: int = -1,
+    maintain_bm25: bool = False,
 ) -> int:
     """Fold one batch of docs-shaped rows into a new snapshot.
 
@@ -113,6 +127,16 @@ def merge_batch(
     already-applied batch return the current version without merging
     (foreachBatch is at-least-once; the manifest makes this
     effectively-once).
+
+    With ``maintain_bm25=True`` the snapshot also carries mergeable
+    BM25/WAND sufficient statistics (``bm25.Bm25SuffStats``): the
+    batch's delta suffstats are built from the BATCH postings only and
+    folded into the previous snapshot's stored suffstats — the
+    accumulated corpus is never rescanned for statistics, mirroring
+    the zero-Exchange merge story. Precondition (same as the index
+    merge itself): batches are append-only, disjoint doc sets.
+    ``load_latest_bm25_suffstats`` + ``bm25.realize_bm25_stats`` turn
+    the stored suffstats into queryable WAND stats.
     """
     if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
         return current_version(index_dir)
@@ -126,6 +150,20 @@ def merge_batch(
     v = current_version(index_dir) + 1
     out = _snapshot_dir(index_dir, v)
     merged.postings.write.mode("overwrite").parquet(out)
+    if maintain_bm25:
+        from fulltextindexer_spark.operators.bm25 import (
+            build_bm25_suffstats,
+            merge_bm25_suffstats,
+            save_bm25_suffstats,
+        )
+
+        delta = build_bm25_suffstats(InvertedIndex(new_postings, config))
+        prev = load_latest_bm25_suffstats(spark, index_dir)
+        suff = delta if prev is None else merge_bm25_suffstats(prev, delta)
+        # written into the NEW versioned dir BEFORE the pointer flip:
+        # a crash leaves _LATEST on the old consistent (snapshot,
+        # suffstats) pair
+        save_bm25_suffstats(suff, os.path.join(out, "bm25_suff"))
     manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
     with open(manifest_tmp, "w") as fh:
         json.dump({"version": v, "batch_id": batch_id}, fh)
@@ -145,6 +183,7 @@ def start_incremental_index(
     checkpoint_dir: str,
     available_now: bool = True,
     bucketed_prefix: Optional[str] = None,
+    maintain_bm25: bool = False,
 ):
     """Start the streaming query that maintains the index.
 
@@ -183,7 +222,8 @@ def start_incremental_index(
             if batch_df.isEmpty():
                 return
             merge_batch(
-                spark, batch_df, index_dir, config, batch_id=batch_id
+                spark, batch_df, index_dir, config, batch_id=batch_id,
+                maintain_bm25=maintain_bm25,
             )
 
     writer = stream.writeStream.foreachBatch(process).option(

@@ -573,3 +573,60 @@ def test_streaming_neardup_driver_matches_full_batch(spark, tmp_path):
         for r in dedup.minhash_band_pairs(full).collect()
     }
     assert got == want and got
+
+
+def test_incremental_bm25_suffstats_chunked_equals_one_shot(spark, tmp_path):
+    """With maintain_bm25=True each micro-merge folds the batch's delta
+    suffstats into the stored ones (no corpus rescan); after N batches
+    the stored suffstats equal a from-scratch build over the full
+    corpus, and realized WAND top-k equals the exact scorer."""
+    from fulltextindexer_spark.operators import bm25
+
+    index_dir = str(tmp_path / "suff_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0, maintain_bm25=True
+    )
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_bm25=True
+    )
+    stored = incremental.load_latest_bm25_suffstats(spark, index_dir)
+    assert stored is not None
+
+    full_idx = build_index(
+        with_doc_identity(b1.unionByName(b2)), CFG
+    )
+    direct = bm25.build_bm25_suffstats(full_idx)
+    assert stored.n_docs == direct.n_docs == 4
+    assert stored.total_dl == direct.total_dl
+    assert set(map(tuple, stored.block_suff.collect())) == set(
+        map(tuple, direct.block_suff.collect())
+    )
+    assert set(map(tuple, stored.champ_suff.collect())) == set(
+        map(tuple, direct.champ_suff.collect())
+    )
+
+    latest = incremental.load_latest(spark, index_dir, CFG)
+    stats = bm25.realize_bm25_stats(stored)
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25.bm25_topk(latest, "hash merge", k=3).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25.bm25_topk_wand(
+            latest, "hash merge", k=3, stats=stats
+        ).collect()
+    ]
+    assert wand == exact and len(wand) > 0
+
+    # replayed batch_id leaves the stored suffstats untouched
+    v_before = incremental.current_version(index_dir)
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_bm25=True
+    )
+    assert incremental.current_version(index_dir) == v_before
+    replay = incremental.load_latest_bm25_suffstats(spark, index_dir)
+    assert replay.n_docs == 4 and replay.total_dl == stored.total_dl
