@@ -1,0 +1,197 @@
+"""Source-code corpus curation operators.
+
+The north-star corpus is an Iceberg table of source-code repositories
+(repo, path, commit, lang, content) — these are the curation signals a
+code-payload training pipeline needs beyond generic text quality:
+license compliance (keep only permissively-licensed files), secret
+hygiene (drop or scrub files leaking credentials), and symbol
+extraction (the definition names that make code searchable and feed
+the identifier-segment index, see
+``PrefixExpansionConfig(mode="identifier")``).
+
+Every operator is a pure JVM expression pipeline (``regexp_count`` /
+``regexp_extract`` / ``regexp_extract_all`` — whole-stage codegen, no
+Python in the hot path, no shuffle: these are scan-side predicates at
+100 TB). Every regex stays inside the Java-regex ∩ RE2 ∩ Python-re
+subset the engine standardises on (character classes, bounded
+repetition, literal alternation; no lookarounds, no backreferences) so
+DuckDB oracles and production RE2 scanners match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# License detection
+# ---------------------------------------------------------------------------
+
+# Ordered (license_id, pattern): first hit wins when no SPDX tag is
+# present. Patterns are literal phrases (the standard detectors —
+# licensee, go-license-detector — key on exactly these); alternation of
+# literals behaves identically under leftmost-longest (RE2) and
+# leftmost-first (Java) because the branches share no prefix.
+SPDX_TAG_PATTERN = r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)"
+LICENSE_RULES: tuple[tuple[str, str], ...] = (
+    ("apache-2.0", r"Apache License, Version 2\.0"),
+    ("gpl", r"GNU General Public License"),
+    ("mit", r"Permission is hereby granted, free of charge"),
+    ("bsd", r"Redistribution and use in source and binary forms"),
+)
+
+
+def license_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file license signal: the SPDX tag when one is present
+    (machine-readable ground truth), else the first matching license
+    phrase in :data:`LICENSE_RULES` priority order, else 'unknown'.
+
+    Returns (doc_id, spdx, license, n_license_hits) where ``spdx`` is
+    the lower-cased tag value ('' when absent), ``license`` the
+    resolved id, and ``n_license_hits`` the total phrase-match count —
+    files mentioning several licenses (vendored headers, license files
+    themselves) are the ones a compliance pass routes to review.
+
+    One narrow projection, no shuffle; at 10^12 files this runs inside
+    the scan and the downstream keep-filter is a pushable predicate.
+    """
+    text = F.col(text_col)
+    spdx = F.lower(F.regexp_extract(text, SPDX_TAG_PATTERN, 1))
+    hits = [
+        F.regexp_count(text, F.lit(pat)).alias(f"_h{i}")
+        for i, (_, pat) in enumerate(LICENSE_RULES)
+    ]
+    resolved = F.lit("unknown")
+    for i in range(len(LICENSE_RULES) - 1, -1, -1):
+        lic_id = LICENSE_RULES[i][0]
+        resolved = F.when(F.col(f"_h{i}") > 0, F.lit(lic_id)).otherwise(
+            resolved
+        )
+    resolved = F.when(F.col("spdx") != "", F.col("spdx")).otherwise(resolved)
+    n_hits = sum(F.col(f"_h{i}") for i in range(len(LICENSE_RULES)))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), spdx.alias("spdx"), *hits)
+        .select(
+            "doc_id",
+            "spdx",
+            resolved.alias("license"),
+            n_hits.cast("bigint").alias("n_license_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secret scanning
+# ---------------------------------------------------------------------------
+
+# (column_name, pattern) — the classic high-precision credential
+# surface forms (gitleaks/trufflehog core rules, regex-only tier).
+SECRET_RULES: tuple[tuple[str, str], ...] = (
+    # AWS access key id: fixed AKIA prefix + 16 uppercase base-36 chars.
+    ("n_aws_keys", r"AKIA[0-9A-Z]{16}"),
+    # PEM private key header (RSA/EC/OPENSSH/generic — bounded label).
+    ("n_private_keys", r"-----BEGIN [A-Z ]{0,12}PRIVATE KEY-----"),
+    # Bare 40-hex token (SHA-1-shaped: GitHub classic PATs, AWS secrets
+    # in hex form). \b keeps it off longer hex runs' interiors.
+    ("n_hex40", r"\b[0-9a-f]{40}\b"),
+    # Credential assignment: key = "at least 8 non-space chars".
+    ("n_cred_assign", r"(password|secret|api_key|token)=[^ ]{8,}"),
+)
+
+
+def secret_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file secret-pattern hit counts + an overall flag.
+
+    Returns (doc_id, n_aws_keys, n_private_keys, n_hex40,
+    n_cred_assign, has_secret) — all integers. A training-data pass
+    drops (or masks, see :func:`mask_secrets`) flagged files before the
+    corpus ships; at 100 TB this is again a pure scan predicate.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(name)
+        for name, pat in SECRET_RULES
+    ]
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts)
+    flag = sum(F.col(name) for name, _ in SECRET_RULES) > 0
+    return out.withColumn("has_secret", flag.cast("int"))
+
+
+def mask_secrets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub matched secret spans with typed placeholders (same
+    contract as ``textstats.mask_pii``: chain of ``regexp_replace``,
+    order fixed by :data:`SECRET_RULES`). Returns (doc_id,
+    masked_text, n_secrets)."""
+    masked = F.col(text_col)
+    placeholders = []
+    for name, pat in SECRET_RULES:
+        token = "<" + name[2:].upper() + ">"
+        placeholders.append(token)
+        masked = F.regexp_replace(masked, pat, token)
+    n = sum(
+        (
+            F.length(masked)
+            - F.length(F.replace(masked, F.lit(tok), F.lit("")))
+        )
+        / len(tok)
+        for tok in placeholders
+    ).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        masked.alias("masked_text"),
+        n.alias("n_secrets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symbol extraction
+# ---------------------------------------------------------------------------
+
+# (kind, pattern-with-one-capture-group). Lexical definition heads for
+# the lookahead-free subset: Python/JS/Go-style. A tree-sitter pass is
+# the model-grade upgrade; this is the regex tier every code-search
+# indexer ships first (ctags' default rules are the same shape).
+SYMBOL_RULES: tuple[tuple[str, str], ...] = (
+    ("def", r"def ([A-Za-z_][A-Za-z0-9_]*)\("),
+    ("class", r"class ([A-Za-z_][A-Za-z0-9_]*)"),
+    ("function", r"function ([A-Za-z_][A-Za-z0-9_]*)\("),
+)
+
+
+def extract_symbols(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Definition symbols per file: one output row per (doc, kind,
+    symbol) with its occurrence count.
+
+    ``regexp_extract_all(…, 1)`` pulls every definition name JVM-side;
+    the explode is linear in matches (not in text) and the only
+    aggregation is the per-doc count — no corpus-wide shuffle beyond
+    the (doc, kind, symbol) combine, which is map-side partial. The
+    symbol stream is what feeds a definition-weighted index field
+    (fields_from_schema + a weight override) and the identifier-segment
+    expansion (`tokenize.expand_identifiers`).
+    """
+    text = F.col(text_col)
+    per_kind = [
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(kind).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(pat), F.lit(1))
+            ).alias("symbol"),
+        )
+        for kind, pat in SYMBOL_RULES
+    ]
+    allsyms = per_kind[0]
+    for frame in per_kind[1:]:
+        allsyms = allsyms.unionByName(frame)
+    return allsyms.groupBy("doc_id", "kind", "symbol").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
