@@ -44,6 +44,7 @@ from fulltextindexer_spark.operators import (
     dedup,
     packing,
     similarity,
+    sketches,
     spell,
     textstats,
     vectorize,
@@ -2053,6 +2054,66 @@ def q_skew_report(spark, sf_dir):
     return term_skew_report(_docs_index(spark, sf_dir), top_n=25)
 
 
+def _raw_tokens(spark, sf_dir):
+    return (
+        _documents(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+
+
+def q_vocab_hll(spark, sf_dir):
+    """HLL vocabulary-cardinality sketch vs the exact distinct count:
+    256 md5-derived registers (multiplicity-insensitive, mergeable by
+    per-bucket max — the 100 TB path never runs count(DISTINCT) on one
+    reducer), estimate rounded 4dp, exact distinct via a two-phase agg
+    alongside for the error audit."""
+    toks = _raw_tokens(spark, sf_dir)
+    est = sketches.hll_estimate(sketches.hll_registers(toks, "tok"))
+    exact = (
+        toks.select("tok").distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    return est.crossJoin(exact).select(
+        F.col("m").cast("bigint").alias("m"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        "estimate",
+        "exact_distinct",
+    )
+
+
+CMS_PROBE_TERMS = ("hash", "merge", "table", "scan", "zzzabsent")
+
+
+def q_cms_terms(spark, sf_dir):
+    """Count-min point-frequency estimates for five probe terms vs the
+    exact counts: depth 4 × width 256 integer cells from salted md5 —
+    identical in both engines, and the estimate-minus-true slack is the
+    sketch's signature ≥ 0 overcount."""
+    toks = _raw_tokens(spark, sf_dir)
+    sk = sketches.cms_sketch(toks, "tok")
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBE_TERMS], "tok string"
+    )
+    est = sketches.cms_point_estimates(sk, probes, "tok")
+    truth = (
+        toks.join(F.broadcast(probes), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+    )
+    return (
+        est.join(truth, est.item == truth.tok, "left")
+        .drop("tok")
+        .fillna(0, subset=["true_n"])
+        .select(
+            "item",
+            "estimate",
+            "true_n",
+            (F.col("estimate") - F.col("true_n")).alias("slack"),
+        )
+    )
+
+
 def q_bm25_merged(spark, sf_dir):
     """Incremental BM25/WAND maintenance: sufficient statistics built
     per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
@@ -2251,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_tfidf": q_hash_tfidf,
         "text_embed_topk": q_hash_embed_topk,
         "ftix_skew_report": q_skew_report,
+        "ftix_vocab_hll": q_vocab_hll,
+        "ftix_cms_terms": q_cms_terms,
         "ftix_zipf": q_zipf,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
@@ -2809,6 +2872,89 @@ sym AS (
 )
 SELECT doc_id, kind, symbol, count(*)::BIGINT AS n
 FROM sym GROUP BY doc_id, kind, symbol
+"""
+
+
+_RAWTOK_CTE = """
+rawtok AS (
+  SELECT t AS tok
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+"""
+
+
+def _vocab_hll_sql() -> str:
+    """Oracle for the HLL gate: the register computation embeds the
+    SAME SQL text the engine evaluates (sketches.HLL_BUCKET_SQL /
+    HLL_RHO_SQL) — bit-identical registers, then the same estimate
+    arithmetic over exact powers of two."""
+    m = sketches.HLL_M
+    raw = f"{sketches.HLL_ALPHA_M2_SQL} / (({m} - n_filled) + z_filled)"
+    return f"""
+WITH {_RAWTOK_CTE},
+h AS (SELECT md5(tok) AS h FROM rawtok),
+reg AS (
+  SELECT {sketches.HLL_BUCKET_SQL} AS bucket, max({sketches.HLL_RHO_SQL}) AS rho
+  FROM h GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n_filled,
+         coalesce(sum(power(2.0, -rho)), 0.0) AS z_filled
+  FROM reg
+),
+ex AS (SELECT count(*)::BIGINT AS exact_distinct
+       FROM (SELECT DISTINCT tok FROM rawtok))
+SELECT {m}::BIGINT AS m,
+       ({m} - n_filled)::BIGINT AS n_zero,
+       round(CASE
+               WHEN {raw} <= 2.5 * {m} AND n_filled < {m}
+               THEN {m} * ln({m} * 1.0 / ({m} - n_filled))
+               ELSE {raw}
+             END, 4) AS estimate,
+       exact_distinct
+FROM agg, ex
+"""
+
+
+def _cms_terms_sql() -> str:
+    """Oracle for the count-min gate: stream cells and probe cells both
+    render from sketches.cms_cell_sql — the identical salted-md5 text."""
+    stream_branches = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS row, {sketches.cms_cell_sql(r, 'tok')} AS cell"
+        f" FROM rawtok"
+        for r in range(sketches.CMS_DEPTH)
+    )
+    probe_branches = "\n  UNION ALL\n".join(
+        f"  SELECT item, {r} AS row, {sketches.cms_cell_sql(r, 'item')} AS cell"
+        f" FROM probes"
+        for r in range(sketches.CMS_DEPTH)
+    )
+    probe_values = ", ".join(f"('{t}')" for t in CMS_PROBE_TERMS)
+    return f"""
+WITH {_RAWTOK_CTE},
+probes(item) AS (VALUES {probe_values}),
+cells AS (
+{stream_branches}
+),
+sk AS (SELECT row, cell, count(*)::BIGINT AS n FROM cells GROUP BY row, cell),
+pc AS (
+{probe_branches}
+),
+est AS (
+  SELECT pc.item, min(coalesce(sk.n, 0))::BIGINT AS estimate
+  FROM pc LEFT JOIN sk ON pc.row = sk.row AND pc.cell = sk.cell
+  GROUP BY pc.item
+),
+truth AS (
+  SELECT tok AS item, count(*)::BIGINT AS true_n
+  FROM rawtok JOIN probes ON rawtok.tok = probes.item
+  GROUP BY tok
+)
+SELECT est.item, est.estimate,
+       coalesce(truth.true_n, 0)::BIGINT AS true_n,
+       (est.estimate - coalesce(truth.true_n, 0))::BIGINT AS slack
+FROM est LEFT JOIN truth ON est.item = truth.item
 """
 
 
@@ -4506,6 +4652,8 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
 """,
         "text_pii_mask": _pii_mask_sql(),
+        "ftix_vocab_hll": _vocab_hll_sql(),
+        "ftix_cms_terms": _cms_terms_sql(),
         "code_license": _code_license_sql(),
         "code_secrets": _code_secrets_sql(),
         "code_symbols": _code_symbols_sql(),

@@ -1,0 +1,194 @@
+"""Mergeable sketches: HyperLogLog cardinality and count-min frequency.
+
+At 100 TB the exact answers (count DISTINCT, full term histograms) are
+themselves big jobs; the sketch tier answers "how many distinct
+tokens/URLs/users" and "roughly how often does term X occur" with a
+few KB of state that (a) aggregates map-side, (b) merges across
+partitions, snapshots, and days by pure max (HLL) / sum (CMS) — the
+same algebra the incremental index tier uses for its BM25 suffstats.
+
+Engine-exactness: every hash-derived quantity is computed from md5 hex
+via SQL-text expressions shared verbatim with the DuckDB oracle
+(substring / CASE hex-digit map / regexp leading-zero run — all in the
+common dialect subset), so registers and cells are bit-identical
+across engines; the only floats are the HLL estimate's final power/ln
+arithmetic over exact powers of two (order-independent: a sum of
+distinct powers of two is exact in binary floating point), rounded to
+4dp at the boundary per the repo convention.
+
+Reference parity note: the reference engine keeps exact structures
+only (TernarySearchTreeDictionary.cs); sketches are part of the
+scale-path extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def hex_val_sql(expr: str) -> str:
+    """A 16-branch CASE mapping one hex char to its value — the
+    dialect-neutral replacement for conv(x,16,10), which DuckDB lacks."""
+    branches = " ".join(
+        f"WHEN '{d}' THEN {i}" for i, d in enumerate(HEX_DIGITS)
+    )
+    return f"(CASE {expr} {branches} END)"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (m = 256 registers from the first two md5 hex digits)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256
+# First 2 hex digits -> bucket 0..255; remaining 30 digits -> rho =
+# 1 + number of leading zero bits (capped at 121 when all 30 are '0').
+HLL_BUCKET_SQL = (
+    f"({hex_val_sql('substring(h, 1, 1)')} * 16"
+    f" + {hex_val_sql('substring(h, 2, 1)')})"
+)
+_REST = "substring(h, 3, 30)"
+_ZRUN = f"length(regexp_extract({_REST}, '^(0*)', 1))"
+_FIRST_NZ = f"substring({_REST}, {_ZRUN} + 1, 1)"
+_EXTRA = (
+    f"(CASE WHEN {_FIRST_NZ} IN ('8','9','a','b','c','d','e','f') THEN 0"
+    f" WHEN {_FIRST_NZ} IN ('4','5','6','7') THEN 1"
+    f" WHEN {_FIRST_NZ} IN ('2','3') THEN 2 ELSE 3 END)"
+)
+HLL_RHO_SQL = (
+    f"(CASE WHEN {_ZRUN} >= 30 THEN 121"
+    f" ELSE 4 * {_ZRUN} + {_EXTRA} + 1 END)"
+)
+# alpha_256 * m^2, written as the defining expression so both engines
+# run the identical double arithmetic.
+HLL_ALPHA_M2_SQL = f"(0.7213 / (1.0 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}"
+
+
+def hll_registers(df: DataFrame, value_col: str) -> DataFrame:
+    """HLL registers (bucket, rho) for the values of ``value_col``.
+
+    One narrow projection + one 256-group aggregation with map-side
+    partial max — the shuffle moves at most 256 rows per task. The
+    result is the sketch's full state: persist it next to a snapshot
+    and :func:`hll_merge` folds new batches in without rescanning.
+    """
+    return (
+        df.select(F.md5(F.col(value_col).cast("string")).alias("h"))
+        .selectExpr(
+            f"{HLL_BUCKET_SQL} AS bucket", f"{HLL_RHO_SQL} AS rho"
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union of sketches = per-bucket max. Exact under any split of the
+    input (max is idempotent/commutative/associative), so batch,
+    partition, and snapshot merges all compose."""
+    out = register_frames[0]
+    for frame in register_frames[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (m, n_zero, estimate) from a register frame.
+
+    Z sums 2^-rho over all m registers (empty ⇒ 2^0): every addend is
+    a single power of two, so the double sum is exact and
+    order-independent — safe to round at 4dp across engines. The
+    standard small-range linear-counting correction applies below
+    2.5·m when empty registers remain.
+    """
+    agg = registers.agg(
+        F.count("*").alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr("power(2.0, -rho)")), F.lit(0.0)
+        ).alias("z_filled"),
+    )
+    return agg.selectExpr(
+        f"{HLL_M} AS m",
+        f"{HLL_M} - n_filled AS n_zero",
+        f"""round(CASE
+              WHEN {HLL_ALPHA_M2_SQL} / (({HLL_M} - n_filled) + z_filled)
+                   <= 2.5 * {HLL_M}
+                   AND n_filled < {HLL_M}
+              THEN {HLL_M} * ln({HLL_M} * 1.0 / ({HLL_M} - n_filled))
+              ELSE {HLL_ALPHA_M2_SQL} / (({HLL_M} - n_filled) + z_filled)
+            END, 4) AS estimate""",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (depth x width cells from per-row salted md5)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cell_sql(row: int, value_expr: str) -> str:
+    """Cell index for sketch row ``row``: first two hex digits of the
+    salted md5. Shared verbatim with the oracle."""
+    h = f"md5('{row}:' || {value_expr})"
+    return (
+        f"({hex_val_sql(f'substring({h}, 1, 1)')} * 16"
+        f" + {hex_val_sql(f'substring({h}, 2, 1)')})"
+    )
+
+
+def cms_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-min sketch (row, cell, n) over the values of ``value_col``.
+
+    depth×width integer cells; built with ONE aggregation over a
+    posexploded 4-bucket array (linear scan, map-side partial sums,
+    ≤ depth·width rows shuffle). Merging sketches is cell-wise sum —
+    :func:`cms_merge`."""
+    cells = F.array(
+        *[
+            F.expr(cms_cell_sql(r, f"cast({value_col} as string)"))
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.posexplode(cells).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — exact under any split of the input stream."""
+    out = sketches[0]
+    for frame in sketches[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("row", "cell").agg(F.sum("n").alias("n"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame, items: DataFrame, value_col: str
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth rows of each
+    item's cell counts. Always an over-estimate (cells only ever sum
+    collisions in), never under — the audit column downstream gates
+    rely on. ``items`` is query-sized; the probe join broadcasts."""
+    probes = items.select(
+        F.col(value_col).alias("item"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(cms_cell_sql(r, f"cast({value_col} as string)"))
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("row", "cell"),
+    )
+    joined = probes.join(sketch, ["row", "cell"], "left").fillna(
+        0, subset=["n"]
+    )
+    return joined.groupBy("item").agg(
+        F.min("n").cast("bigint").alias("estimate")
+    )

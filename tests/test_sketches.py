@@ -1,0 +1,92 @@
+"""Mergeable sketches: HLL cardinality + count-min frequency
+(operators/sketches.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators import sketches
+
+
+def _vals(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v string")
+
+
+def test_hll_estimate_accuracy_midrange(spark):
+    n = 2000
+    est = sketches.hll_estimate(
+        sketches.hll_registers(_vals(spark, [f"tok{i}" for i in range(n)]), "v")
+    ).collect()[0]
+    assert est["m"] == 256
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est["estimate"] - n) / n < 0.20
+
+
+def test_hll_small_range_linear_counting(spark):
+    est = sketches.hll_estimate(
+        sketches.hll_registers(_vals(spark, [f"x{i}" for i in range(8)]), "v")
+    ).collect()[0]
+    # linear counting is near-exact when buckets are mostly empty
+    assert abs(est["estimate"] - 8) < 1.0
+    assert est["n_zero"] >= 248
+
+
+def test_hll_merge_equals_one_shot_and_duplicates_free(spark):
+    a = [f"tok{i}" for i in range(0, 700)]
+    b = [f"tok{i}" for i in range(400, 1200)]  # overlap on purpose
+    merged = sketches.hll_merge(
+        sketches.hll_registers(_vals(spark, a), "v"),
+        sketches.hll_registers(_vals(spark, b), "v"),
+    )
+    one_shot = sketches.hll_registers(_vals(spark, sorted(set(a + b))), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_hll_registers_insensitive_to_multiplicity(spark):
+    once = sketches.hll_registers(_vals(spark, ["a", "b", "c"]), "v")
+    thrice = sketches.hll_registers(
+        _vals(spark, ["a", "b", "c"] * 3), "v"
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, thrice.collect())
+    )
+
+
+def test_cms_point_estimates_never_underestimate(spark):
+    stream = (["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 3
+              + [f"noise{i}" for i in range(300)])
+    sk = sketches.cms_sketch(_vals(spark, stream), "v")
+    probes = _vals(spark, ["apple", "banana", "cherry", "absent"])
+    got = {
+        r["item"]: r["estimate"]
+        for r in sketches.cms_point_estimates(sk, probes, "v").collect()
+    }
+    assert got["apple"] >= 50 and got["banana"] >= 20 and got["cherry"] >= 3
+    # width 256, depth 4, ~373 increments: collisions stay tiny
+    assert got["apple"] <= 60 and got["absent"] <= 10
+
+
+def test_cms_merge_equals_one_shot(spark):
+    a = ["x"] * 5 + ["y"] * 2 + ["z"]
+    b = ["x"] * 3 + ["w"] * 4
+    merged = sketches.cms_merge(
+        sketches.cms_sketch(_vals(spark, a), "v"),
+        sketches.cms_sketch(_vals(spark, b), "v"),
+    )
+    one_shot = sketches.cms_sketch(_vals(spark, a + b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_cms_sketch_shape_bounds(spark):
+    sk = sketches.cms_sketch(
+        _vals(spark, [f"t{i}" for i in range(500)]), "v"
+    ).collect()
+    assert all(0 <= r["row"] < 4 and 0 <= r["cell"] < 256 for r in sk)
+    per_row = {}
+    for r in sk:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["n"]
+    # every row of the sketch sees every increment exactly once
+    assert set(per_row.values()) == {500}
