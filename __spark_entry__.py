@@ -1784,6 +1784,16 @@ def q_code_symbols(spark, sf_dir):
     return codestats.extract_symbols(docs)
 
 
+def q_pps_sample(spark, sf_dir):
+    """Poisson PPS sampling gate: expected-100-doc sample drawn with
+    probability ∝ n_chars via the integer-exact md5-coin rule — the
+    token-budgeted subcorpus sampler (scan predicate at 100 TB after a
+    one-row Σw broadcast)."""
+    return textstats.pps_sample(
+        _documents(spark, sf_dir), "n_chars", target_n=100, seed="pps1"
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus composition report: per (source, lang) doc counts, token
     totals/means, mean quality, corpus share — the audit table a
@@ -2303,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding": q_text_encoding,
         "text_entropy": q_text_entropy,
         "text_pii_mask": q_pii_mask,
+        "curate_pps_sample": q_pps_sample,
         "code_license": q_code_license,
         "code_secrets": q_code_secrets,
         "code_symbols": q_code_symbols,
@@ -2777,6 +2788,20 @@ WITH injected AS (
 ),
 m AS (SELECT doc_id, {masked} AS masked_text FROM injected)
 SELECT doc_id, masked_text, ({n_pii})::INT AS n_pii FROM m
+"""
+
+
+def _pps_sample_sql() -> str:
+    """Oracle for the PPS gate: the identical uint24 coin (rendered
+    from sketches.hex_uint_sql) and floored-integer threshold."""
+    coin = sketches.hex_uint_sql(
+        "md5('pps1' || cast(doc_id as string))", 6
+    )
+    return f"""
+WITH tot AS (SELECT sum(n_chars)::BIGINT AS total_w FROM documents)
+SELECT doc_id, n_chars::BIGINT AS weight
+FROM documents, tot
+WHERE {coin} < (100::BIGINT * n_chars * 16777216) // total_w
 """
 
 
@@ -4654,6 +4679,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
         "text_pii_mask": _pii_mask_sql(),
         "ftix_vocab_hll": _vocab_hll_sql(),
         "ftix_cms_terms": _cms_terms_sql(),
+        "curate_pps_sample": _pps_sample_sql(),
         "code_license": _code_license_sql(),
         "code_secrets": _code_secrets_sql(),
         "code_symbols": _code_symbols_sql(),

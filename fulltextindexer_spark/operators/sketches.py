@@ -38,6 +38,17 @@ def hex_val_sql(expr: str) -> str:
     return f"(CASE {expr} {branches} END)"
 
 
+def hex_uint_sql(expr: str, n_digits: int) -> str:
+    """Fold the first ``n_digits`` hex chars of ``expr`` into an
+    integer — Horner over the per-digit CASE map. Shared verbatim with
+    DuckDB oracles (which lack conv()); Spark evaluates the identical
+    text via selectExpr/F.expr."""
+    out = hex_val_sql(f"substring({expr}, 1, 1)")
+    for i in range(2, n_digits + 1):
+        out = f"({out} * 16 + {hex_val_sql(f'substring({expr}, {i}, 1)')})"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog (m = 256 registers from the first two md5 hex digits)
 # ---------------------------------------------------------------------------

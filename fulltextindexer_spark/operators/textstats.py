@@ -505,6 +505,53 @@ def corpus_sample(
     )
 
 
+def pps_sample(
+    docs: DataFrame,
+    weight_col: str,
+    target_n: int,
+    seed: str = "pps1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: keep each doc
+    with probability ≈ ``target_n · w_i / Σw`` (capped at 1), so the
+    expected sample is ``target_n`` docs picked ∝ an integer weight
+    (tokens, bytes, quality votes — the sampling trainers use for
+    token-budgeted subcorpora).
+
+    Integer-exact and retry-stable, like :func:`corpus_sample`: the
+    coin is the first 6 hex chars of ``md5(seed ‖ id)`` as a uint24;
+    keep iff ``coin < floor(target_n · w_i · 2²⁴ / Σw)`` — every
+    quantity is int64 (constraint: ``target_n · max(w) ≤ 5.5e11``,
+    pre-scale heavier weights), the division is integer, and any
+    engine reproduces the exact keep set. Σw is a one-row broadcast;
+    the keep rule is then a pure scan predicate at 100 TB.
+
+    Returns the kept (doc_id, weight) rows.
+    """
+    from fulltextindexer_spark.operators.sketches import hex_uint_sql
+
+    total = docs.agg(
+        F.sum(F.col(weight_col)).cast("long").alias("total_w")
+    )
+    coin = F.expr(
+        hex_uint_sql(
+            f"md5('{seed}' || cast({id_col} as string))", 6
+        )
+    )
+    thr = F.expr(
+        f"(cast({target_n} as bigint) * {weight_col} * 16777216)"
+        f" div total_w"
+    )
+    return (
+        docs.crossJoin(F.broadcast(total))
+        .where(coin < thr)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+        )
+    )
+
+
 def pmi_pairs(
     docs: DataFrame,
     min_pair_docs: int = 5,

@@ -1,0 +1,52 @@
+"""Integer-exact PPS weighted sampling (textstats.pps_sample)."""
+
+from fulltextindexer_spark.operators import textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, w long")
+
+
+def test_pps_expected_size_uniform_weights(spark):
+    docs = _docs(spark, [(i, 10) for i in range(1000)])
+    kept = textstats.pps_sample(docs, "w", target_n=100).collect()
+    # binomial(1000, ~0.1): sd ~9.5, allow ~4 sigma
+    assert 60 <= len(kept) <= 140
+    assert all(r["weight"] == 10 for r in kept)
+
+
+def test_pps_deterministic_and_seed_sensitive(spark):
+    docs = _docs(spark, [(i, i + 1) for i in range(500)])
+    a = {r["doc_id"] for r in textstats.pps_sample(docs, "w", 50).collect()}
+    b = {r["doc_id"] for r in textstats.pps_sample(docs, "w", 50).collect()}
+    c = {
+        r["doc_id"]
+        for r in textstats.pps_sample(docs, "w", 50, seed="other").collect()
+    }
+    assert a == b and a != c and a
+
+
+def test_pps_zero_weight_never_heavy_always(spark):
+    # one doc holds ~all the weight; target 10 makes its threshold
+    # exceed the 2^24 coin range, so it is kept with certainty, while
+    # zero-weight docs have threshold 0 and are never kept.
+    rows = [(0, 1_000_000)] + [(i, 0) for i in range(1, 200)] + [
+        (i, 1) for i in range(200, 300)
+    ]
+    kept = {
+        r["doc_id"]: r["weight"]
+        for r in textstats.pps_sample(_docs(spark, rows), "w", 10).collect()
+    }
+    assert kept[0] == 1_000_000
+    assert all(w > 0 for w in kept.values())
+
+
+def test_pps_inclusion_monotone_in_weight(spark):
+    """Same id set, two weight profiles: raising every weight by the
+    same factor leaves thresholds (and the keep set) unchanged —
+    the rule depends only on relative weight."""
+    base = _docs(spark, [(i, i % 7 + 1) for i in range(400)])
+    scaled = _docs(spark, [(i, (i % 7 + 1) * 3) for i in range(400)])
+    a = {r["doc_id"] for r in textstats.pps_sample(base, "w", 40).collect()}
+    b = {r["doc_id"] for r in textstats.pps_sample(scaled, "w", 40).collect()}
+    assert a == b
