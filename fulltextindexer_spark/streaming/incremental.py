@@ -99,6 +99,74 @@ def load_latest(
     return InvertedIndex(postings, config)
 
 
+def list_versions(index_dir: str) -> list[dict]:
+    """All committed snapshot versions (ascending) with their manifest
+    batch ids — the time-travel catalog. Only versions ≤ _LATEST are
+    listed: a directory written by a crashed merge that never flipped
+    the pointer is invisible here too."""
+    latest = current_version(index_dir)
+    out = []
+    snap_root = os.path.join(index_dir, "snapshots")
+    if latest < 0 or not os.path.isdir(snap_root):
+        return out
+    for name in sorted(os.listdir(snap_root)):
+        if not name.startswith("v"):
+            continue
+        v = int(name[1:])
+        if v > latest:
+            continue
+        batch_id = -1
+        try:
+            with open(os.path.join(snap_root, name, "_MANIFEST.json")) as fh:
+                batch_id = int(json.load(fh).get("batch_id", -1))
+        except (OSError, ValueError):
+            pass
+        out.append({"version": v, "batch_id": batch_id})
+    return out
+
+
+def load_version(
+    spark: SparkSession, index_dir: str, version: int, config: IndexConfig
+) -> Optional[InvertedIndex]:
+    """Time-travel read: the index exactly as of snapshot ``version``.
+
+    Snapshots are immutable (merges only ever write new versioned
+    dirs), so this is safe concurrently with an active streaming merge
+    — the Iceberg-style property the layout was chosen for. Queries,
+    index_diff audits, and A/B evaluations against historical corpus
+    states all run against the returned index like any other.
+    """
+    if version < 0 or version > current_version(index_dir):
+        return None
+    path = _snapshot_dir(index_dir, version)
+    if not os.path.isdir(path):
+        return None
+    return InvertedIndex(spark.read.parquet(path), config)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    index_dir: str,
+    old_version: int,
+    new_version: int,
+    config: IndexConfig,
+) -> DataFrame:
+    """Vocabulary-level audit of what changed between two committed
+    snapshots (added/removed/grown/shrunk/same per term) — the
+    promotion gate a production tier reads before advancing consumers
+    to a new version. Delegates to ``index_build.index_diff`` (two term
+    aggs + one full outer join on the agg key)."""
+    from fulltextindexer_spark.operators.index_build import index_diff
+
+    old = load_version(spark, index_dir, old_version, config)
+    new = load_version(spark, index_dir, new_version, config)
+    if old is None or new is None:
+        raise ValueError(
+            f"versions {old_version}/{new_version} not both committed"
+        )
+    return index_diff(old, new)
+
+
 def load_latest_bm25_suffstats(spark: SparkSession, index_dir: str):
     """The latest snapshot's BM25 sufficient statistics (or None when
     the tier doesn't maintain them / no snapshot exists)."""

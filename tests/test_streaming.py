@@ -575,6 +575,51 @@ def test_streaming_neardup_driver_matches_full_batch(spark, tmp_path):
     assert got == want and got
 
 
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    """Snapshots are immutable versioned dirs: load_version(v) returns
+    the index exactly as of v while newer merges land, list_versions
+    catalogs committed versions with their batch ids, and
+    snapshot_diff audits the vocabulary change between two versions."""
+    index_dir = str(tmp_path / "tt_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+    incremental.merge_batch(spark, b2, index_dir, CFG, batch_id=1)
+
+    assert incremental.list_versions(index_dir) == [
+        {"version": 0, "batch_id": 0},
+        {"version": 1, "batch_id": 1},
+    ]
+
+    v0 = incremental.load_version(spark, index_dir, 0, CFG)
+    want_v0 = build_index(with_doc_identity(b1), CFG)
+    assert _postings_snapshot(v0) == _postings_snapshot(want_v0)
+
+    v1 = incremental.load_version(spark, index_dir, 1, CFG)
+    want_v1 = build_index(
+        with_doc_identity(b1.unionByName(b2)), CFG
+    )
+    assert _postings_snapshot(v1) == _postings_snapshot(want_v1)
+
+    # out-of-range / uncommitted versions are invisible
+    assert incremental.load_version(spark, index_dir, 2, CFG) is None
+    assert incremental.load_version(spark, index_dir, -1, CFG) is None
+
+    diff = {
+        r["term"]: r["status"]
+        for r in incremental.snapshot_diff(
+            spark, index_dir, 0, 1, CFG
+        ).collect()
+    }
+    # 'table' appears only in batch 2; 'hash' grows; 'quick' unchanged
+    assert diff["table~"] == "added"
+    assert diff["hash~"] == "grown"
+    assert diff["quick~"] == "same"
+    with pytest.raises(ValueError):
+        incremental.snapshot_diff(spark, index_dir, 0, 9, CFG)
+
+
 def test_incremental_bm25_suffstats_chunked_equals_one_shot(spark, tmp_path):
     """With maintain_bm25=True each micro-merge folds the batch's delta
     suffstats into the stored ones (no corpus rescan); after N batches
