@@ -1320,6 +1320,49 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
+def q_rel_pricing(spark, sf_dir):
+    """Relational coverage (TPC-H Q1 shape): one wide scan with the
+    date predicate pushed down, a 4-group aggregation with map-side
+    partials — and EXACT integer money arithmetic: prices/discounts/
+    taxes are 2dp-exact, so cents-scaled int64 sums reproduce across
+    engines where big double sums drift (int64 holds to ~sf1; the
+    100 TB run upgrades the two product columns to decimal(38,0))."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cut = F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qi = F.round(F.col("l_quantity")).cast("bigint")
+    di = F.round(F.col("l_discount") * 100).cast("bigint")
+    ti = F.round(F.col("l_tax") * 100).cast("bigint")
+    return (
+        li.where(F.col("l_shipdate").cast("timestamp") <= cut)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            pc.alias("pc"),
+            qi.alias("qi"),
+            di.alias("di"),
+            ti.alias("ti"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qi").alias("sum_qty"),
+            F.sum("pc").alias("sum_base_cents"),
+            F.sum(F.col("pc") * (100 - F.col("di"))).alias("sum_disc_u4"),
+            F.sum(
+                F.col("pc") * (100 - F.col("di")) * (100 + F.col("ti"))
+            ).alias("sum_charge_u6"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("qi") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum("pc") / (100.0 * F.count("*")), 4).alias(
+                "avg_price"
+            ),
+            F.round(F.sum("di") / (100.0 * F.count("*")), 4).alias(
+                "avg_disc"
+            ),
+        )
+    )
+
+
 def q_rel_shipping(spark, sf_dir):
     """Relational coverage (TPC-H Q3 shape): selective predicates
     pushed into all three parquet scans, customer→orders broadcast +
@@ -2291,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "rel_shipping": q_rel_shipping,
+        "rel_pricing_summary": q_rel_pricing,
         "rel_region_volume": q_rel_region_volume,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -4009,6 +4053,27 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
+""",
+        "rel_pricing_summary": """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         round(l_extendedprice * 100)::BIGINT AS pc,
+         round(l_quantity)::BIGINT AS qi,
+         round(l_discount * 100)::BIGINT AS di,
+         round(l_tax * 100)::BIGINT AS ti
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qi)::BIGINT AS sum_qty,
+       sum(pc)::BIGINT AS sum_base_cents,
+       sum(pc * (100 - di))::BIGINT AS sum_disc_u4,
+       sum(pc * (100 - di) * (100 + ti))::BIGINT AS sum_charge_u6,
+       count(*)::BIGINT AS n_rows,
+       round(sum(qi) * 1.0 / count(*), 4) AS avg_qty,
+       round(sum(pc) * 1.0 / (100.0 * count(*)), 4) AS avg_price,
+       round(sum(di) * 1.0 / (100.0 * count(*)), 4) AS avg_disc
+FROM s GROUP BY l_returnflag, l_linestatus
 """,
         "rel_shipping": """
 SELECT o.o_orderkey,

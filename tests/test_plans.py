@@ -443,6 +443,20 @@ def test_rel_region_volume_plan_pushdown_no_cartesian(spark):
     ), plan[:3000]
 
 
+def test_rel_pricing_plan_pushdown_partial_agg(spark):
+    """TPC-H Q1-shape gate: the shipdate predicate reaches the lineitem
+    parquet scan and the 4-group aggregation runs with map-side
+    partials (HashAggregate below the single Exchange)."""
+    import __spark_entry__ as e
+
+    df = e.q_rel_pricing(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "LessThanOrEqual(l_shipdate" in plan
+    ), plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
 def test_pack_sequences_plan_distributed_prefix_sum(spark):
     """The packing manifest's only window runs PARTITIONED by bucket
     (the two-phase prefix sum) — no stage may collapse the corpus to a
