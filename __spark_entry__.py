@@ -806,6 +806,17 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the banded-minhash candidate graph —
+    which docs are the duplication hubs driving the dedup work. Fixed
+    4-iteration power method, ranks rounded 6dp per iteration in both
+    engines so float-sum ordering drift cannot compound."""
+    pairs = dedup.minhash_band_pairs(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3
+    )
+    return dedup.pagerank(pairs, n_iter=4)
+
+
 def q_stream_pairs(spark, sf_dir):
     """Continuous-ingestion near-dup: the corpus arrives in two
     micro-batches; each batch's banded signatures join the accumulated
@@ -2284,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_pairs": q_minhash_pairs,
+        "dedup_pagerank": q_pagerank,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_lsh_recall": q_lsh_recall,
@@ -3027,6 +3039,24 @@ FROM est LEFT JOIN truth ON est.item = truth.item
 """
 
 
+def _pagerank_iter_ctes(n_iter: int) -> str:
+    """One CTE per PageRank power-method iteration — the rounded update
+    rule identical to dedup.pagerank's."""
+    out = []
+    for i in range(1, n_iter + 1):
+        out.append(
+            f""",
+r{i} AS (
+  SELECT e.v AS node,
+         round(0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank / e.deg), 6) AS rank
+  FROM ed e JOIN r{i - 1} r ON e.u = r.node
+  GROUP BY e.v
+)"""
+        )
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
     sig_exprs = ",\n  ".join(_minhash_sig_exprs())
     bands = "\n  UNION ALL\n".join(
@@ -3448,6 +3478,27 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_value = b.band_value
      AND a.doc_id < b.doc_id
+""",
+        # the identical rounded power method, one CTE per iteration
+        "dedup_pagerank": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+ed AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON e.u = d.u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u AS node, round(1.0 / (SELECT n FROM nn), 6) AS rank
+       FROM deg){_pagerank_iter_ctes(4)}
+SELECT node, rank FROM r4
 """,
         # chunked == one-shot (pinned in tests), so the incremental
         # tier's oracle is the full-batch band self-join verbatim

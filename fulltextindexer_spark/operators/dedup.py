@@ -487,6 +487,78 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    n_iter: int = 8,
+    damping: float = 0.85,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank over an undirected edge list (e.g. the banded-minhash
+    candidate graph) — the centrality read on duplication hubs: a
+    template page duplicated across thousands of docs dominates the
+    candidate graph, and its rank quantifies how much of the dedup work
+    (and of the connected-components shuffle) it drives. One
+    ``(node, rank)`` row per node appearing in ``pairs``.
+
+    Fixed-iteration power method (no convergence test — the iteration
+    count IS the contract, which keeps the result engine-reproducible):
+    ``rank ← round((1−d)/n + d·Σ_{u→v} rank(u)/deg(u), round_dp)`` per
+    round, ranks ROUNDED EACH ITERATION in every engine so float-sum
+    ordering drift cannot compound (the repo's round-before-compare
+    convention applied per step). The graph is undirected so every node
+    has out-degree ≥ 1 — no dangling-mass term.
+
+    Scale shape: per iteration one keyed equi-join (edges ⋈ ranks on
+    the source) + one groupBy(dst) — AQE-sized shuffles, no all-pairs
+    step; the edge⋈degree frame is built once and persisted; ranks are
+    ``localCheckpoint``-ed per round to truncate lineage (same
+    rationale as :func:`connected_components`). ``n`` (node count) is
+    the one driver scalar.
+    """
+    e = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "u").persist()
+    try:
+        n = edges_deg.select("u").distinct().count()
+        if n == 0:
+            return pairs.sparkSession.createDataFrame(
+                [], "node long, rank double"
+            )
+        ranks = (
+            edges_deg.select(F.col("u").alias("node"))
+            .distinct()
+            .select(
+                "node", F.round(F.lit(1.0) / n, round_dp).alias("rank")
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(n_iter):
+            ranks = (
+                edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
+                .groupBy(edges_deg["v"].alias("node"))
+                .agg(
+                    F.round(
+                        (1.0 - damping) / n
+                        + damping
+                        * F.sum(F.col("rank") / F.col("deg")),
+                        round_dp,
+                    ).alias("rank")
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges_deg.unpersist()
+    return ranks
+
+
 def neardup_components(
     docs: DataFrame,
     n_hashes: int = 8,

@@ -1,0 +1,67 @@
+"""Fixed-iteration PageRank over undirected candidate graphs
+(dedup.pagerank)."""
+
+import pytest
+
+from fulltextindexer_spark.operators import dedup
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def _reference_pagerank(edge_list, n_iter=8, d=0.85, dp=6):
+    """Driver-side oracle running the identical rounded power method."""
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    ranks = {u: round(1.0 / n, dp) for u in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v in adj:
+            s = sum(ranks[u] / len(adj[u]) for u in adj[v])
+            new[v] = round((1 - d) / n + d * s, dp)
+        ranks = new
+    return ranks
+
+
+def test_pagerank_symmetric_pair_is_uniform_fixed_point(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank(_pairs(spark, [(1, 2)])).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank(
+            _pairs(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+        ).collect()
+    }
+    assert all(got[0] > got[i] for i in (1, 2, 3, 4))
+    assert len({got[i] for i in (1, 2, 3, 4)}) == 1  # leaves tie
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_matches_reference_power_method(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    got = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank(_pairs(spark, edges)).collect()
+    }
+    want = _reference_pagerank(edges)
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_pagerank_ignores_self_loops_and_duplicate_edges(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank(
+            _pairs(spark, [(1, 2), (2, 1), (1, 1), (1, 2)])
+        ).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5}
