@@ -180,6 +180,17 @@ def load_latest_bm25_suffstats(spark: SparkSession, index_dir: str):
     )
 
 
+def load_latest_vocab_hll(spark: SparkSession, index_dir: str):
+    """The latest snapshot's vocabulary HLL registers (or None)."""
+    v = current_version(index_dir)
+    if v < 0:
+        return None
+    path = os.path.join(_snapshot_dir(index_dir, v), "vocab_hll")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def merge_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -187,6 +198,7 @@ def merge_batch(
     config: IndexConfig,
     batch_id: int = -1,
     maintain_bm25: bool = False,
+    maintain_vocab_hll: bool = False,
 ) -> int:
     """Fold one batch of docs-shaped rows into a new snapshot.
 
@@ -205,6 +217,14 @@ def merge_batch(
     merge itself): batches are append-only, disjoint doc sets.
     ``load_latest_bm25_suffstats`` + ``bm25.realize_bm25_stats`` turn
     the stored suffstats into queryable WAND stats.
+
+    With ``maintain_vocab_hll=True`` the snapshot additionally carries
+    the vocabulary-cardinality HLL (``sketches.hll_registers`` over the
+    batch's terms, merged per-bucket-max into the previous snapshot's
+    registers — HLL union is exact under any split, so the stored
+    sketch always equals a from-scratch build over the accumulated
+    vocabulary; ``sketches.hll_estimate`` reads it). Same crash story:
+    written into the new versioned dir before the pointer flip.
     """
     if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
         return current_version(index_dir)
@@ -232,6 +252,24 @@ def merge_batch(
         # a crash leaves _LATEST on the old consistent (snapshot,
         # suffstats) pair
         save_bm25_suffstats(suff, os.path.join(out, "bm25_suff"))
+    if maintain_vocab_hll:
+        from fulltextindexer_spark.operators.sketches import (
+            hll_merge,
+            hll_registers,
+        )
+
+        # no distinct: HLL is multiplicity-insensitive (pinned in
+        # tests), so the 256-row register agg is the only shuffle
+        delta_reg = hll_registers(new_postings.select("term"), "term")
+        prev_reg = load_latest_vocab_hll(spark, index_dir)
+        reg = (
+            delta_reg
+            if prev_reg is None
+            else hll_merge(prev_reg, delta_reg)
+        )
+        reg.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "vocab_hll")
+        )
     manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
     with open(manifest_tmp, "w") as fh:
         json.dump({"version": v, "batch_id": batch_id}, fh)
@@ -252,6 +290,7 @@ def start_incremental_index(
     available_now: bool = True,
     bucketed_prefix: Optional[str] = None,
     maintain_bm25: bool = False,
+    maintain_vocab_hll: bool = False,
 ):
     """Start the streaming query that maintains the index.
 
@@ -292,6 +331,7 @@ def start_incremental_index(
             merge_batch(
                 spark, batch_df, index_dir, config, batch_id=batch_id,
                 maintain_bm25=maintain_bm25,
+                maintain_vocab_hll=maintain_vocab_hll,
             )
 
     writer = stream.writeStream.foreachBatch(process).option(

@@ -620,6 +620,47 @@ def test_snapshot_time_travel_and_diff(spark, tmp_path):
         incremental.snapshot_diff(spark, index_dir, 0, 9, CFG)
 
 
+def test_incremental_vocab_hll_chunked_equals_one_shot(spark, tmp_path):
+    """With maintain_vocab_hll=True each micro-merge folds the batch's
+    HLL registers into the stored ones; after N batches the stored
+    sketch equals a from-scratch build over the full accumulated
+    vocabulary (HLL union is exact under any split)."""
+    from fulltextindexer_spark.operators import sketches
+
+    index_dir = str(tmp_path / "hll_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0, maintain_vocab_hll=True
+    )
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_vocab_hll=True
+    )
+    stored = incremental.load_latest_vocab_hll(spark, index_dir)
+    assert stored is not None
+
+    full = incremental.load_latest(spark, index_dir, CFG)
+    direct = sketches.hll_registers(full.postings.select("term"), "term")
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # the estimate tracks the true (small) vocabulary via linear counting
+    est = sketches.hll_estimate(stored).collect()[0]
+    true_vocab = full.postings.select("term").distinct().count()
+    assert abs(est["estimate"] - true_vocab) < 2.0
+
+    # replayed batch_id leaves the stored registers untouched
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_vocab_hll=True
+    )
+    replay = incremental.load_latest_vocab_hll(spark, index_dir)
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+
 def test_incremental_bm25_suffstats_chunked_equals_one_shot(spark, tmp_path):
     """With maintain_bm25=True each micro-merge folds the batch's delta
     suffstats into the stored ones (no corpus rescan); after N batches
