@@ -788,6 +788,44 @@ def q_hybrid(spark, sf_dir):
     )
 
 
+def q_rank_eval(spark, sf_dir):
+    """Retrieval evaluation: MRR/nDCG/recall@10 for the BM25 and
+    weighted-or_sum top-20 rankings of 'data stream' (query_ids 'bm'
+    and 'ws'), judged against the AND-match doc set (docs containing
+    both terms) as binary relevance labels — the eval sweep a ranking
+    change runs before shipping. Ranks derive from display-rounded
+    scores so both engines rank identically."""
+    idx = _docs_index(spark, sf_dir)
+    bm = q.paginate_topk(
+        _round_score(
+            bm25.bm25_scores(
+                idx, "data stream", stats=bm25.get_bm25_stats(idx)
+            )
+        ),
+        20,
+    )
+    ws = q.paginate_topk(
+        _round_score(
+            q.get_partial_matches(idx, "data stream", combiner="or_sum")
+        ),
+        20,
+    )
+    results = bm.select(
+        F.lit("bm").alias("query_id"), "doc_id", "score"
+    ).unionByName(
+        ws.select(F.lit("ws").alias("query_id"), "doc_id", "score")
+    )
+    relset = q.get_partial_matches(idx, "data stream").select("doc_id")
+    qrels = relset.select(
+        F.lit("bm").alias("query_id"), "doc_id", F.lit(1).alias("rel")
+    ).unionByName(
+        relset.select(
+            F.lit("ws").alias("query_id"), "doc_id", F.lit(1).alias("rel")
+        )
+    )
+    return q.ranking_metrics(results, qrels, k=10)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -1331,7 +1369,7 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
-def q_rel_pricing(spark, sf_dir):
+def q_rel_pricing_summary(spark, sf_dir):
     """Relational coverage (TPC-H Q1 shape): one wide scan with the
     date predicate pushed down, a 4-group aggregation with map-side
     partials — and EXACT integer money arithmetic: prices/discounts/
@@ -2287,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_bm25f": q_bm25f,
         "ftix_rrf": q_rrf,
         "ftix_hybrid": q_hybrid,
+        "ftix_rank_eval": q_rank_eval,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
@@ -2346,7 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing": q_rel_pricing,
         "rel_top_customers": q_rel_top_customers,
         "rel_shipping": q_rel_shipping,
-        "rel_pricing_summary": q_rel_pricing,
+        "rel_pricing_summary": q_rel_pricing_summary,
         "rel_region_volume": q_rel_region_volume,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -3390,6 +3429,67 @@ wn AS (SELECT doc_id,
 u AS (SELECT doc_id, 0.7 * ns AS c FROM bn
       UNION ALL SELECT doc_id, 0.3 * ns FROM wn)
 SELECT doc_id, round(sum(c), 4) AS score FROM u GROUP BY doc_id
+""",
+        # Retrieval eval: MRR/nDCG/recall@10 of the BM25 ('bm') and
+        # weighted-or_sum ('ws') top-20 rankings of 'data stream',
+        # judged against the AND-match doc set as binary relevance.
+        # Ranks = row_number over (rounded score desc, doc_id asc);
+        # IDCG = sum_{{i=1..min(n_rel,10)}} 1/log2(i+1).
+        "ftix_rank_eval": f"""
+WITH {TOK_CTE}, {POST_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{english_plurality_normalise("data")}',
+                         '{english_plurality_normalise("stream")}')
+          GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bscore AS (SELECT doc_id, round(sum(c), 4) AS s FROM contrib
+           GROUP BY doc_id),
+btop AS (SELECT doc_id, s FROM bscore ORDER BY s DESC, doc_id LIMIT 20),
+wscore AS (SELECT doc_id, round(sum(w), 4) AS s FROM post
+           WHERE term IN ('{english_plurality_normalise("data")}',
+                          '{english_plurality_normalise("stream")}')
+           GROUP BY doc_id),
+wtop AS (SELECT doc_id, s FROM wscore ORDER BY s DESC, doc_id LIMIT 20),
+res AS (SELECT 'bm' AS query_id, doc_id, s FROM btop
+        UNION ALL SELECT 'ws' AS query_id, doc_id, s FROM wtop),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id) AS r
+           FROM res),
+relset AS (SELECT p.doc_id FROM post p
+           WHERE p.term IN ('{english_plurality_normalise("data")}',
+                            '{english_plurality_normalise("stream")}')
+           GROUP BY p.doc_id HAVING count(DISTINCT p.term) = 2),
+rels AS (SELECT v.query_id, relset.doc_id
+         FROM (VALUES ('bm'), ('ws')) v(query_id) CROSS JOIN relset),
+hits AS (SELECT ranked.query_id, ranked.r
+         FROM ranked JOIN rels USING (query_id, doc_id) WHERE r <= 10),
+per_q AS (SELECT query_id, max(1.0 / r) AS rr,
+                 sum(1.0 / log2(r + 1)) AS dcg,
+                 count(*) AS n_hits
+          FROM hits GROUP BY query_id),
+totals AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id),
+idcg AS (SELECT query_id, sum(1.0 / log2(i + 1)) AS idcg FROM
+         (SELECT query_id, unnest(generate_series(1, least(n_rel, 10))) AS i
+          FROM totals) GROUP BY query_id)
+SELECT t.query_id,
+       round(coalesce(p.rr, 0.0), 4) AS mrr,
+       round(coalesce(p.dcg, 0.0) / i.idcg, 4) AS ndcg,
+       round(coalesce(p.n_hits, 0) * 1.0 / t.n_rel, 4) AS recall,
+       CAST(t.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits
+FROM totals t JOIN idcg i USING (query_id)
+LEFT JOIN per_q p USING (query_id)
 """,
         # BM25F: per-field tf + per-field length normalisation folded
         # into one weighted pseudo-frequency, saturated once (w=(2,1),

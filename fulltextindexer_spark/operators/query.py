@@ -1487,3 +1487,70 @@ def rrf_fuse(
     if topk is not None:
         fused = fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
     return fused
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Binary-relevance retrieval evaluation: MRR@k, nDCG@k and
+    recall@k per query — the eval sweep a ranking change runs before
+    shipping (the reference leaves evaluation to callers; this is the
+    batched Spark shape of it).
+
+    ``results`` holds (query_id, doc_id, score) candidate lists (e.g.
+    :func:`get_partial_matches_batch` output); ``qrels`` holds
+    (query_id, doc_id, rel) with rel > 0 meaning relevant (binary
+    contract — graded gains would only change the DCG numerator).
+    Ranks derive from the display-rounded score with the deterministic
+    (score desc, doc_id asc) tie-break, so any engine reproduces them;
+    only queries with at least one relevant doc are reported.
+
+    Scale shape: one query-partitioned rank window over the k-bounded
+    candidate lists (never a global sort), one hits join, two
+    query-keyed aggs; IDCG is a closed-form per-row expression
+    (aggregate over sequence(1, min(n_rel, k))), no per-rank join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.round(F.col(score_col), 4).desc(), F.col(id_col).asc()
+    )
+    topk = (
+        results.select(query_col, id_col, score_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    rels = qrels.where(F.col(rel_col) > 0).select(query_col, id_col)
+    hits = topk.join(rels, [query_col, id_col])
+    per_q = hits.groupBy(query_col).agg(
+        F.max(1.0 / F.col("rank")).alias("_rr"),
+        F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("_dcg"),
+        F.count("*").cast("bigint").alias("_n_hits"),
+    )
+    totals = rels.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("n_rel")
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), "
+        f"cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return totals.join(per_q, query_col, "left").select(
+        query_col,
+        F.round(F.coalesce(F.col("_rr"), F.lit(0.0)), 4).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 4
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(F.col("_n_hits"), F.lit(0)) / F.col("n_rel"), 4
+        ).alias("recall"),
+        F.col("n_rel"),
+        F.coalesce(F.col("_n_hits"), F.lit(0)).cast("bigint").alias(
+            "n_hits"
+        ),
+    )

@@ -1,0 +1,81 @@
+"""Retrieval-evaluation metrics (query.ranking_metrics)."""
+
+import math
+
+import pytest
+
+from fulltextindexer_spark.operators import query as q
+
+
+def _frame(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_metrics_hand_computed(spark):
+    # q1: ranked docs 10,20,30 (score desc); relevant {20, 99}
+    results = _frame(
+        spark,
+        [("q1", 10, 3.0), ("q1", 20, 2.0), ("q1", 30, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark,
+        [("q1", 20, 1), ("q1", 99, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    row = q.ranking_metrics(results, qrels, k=10).collect()[0]
+    assert row["mrr"] == 0.5  # first relevant at rank 2
+    dcg = 1.0 / math.log2(3)  # one hit at rank 2
+    idcg = 1.0 / math.log2(2) + 1.0 / math.log2(3)  # 2 rels, both in k
+    assert row["ndcg"] == pytest.approx(round(dcg / idcg, 4))
+    assert row["recall"] == 0.5 and row["n_rel"] == 2 and row["n_hits"] == 1
+
+
+def test_metrics_perfect_and_zero(spark):
+    results = _frame(
+        spark,
+        [("p", 1, 9.0), ("p", 2, 8.0), ("z", 5, 9.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark,
+        [("p", 1, 1), ("p", 2, 1), ("z", 7, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in q.ranking_metrics(results, qrels, k=10).collect()
+    }
+    assert got["p"]["mrr"] == 1.0 and got["p"]["ndcg"] == 1.0
+    assert got["p"]["recall"] == 1.0
+    assert got["z"]["mrr"] == 0.0 and got["z"]["ndcg"] == 0.0
+    assert got["z"]["recall"] == 0.0 and got["z"]["n_hits"] == 0
+
+
+def test_metrics_rank_ties_break_on_doc_id_and_k_cuts(spark):
+    # equal rounded scores: doc 1 outranks doc 2; k=1 cuts the rest
+    results = _frame(
+        spark,
+        [("t", 2, 5.0), ("t", 1, 5.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark, [("t", 2, 1)], "query_id string, doc_id long, rel int"
+    )
+    row = q.ranking_metrics(results, qrels, k=1).collect()[0]
+    assert row["n_hits"] == 0  # doc 2 ranked 2nd, outside k=1
+    row10 = q.ranking_metrics(results, qrels, k=10).collect()[0]
+    assert row10["mrr"] == 0.5
+
+
+def test_metrics_queries_without_rels_are_excluded(spark):
+    results = _frame(
+        spark,
+        [("a", 1, 1.0), ("b", 2, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark, [("a", 1, 1)], "query_id string, doc_id long, rel int"
+    )
+    rows = q.ranking_metrics(results, qrels).collect()
+    assert [r["query_id"] for r in rows] == ["a"]
