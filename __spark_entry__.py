@@ -2216,6 +2216,70 @@ def q_cms_terms(spark, sf_dir):
     )
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Runtime-filter pruning: a Bloom filter over the French-language
+    doc_ids (65536 bits, 4 salted md5 hashes) rendered as a bitmap
+    literal and applied as a ZERO-join scan predicate to the documents
+    table — at 100 TB the keep-list prune rides inside the scan's
+    codegen stage instead of shuffling a semi join. False positives
+    are deterministic (md5 text expressions), so both engines pass the
+    exact same doc set; in_set is the exact-membership audit column.
+    The one driver collect is the ≤65536-row bit frame."""
+    docs = _documents(spark, sf_dir)
+    keep = docs.where(F.col("lang") == "fr").select("doc_id")
+    bits = sketches.bloom_bits(keep, "doc_id")
+    bitmap = sketches.bloom_bitmap_hex(bits)
+    pred = sketches.bloom_member_sql("cast(doc_id as string)", bitmap)
+    return docs.where(F.expr(pred)).select(
+        "doc_id", (F.col("lang") == "fr").cast("int").alias("in_set")
+    )
+
+
+def q_events_hll_users(spark, sf_dir):
+    """Grouped HLL: approximate distinct users per event type from one
+    sketch aggregation (≤256 register rows per group cross the
+    exchange — the 100 TB profiling shape, no per-group
+    count(DISTINCT) re-shuffle), with the exact distinct alongside as
+    the error audit."""
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    est = sketches.hll_estimate_grouped(
+        sketches.hll_registers_grouped(events, "event_type", "user_id")
+    )
+    exact = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(
+        exact, est.key == exact.event_type
+    ).select(
+        F.col("key").alias("event_type"),
+        F.col("n_zero").cast("bigint").alias("n_zero"),
+        "estimate",
+        "exact_distinct",
+    )
+
+
+def q_text_chars_hist(spark, sf_dir):
+    """Mergeable log2 histogram of document lengths (n_chars): ≤64
+    bins whatever the corpus size, one scan + one tiny aggregation —
+    the distribution profile a 100 TB pass keeps per partition/day and
+    merges by cell sum. Binning is a descending-threshold CASE over
+    exact powers of two (float log2 mis-bins 8), bit-identical in both
+    engines."""
+    return sketches.log2_histogram(_documents(spark, sf_dir), "n_chars")
+
+
+def q_text_chars_quantiles(spark, sf_dir):
+    """Quantile upper bounds (p50/p90/p99 as ppm) read off the log2
+    histogram by the all-integer rule cum*1e6 >= ppm*total — no float
+    percentile interpolation crosses the engine boundary; the window
+    spans the ≤64-row histogram, never the data."""
+    hist = sketches.log2_histogram(_documents(spark, sf_dir), "n_chars")
+    return sketches.histogram_quantile_bounds(hist)
+
+
 def q_bm25_merged(spark, sf_dir):
     """Incremental BM25/WAND maintenance: sufficient statistics built
     per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
@@ -2420,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_skew_report": q_skew_report,
         "ftix_vocab_hll": q_vocab_hll,
         "ftix_cms_terms": q_cms_terms,
+        "curate_bloom_prune": q_bloom_prune,
+        "events_hll_users": q_events_hll_users,
+        "text_chars_hist": q_text_chars_hist,
+        "text_chars_quantiles": q_text_chars_quantiles,
         "ftix_zipf": q_zipf,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
@@ -3075,6 +3143,116 @@ SELECT est.item, est.estimate,
        coalesce(truth.true_n, 0)::BIGINT AS true_n,
        (est.estimate - coalesce(truth.true_n, 0))::BIGINT AS slack
 FROM est LEFT JOIN truth ON est.item = truth.item
+"""
+
+
+def _bloom_prune_sql() -> str:
+    """Oracle for the Bloom-prune gate: the bit expressions render from
+    sketches.bloom_bit_sql — the identical salted-md5 text the engine
+    bakes into its bitmap predicate — so the oracle's set-membership
+    joins reproduce the exact same pass set, false positives included."""
+    ve = "cast(doc_id as string)"
+    d, k = sketches.BLOOM_HEX_DIGITS, sketches.BLOOM_K
+    bit_union = "\n  UNION ALL\n".join(
+        f"  SELECT {sketches.bloom_bit_sql(r, ve, d)} AS bit FROM keep"
+        for r in range(k)
+    )
+    conds = "\n  AND ".join(
+        f"({sketches.bloom_bit_sql(r, ve, d)}) IN (SELECT bit FROM bits)"
+        for r in range(k)
+    )
+    return f"""
+WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'fr'),
+bits AS (SELECT DISTINCT bit FROM (
+{bit_union}
+))
+SELECT doc_id, CAST(lang = 'fr' AS INT) AS in_set
+FROM documents
+WHERE {conds}
+"""
+
+
+def _chars_hist_sql() -> str:
+    """Oracle for the log2-histogram gate: the bin expression renders
+    from sketches.floor_log2_sql — the identical power-of-two CASE
+    ladder the engine evaluates."""
+    bin_expr = sketches.floor_log2_sql("cast(n_chars as bigint)")
+    return f"""
+SELECT bin,
+       CASE WHEN bin < 0 THEN NULL
+            ELSE cast(power(2, bin) as bigint) END AS lo,
+       CASE WHEN bin < 0 THEN 0
+            ELSE cast(power(2, bin + 1) as bigint) - 1 END AS hi,
+       count(*)::BIGINT AS n
+FROM (SELECT {bin_expr} AS bin FROM documents)
+GROUP BY bin
+"""
+
+
+def _chars_quantiles_sql() -> str:
+    """Oracle for the quantile-bounds gate: same bin ladder, same
+    integer hitting rule cum*1e6 >= ppm*total."""
+    bin_expr = sketches.floor_log2_sql("cast(n_chars as bigint)")
+    return f"""
+WITH hist AS (
+  SELECT bin,
+         CASE WHEN bin < 0 THEN 0
+              ELSE cast(power(2, bin + 1) as bigint) - 1 END AS hi,
+         count(*)::BIGINT AS n
+  FROM (SELECT {bin_expr} AS bin FROM documents)
+  GROUP BY bin
+),
+cum AS (
+  SELECT bin, hi, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM hist),
+qs(ppm) AS (VALUES (500000), (900000), (990000)),
+hitting AS (
+  SELECT qs.ppm, cum.bin, cum.hi
+  FROM cum CROSS JOIN tot CROSS JOIN qs
+  WHERE cum.cum * 1000000 >= qs.ppm * tot.total
+),
+first AS (SELECT ppm, min(bin) AS bin FROM hitting GROUP BY ppm)
+SELECT CAST(f.ppm AS BIGINT) AS ppm, f.bin, h.hi
+FROM first f JOIN (SELECT DISTINCT bin, hi FROM hist) h USING (bin)
+"""
+
+
+def _events_hll_users_sql() -> str:
+    """Oracle for the grouped-HLL gate: per-event-type registers from
+    the same HLL_BUCKET_SQL/HLL_RHO_SQL text, then the shared estimate
+    arithmetic over exact powers of two, keyed."""
+    m = sketches.HLL_M
+    raw = f"{sketches.HLL_ALPHA_M2_SQL} / (({m} - n_filled) + z_filled)"
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(cast(user_id as string)) AS h FROM events
+),
+reg AS (
+  SELECT event_type, {sketches.HLL_BUCKET_SQL} AS bucket,
+         max({sketches.HLL_RHO_SQL}) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*) AS n_filled,
+         coalesce(sum(power(2.0, -rho)), 0.0) AS z_filled
+  FROM reg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(*)::BIGINT AS exact_distinct
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+  GROUP BY event_type
+)
+SELECT agg.event_type,
+       ({m} - n_filled)::BIGINT AS n_zero,
+       round(CASE
+               WHEN {raw} <= 2.5 * {m} AND n_filled < {m}
+               THEN {m} * ln({m} * 1.0 / ({m} - n_filled))
+               ELSE {raw}
+             END, 4) AS estimate,
+       exact_distinct
+FROM agg JOIN ex USING (event_type)
 """
 
 
@@ -4895,6 +5073,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
         "text_pii_mask": _pii_mask_sql(),
         "ftix_vocab_hll": _vocab_hll_sql(),
         "ftix_cms_terms": _cms_terms_sql(),
+        "curate_bloom_prune": _bloom_prune_sql(),
+        "events_hll_users": _events_hll_users_sql(),
+        "text_chars_hist": _chars_hist_sql(),
+        "text_chars_quantiles": _chars_quantiles_sql(),
         "curate_pps_sample": _pps_sample_sql(),
         "code_license": _code_license_sql(),
         "code_secrets": _code_secrets_sql(),

@@ -133,6 +133,51 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HLL registers (key, bucket, rho) — one sketch per
+    ``key_col`` group from a single aggregation (≤ 256 rows per group
+    cross the exchange). The grouped profiling shape: "distinct users
+    per event type / distinct tokens per source" over 100 TB without
+    a per-group count(DISTINCT) re-shuffle."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.md5(F.col(value_col).cast("string")).alias("h"),
+        )
+        .selectExpr(
+            "key", f"{HLL_BUCKET_SQL} AS bucket", f"{HLL_RHO_SQL} AS rho"
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame) -> DataFrame:
+    """Per-key (key, m, n_zero, estimate) from a grouped register
+    frame — the same exact-powers-of-two Z sum and small-range
+    correction as :func:`hll_estimate`, keyed."""
+    agg = registers.groupBy("key").agg(
+        F.count("*").alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr("power(2.0, -rho)")), F.lit(0.0)
+        ).alias("z_filled"),
+    )
+    return agg.selectExpr(
+        "key",
+        f"{HLL_M} AS m",
+        f"{HLL_M} - n_filled AS n_zero",
+        f"""round(CASE
+              WHEN {HLL_ALPHA_M2_SQL} / (({HLL_M} - n_filled) + z_filled)
+                   <= 2.5 * {HLL_M}
+                   AND n_filled < {HLL_M}
+              THEN {HLL_M} * ln({HLL_M} * 1.0 / ({HLL_M} - n_filled))
+              ELSE {HLL_ALPHA_M2_SQL} / (({HLL_M} - n_filled) + z_filled)
+            END, 4) AS estimate""",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (depth x width cells from per-row salted md5)
 # ---------------------------------------------------------------------------
@@ -203,3 +248,214 @@ def cms_point_estimates(
     return joined.groupBy("item").agg(
         F.min("n").cast("bigint").alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram (mergeable; exact integer binning, quantile bounds)
+# ---------------------------------------------------------------------------
+
+
+def floor_log2_sql(expr: str) -> str:
+    """floor(log2(n)) for a positive integer via a descending-threshold
+    CASE over exact powers of two — NO float log (ln(8)/ln(2) rounds to
+    2.9999… and floors wrong), so binning is bit-exact in any engine.
+    Values < 1 land in bin -1."""
+    branches = " ".join(
+        f"WHEN {expr} >= {1 << b} THEN {b}" for b in range(62, -1, -1)
+    )
+    return f"(CASE {branches} ELSE -1 END)"
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """(bin, lo, hi, n) counts of ``value_col`` in power-of-two bins —
+    the constant-size distribution profile (≤64 rows whatever the
+    input): one scan + one tiny aggregation with map-side partials.
+    Merge across partitions/snapshots/days with
+    :func:`histogram_merge` (cell-wise sum, exact under any split)."""
+    binned = df.selectExpr(
+        f"{floor_log2_sql(f'cast({value_col} as bigint)')} AS bin"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .selectExpr(
+            "bin",
+            "CASE WHEN bin < 0 THEN NULL"
+            " ELSE cast(power(2, bin) as bigint) END AS lo",
+            "CASE WHEN bin < 0 THEN 0"
+            " ELSE cast(power(2, bin + 1) as bigint) - 1 END AS hi",
+            "n",
+        )
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum — exact under any split of the input."""
+    out = hists[0]
+    for frame in hists[1:]:
+        out = out.unionByName(frame)
+    return out.groupBy("bin", "lo", "hi").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def histogram_quantile_bounds(
+    hist: DataFrame, ppms: tuple = (500000, 900000, 990000)
+) -> DataFrame:
+    """Per-quantile (ppm, bin, hi): the first bin whose cumulative
+    count reaches the quantile, by the all-integer rule
+    ``cum * 1000000 >= ppm * total`` — no float percentile
+    interpolation crosses an engine boundary. ``hi`` is the quantile's
+    upper bound (true quantile ≤ hi; the histogram's resolution
+    contract). The window runs over the ≤64-row histogram, never the
+    data."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "bin", "hi", F.sum("n").over(w).alias("cum")
+    ).crossJoin(hist.agg(F.sum("n").cast("bigint").alias("total")))
+    qs = hist.sparkSession.createDataFrame(
+        [(p,) for p in ppms], "ppm bigint"
+    )
+    hitting = cum.crossJoin(qs).where(
+        F.col("cum") * 1000000 >= F.col("ppm") * F.col("total")
+    )
+    first = hitting.groupBy("ppm").agg(F.min("bin").alias("bin"))
+    return first.join(
+        hist.select("bin", "hi"), "bin"
+    ).select("ppm", "bin", "hi")
+
+BLOOM_K = 4
+BLOOM_HEX_DIGITS = 4  # 16^4 = 65536 bits = 8 KiB of driver state
+
+
+def bloom_bit_sql(row: int, value_expr: str, n_hex_digits: int) -> str:
+    """Bit index for hash ``row``: the first ``n_hex_digits`` hex chars
+    of the salted md5 folded to an integer in [0, 16^n). Shared
+    verbatim with the DuckDB oracle."""
+    return hex_uint_sql(f"md5('b{row}:' || {value_expr})", n_hex_digits)
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    n_hex_digits: int = BLOOM_HEX_DIGITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The set bits of a Bloom filter over ``value_col`` — the
+    sketch's full state as a (bit) frame of ≤ 16^n distinct ints.
+
+    One narrow projection + one distinct whose exchange carries at
+    most 16^n rows regardless of input size. Union of filters =
+    union of bit sets (:func:`bloom_merge`), so per-partition /
+    per-snapshot filters compose exactly — the mergeable build a
+    runtime filter over a 100 TB keep-list needs.
+    """
+    bits = F.array(
+        *[
+            F.expr(bloom_bit_sql(r, f"cast({value_col} as string)", n_hex_digits))
+            for r in range(k)
+        ]
+    )
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_merge(*bit_frames: DataFrame) -> DataFrame:
+    """Union of filters = union of their set bits — exact under any
+    split of the input."""
+    out = bit_frames[0]
+    for frame in bit_frames[1:]:
+        out = out.unionByName(frame)
+    return out.distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    n_hex_digits: int = BLOOM_HEX_DIGITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(item, might_contain) for each probe value: member iff all
+    ``k`` bit positions are set. No false negatives ever; false
+    positives are deterministic (the hashes are md5 text expressions),
+    so any engine reproduces the exact same pass set.
+
+    The distributed membership path: k-row explode per probe, one
+    equi-join against the ≤16^n-row bit frame (AQE broadcasts it),
+    one probe-keyed agg. For a scan predicate with zero joins use
+    :func:`bloom_bitmap_hex` + :func:`bloom_member_sql` instead."""
+    exploded = probes.select(
+        F.col(value_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        bloom_bit_sql(
+                            r, f"cast({value_col} as string)", n_hex_digits
+                        )
+                    )
+                    for r in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = bits.withColumn("_set", F.lit(1))
+    joined = exploded.join(hit, "bit", "left")
+    # member iff EVERY exploded row found its bit set (robust to
+    # duplicate probe values and to two hashes landing on one bit)
+    return joined.groupBy("item").agg(
+        (F.count("_set") == F.count(F.lit(1))).cast("int").alias(
+            "might_contain"
+        )
+    )
+
+
+def bloom_bitmap_hex(
+    bits: DataFrame, n_hex_digits: int = BLOOM_HEX_DIGITS
+) -> str:
+    """Render a bit frame as a hex-string bitmap (one char per 4 bits,
+    bit b lives in char b//4 with mask 8 >> (b % 4)) — 16^n/4 chars
+    (8 KiB at the default), small enough to ship to every task as a
+    literal. The one driver collect is bounded by 16^n rows."""
+    m = 16 ** n_hex_digits
+    nibbles = [0] * (m // 4)
+    for row in bits.select("bit").collect():
+        b = row["bit"]
+        nibbles[b // 4] |= 8 >> (b % 4)
+    return "".join(HEX_DIGITS[v] for v in nibbles)
+
+
+def bloom_member_sql(
+    value_expr: str,
+    bitmap_hex: str,
+    n_hex_digits: int = BLOOM_HEX_DIGITS,
+    k: int = BLOOM_K,
+    bitmap_sql: str | None = None,
+) -> str:
+    """A pure scan predicate testing Bloom membership against a
+    bitmap literal — the runtime-filter shape: ZERO joins, zero
+    shuffles, evaluated inside the scan's codegen stage so at 100 TB
+    the keep-list prune costs nothing beyond the scan itself.
+
+    The SQL text (substring into the bitmap + hex-digit CASE + ``&``
+    mask) is in the Spark/DuckDB common dialect, shared verbatim with
+    the oracle. Pass ``bitmap_sql`` (e.g. a CTE scalar) to substitute
+    something other than an inline literal."""
+    bm = bitmap_sql if bitmap_sql is not None else f"'{bitmap_hex}'"
+    tests = []
+    for r in range(k):
+        bit = bloom_bit_sql(r, value_expr, n_hex_digits)
+        nibble = hex_val_sql(
+            f"substring({bm}, cast(floor({bit} / 4.0) as int) + 1, 1)"
+        )
+        mask = (
+            f"(CASE {bit} % 4 WHEN 0 THEN 8 WHEN 1 THEN 4"
+            f" WHEN 2 THEN 2 ELSE 1 END)"
+        )
+        tests.append(f"(({nibble} & {mask}) <> 0)")
+    return "(" + " AND ".join(tests) + ")"

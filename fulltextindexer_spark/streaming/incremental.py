@@ -191,6 +191,17 @@ def load_latest_vocab_hll(spark: SparkSession, index_dir: str):
     return spark.read.parquet(path)
 
 
+def load_latest_doc_bloom(spark: SparkSession, index_dir: str):
+    """The latest snapshot's doc-id Bloom bit frame (or None)."""
+    v = current_version(index_dir)
+    if v < 0:
+        return None
+    path = os.path.join(_snapshot_dir(index_dir, v), "doc_bloom")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def merge_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -199,6 +210,7 @@ def merge_batch(
     batch_id: int = -1,
     maintain_bm25: bool = False,
     maintain_vocab_hll: bool = False,
+    maintain_doc_bloom: bool = False,
 ) -> int:
     """Fold one batch of docs-shaped rows into a new snapshot.
 
@@ -225,6 +237,13 @@ def merge_batch(
     sketch always equals a from-scratch build over the accumulated
     vocabulary; ``sketches.hll_estimate`` reads it). Same crash story:
     written into the new versioned dir before the pointer flip.
+
+    With ``maintain_doc_bloom=True`` the snapshot carries a Bloom
+    filter of its doc_ids (``sketches.bloom_bits``, union-merged per
+    batch — exact under any split, so the stored bits always equal a
+    from-scratch build). A router consults it ("might doc X already be
+    indexed?") before touching the postings; render with
+    ``sketches.bloom_bitmap_hex`` for the zero-join scan predicate.
     """
     if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
         return current_version(index_dir)
@@ -269,6 +288,22 @@ def merge_batch(
         )
         reg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, "vocab_hll")
+        )
+    if maintain_doc_bloom:
+        from fulltextindexer_spark.operators.sketches import (
+            bloom_bits,
+            bloom_merge,
+        )
+
+        delta_bits = bloom_bits(new_postings.select("doc_id"), "doc_id")
+        prev_bits = load_latest_doc_bloom(spark, index_dir)
+        bits = (
+            delta_bits
+            if prev_bits is None
+            else bloom_merge(prev_bits, delta_bits)
+        )
+        bits.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "doc_bloom")
         )
     manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
     with open(manifest_tmp, "w") as fh:

@@ -528,3 +528,21 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                        "FlatMapGroupsInPandas"):
             assert marker not in plan, (marker, plan[:2000])
+
+
+def test_bloom_bitmap_predicate_plan_is_scan_only(spark):
+    """The Bloom runtime-filter path must be a pure scan predicate:
+    no Join, no Exchange — the whole point vs a semi join at 100 TB."""
+    from fulltextindexer_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "doc_id long, lang string"
+    )
+    bits = sketches.bloom_bits(
+        df.where(F.col("doc_id") % 7 == 0).select("doc_id"), "doc_id"
+    )
+    bitmap = sketches.bloom_bitmap_hex(bits)
+    pred = sketches.bloom_member_sql("cast(doc_id as string)", bitmap)
+    plan = _plan(df.where(F.expr(pred)))
+    assert "Join" not in plan
+    assert "Exchange" not in plan

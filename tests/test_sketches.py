@@ -90,3 +90,164 @@ def test_cms_sketch_shape_bounds(spark):
         per_row[r["row"]] = per_row.get(r["row"], 0) + r["n"]
     # every row of the sketch sees every increment exactly once
     assert set(per_row.values()) == {500}
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = [f"k{i}" for i in range(200)]
+    bits = sketches.bloom_bits(_vals(spark, keys), "v")
+    got = {
+        r["item"]: r["might_contain"]
+        for r in sketches.bloom_contains(
+            bits, _vals(spark, keys), "v"
+        ).collect()
+    }
+    assert all(got[k] == 1 for k in keys)
+
+
+def test_bloom_fp_rate_bounded(spark):
+    keys = [f"k{i}" for i in range(300)]
+    others = [f"absent{i}" for i in range(1000)]
+    bits = sketches.bloom_bits(_vals(spark, keys), "v")
+    fps = sum(
+        r["might_contain"]
+        for r in sketches.bloom_contains(
+            bits, _vals(spark, others), "v"
+        ).collect()
+    )
+    # theory: (1 - e^(-4*300/65536))^4 ~ 1e-7; allow slack
+    assert fps <= 2
+
+
+def test_bloom_merge_equals_one_shot(spark):
+    a = [f"k{i}" for i in range(0, 150)]
+    b = [f"k{i}" for i in range(100, 250)]
+    merged = sketches.bloom_merge(
+        sketches.bloom_bits(_vals(spark, a), "v"),
+        sketches.bloom_bits(_vals(spark, b), "v"),
+    )
+    one = sketches.bloom_bits(_vals(spark, sorted(set(a + b))), "v")
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in one.collect()
+    )
+
+
+def test_bloom_bitmap_predicate_matches_join_path(spark):
+    keys = [f"k{i}" for i in range(120)]
+    probes = keys[:40] + [f"nope{i}" for i in range(200)]
+    bits = sketches.bloom_bits(_vals(spark, keys), "v")
+    via_join = {
+        r["item"]
+        for r in sketches.bloom_contains(bits, _vals(spark, probes), "v")
+        .where(F.col("might_contain") == 1)
+        .collect()
+    }
+    bitmap = sketches.bloom_bitmap_hex(bits)
+    pred = sketches.bloom_member_sql("cast(v as string)", bitmap)
+    via_pred = {
+        r["v"]
+        for r in _vals(spark, probes).where(F.expr(pred)).collect()
+    }
+    assert via_pred == via_join
+    assert set(keys[:40]) <= via_pred
+
+
+def test_bloom_duplicate_probes_still_match(spark):
+    keys = ["a", "b"]
+    bits = sketches.bloom_bits(_vals(spark, keys), "v")
+    got = {
+        r["item"]: r["might_contain"]
+        for r in sketches.bloom_contains(
+            bits, _vals(spark, ["a", "a", "zz"]), "v"
+        ).collect()
+    }
+    assert got["a"] == 1 and got["zz"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string")
+
+
+def test_hll_grouped_matches_per_group_ungrouped(spark):
+    rows = [("g1", f"x{i}") for i in range(500)] + [
+        ("g2", f"y{i}") for i in range(40)
+    ]
+    grouped = sketches.hll_estimate_grouped(
+        sketches.hll_registers_grouped(_kv(spark, rows), "k", "v")
+    )
+    got = {r["key"]: r["estimate"] for r in grouped.collect()}
+    for key, vals in (
+        ("g1", [f"x{i}" for i in range(500)]),
+        ("g2", [f"y{i}" for i in range(40)]),
+    ):
+        solo = sketches.hll_estimate(
+            sketches.hll_registers(_vals(spark, vals), "v")
+        ).collect()[0]["estimate"]
+        assert got[key] == solo
+
+
+# ---------------------------------------------------------------------------
+# Log2 histogram
+# ---------------------------------------------------------------------------
+
+
+def _nums(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def test_log2_histogram_binning_exact_at_powers_of_two(spark):
+    # float log2 would mis-bin 8 (ln(8)/ln(2) = 2.9999...); the CASE
+    # ladder must not
+    got = {
+        r["bin"]: (r["lo"], r["hi"], r["n"])
+        for r in sketches.log2_histogram(
+            _nums(spark, [0, 1, 2, 3, 4, 8, 1023, 1024]), "v"
+        ).collect()
+    }
+    assert got[-1] == (None, 0, 1)  # value 0
+    assert got[0] == (1, 1, 1)
+    assert got[1] == (2, 3, 2)
+    assert got[2] == (4, 7, 1)
+    assert got[3] == (8, 15, 1)
+    assert got[9] == (512, 1023, 1)
+    assert got[10] == (1024, 2047, 1)
+
+
+def test_log2_histogram_merge_equals_one_shot(spark):
+    a = [1, 5, 9, 100]
+    b = [2, 5, 1000]
+    merged = sketches.histogram_merge(
+        sketches.log2_histogram(_nums(spark, a), "v"),
+        sketches.log2_histogram(_nums(spark, b), "v"),
+    )
+    one = sketches.log2_histogram(_nums(spark, a + b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+
+def test_histogram_quantile_bounds_integer_rule(spark):
+    # 10 values: cum = 4 (bin 0), 8 (bin 1), 10 (bin 10). Integer rule
+    # cum*1e6 >= ppm*total: p50 needs cum>=5 -> bin 1; p80 needs
+    # cum>=8, met exactly at bin 1's boundary row; p90 needs cum>=9 ->
+    # bin 10.
+    vals = [1, 1, 1, 1, 2, 2, 2, 3, 1500, 2000]
+    hist = sketches.log2_histogram(_nums(spark, vals), "v")
+    got = {
+        r["ppm"]: (r["bin"], r["hi"])
+        for r in sketches.histogram_quantile_bounds(
+            hist, ppms=(500000, 800000, 900000)
+        ).collect()
+    }
+    assert got[500000] == (1, 3)
+    assert got[800000] == (1, 3)
+    assert got[900000] == (10, 2047)

@@ -716,3 +716,46 @@ def test_incremental_bm25_suffstats_chunked_equals_one_shot(spark, tmp_path):
     assert incremental.current_version(index_dir) == v_before
     replay = incremental.load_latest_bm25_suffstats(spark, index_dir)
     assert replay.n_docs == 4 and replay.total_dl == stored.total_dl
+
+
+def test_incremental_doc_bloom_chunked_equals_one_shot(spark, tmp_path):
+    """With maintain_doc_bloom=True each micro-merge unions the batch's
+    Bloom bits into the stored ones; after N batches the stored bits
+    equal a from-scratch build over the accumulated doc set, members
+    always pass, and replays are no-ops."""
+    from fulltextindexer_spark.operators import sketches
+
+    index_dir = str(tmp_path / "bloom_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0, maintain_doc_bloom=True
+    )
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_doc_bloom=True
+    )
+    stored = incremental.load_latest_doc_bloom(spark, index_dir)
+    assert stored is not None
+
+    full = incremental.load_latest(spark, index_dir, CFG)
+    direct = sketches.bloom_bits(
+        full.postings.select("doc_id"), "doc_id"
+    )
+    assert sorted(r["bit"] for r in stored.collect()) == sorted(
+        r["bit"] for r in direct.collect()
+    )
+
+    # every indexed doc passes the stored filter (no false negatives)
+    members = full.postings.select("doc_id").distinct()
+    res = sketches.bloom_contains(stored, members, "doc_id").collect()
+    assert all(r["might_contain"] == 1 for r in res)
+
+    # replayed batch_id leaves the stored bits untouched
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_doc_bloom=True
+    )
+    replay = incremental.load_latest_doc_bloom(spark, index_dir)
+    assert sorted(r["bit"] for r in replay.collect()) == sorted(
+        r["bit"] for r in stored.collect()
+    )
