@@ -1285,6 +1285,26 @@ def q_quality_probe(spark, sf_dir):
     )
 
 
+def q_logistic_probe(spark, sf_dir):
+    """Distributed logistic probe (IRLS): calibrate the same two cheap
+    features (avg_token_len, stopword_ratio) against the binary
+    is-English label — six fixed Newton steps, each ONE
+    map-side-combinable weighted-stats aggregation + an O(k³) driver
+    solve, with a fixed ridge so the fit is bounded even under perfect
+    separation. The DuckDB oracle replays the identical six
+    iterations with Cramer's rule."""
+    docs = _documents(spark, sf_dir)
+    feats = textstats.token_stats(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("double").alias("is_en")
+        ),
+        "doc_id",
+    )
+    return textstats.fit_logistic_probe(
+        feats, ["avg_token_len", "stopword_ratio"], "is_en"
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicate spans (Lee et al. 2022, trimming
     variant at k-gram granularity): 5-token windows occurring >=2 times
@@ -2229,7 +2249,7 @@ def q_bloom_prune(spark, sf_dir):
     keep = docs.where(F.col("lang") == "fr").select("doc_id")
     bits = sketches.bloom_bits(keep, "doc_id")
     bitmap = sketches.bloom_bitmap_hex(bits)
-    pred = sketches.bloom_member_sql("cast(doc_id as string)", bitmap)
+    pred = sketches.bloom_member_expr("cast(doc_id as string)", bitmap)
     return docs.where(F.expr(pred)).select(
         "doc_id", (F.col("lang") == "fr").cast("int").alias("in_set")
     )
@@ -2488,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": q_events_hll_users,
         "text_chars_hist": q_text_chars_hist,
         "text_chars_quantiles": q_text_chars_quantiles,
+        "curate_logistic_probe": q_logistic_probe,
         "ftix_zipf": q_zipf,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
@@ -3169,6 +3190,92 @@ bits AS (SELECT DISTINCT bit FROM (
 SELECT doc_id, CAST(lang = 'fr' AS INT) AS in_set
 FROM documents
 WHERE {conds}
+"""
+
+
+def _logistic_probe_sql() -> str:
+    """Oracle for the logistic-probe gate: six IRLS iterations replayed
+    as chained CTEs — per-row η/μ/w/z from the previous iteration's β
+    (CROSS JOIN of a 1-row solution), weighted normal equations with
+    the same 1e-3 ridge on every diagonal, 3×3 Cramer solve. β starts
+    at 0 (first pass μ = 0.5 exactly), w floored at 1e-6 — the
+    engine's determinism contract, expression for expression."""
+    z = "(eta + (y - mu) / w)"
+    m_cols = (
+        f"sum(w) + 0.001 AS a00, sum(w*x1) AS a01, sum(w*x2) AS a02,\n"
+        f"         sum(w*x1*x1) + 0.001 AS a11, sum(w*x1*x2) AS a12,\n"
+        f"         sum(w*x2*x2) + 0.001 AS a22,\n"
+        f"         sum(w*{z}) AS c0, sum(w*x1*{z}) AS c1,\n"
+        f"         sum(w*x2*{z}) AS c2"
+    )
+    det = (
+        "(a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)"
+        " + a02*(a01*a12 - a11*a02))"
+    )
+    det0 = (
+        "(c0*(a11*a22 - a12*a12) - a01*(c1*a22 - a12*c2)"
+        " + a02*(c1*a12 - a11*c2))"
+    )
+    det1 = (
+        "(a00*(c1*a22 - a12*c2) - c0*(a01*a22 - a12*a02)"
+        " + a02*(a01*c2 - c1*a02))"
+    )
+    det2 = (
+        "(a00*(a11*c2 - c1*a12) - a01*(a01*c2 - c1*a02)"
+        " + c0*(a01*a12 - a11*a02))"
+    )
+    its = []
+    for t in range(1, 7):
+        its.append(f"""
+r{t} AS (
+  SELECT x1, x2, y, eta, mu, greatest(mu*(1.0-mu), 0.000001) AS w
+  FROM (
+    SELECT f.x1, f.x2, f.y,
+           s.b0 + s.b1*f.x1 + s.b2*f.x2 AS eta,
+           1.0/(1.0+exp(-(s.b0 + s.b1*f.x1 + s.b2*f.x2))) AS mu
+    FROM f CROSS JOIN sol{t - 1} s
+  )
+),
+m{t} AS (
+  SELECT {m_cols}
+  FROM r{t}
+),
+sol{t} AS (
+  SELECT {det0}/{det} AS b0, {det1}/{det} AS b1, {det2}/{det} AS b2
+  FROM m{t}
+)""")
+    iter_ctes = ",".join(its)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+stats AS (
+  SELECT doc_id,
+         round(avg(length(tok)), 4) AS x1,
+         round(sum(CASE WHEN tok IN ({RAW_STOP_IN}) THEN 1 ELSE 0 END) * 1.0
+               / count(*), 4) AS x2
+  FROM tok GROUP BY doc_id
+),
+f AS (
+  SELECT s.x1, s.x2, CAST(d.lang = 'en' AS INT)::DOUBLE AS y
+  FROM stats s JOIN documents d USING (doc_id)
+),
+sol0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),{iter_ctes},
+lf AS (
+  SELECT y,
+         least(greatest(1.0/(1.0+exp(-(s.b0 + s.b1*f.x1 + s.b2*f.x2))),
+                        0.000000001),
+               1.0 - 0.000000001) AS mu
+  FROM f CROSS JOIN sol6 s
+)
+SELECT '(intercept)' AS feature, round(b0, 4) AS value FROM sol6
+UNION ALL SELECT 'avg_token_len', round(b1, 4) FROM sol6
+UNION ALL SELECT 'stopword_ratio', round(b2, 4) FROM sol6
+UNION ALL
+SELECT 'log_loss',
+       round(avg(-(y*ln(mu) + (1.0-y)*ln(1.0-mu))), 4) FROM lf
 """
 
 
@@ -5077,6 +5184,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
         "events_hll_users": _events_hll_users_sql(),
         "text_chars_hist": _chars_hist_sql(),
         "text_chars_quantiles": _chars_quantiles_sql(),
+        "curate_logistic_probe": _logistic_probe_sql(),
         "curate_pps_sample": _pps_sample_sql(),
         "code_license": _code_license_sql(),
         "code_secrets": _code_secrets_sql(),

@@ -794,6 +794,108 @@ def predict_linear(
     return df.withColumn(out_col, expr)
 
 
+LOGISTIC_W_FLOOR = 1e-6
+LOGISTIC_MU_CLAMP = 1e-9
+
+
+def fit_logistic_probe(
+    df: DataFrame,
+    feature_cols: list,
+    target_col: str,
+    n_iter: int = 6,
+    ridge: float = 1e-3,
+) -> DataFrame:
+    """Distributed logistic regression via IRLS (Newton) — the binary
+    companion to :func:`fit_linear_probe`: calibrate cheap heuristic
+    features against a binary label (is-English, is-duplicate,
+    passes-human-review) before gating a corpus on the score.
+
+    Scale shape: each of the FIXED ``n_iter`` Newton steps is ONE
+    map-side-combinable sufficient-stats aggregation (the weighted
+    normal matrix XᵀWX and vector XᵀWz — k² scalars cross the
+    exchange) followed by an O(k³) driver solve; the current β rides
+    into the next pass as plain literals. n never matters beyond
+    ``n_iter`` scans of the k+2-column projection — persist it
+    upstream for the multi-pass.
+
+    Determinism contract (shared with the SQL oracle): β starts at 0
+    (so the first pass has μ = 0.5 exactly), the iteration count is
+    fixed (no data-dependent convergence test), w = max(μ(1-μ), 1e-6),
+    z = η + (y-μ)/w, and a fixed ridge λ is added to every diagonal
+    entry — bounded and well-defined even under perfect separation.
+
+    Returns ``(feature, value)`` rows: per-feature coefficients,
+    ``(intercept)``, and ``log_loss`` (mean NLL with μ clamped away
+    from 0/1), all at 4dp.
+    """
+    import numpy as np
+
+    k = len(feature_cols)
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(target_col).cast("double")
+    beta = np.zeros(k + 1, dtype=np.float64)
+
+    for _ in range(n_iter):
+        eta = F.lit(float(beta[0]))
+        for c, b in zip(feature_cols, beta[1:]):
+            eta = eta + F.lit(float(b)) * F.col(c).cast("double")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = F.greatest(mu * (F.lit(1.0) - mu), F.lit(LOGISTIC_W_FLOOR))
+        z = eta + (y - mu) / w
+        aggs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"a_{i}_{j}"))
+        for i in range(k + 1):
+            aggs.append(F.sum(w * xs[i] * z).alias(f"b_{i}"))
+        row = df.agg(*aggs).collect()[0]
+        a = np.empty((k + 1, k + 1), dtype=np.float64)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                a[i, j] = a[j, i] = row[f"a_{i}_{j}"]
+        a += ridge * np.eye(k + 1)
+        b = np.array(
+            [row[f"b_{i}"] for i in range(k + 1)], dtype=np.float64
+        )
+        beta = np.linalg.solve(a, b)
+
+    eta = F.lit(float(beta[0]))
+    for c, bv in zip(feature_cols, beta[1:]):
+        eta = eta + F.lit(float(bv)) * F.col(c).cast("double")
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    mu = F.least(
+        F.greatest(mu, F.lit(LOGISTIC_MU_CLAMP)),
+        F.lit(1.0 - LOGISTIC_MU_CLAMP),
+    )
+    ll = df.agg(
+        F.avg(-(y * F.log(mu) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - mu)))
+        .alias("log_loss")
+    ).collect()[0]["log_loss"]
+
+    out = [("(intercept)", round(float(beta[0]), 4))]
+    out += [
+        (c, round(float(bv), 4)) for c, bv in zip(feature_cols, beta[1:])
+    ]
+    out.append(("log_loss", round(float(ll), 4)))
+    return df.sparkSession.createDataFrame(out, "feature string, value double")
+
+
+def predict_logistic(
+    df: DataFrame,
+    coefs: dict,
+    feature_cols: list,
+    out_col: str = "prob",
+) -> DataFrame:
+    """Apply a :func:`fit_logistic_probe` model: σ(β₀ + Σ βᵢ·xᵢ) as a
+    literal JVM expression per row — no broadcast, no shuffle."""
+    eta = F.lit(float(coefs.get("(intercept)", 0.0)))
+    for c in feature_cols:
+        eta = eta + F.lit(float(coefs[c])) * F.col(c).cast("double")
+    return df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    )
+
+
 def unigram_lm_score(
     docs: DataFrame,
     ref: DataFrame,

@@ -1816,3 +1816,61 @@ def test_winnow_short_doc_and_density(spark):
     # 97 grams, 93 windows; distinct minima ~ 2/(w+1) of grams — loose
     # sanity bounds, exact value depends on hashes
     assert 2 <= per[3] <= 93
+
+
+def test_fit_logistic_probe_matches_reference_irls(spark):
+    """The engine's fixed-6-iteration ridged IRLS must equal the same
+    algorithm run in numpy (identical init, w floor, ridge) to 4dp."""
+    import numpy as np
+
+    rng = [
+        (i, float(i % 7) / 7.0, float((i * 3) % 11) / 11.0)
+        for i in range(200)
+    ]
+    rows = [
+        (i, x1, x2, 1.0 if (0.8 * x1 - 1.2 * x2 + 0.1) > 0 else 0.0)
+        for i, x1, x2 in rng
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x1 double, x2 double, y double"
+    )
+    got = {
+        r["feature"]: r["value"]
+        for r in textstats.fit_logistic_probe(
+            df, ["x1", "x2"], "y"
+        ).collect()
+    }
+
+    X = np.array([[1.0, x1, x2] for _, x1, x2, _ in rows])
+    y = np.array([r[3] for r in rows])
+    beta = np.zeros(3)
+    for _ in range(6):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1 - mu), 1e-6)
+        z = eta + (y - mu) / w
+        A = (X * w[:, None]).T @ X + 1e-3 * np.eye(3)
+        beta = np.linalg.solve(A, (X * w[:, None]).T @ z)
+    assert got["(intercept)"] == pytest.approx(round(beta[0], 4), abs=1e-4)
+    assert got["x1"] == pytest.approx(round(beta[1], 4), abs=1e-4)
+    assert got["x2"] == pytest.approx(round(beta[2], 4), abs=1e-4)
+    # direction: x1 pushes toward 1, x2 away
+    assert got["x1"] > 0 and got["x2"] < 0
+    assert got["log_loss"] > 0
+
+
+def test_predict_logistic_sigmoid_bounds_and_direction(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (10.0,)], "x1 double"
+    )
+    out = {
+        r["x1"]: r["prob"]
+        for r in textstats.predict_logistic(
+            df, {"(intercept)": -1.0, "x1": 2.0}, ["x1"]
+        ).collect()
+    }
+    import math
+
+    assert out[0.0] == pytest.approx(1 / (1 + math.e))
+    assert out[1.0] == pytest.approx(1 / (1 + math.exp(-1.0)))
+    assert 0.0 < out[0.0] < out[1.0] < out[10.0] < 1.0

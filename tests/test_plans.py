@@ -542,7 +542,7 @@ def test_bloom_bitmap_predicate_plan_is_scan_only(spark):
         df.where(F.col("doc_id") % 7 == 0).select("doc_id"), "doc_id"
     )
     bitmap = sketches.bloom_bitmap_hex(bits)
-    pred = sketches.bloom_member_sql("cast(doc_id as string)", bitmap)
+    pred = sketches.bloom_member_expr("cast(doc_id as string)", bitmap)
     plan = _plan(df.where(F.expr(pred)))
     assert "Join" not in plan
     assert "Exchange" not in plan

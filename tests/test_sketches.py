@@ -147,13 +147,35 @@ def test_bloom_bitmap_predicate_matches_join_path(spark):
         .collect()
     }
     bitmap = sketches.bloom_bitmap_hex(bits)
-    pred = sketches.bloom_member_sql("cast(v as string)", bitmap)
+    pred = sketches.bloom_member_expr("cast(v as string)", bitmap)
     via_pred = {
         r["v"]
         for r in _vals(spark, probes).where(F.expr(pred)).collect()
     }
     assert via_pred == via_join
     assert set(keys[:40]) <= via_pred
+    # the dialect-portable CASE-ladder text passes the same set
+    portable = sketches.bloom_member_sql("cast(v as string)", bitmap)
+    via_portable = {
+        r["v"]
+        for r in _vals(spark, probes).where(F.expr(portable)).collect()
+    }
+    assert via_portable == via_pred
+
+
+def test_bloom_bit_expr_equals_portable_ladder(spark):
+    # conv-based engine bits == CASE-ladder portable bits, value for
+    # value (incl. negative ids rendered as '-123')
+    df = spark.createDataFrame(
+        [("-12345",), ("0",), ("abc",), ("99999999",)], "v string"
+    )
+    for r in (0, 3):
+        fast = f"{sketches._bloom_bit_expr(r, 'v', 4)} AS b"
+        slow = f"{sketches.bloom_bit_sql(r, 'v', 4)} AS b"
+        assert (
+            df.selectExpr(fast).collect()
+            == df.selectExpr(slow).collect()
+        )
 
 
 def test_bloom_duplicate_probes_still_match(spark):
