@@ -1305,6 +1305,32 @@ def q_logistic_probe(spark, sf_dir):
     )
 
 
+def q_calibration(spark, sf_dir):
+    """Reliability diagram for the logistic probe: fit (six fixed IRLS
+    steps), predict with the 4dp-rounded coefficients, bucket into
+    probability deciles, report count / mean prediction / observed
+    positive rate per bucket — the calibration check a learned filter
+    runs before its scores gate a corpus. The DuckDB oracle replays
+    the same iterations, rounds the same coefficients, and buckets by
+    the same integer rule."""
+    docs = _documents(spark, sf_dir)
+    feats = textstats.token_stats(docs).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("double").alias("is_en")
+        ),
+        "doc_id",
+    )
+    fcols = ["avg_token_len", "stopword_ratio"]
+    model = {
+        r["feature"]: r["value"]
+        for r in textstats.fit_logistic_probe(
+            feats, fcols, "is_en"
+        ).collect()
+    }
+    preds = textstats.predict_logistic(feats, model, fcols)
+    return textstats.calibration_curve(preds, "prob", "is_en")
+
+
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicate spans (Lee et al. 2022, trimming
     variant at k-gram granularity): 5-token windows occurring >=2 times
@@ -1894,6 +1920,23 @@ def q_code_symbols(spark, sf_dir):
         ).alias("text"),
     )
     return codestats.extract_symbols(docs)
+
+
+def q_code_imports(spark, sf_dir):
+    """Dependency extraction over a code-shaped corpus: 4-word runs
+    rewrite to an `import a.b` + `from c import x` pair, then
+    extract_imports pulls the module edges JVM-side and
+    module_popularity ranks libraries by distinct importing files —
+    the corpus-mix signal a code pipeline balances on."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            "text",
+            "([a-z]+) ([a-z]+) ([a-z]+) ([a-z]+)",
+            "import $1.$2\nfrom $3 import x\n",
+        ).alias("text"),
+    )
+    return codestats.module_popularity(codestats.extract_imports(docs))
 
 
 def q_pps_sample(spark, sf_dir):
@@ -2496,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license": q_code_license,
         "code_secrets": q_code_secrets,
         "code_symbols": q_code_symbols,
+        "code_imports": q_code_imports,
         "curate_split": q_corpus_split,
         "curate_report": q_corpus_report,
         "text_hash_tf": q_hash_tf,
@@ -2509,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chars_hist": q_text_chars_hist,
         "text_chars_quantiles": q_text_chars_quantiles,
         "curate_logistic_probe": q_logistic_probe,
+        "curate_calibration": q_calibration,
         "ftix_zipf": q_zipf,
         "ftix_highlight": q_highlight,
         "curate_shards": q_token_shards,
@@ -3058,6 +3103,38 @@ SELECT *, (({total}) > 0)::INT AS has_secret FROM scanned
 """
 
 
+def _code_imports_sql() -> str:
+    """Oracle for the import-extraction gate: the import-pair rewrite
+    (chr(10) newlines; DuckDB backreference syntax), then one UNION ALL
+    branch per :data:`codestats.IMPORT_RULES` entry, per-(doc, kind,
+    module) counts mirroring extract_imports, and the module rollup."""
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{kind}' AS kind,\n"
+        f"         unnest(regexp_extract_all(text, '{pat}', 1)) AS module\n"
+        f"  FROM ctext"
+        for kind, pat in codestats.IMPORT_RULES
+    )
+    return f"""
+WITH ctext AS (
+  SELECT doc_id,
+         regexp_replace(text, '([a-z]+) ([a-z]+) ([a-z]+) ([a-z]+)',
+                        'import \\1.\\2' || chr(10)
+                        || 'from \\3 import x' || chr(10), 'g') AS text
+  FROM documents
+),
+imp AS (
+{branches}
+),
+agg AS (
+  SELECT doc_id, kind, module, count(*) AS n
+  FROM imp GROUP BY doc_id, kind, module
+)
+SELECT module, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_total
+FROM agg GROUP BY module
+"""
+
+
 def _code_symbols_sql() -> str:
     """Oracle for the symbol-extraction gate: the def-head rewrite +
     class prefix, then one UNION ALL branch per
@@ -3193,13 +3270,14 @@ WHERE {conds}
 """
 
 
-def _logistic_probe_sql() -> str:
-    """Oracle for the logistic-probe gate: six IRLS iterations replayed
-    as chained CTEs — per-row η/μ/w/z from the previous iteration's β
-    (CROSS JOIN of a 1-row solution), weighted normal equations with
-    the same 1e-3 ridge on every diagonal, 3×3 Cramer solve. β starts
-    at 0 (first pass μ = 0.5 exactly), w floored at 1e-6 — the
-    engine's determinism contract, expression for expression."""
+def _logistic_irls_ctes() -> str:
+    """The shared WITH-body for the logistic oracles: features + label
+    + six IRLS iterations replayed as chained CTEs — per-row η/μ/w/z
+    from the previous iteration's β (CROSS JOIN of a 1-row solution),
+    weighted normal equations with the same 1e-3 ridge on every
+    diagonal, 3×3 Cramer solve. β starts at 0 (first pass μ = 0.5
+    exactly), w floored at 1e-6 — the engine's determinism contract,
+    expression for expression. Ends at ``sol6``."""
     z = "(eta + (y - mu) / w)"
     m_cols = (
         f"sum(w) + 0.001 AS a00, sum(w*x1) AS a01, sum(w*x2) AS a02,\n"
@@ -3262,7 +3340,14 @@ f AS (
   SELECT s.x1, s.x2, CAST(d.lang = 'en' AS INT)::DOUBLE AS y
   FROM stats s JOIN documents d USING (doc_id)
 ),
-sol0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),{iter_ctes},
+sol0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),{iter_ctes}"""
+
+
+def _logistic_probe_sql() -> str:
+    """Oracle for the logistic-probe gate: shared IRLS CTEs + the
+    coefficient/log-loss projection."""
+    return f"""
+{_logistic_irls_ctes()},
 lf AS (
   SELECT y,
          least(greatest(1.0/(1.0+exp(-(s.b0 + s.b1*f.x1 + s.b2*f.x2))),
@@ -3276,6 +3361,28 @@ UNION ALL SELECT 'stopword_ratio', round(b2, 4) FROM sol6
 UNION ALL
 SELECT 'log_loss',
        round(avg(-(y*ln(mu) + (1.0-y)*ln(1.0-mu))), 4) FROM lf
+"""
+
+
+def _calibration_sql() -> str:
+    """Oracle for the calibration gate: shared IRLS CTEs, then
+    predictions from the 4dp-ROUNDED coefficients (exactly the values
+    the engine's fit returns and its predict bakes in), display-round,
+    integer decile bucketing, per-bucket count / mean prediction /
+    observed positive rate."""
+    return f"""
+{_logistic_irls_ctes()},
+pr AS (
+  SELECT round(1.0/(1.0+exp(-(round(s.b0, 4) + round(s.b1, 4)*f.x1
+                              + round(s.b2, 4)*f.x2))), 4) AS p,
+         f.y
+  FROM f CROSS JOIN sol6 s
+),
+b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bucket, p, y FROM pr)
+SELECT bucket, count(*)::BIGINT AS n,
+       round(avg(p), 4) AS mean_pred,
+       round(avg(y), 4) AS frac_pos
+FROM b GROUP BY bucket
 """
 
 
@@ -5185,10 +5292,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
         "text_chars_hist": _chars_hist_sql(),
         "text_chars_quantiles": _chars_quantiles_sql(),
         "curate_logistic_probe": _logistic_probe_sql(),
+        "curate_calibration": _calibration_sql(),
         "curate_pps_sample": _pps_sample_sql(),
         "code_license": _code_license_sql(),
         "code_secrets": _code_secrets_sql(),
         "code_symbols": _code_symbols_sql(),
+        "code_imports": _code_imports_sql(),
         "curate_report": """
 WITH tok AS (
   SELECT doc_id, t AS tok

@@ -155,6 +155,26 @@ def cmd_curate(args) -> dict:
     }
 
 
+def cmd_optimize(args) -> dict:
+    from fulltextindexer_spark.streaming import incremental
+
+    spark = _get_spark("ftix-optimize")
+    old_v = incremental.current_version(args.index)
+    new_v = incremental.optimize_snapshot(spark, args.index)
+    return {"index": args.index, "compacted_from": old_v, "version": new_v}
+
+
+def cmd_prune(args) -> dict:
+    from fulltextindexer_spark.streaming import incremental
+
+    removed = incremental.prune_versions(args.index, args.keep_last)
+    return {
+        "index": args.index,
+        "removed_versions": removed,
+        "current_version": incremental.current_version(args.index),
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="fulltextindexer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -216,6 +236,24 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--input", required=True)
     v.add_argument("--output", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    o = sub.add_parser(
+        "optimize",
+        help="compact the latest incremental snapshot: rewrite postings "
+             "term-range-sorted as a new version (row-group min/max "
+             "pruning), sidecars + replay protection carried forward",
+    )
+    o.add_argument("--index", required=True, help="snapshot index dir")
+    o.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser(
+        "prune",
+        help="retention: delete all but the newest --keep-last committed "
+             "snapshot versions (current version always kept)",
+    )
+    p.add_argument("--index", required=True, help="snapshot index dir")
+    p.add_argument("--keep-last", type=int, default=2)
+    p.set_defaults(fn=cmd_prune)
     return ap
 
 

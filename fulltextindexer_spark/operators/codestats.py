@@ -195,3 +195,59 @@ def extract_symbols(
     return allsyms.groupBy("doc_id", "kind", "symbol").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Import / dependency extraction
+# ---------------------------------------------------------------------------
+
+# Same dialect-subset discipline as SYMBOL_RULES; leading-whitespace
+# tolerant because indented imports are real code (function-local
+# imports, conditional requires).
+IMPORT_RULES: tuple[tuple[str, str], ...] = (
+    ("import_stmt", r"(?m)^[ \t]*import +([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("from_import", r"(?m)^[ \t]*from +([A-Za-z_][A-Za-z0-9_.]*) +import"),
+    ("require", r"require\(\"([A-Za-z0-9_@./-]+)\"\)"),
+)
+
+
+def extract_imports(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Imported modules per file: one row per (doc, kind, module) with
+    its occurrence count — the raw edges of the corpus dependency
+    graph. Same plan shape as :func:`extract_symbols`: JVM
+    ``regexp_extract_all`` + explode linear in matches, one map-side
+    partial (doc, kind, module) combine; a scan-side pass at 10^12
+    files."""
+    text = F.col(text_col)
+    per_kind = [
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(kind).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(text, F.lit(pat), F.lit(1))
+            ).alias("module"),
+        )
+        for kind, pat in IMPORT_RULES
+    ]
+    allimps = per_kind[0]
+    for frame in per_kind[1:]:
+        allimps = allimps.unionByName(frame)
+    return allimps.groupBy("doc_id", "kind", "module").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def module_popularity(imports: DataFrame) -> DataFrame:
+    """Library-popularity table from :func:`extract_imports` output:
+    per module, the number of distinct importing files and the total
+    import-statement count. The ranking that decides which libraries'
+    idioms a code corpus over- or under-represents (and the join key
+    for allow/deny-listing vendored dependencies). The distinct is
+    per-module-keyed — distributed by the group key, never a single
+    reducer."""
+    return imports.groupBy("module").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )

@@ -1497,24 +1497,30 @@ def ranking_metrics(
     id_col: str = "doc_id",
     score_col: str = "score",
     rel_col: str = "rel",
+    graded: bool = False,
 ) -> DataFrame:
-    """Binary-relevance retrieval evaluation: MRR@k, nDCG@k and
-    recall@k per query — the eval sweep a ranking change runs before
-    shipping (the reference leaves evaluation to callers; this is the
-    batched Spark shape of it).
+    """Retrieval evaluation: MRR@k, nDCG@k and recall@k per query —
+    the eval sweep a ranking change runs before shipping (the
+    reference leaves evaluation to callers; this is the batched Spark
+    shape of it).
 
     ``results`` holds (query_id, doc_id, score) candidate lists (e.g.
     :func:`get_partial_matches_batch` output); ``qrels`` holds
-    (query_id, doc_id, rel) with rel > 0 meaning relevant (binary
-    contract — graded gains would only change the DCG numerator).
-    Ranks derive from the display-rounded score with the deterministic
-    (score desc, doc_id asc) tie-break, so any engine reproduces them;
-    only queries with at least one relevant doc are reported.
+    (query_id, doc_id, rel) with rel > 0 meaning relevant. By default
+    gains are binary (any rel > 0 counts 1); with ``graded=True`` the
+    DCG numerator uses the standard 2^rel − 1 gain and IDCG sorts the
+    per-query gains descending — MRR and recall stay binary (their
+    standard definitions). Ranks derive from the display-rounded
+    score with the deterministic (score desc, doc_id asc) tie-break,
+    so any engine reproduces them; only queries with at least one
+    relevant doc are reported.
 
     Scale shape: one query-partitioned rank window over the k-bounded
     candidate lists (never a global sort), one hits join, two
-    query-keyed aggs; IDCG is a closed-form per-row expression
-    (aggregate over sequence(1, min(n_rel, k))), no per-rank join.
+    query-keyed aggs; IDCG is a closed-form per-row expression in the
+    binary case (aggregate over sequence(1, min(n_rel, k))) and one
+    extra gain-partitioned rank window over the qrels in the graded
+    case — never a per-rank join.
     """
     from pyspark.sql import Window
 
@@ -1526,20 +1532,49 @@ def ranking_metrics(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    rels = qrels.where(F.col(rel_col) > 0).select(query_col, id_col)
+    rels = qrels.where(F.col(rel_col) > 0).select(
+        query_col, id_col, F.col(rel_col).cast("double").alias("_rel")
+    )
+    gain = (
+        F.pow(F.lit(2.0), F.col("_rel")) - 1.0 if graded else F.lit(1.0)
+    )
     hits = topk.join(rels, [query_col, id_col])
     per_q = hits.groupBy(query_col).agg(
         F.max(1.0 / F.col("rank")).alias("_rr"),
-        F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("_dcg"),
+        F.sum(gain / F.log2(F.col("rank") + 1)).alias("_dcg"),
         F.count("*").cast("bigint").alias("_n_hits"),
     )
-    totals = rels.groupBy(query_col).agg(
-        F.count("*").cast("bigint").alias("n_rel")
-    )
-    idcg = F.expr(
-        f"aggregate(sequence(1, int(least(n_rel, {k}))), "
-        f"cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"
-    )
+    if graded:
+        # ideal ordering: gains descending; rank them per query and
+        # fold the top-k closed-form — one window over the qrels only
+        gw = Window.partitionBy(query_col).orderBy(
+            F.col("_rel").desc(), F.col(id_col).asc()
+        )
+        ideal = (
+            rels.withColumn("_irank", F.row_number().over(gw))
+            .where(F.col("_irank") <= k)
+            .groupBy(query_col)
+            .agg(
+                F.sum(
+                    (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                    / F.log2(F.col("_irank") + 1)
+                ).alias("_idcg")
+            )
+        )
+        totals = (
+            rels.groupBy(query_col)
+            .agg(F.count("*").cast("bigint").alias("n_rel"))
+            .join(ideal, query_col)
+        )
+        idcg = F.col("_idcg")
+    else:
+        totals = rels.groupBy(query_col).agg(
+            F.count("*").cast("bigint").alias("n_rel")
+        )
+        idcg = F.expr(
+            f"aggregate(sequence(1, int(least(n_rel, {k}))), "
+            f"cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"
+        )
     return totals.join(per_q, query_col, "left").select(
         query_col,
         F.round(F.coalesce(F.col("_rr"), F.lit(0.0)), 4).alias("mrr"),

@@ -896,6 +896,42 @@ def predict_logistic(
     )
 
 
+def calibration_curve(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "y",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic scorer: bucket the
+    predictions into ``n_buckets`` equal-width probability bins and
+    report, per bucket, the count, the mean prediction and the
+    observed positive rate — the check a learned corpus filter runs
+    before its scores gate anything (a probe can rank well and still
+    be badly calibrated; thresholds set on miscalibrated scores keep
+    the wrong documents).
+
+    Bucketing is the integer rule ``least(floor(prob·n), n-1)``
+    (display-rounded prob first, per the repo convention) so any
+    engine reproduces the exact bin edges; means are rounded 4dp at
+    the boundary. One narrow projection + one ≤n_buckets-group
+    aggregation with map-side partials — a pure scan op at 100 TB.
+    """
+    p = F.round(F.col(prob_col).cast("double"), 4)
+    y = F.col(label_col).cast("double")
+    bucket = F.least(
+        F.floor(p * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    return (
+        df.select(bucket.alias("bucket"), p.alias("p"), y.alias("y"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_pred"),
+            F.round(F.avg("y"), 4).alias("frac_pos"),
+        )
+    )
+
+
 def unigram_lm_score(
     docs: DataFrame,
     ref: DataFrame,

@@ -167,6 +167,83 @@ def snapshot_diff(
     return index_diff(old, new)
 
 
+SNAPSHOT_SIDECARS = ("bm25_suff", "vocab_hll", "doc_bloom")
+
+
+def optimize_snapshot(spark: SparkSession, index_dir: str) -> int:
+    """Major compaction: rewrite the latest snapshot's postings
+    term-range-partitioned and sorted within partitions, as a NEW
+    version — the LSM rung above the micro-merges. Micro-merged
+    snapshots accrete in (term, doc) hash order; after compaction
+    term-equality query scans prune parquet row groups by min/max
+    (the same property the compact tier's saved layout has), and the
+    sorted runs are what a future zero-Exchange bucketed merge
+    co-locates against.
+
+    Semantics are untouched: the postings rows are identical (pinned
+    in pytest), sidecar artefacts (BM25 suffstats, vocab HLL, doc
+    Bloom) are carried forward byte-for-byte, and the manifest
+    carries the previous ``batch_id`` so foreachBatch replay
+    protection survives compaction. Crash-safe like every merge:
+    everything lands in the new versioned dir before the atomic
+    ``_LATEST`` flip; a reader never observes a half-compacted
+    snapshot. Returns the new version."""
+    import shutil
+
+    v = current_version(index_dir)
+    if v < 0:
+        raise ValueError(f"no committed snapshot under {index_dir}")
+    src = _snapshot_dir(index_dir, v)
+    prev_batch = last_applied_batch_id(index_dir)
+    new_v = v + 1
+    out = _snapshot_dir(index_dir, new_v)
+    (
+        spark.read.parquet(src)
+        .repartitionByRange("term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    for side in SNAPSHOT_SIDECARS:
+        p = os.path.join(src, side)
+        if os.path.isdir(p):
+            shutil.copytree(p, os.path.join(out, side))
+    manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
+    with open(manifest_tmp, "w") as fh:
+        json.dump(
+            {"version": new_v, "batch_id": prev_batch, "compacted_from": v},
+            fh,
+        )
+    os.replace(manifest_tmp, os.path.join(out, "_MANIFEST.json"))
+    tmp = _latest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, _latest_path(index_dir))
+    return new_v
+
+
+def prune_versions(index_dir: str, keep_last: int = 2) -> list:
+    """Retention: delete snapshot dirs older than the newest
+    ``keep_last`` committed versions (the current version is always
+    kept). Old versions exist only for time-travel; each is
+    self-contained, so pruning never touches live state — ``_LATEST``
+    and every kept manifest are unmodified. Returns the removed
+    version numbers (ascending)."""
+    import shutil
+
+    latest = current_version(index_dir)
+    if latest < 0:
+        return []
+    committed = [e["version"] for e in list_versions(index_dir)]
+    keep = set(committed[-max(keep_last, 1):]) | {latest}
+    removed = []
+    for ver in committed:
+        if ver not in keep:
+            shutil.rmtree(_snapshot_dir(index_dir, ver))
+            removed.append(ver)
+    return removed
+
+
 def load_latest_bm25_suffstats(spark: SparkSession, index_dir: str):
     """The latest snapshot's BM25 sufficient statistics (or None when
     the tier doesn't maintain them / no snapshot exists)."""

@@ -94,3 +94,44 @@ def test_extract_symbols_kinds_and_counts(spark):
         (1, "class", "ParseConfig"): 1,
         (2, "function", "doThing"): 1,
     }
+
+
+def test_extract_imports_kinds_and_counts(spark):
+    from fulltextindexer_spark.operators import codestats
+
+    code = (
+        "import os\n"
+        "    import os.path\n"
+        "from collections import OrderedDict\n"
+        'const x = require("lodash/fp");\n'
+        "import os\n"
+        "not an import os line\n"
+    )
+    df = spark.createDataFrame([(1, code)], "doc_id long, text string")
+    got = {
+        (r["kind"], r["module"]): r["n"]
+        for r in codestats.extract_imports(df).collect()
+    }
+    assert got[("import_stmt", "os")] == 2
+    assert got[("import_stmt", "os.path")] == 1
+    assert got[("from_import", "collections")] == 1
+    assert got[("require", "lodash/fp")] == 1
+    assert ("import_stmt", "not") not in got
+
+
+def test_module_popularity_distinct_docs(spark):
+    from fulltextindexer_spark.operators import codestats
+
+    rows = [
+        (1, "import a\nimport a\nimport b\n"),
+        (2, "import a\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pop = {
+        r["module"]: (r["n_docs"], r["n_total"])
+        for r in codestats.module_popularity(
+            codestats.extract_imports(df)
+        ).collect()
+    }
+    assert pop["a"] == (2, 3)
+    assert pop["b"] == (1, 1)

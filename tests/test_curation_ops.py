@@ -1874,3 +1874,20 @@ def test_predict_logistic_sigmoid_bounds_and_direction(spark):
     assert out[0.0] == pytest.approx(1 / (1 + math.e))
     assert out[1.0] == pytest.approx(1 / (1 + math.exp(-1.0)))
     assert 0.0 < out[0.0] < out[1.0] < out[10.0] < 1.0
+
+
+def test_calibration_curve_hand_computed(spark):
+    rows = [
+        (0.05, 0.0), (0.07, 1.0),          # bucket 0: mean .06, pos .5
+        (0.95, 1.0), (0.99, 1.0), (1.0, 1.0),  # bucket 9 (1.0 clamps in)
+        (0.55, 0.0),                        # bucket 5
+    ]
+    df = spark.createDataFrame(rows, "prob double, y double")
+    got = {
+        r["bucket"]: (r["n"], r["mean_pred"], r["frac_pos"])
+        for r in textstats.calibration_curve(df).collect()
+    }
+    assert got[0] == (2, 0.06, 0.5)
+    assert got[9] == (3, 0.98, 1.0)
+    assert got[5] == (1, 0.55, 0.0)
+    assert set(got) == {0, 5, 9}

@@ -79,3 +79,44 @@ def test_metrics_queries_without_rels_are_excluded(spark):
     )
     rows = q.ranking_metrics(results, qrels).collect()
     assert [r["query_id"] for r in rows] == ["a"]
+
+
+def test_graded_ndcg_hand_computed(spark):
+    # ranked 10,20,30; rels: doc 10 rel=1, doc 30 rel=3, doc 99 rel=2
+    results = _frame(
+        spark,
+        [("g", 10, 3.0), ("g", 20, 2.0), ("g", 30, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark,
+        [("g", 10, 1), ("g", 30, 3), ("g", 99, 2)],
+        "query_id string, doc_id long, rel int",
+    )
+    row = q.ranking_metrics(results, qrels, k=10, graded=True).collect()[0]
+    dcg = 1.0 / math.log2(2) + 7.0 / math.log2(4)  # gains 2^1-1, 2^3-1
+    idcg = (
+        7.0 / math.log2(2) + 3.0 / math.log2(3) + 1.0 / math.log2(4)
+    )  # ideal gain order 7, 3, 1
+    assert row["ndcg"] == pytest.approx(round(dcg / idcg, 4))
+    # binary metrics unchanged by grading
+    assert row["mrr"] == 1.0
+    assert row["recall"] == pytest.approx(round(2 / 3, 4))
+
+
+def test_graded_reduces_to_binary_when_rels_are_one(spark):
+    results = _frame(
+        spark,
+        [("b", 1, 2.0), ("b", 2, 1.0)],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = _frame(
+        spark,
+        [("b", 2, 1), ("b", 3, 1)],
+        "query_id string, doc_id long, rel int",
+    )
+    a = q.ranking_metrics(results, qrels, k=10).collect()[0]
+    b = q.ranking_metrics(results, qrels, k=10, graded=True).collect()[0]
+    assert (a["mrr"], a["ndcg"], a["recall"]) == (
+        b["mrr"], b["ndcg"], b["recall"],
+    )

@@ -759,3 +759,89 @@ def test_incremental_doc_bloom_chunked_equals_one_shot(spark, tmp_path):
     assert sorted(r["bit"] for r in replay.collect()) == sorted(
         r["bit"] for r in stored.collect()
     )
+
+
+def test_optimize_snapshot_preserves_rows_and_replay_protection(
+    spark, tmp_path
+):
+    """Compaction rewrites postings term-range-sorted as a new version:
+    identical rows, batch_id carried forward (replays still no-ops),
+    sidecars copied, old version still time-travelable."""
+    index_dir = str(tmp_path / "opt_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0, maintain_doc_bloom=True
+    )
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_doc_bloom=True
+    )
+    v_before = incremental.current_version(index_dir)
+    rows_before = sorted(
+        map(tuple, incremental.load_latest(spark, index_dir, CFG).postings.collect())
+    )
+
+    new_v = incremental.optimize_snapshot(spark, index_dir)
+    assert new_v == v_before + 1
+    assert incremental.current_version(index_dir) == new_v
+    rows_after = sorted(
+        map(tuple, incremental.load_latest(spark, index_dir, CFG).postings.collect())
+    )
+    assert rows_after == rows_before
+    # replay protection survives: batch 1 replays as a no-op
+    assert incremental.last_applied_batch_id(index_dir) == 1
+    v = incremental.merge_batch(spark, b2, index_dir, CFG, batch_id=1)
+    assert v == new_v
+    # sidecar carried forward
+    assert incremental.load_latest_doc_bloom(spark, index_dir) is not None
+    # pre-compaction version still loads (time travel)
+    old = incremental.load_version(spark, index_dir, v_before, CFG)
+    assert sorted(map(tuple, old.postings.collect())) == rows_before
+
+
+def test_prune_versions_keeps_latest_and_removes_old(spark, tmp_path):
+    index_dir = str(tmp_path / "prune_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+    incremental.merge_batch(spark, b2, index_dir, CFG, batch_id=1)
+    incremental.optimize_snapshot(spark, index_dir)
+    versions = [e["version"] for e in incremental.list_versions(index_dir)]
+    assert len(versions) == 3
+
+    removed = incremental.prune_versions(index_dir, keep_last=2)
+    assert removed == versions[:1]
+    left = [e["version"] for e in incremental.list_versions(index_dir)]
+    assert left == versions[1:]
+    # the current snapshot still loads and still carries its batch id
+    assert incremental.load_latest(spark, index_dir, CFG) is not None
+    assert incremental.last_applied_batch_id(index_dir) == 1
+    # pruning again is a no-op at keep_last=2
+    assert incremental.prune_versions(index_dir, keep_last=2) == []
+
+
+def test_cli_optimize_and_prune_roundtrip(spark, tmp_path, capsys):
+    import json as _json
+
+    from fulltextindexer_spark import cli
+
+    index_dir = str(tmp_path / "cli_idx")
+    os.makedirs(index_dir)
+    incremental.merge_batch(
+        spark, spark.createDataFrame(BATCH1, DOCS_DDL), index_dir, CFG,
+        batch_id=0,
+    )
+    incremental.merge_batch(
+        spark, spark.createDataFrame(BATCH2, DOCS_DDL), index_dir, CFG,
+        batch_id=1,
+    )
+    assert cli.main(["optimize", "--index", index_dir]) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert out1["version"] == out1["compacted_from"] + 1 == 2
+    assert cli.main(["prune", "--index", index_dir, "--keep-last", "1"]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert out2["removed_versions"] == [0, 1]
+    assert out2["current_version"] == 2
+    assert incremental.load_latest(spark, index_dir, CFG) is not None
