@@ -826,6 +826,55 @@ def q_rank_eval(spark, sf_dir):
     return q.ranking_metrics(results, qrels, k=10)
 
 
+def q_rank_eval_graded(spark, sf_dir):
+    """Graded-relevance twin of ftix_rank_eval: qrels carry rel=2 for
+    docs phrase-matching "data stream" (adjacent, in order) and rel=1
+    for the remaining AND-match docs; nDCG uses the 2^rel − 1 gain
+    with a gain-ranked ideal ordering, MRR/recall stay binary. Same
+    two rankings under evaluation (BM25 'bm', weighted-or 'ws')."""
+    idx = _docs_index(spark, sf_dir)
+    bm = q.paginate_topk(
+        _round_score(
+            bm25.bm25_scores(
+                idx, "data stream", stats=bm25.get_bm25_stats(idx)
+            )
+        ),
+        20,
+    )
+    ws = q.paginate_topk(
+        _round_score(
+            q.get_partial_matches(idx, "data stream", combiner="or_sum")
+        ),
+        20,
+    )
+    results = bm.select(
+        F.lit("bm").alias("query_id"), "doc_id", "score"
+    ).unionByName(
+        ws.select(F.lit("ws").alias("query_id"), "doc_id", "score")
+    )
+    pos_idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    phrase = (
+        q.get_consecutive_matches(pos_idx, "data stream")
+        .select("doc_id")
+        .withColumn("p", F.lit(1))
+    )
+    relset = (
+        q.get_partial_matches(idx, "data stream")
+        .select("doc_id")
+        .join(phrase, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("p").isNotNull(), 2).otherwise(1).alias("rel"),
+        )
+    )
+    qrels = relset.select(
+        F.lit("bm").alias("query_id"), "doc_id", "rel"
+    ).unionByName(
+        relset.select(F.lit("ws").alias("query_id"), "doc_id", "rel")
+    )
+    return q.ranking_metrics(results, qrels, k=10, graded=True)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicate_groups(_documents(spark, sf_dir))
 
@@ -2453,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_rrf": q_rrf,
         "ftix_hybrid": q_hybrid,
         "ftix_rank_eval": q_rank_eval,
+        "ftix_rank_eval_graded": q_rank_eval_graded,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
@@ -3874,6 +3924,76 @@ totals AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id),
 idcg AS (SELECT query_id, sum(1.0 / log2(i + 1)) AS idcg FROM
          (SELECT query_id, unnest(generate_series(1, least(n_rel, 10))) AS i
           FROM totals) GROUP BY query_id)
+SELECT t.query_id,
+       round(coalesce(p.rr, 0.0), 4) AS mrr,
+       round(coalesce(p.dcg, 0.0) / i.idcg, 4) AS ndcg,
+       round(coalesce(p.n_hits, 0) * 1.0 / t.n_rel, 4) AS recall,
+       CAST(t.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits
+FROM totals t JOIN idcg i USING (query_id)
+LEFT JOIN per_q p USING (query_id)
+""",
+        # Graded twin: rel=2 for phrase matches of 'data stream'
+        # (adjacent positions), rel=1 for remaining AND matches; DCG
+        # gain 2^rel - 1, ideal order rel desc / doc_id asc.
+        "ftix_rank_eval_graded": f"""
+WITH {TOK_CTE}, {POST_CTE}, {TOKP_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN ('{english_plurality_normalise("data")}',
+                         '{english_plurality_normalise("stream")}')
+          GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+bscore AS (SELECT doc_id, round(sum(c), 4) AS s FROM contrib
+           GROUP BY doc_id),
+btop AS (SELECT doc_id, s FROM bscore ORDER BY s DESC, doc_id LIMIT 20),
+wscore AS (SELECT doc_id, round(sum(w), 4) AS s FROM post
+           WHERE term IN ('{english_plurality_normalise("data")}',
+                          '{english_plurality_normalise("stream")}')
+           GROUP BY doc_id),
+wtop AS (SELECT doc_id, s FROM wscore ORDER BY s DESC, doc_id LIMIT 20),
+res AS (SELECT 'bm' AS query_id, doc_id, s FROM btop
+        UNION ALL SELECT 'ws' AS query_id, doc_id, s FROM wtop),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, doc_id) AS r
+           FROM res),
+phr AS (SELECT DISTINCT a.doc_id
+        FROM tokp a JOIN tokp b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = '{english_plurality_normalise("data")}'
+          AND b.term = '{english_plurality_normalise("stream")}'),
+andm AS (SELECT p.doc_id FROM post p
+         WHERE p.term IN ('{english_plurality_normalise("data")}',
+                          '{english_plurality_normalise("stream")}')
+         GROUP BY p.doc_id HAVING count(DISTINCT p.term) = 2),
+relset AS (SELECT andm.doc_id,
+                  CASE WHEN phr.doc_id IS NOT NULL THEN 2 ELSE 1 END AS rel
+           FROM andm LEFT JOIN phr USING (doc_id)),
+rels AS (SELECT v.query_id, relset.doc_id, relset.rel
+         FROM (VALUES ('bm'), ('ws')) v(query_id) CROSS JOIN relset),
+hits AS (SELECT ranked.query_id, ranked.r, rels.rel
+         FROM ranked JOIN rels USING (query_id, doc_id) WHERE r <= 10),
+per_q AS (SELECT query_id, max(1.0 / r) AS rr,
+                 sum((power(2.0, rel) - 1) / log2(r + 1)) AS dcg,
+                 count(*) AS n_hits
+          FROM hits GROUP BY query_id),
+totals AS (SELECT query_id, count(*) AS n_rel FROM rels GROUP BY query_id),
+irank AS (SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, doc_id) AS ir
+          FROM rels),
+idcg AS (SELECT query_id, sum((power(2.0, rel) - 1) / log2(ir + 1)) AS idcg
+         FROM irank WHERE ir <= 10 GROUP BY query_id)
 SELECT t.query_id,
        round(coalesce(p.rr, 0.0), 4) AS mrr,
        round(coalesce(p.dcg, 0.0) / i.idcg, 4) AS ndcg,
