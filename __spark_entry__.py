@@ -2392,6 +2392,22 @@ def q_text_chars_quantiles(spark, sf_dir):
     return sketches.histogram_quantile_bounds(hist)
 
 
+def q_hist_drift(spark, sf_dir):
+    """Distribution-shift audit: the English vs non-English doc-length
+    log2 histograms compared bin-by-bin with integer floor-ppm shares
+    (sketches.histogram_drift) — the promotion check a snapshot tier
+    runs between versions, here over two corpus slices so the oracle
+    is pure SQL. All-integer output."""
+    docs = _documents(spark, sf_dir)
+    en = sketches.log2_histogram(
+        docs.where(F.col("lang") == "en"), "n_chars"
+    )
+    rest = sketches.log2_histogram(
+        docs.where(F.col("lang") != "en"), "n_chars"
+    )
+    return sketches.histogram_drift(en, rest)
+
+
 def q_bm25_merged(spark, sf_dir):
     """Incremental BM25/WAND maintenance: sufficient statistics built
     per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
@@ -2602,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": q_events_hll_users,
         "text_chars_hist": q_text_chars_hist,
         "text_chars_quantiles": q_text_chars_quantiles,
+        "text_hist_drift": q_hist_drift,
         "curate_logistic_probe": q_logistic_probe,
         "curate_calibration": q_calibration,
         "ftix_zipf": q_zipf,
@@ -3480,6 +3497,36 @@ hitting AS (
 first AS (SELECT ppm, min(bin) AS bin FROM hitting GROUP BY ppm)
 SELECT CAST(f.ppm AS BIGINT) AS ppm, f.bin, h.hi
 FROM first f JOIN (SELECT DISTINCT bin, hi FROM hist) h USING (bin)
+"""
+
+
+def _hist_drift_sql() -> str:
+    """Oracle for the drift gate: both slice histograms from the same
+    floor_log2_sql ladder, full outer join on bin, integer floor-ppm
+    shares (DuckDB `//`; the engine uses Spark's `div` — same value)."""
+    bin_expr = sketches.floor_log2_sql("cast(n_chars as bigint)")
+    return f"""
+WITH ha AS (
+  SELECT bin, count(*)::BIGINT AS n
+  FROM (SELECT {bin_expr} AS bin FROM documents WHERE lang = 'en')
+  GROUP BY bin
+),
+hb AS (
+  SELECT bin, count(*)::BIGINT AS n
+  FROM (SELECT {bin_expr} AS bin FROM documents WHERE lang <> 'en')
+  GROUP BY bin
+),
+ta AS (SELECT sum(n)::BIGINT AS total_a FROM ha),
+tb AS (SELECT sum(n)::BIGINT AS total_b FROM hb),
+j AS (
+  SELECT coalesce(ha.bin, hb.bin) AS bin,
+         coalesce(ha.n, 0) AS n_a, coalesce(hb.n, 0) AS n_b
+  FROM ha FULL JOIN hb ON ha.bin = hb.bin
+)
+SELECT bin, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       ((n_a * 1000000) // total_a)::BIGINT AS ppm_a,
+       ((n_b * 1000000) // total_b)::BIGINT AS ppm_b
+FROM j CROSS JOIN ta CROSS JOIN tb
 """
 
 
@@ -5411,6 +5458,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM sh5)
         "events_hll_users": _events_hll_users_sql(),
         "text_chars_hist": _chars_hist_sql(),
         "text_chars_quantiles": _chars_quantiles_sql(),
+        "text_hist_drift": _hist_drift_sql(),
         "curate_logistic_probe": _logistic_probe_sql(),
         "curate_calibration": _calibration_sql(),
         "curate_pps_sample": _pps_sample_sql(),

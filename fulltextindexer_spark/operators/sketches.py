@@ -299,6 +299,41 @@ def histogram_merge(*hists: DataFrame) -> DataFrame:
     )
 
 
+def histogram_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-bin comparison of two log2 histograms: (bin, n_a, n_b,
+    ppm_a, ppm_b) with integer parts-per-million shares — the
+    distribution-shift audit between two corpus snapshots or slices
+    (an ingest regression shows up as mass moving between length
+    bins long before any query breaks). All-integer (floor-ppm), so
+    any engine reproduces it; the frames are ≤64 rows each, the join
+    trivial."""
+    ta = a.agg(F.sum("n").cast("bigint").alias("total_a"))
+    tb = b.agg(F.sum("n").cast("bigint").alias("total_b"))
+    joined = (
+        a.select("bin", F.col("n").alias("n_a"))
+        .join(b.select("bin", F.col("n").alias("n_b")), "bin", "full")
+        .fillna(0, subset=["n_a", "n_b"])
+        .crossJoin(ta)
+        .crossJoin(tb)
+    )
+    return joined.select(
+        "bin",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr("CAST(n_a * 1000000 DIV total_a AS BIGINT)").alias("ppm_a"),
+        F.expr("CAST(n_b * 1000000 DIV total_b AS BIGINT)").alias("ppm_b"),
+    )
+
+
+def histogram_tvd_ppm(a: DataFrame, b: DataFrame) -> int:
+    """Total-variation distance between two histograms in ppm
+    (Σ|ppm_a − ppm_b| / 2, floor shares) — a single integer drift
+    score for promotion gates: 0 = identical shape, 1e6 = disjoint.
+    Driver-side over the ≤64-row drift frame."""
+    rows = histogram_drift(a, b).collect()
+    return sum(abs(r["ppm_a"] - r["ppm_b"]) for r in rows) // 2
+
+
 def histogram_quantile_bounds(
     hist: DataFrame, ppms: tuple = (500000, 900000, 990000)
 ) -> DataFrame:

@@ -167,7 +167,7 @@ def snapshot_diff(
     return index_diff(old, new)
 
 
-SNAPSHOT_SIDECARS = ("bm25_suff", "vocab_hll", "doc_bloom")
+SNAPSHOT_SIDECARS = ("bm25_suff", "vocab_hll", "doc_bloom", "len_hist")
 
 
 def optimize_snapshot(spark: SparkSession, index_dir: str) -> int:
@@ -279,6 +279,17 @@ def load_latest_doc_bloom(spark: SparkSession, index_dir: str):
     return spark.read.parquet(path)
 
 
+def load_latest_len_hist(spark: SparkSession, index_dir: str):
+    """The latest snapshot's content-length log2 histogram (or None)."""
+    v = current_version(index_dir)
+    if v < 0:
+        return None
+    path = os.path.join(_snapshot_dir(index_dir, v), "len_hist")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def merge_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -288,6 +299,7 @@ def merge_batch(
     maintain_bm25: bool = False,
     maintain_vocab_hll: bool = False,
     maintain_doc_bloom: bool = False,
+    maintain_len_hist: bool = False,
 ) -> int:
     """Fold one batch of docs-shaped rows into a new snapshot.
 
@@ -321,6 +333,14 @@ def merge_batch(
     from-scratch build). A router consults it ("might doc X already be
     indexed?") before touching the postings; render with
     ``sketches.bloom_bitmap_hex`` for the zero-join scan predicate.
+
+    With ``maintain_len_hist=True`` the snapshot carries the corpus
+    content-length log2 histogram (``sketches.log2_histogram``,
+    cell-sum merged per batch — exact under any split). Successive
+    versions' histograms feed ``sketches.histogram_drift`` /
+    ``histogram_tvd_ppm``: the promotion gate's distribution-shift
+    check (an ingest regression moves mass between length bins long
+    before a query breaks).
     """
     if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
         return current_version(index_dir)
@@ -365,6 +385,26 @@ def merge_batch(
         )
         reg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, "vocab_hll")
+        )
+    if maintain_len_hist:
+        from pyspark.sql import functions as _F
+
+        from fulltextindexer_spark.operators.sketches import (
+            histogram_merge,
+            log2_histogram,
+        )
+
+        delta_hist = log2_histogram(
+            docs.select(_F.length("content").alias("n_chars")), "n_chars"
+        )
+        prev_hist = load_latest_len_hist(spark, index_dir)
+        hist = (
+            delta_hist
+            if prev_hist is None
+            else histogram_merge(prev_hist, delta_hist)
+        )
+        hist.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "len_hist")
         )
     if maintain_doc_bloom:
         from fulltextindexer_spark.operators.sketches import (

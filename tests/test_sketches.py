@@ -273,3 +273,19 @@ def test_histogram_quantile_bounds_integer_rule(spark):
     assert got[500000] == (1, 3)
     assert got[800000] == (1, 3)
     assert got[900000] == (10, 2047)
+
+
+def test_histogram_drift_and_tvd(spark):
+    a = sketches.log2_histogram(_nums(spark, [1, 1, 2, 1000]), "v")
+    b = sketches.log2_histogram(_nums(spark, [1, 1500, 1600, 1700]), "v")
+    drift = {
+        r["bin"]: (r["n_a"], r["n_b"], r["ppm_a"], r["ppm_b"])
+        for r in sketches.histogram_drift(a, b).collect()
+    }
+    assert drift[0] == (2, 1, 500000, 250000)
+    assert drift[1] == (1, 0, 250000, 0)
+    assert drift[9] == (1, 0, 250000, 0)
+    assert drift[10] == (0, 3, 0, 750000)
+    # TVD: sum|diff|/2 = (250000+250000+250000+750000)/2
+    assert sketches.histogram_tvd_ppm(a, b) == 750000
+    assert sketches.histogram_tvd_ppm(a, a) == 0

@@ -845,3 +845,33 @@ def test_cli_optimize_and_prune_roundtrip(spark, tmp_path, capsys):
     assert out2["removed_versions"] == [0, 1]
     assert out2["current_version"] == 2
     assert incremental.load_latest(spark, index_dir, CFG) is not None
+
+
+def test_incremental_len_hist_chunked_equals_one_shot(spark, tmp_path):
+    """With maintain_len_hist=True the snapshot carries the corpus
+    content-length histogram, merged per batch; after N batches it
+    equals a from-scratch build, and version-over-version drift is 0
+    when the distribution is unchanged."""
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.operators import sketches
+
+    index_dir = str(tmp_path / "hist_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0, maintain_len_hist=True
+    )
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_len_hist=True
+    )
+    stored = incremental.load_latest_len_hist(spark, index_dir)
+    assert stored is not None
+    direct = sketches.log2_histogram(
+        b1.unionByName(b2).select(F.length("content").alias("n")), "n"
+    )
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert sketches.histogram_tvd_ppm(stored, direct) == 0
