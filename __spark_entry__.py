@@ -1363,11 +1363,15 @@ def q_calibration(spark, sf_dir):
     the same iterations, rounds the same coefficients, and buckets by
     the same integer rule."""
     docs = _documents(spark, sf_dir)
-    feats = textstats.token_stats(docs).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("double").alias("is_en")
+    feats = cachereg.persist_tracked(
+        textstats.token_stats(docs).join(
+            docs.select(
+                "doc_id",
+                (F.col("lang") == "en").cast("double").alias("is_en"),
+            ),
+            "doc_id",
         ),
-        "doc_id",
+        scope="query",
     )
     fcols = ["avg_token_len", "stopword_ratio"]
     model = {

@@ -814,9 +814,12 @@ def fit_logistic_probe(
     map-side-combinable sufficient-stats aggregation (the weighted
     normal matrix XᵀWX and vector XᵀWz — k² scalars cross the
     exchange) followed by an O(k³) driver solve; the current β rides
-    into the next pass as plain literals. n never matters beyond
-    ``n_iter`` scans of the k+2-column projection — persist it
-    upstream for the multi-pass.
+    into the next pass as plain literals. The k+1-column (features,
+    label) projection is persisted INSIDE the fit (query scope,
+    released after the solve), so the ``n_iter + 1`` aggregation
+    passes cost exactly ONE scan of the source lineage — at 100 TB
+    that is 1 corpus scan, not 7, no matter how expensive the
+    upstream featurization was.
 
     Determinism contract (shared with the SQL oracle): β starts at 0
     (so the first pass has μ = 0.5 exactly), the iteration count is
@@ -830,47 +833,63 @@ def fit_logistic_probe(
     """
     import numpy as np
 
+    from ..plans import cachereg
+
     k = len(feature_cols)
-    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    y = F.col(target_col).cast("double")
-    beta = np.zeros(k + 1, dtype=np.float64)
-
-    for _ in range(n_iter):
-        eta = F.lit(float(beta[0]))
-        for c, b in zip(feature_cols, beta[1:]):
-            eta = eta + F.lit(float(b)) * F.col(c).cast("double")
-        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = F.greatest(mu * (F.lit(1.0) - mu), F.lit(LOGISTIC_W_FLOOR))
-        z = eta + (y - mu) / w
-        aggs = []
-        for i in range(k + 1):
-            for j in range(i, k + 1):
-                aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"a_{i}_{j}"))
-        for i in range(k + 1):
-            aggs.append(F.sum(w * xs[i] * z).alias(f"b_{i}"))
-        row = df.agg(*aggs).collect()[0]
-        a = np.empty((k + 1, k + 1), dtype=np.float64)
-        for i in range(k + 1):
-            for j in range(i, k + 1):
-                a[i, j] = a[j, i] = row[f"a_{i}_{j}"]
-        a += ridge * np.eye(k + 1)
-        b = np.array(
-            [row[f"b_{i}"] for i in range(k + 1)], dtype=np.float64
-        )
-        beta = np.linalg.solve(a, b)
-
-    eta = F.lit(float(beta[0]))
-    for c, bv in zip(feature_cols, beta[1:]):
-        eta = eta + F.lit(float(bv)) * F.col(c).cast("double")
-    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-    mu = F.least(
-        F.greatest(mu, F.lit(LOGISTIC_MU_CLAMP)),
-        F.lit(1.0 - LOGISTIC_MU_CLAMP),
+    # narrow (x₁..x_k, y) projection, cast once; every IRLS pass and
+    # the final log-loss pass aggregate THIS frame, so the upstream
+    # lineage (tokenization, joins, parquet scan) runs exactly once.
+    proj = cachereg.persist_tracked(
+        df.select(
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+            F.col(target_col).cast("double").alias("__ftix_y__"),
+        ),
+        scope="query",
     )
-    ll = df.agg(
-        F.avg(-(y * F.log(mu) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - mu)))
-        .alias("log_loss")
-    ).collect()[0]["log_loss"]
+    try:
+        xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+        y = F.col("__ftix_y__")
+        beta = np.zeros(k + 1, dtype=np.float64)
+
+        for _ in range(n_iter):
+            eta = F.lit(float(beta[0]))
+            for c, b in zip(feature_cols, beta[1:]):
+                eta = eta + F.lit(float(b)) * F.col(c)
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = F.greatest(mu * (F.lit(1.0) - mu), F.lit(LOGISTIC_W_FLOOR))
+            z = eta + (y - mu) / w
+            aggs = []
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    aggs.append(F.sum(w * xs[i] * xs[j]).alias(f"a_{i}_{j}"))
+            for i in range(k + 1):
+                aggs.append(F.sum(w * xs[i] * z).alias(f"b_{i}"))
+            row = proj.agg(*aggs).collect()[0]
+            a = np.empty((k + 1, k + 1), dtype=np.float64)
+            for i in range(k + 1):
+                for j in range(i, k + 1):
+                    a[i, j] = a[j, i] = row[f"a_{i}_{j}"]
+            a += ridge * np.eye(k + 1)
+            b = np.array(
+                [row[f"b_{i}"] for i in range(k + 1)], dtype=np.float64
+            )
+            beta = np.linalg.solve(a, b)
+
+        eta = F.lit(float(beta[0]))
+        for c, bv in zip(feature_cols, beta[1:]):
+            eta = eta + F.lit(float(bv)) * F.col(c)
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        mu = F.least(
+            F.greatest(mu, F.lit(LOGISTIC_MU_CLAMP)),
+            F.lit(1.0 - LOGISTIC_MU_CLAMP),
+        )
+        ll = proj.agg(
+            F.avg(
+                -(y * F.log(mu) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - mu))
+            ).alias("log_loss")
+        ).collect()[0]["log_loss"]
+    finally:
+        cachereg.release_one(proj)
 
     out = [("(intercept)", round(float(beta[0]), 4))]
     out += [

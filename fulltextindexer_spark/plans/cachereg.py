@@ -59,6 +59,29 @@ def persist_tracked(
     return df
 
 
+def release_one(df: DataFrame, blocking: bool = False) -> bool:
+    """Unpersist ONE tracked frame and drop its registry entry.
+
+    For operators whose persisted intermediate lives entirely inside a
+    single call (e.g. the IRLS feature projection): they register via
+    :func:`persist_tracked` so a crash mid-solve still leaves the frame
+    releasable by :func:`release_all`, and call this on the happy path
+    so nothing lingers. Returns True if the frame was tracked.
+    """
+    for i in range(len(_TRACKED) - 1, -1, -1):
+        if _TRACKED[i][1] is df:
+            _TRACKED.pop(i)
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:
+                sc = getattr(df.sparkSession, "_sc", None)
+                stopped = sc is None or getattr(sc, "_jsc", None) is None
+                if not stopped:
+                    raise
+            return True
+    return False
+
+
 def tracked_count(scope: Optional[str] = None) -> int:
     if scope is None:
         return len(_TRACKED)
