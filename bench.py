@@ -408,17 +408,50 @@ def run_default() -> dict:
         spark.stop()
 
 
+def compact_result(full: dict, max_queries: int = 30) -> dict:
+    """The driver captures only the TAIL of stdout (~2000 chars), so
+    the final printed line must stay parseable at 161 gates: keep every
+    scalar field, keep only the ``max_queries`` slowest per-gate
+    timings, and point at the full dump on disk (round-3 verdict #2 —
+    BENCH_r03.json was `parsed: null` because the one-line result
+    outgrew the tail capture)."""
+    timings = full.get("queries") or {}
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[
+            :max_queries
+        ]
+    )
+    out = {k: v for k, v in full.items() if k != "queries"}
+    out["queries"] = slowest
+    out["n_queries"] = len(timings)
+    out["queries_omitted"] = max(0, len(timings) - len(slowest))
+    out["full_result"] = "bench_result.json"
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--one-build", type=int, default=None)
+    ap.add_argument(
+        "--out", default="bench_result.json",
+        help="file for the full JSON result (default bench_result.json)",
+    )
     args = ap.parse_args()
     if args.one_build is not None:
         print(json.dumps(run_one_build(args.one_build, SCALING_CORPUS)))
-    elif args.scaling:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_default()))
+        return
+    result = run_scaling() if args.scaling else run_default()
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    line = json.dumps(compact_result(result))
+    # belt and braces: if even the compact line somehow outgrows the
+    # driver's tail capture, shrink the query list until it fits
+    k = 30
+    while len(line) > 1800 and k > 0:
+        k -= 5
+        line = json.dumps(compact_result(result, max_queries=k))
+    print(line)
 
 
 if __name__ == "__main__":
