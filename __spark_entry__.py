@@ -2067,15 +2067,29 @@ def q_pmi(spark, sf_dir):
     )
 
 
+def _diff_new_index(spark, sf_dir):
+    """The src0-dropped index used by ftix_index_diff — memoised like
+    every other build-once artefact so the gate times the DIFF (two
+    map-side aggs + one co-partitioned outer join), not a second full
+    index build; bench.py pre-builds it as its own `index_diff_build`
+    line (round-3 verdict #3)."""
+    key = ("index_diff_new", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = build_index(
+            _documents(spark, sf_dir).where(F.col("source") != "src0"),
+            DOCS_CONFIG,
+        )
+        cachereg.persist_tracked(idx.postings)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
 def q_index_diff(spark, sf_dir):
     """Vocabulary diff after dropping the src0 slice of the corpus:
     per-term df_old/df_new + added/removed/grown/shrunk/same status —
     the audit a snapshot promotion publishes."""
     old = _docs_index(spark, sf_dir)
-    new = build_index(
-        _documents(spark, sf_dir).where(F.col("source") != "src0"),
-        DOCS_CONFIG,
-    )
+    new = _diff_new_index(spark, sf_dir)
     return index_diff(old, new)
 
 
@@ -2492,6 +2506,10 @@ def q_distinct_ngrams(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver samples the FIRST ~50 entries for its
+    # correctness record, so the SURVEY §2-mapped ftix core stays at
+    # the top; add new gates after the ftix block (pinned by
+    # tests/test_entry_contract.py::test_section2_gates_lead_queries_order)
     return {
         "ftix_top_terms": q_top_terms,
         "ftix_search_and": q_search_and,
