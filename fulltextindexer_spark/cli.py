@@ -241,7 +241,9 @@ def build_parser() -> argparse.ArgumentParser:
         "optimize",
         help="compact the latest incremental snapshot: rewrite postings "
              "term-range-sorted as a new version (row-group min/max "
-             "pruning), sidecars + replay protection carried forward",
+             "pruning), sidecars + replay protection carried forward. "
+             "Single-writer: takes the index-dir writer lock, so stop "
+             "the streaming merge first (fails fast if one is live)",
     )
     o.add_argument("--index", required=True, help="snapshot index dir")
     o.set_defaults(fn=cmd_optimize)
@@ -249,7 +251,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser(
         "prune",
         help="retention: delete all but the newest --keep-last committed "
-             "snapshot versions (current version always kept)",
+             "snapshot versions (current version always kept). "
+             "Single-writer: takes the index-dir writer lock",
     )
     p.add_argument("--index", required=True, help="snapshot index dir")
     p.add_argument("--keep-last", type=int, default=2)

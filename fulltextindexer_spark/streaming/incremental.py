@@ -58,6 +58,63 @@ def _latest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_LATEST")
 
 
+_LOCK_NAME = "_WRITER.lock"
+
+
+class _writer_lock:
+    """Single-writer guard for an index dir.
+
+    Snapshot allocation is read-modify-write (``current_version()+1``):
+    two concurrent writers — say a live streaming ``merge_batch`` and a
+    CLI ``optimize_snapshot`` — could allocate the SAME version dir and
+    interleave parquet overwrite + sidecar copies + manifest before one
+    of them flips ``_LATEST`` to the corrupted mix. Every mutating
+    entry point (merge, compaction, retention) therefore takes this
+    O_EXCL lockfile for its whole critical section; readers never lock
+    (snapshots are immutable and ``_LATEST`` flips atomically).
+
+    A lock left by a crashed writer must be removed explicitly with
+    :func:`break_writer_lock` — refusing to guess beats silently
+    stealing a lock from a writer that is merely slow.
+    """
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, _LOCK_NAME)
+        self._fd = None
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        try:
+            self._fd = os.open(
+                self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.write(self._fd, str(os.getpid()).encode())
+        except FileExistsError:
+            raise RuntimeError(
+                f"another writer holds {self.path} — snapshot mutation "
+                "is single-writer (stop the streaming merge before "
+                "running optimize/prune, or break_writer_lock() if the "
+                "holder crashed)"
+            ) from None
+        return self
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            os.unlink(self.path)
+        return False
+
+
+def break_writer_lock(index_dir: str) -> bool:
+    """Remove a stale writer lock left by a crashed process. Returns
+    True if a lock file was removed. Only call when no writer runs."""
+    try:
+        os.unlink(os.path.join(index_dir, _LOCK_NAME))
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def current_version(index_dir: str) -> int:
     """-1 when no snapshot has been committed yet."""
     try:
@@ -187,39 +244,47 @@ def optimize_snapshot(spark: SparkSession, index_dir: str) -> int:
     protection survives compaction. Crash-safe like every merge:
     everything lands in the new versioned dir before the atomic
     ``_LATEST`` flip; a reader never observes a half-compacted
-    snapshot. Returns the new version."""
+    snapshot. Single-writer like every mutation (``_writer_lock``):
+    running this while a streaming merge is live raises instead of
+    interleaving two writers in one version dir. Returns the new
+    version."""
     import shutil
 
-    v = current_version(index_dir)
-    if v < 0:
-        raise ValueError(f"no committed snapshot under {index_dir}")
-    src = _snapshot_dir(index_dir, v)
-    prev_batch = last_applied_batch_id(index_dir)
-    new_v = v + 1
-    out = _snapshot_dir(index_dir, new_v)
-    (
-        spark.read.parquet(src)
-        .repartitionByRange("term")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    for side in SNAPSHOT_SIDECARS:
-        p = os.path.join(src, side)
-        if os.path.isdir(p):
-            shutil.copytree(p, os.path.join(out, side))
-    manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
-    with open(manifest_tmp, "w") as fh:
-        json.dump(
-            {"version": new_v, "batch_id": prev_batch, "compacted_from": v},
-            fh,
+    with _writer_lock(index_dir):
+        v = current_version(index_dir)
+        if v < 0:
+            raise ValueError(f"no committed snapshot under {index_dir}")
+        src = _snapshot_dir(index_dir, v)
+        prev_batch = last_applied_batch_id(index_dir)
+        new_v = v + 1
+        out = _snapshot_dir(index_dir, new_v)
+        (
+            spark.read.parquet(src)
+            .repartitionByRange("term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
         )
-    os.replace(manifest_tmp, os.path.join(out, "_MANIFEST.json"))
-    tmp = _latest_path(index_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_v))
-    os.replace(tmp, _latest_path(index_dir))
-    return new_v
+        for side in SNAPSHOT_SIDECARS:
+            p = os.path.join(src, side)
+            if os.path.isdir(p):
+                shutil.copytree(p, os.path.join(out, side))
+        manifest_tmp = os.path.join(out, "_MANIFEST.json.tmp")
+        with open(manifest_tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": new_v,
+                    "batch_id": prev_batch,
+                    "compacted_from": v,
+                },
+                fh,
+            )
+        os.replace(manifest_tmp, os.path.join(out, "_MANIFEST.json"))
+        tmp = _latest_path(index_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(new_v))
+        os.replace(tmp, _latest_path(index_dir))
+        return new_v
 
 
 def prune_versions(index_dir: str, keep_last: int = 2) -> list:
@@ -227,21 +292,24 @@ def prune_versions(index_dir: str, keep_last: int = 2) -> list:
     ``keep_last`` committed versions (the current version is always
     kept). Old versions exist only for time-travel; each is
     self-contained, so pruning never touches live state — ``_LATEST``
-    and every kept manifest are unmodified. Returns the removed
-    version numbers (ascending)."""
+    and every kept manifest are unmodified. Takes the writer lock:
+    concurrent with a live merge, the "newest keep_last" set could
+    shift mid-delete. Returns the removed version numbers
+    (ascending)."""
     import shutil
 
-    latest = current_version(index_dir)
-    if latest < 0:
-        return []
-    committed = [e["version"] for e in list_versions(index_dir)]
-    keep = set(committed[-max(keep_last, 1):]) | {latest}
-    removed = []
-    for ver in committed:
-        if ver not in keep:
-            shutil.rmtree(_snapshot_dir(index_dir, ver))
-            removed.append(ver)
-    return removed
+    with _writer_lock(index_dir):
+        latest = current_version(index_dir)
+        if latest < 0:
+            return []
+        committed = [e["version"] for e in list_versions(index_dir)]
+        keep = set(committed[-max(keep_last, 1):]) | {latest}
+        removed = []
+        for ver in committed:
+            if ver not in keep:
+                shutil.rmtree(_snapshot_dir(index_dir, ver))
+                removed.append(ver)
+        return removed
 
 
 def load_latest_bm25_suffstats(spark: SparkSession, index_dir: str):
@@ -341,9 +409,56 @@ def merge_batch(
     ``histogram_tvd_ppm``: the promotion gate's distribution-shift
     check (an ingest regression moves mass between length bins long
     before a query breaks).
+
+    Two guarantees behind the "stored sidecar ≡ from-scratch build"
+    claim: (1) single-writer — the whole merge holds the index-dir
+    writer lock, so a concurrent ``optimize_snapshot``/``prune``
+    raises instead of interleaving; (2) continuity — a sidecar present
+    on the previous snapshot is maintained even when its flag is
+    omitted, and enabling bm25/hll/bloom late triggers a one-time
+    rebuild over the merged postings (``len_hist`` cannot be rebuilt
+    from postings, so late enablement raises).
     """
+    with _writer_lock(index_dir):
+        return _merge_batch_locked(
+            spark, batch_docs, index_dir, config, batch_id,
+            maintain_bm25, maintain_vocab_hll,
+            maintain_doc_bloom, maintain_len_hist,
+        )
+
+
+def _merge_batch_locked(
+    spark, batch_docs, index_dir, config, batch_id,
+    maintain_bm25, maintain_vocab_hll, maintain_doc_bloom,
+    maintain_len_hist,
+) -> int:
     if batch_id >= 0 and batch_id <= last_applied_batch_id(index_dir):
         return current_version(index_dir)
+    prev_v = current_version(index_dir)
+    # sidecar CONTINUITY: once a snapshot carries a sidecar, every
+    # later merge maintains it even if the caller forgot the flag —
+    # a single unflagged merge would otherwise silently drop the
+    # accumulated artefact, and the next flagged merge would store a
+    # delta-only sidecar while the docs promise from-scratch equality
+    if prev_v >= 0:
+        prev_dir = _snapshot_dir(index_dir, prev_v)
+
+        def _has(side: str) -> bool:
+            return os.path.isdir(os.path.join(prev_dir, side))
+
+        maintain_bm25 = maintain_bm25 or _has("bm25_suff")
+        maintain_vocab_hll = maintain_vocab_hll or _has("vocab_hll")
+        maintain_doc_bloom = maintain_doc_bloom or _has("doc_bloom")
+        maintain_len_hist = maintain_len_hist or _has("len_hist")
+        if maintain_len_hist and not _has("len_hist"):
+            # the only sidecar NOT reconstructible from merged
+            # postings (content lengths are gone) — refuse rather
+            # than store a delta-only histogram claiming corpus scope
+            raise ValueError(
+                "maintain_len_hist enabled after unmaintained merges: "
+                "the length histogram cannot be rebuilt from postings; "
+                "enable it from the first batch"
+            )
     docs = with_doc_identity(batch_docs)
     new_postings = build_postings(docs, config)
     current = load_latest(spark, index_dir, config)
@@ -351,7 +466,7 @@ def merge_batch(
         merged = InvertedIndex(new_postings, config)
     else:
         merged = current.combine(InvertedIndex(new_postings, config))
-    v = current_version(index_dir) + 1
+    v = prev_v + 1
     out = _snapshot_dir(index_dir, v)
     merged.postings.write.mode("overwrite").parquet(out)
     if maintain_bm25:
@@ -361,9 +476,18 @@ def merge_batch(
             save_bm25_suffstats,
         )
 
-        delta = build_bm25_suffstats(InvertedIndex(new_postings, config))
         prev = load_latest_bm25_suffstats(spark, index_dir)
-        suff = delta if prev is None else merge_bm25_suffstats(prev, delta)
+        if prev is None and prev_v >= 0:
+            # late enablement: rebuild over the merged postings once,
+            # so the stored sidecar really covers the whole corpus
+            suff = build_bm25_suffstats(merged)
+        else:
+            delta = build_bm25_suffstats(
+                InvertedIndex(new_postings, config)
+            )
+            suff = (
+                delta if prev is None else merge_bm25_suffstats(prev, delta)
+            )
         # written into the NEW versioned dir BEFORE the pointer flip:
         # a crash leaves _LATEST on the old consistent (snapshot,
         # suffstats) pair
@@ -376,13 +500,16 @@ def merge_batch(
 
         # no distinct: HLL is multiplicity-insensitive (pinned in
         # tests), so the 256-row register agg is the only shuffle
-        delta_reg = hll_registers(new_postings.select("term"), "term")
         prev_reg = load_latest_vocab_hll(spark, index_dir)
-        reg = (
-            delta_reg
-            if prev_reg is None
-            else hll_merge(prev_reg, delta_reg)
-        )
+        if prev_reg is None and prev_v >= 0:
+            reg = hll_registers(merged.postings.select("term"), "term")
+        else:
+            delta_reg = hll_registers(new_postings.select("term"), "term")
+            reg = (
+                delta_reg
+                if prev_reg is None
+                else hll_merge(prev_reg, delta_reg)
+            )
         reg.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, "vocab_hll")
         )
@@ -412,13 +539,18 @@ def merge_batch(
             bloom_merge,
         )
 
-        delta_bits = bloom_bits(new_postings.select("doc_id"), "doc_id")
         prev_bits = load_latest_doc_bloom(spark, index_dir)
-        bits = (
-            delta_bits
-            if prev_bits is None
-            else bloom_merge(prev_bits, delta_bits)
-        )
+        if prev_bits is None and prev_v >= 0:
+            bits = bloom_bits(merged.postings.select("doc_id"), "doc_id")
+        else:
+            delta_bits = bloom_bits(
+                new_postings.select("doc_id"), "doc_id"
+            )
+            bits = (
+                delta_bits
+                if prev_bits is None
+                else bloom_merge(prev_bits, delta_bits)
+            )
         bits.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, "doc_bloom")
         )
@@ -443,6 +575,8 @@ def start_incremental_index(
     bucketed_prefix: Optional[str] = None,
     maintain_bm25: bool = False,
     maintain_vocab_hll: bool = False,
+    maintain_doc_bloom: bool = False,
+    maintain_len_hist: bool = False,
 ):
     """Start the streaming query that maintains the index.
 
@@ -484,6 +618,8 @@ def start_incremental_index(
                 spark, batch_df, index_dir, config, batch_id=batch_id,
                 maintain_bm25=maintain_bm25,
                 maintain_vocab_hll=maintain_vocab_hll,
+                maintain_doc_bloom=maintain_doc_bloom,
+                maintain_len_hist=maintain_len_hist,
             )
 
     writer = stream.writeStream.foreachBatch(process).option(

@@ -875,3 +875,135 @@ def test_incremental_len_hist_chunked_equals_one_shot(spark, tmp_path):
         map(tuple, direct.collect())
     )
     assert sketches.histogram_tvd_ppm(stored, direct) == 0
+
+
+def test_writer_lock_excludes_concurrent_mutators(spark, tmp_path):
+    """Snapshot mutation is single-writer: while one writer holds the
+    index-dir lock, merge/optimize/prune raise instead of interleaving
+    two read-modify-write version allocations; break_writer_lock
+    recovers from a crashed holder."""
+    index_dir = str(tmp_path / "lock_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+
+    with incremental._writer_lock(index_dir):
+        with pytest.raises(RuntimeError, match="another writer"):
+            incremental.merge_batch(
+                spark,
+                spark.createDataFrame(BATCH2, DOCS_DDL),
+                index_dir,
+                CFG,
+                batch_id=1,
+            )
+        with pytest.raises(RuntimeError, match="another writer"):
+            incremental.optimize_snapshot(spark, index_dir)
+        with pytest.raises(RuntimeError, match="another writer"):
+            incremental.prune_versions(index_dir)
+    # lock released on exit: mutation works again
+    v = incremental.merge_batch(
+        spark, spark.createDataFrame(BATCH2, DOCS_DDL), index_dir, CFG,
+        batch_id=1,
+    )
+    assert v == 1
+
+    # simulate a crashed holder: lockfile exists, no live writer
+    lock_path = os.path.join(index_dir, incremental._LOCK_NAME)
+    with open(lock_path, "w") as fh:
+        fh.write("99999")
+    with pytest.raises(RuntimeError):
+        incremental.prune_versions(index_dir)
+    assert incremental.break_writer_lock(index_dir) is True
+    assert incremental.break_writer_lock(index_dir) is False
+    assert incremental.prune_versions(index_dir, keep_last=2) == []
+
+
+def test_sidecar_continuity_survives_unflagged_merge(spark, tmp_path):
+    """A merge that forgets the maintain flags must NOT drop the
+    accumulated sidecars: once a snapshot carries one, later merges
+    maintain it automatically and the stored artefact still equals a
+    from-scratch build (the docs' invariant)."""
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.operators import sketches
+
+    index_dir = str(tmp_path / "cont_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(
+        spark, b1, index_dir, CFG, batch_id=0,
+        maintain_vocab_hll=True, maintain_len_hist=True,
+    )
+    # flags omitted — continuity must carry both sidecars forward
+    incremental.merge_batch(spark, b2, index_dir, CFG, batch_id=1)
+
+    stored_reg = incremental.load_latest_vocab_hll(spark, index_dir)
+    assert stored_reg is not None
+    full = incremental.load_latest(spark, index_dir, CFG)
+    direct_reg = sketches.hll_registers(
+        full.postings.select("term"), "term"
+    )
+    assert sorted(map(tuple, stored_reg.collect())) == sorted(
+        map(tuple, direct_reg.collect())
+    )
+
+    stored_hist = incremental.load_latest_len_hist(spark, index_dir)
+    assert stored_hist is not None
+    direct_hist = sketches.log2_histogram(
+        b1.unionByName(b2).select(F.length("content").alias("n")), "n"
+    )
+    assert sketches.histogram_tvd_ppm(stored_hist, direct_hist) == 0
+
+
+def test_late_sidecar_enablement_rebuilds_or_raises(spark, tmp_path):
+    """Enabling a sidecar AFTER unmaintained merges: bm25/hll/bloom
+    rebuild over the merged postings (stored artefact covers the whole
+    corpus, not just the delta); len_hist cannot be rebuilt from
+    postings and must raise."""
+    from fulltextindexer_spark.operators import sketches
+
+    index_dir = str(tmp_path / "late_idx")
+    os.makedirs(index_dir)
+    b1 = spark.createDataFrame(BATCH1, DOCS_DDL)
+    b2 = spark.createDataFrame(BATCH2, DOCS_DDL)
+    incremental.merge_batch(spark, b1, index_dir, CFG, batch_id=0)
+    incremental.merge_batch(
+        spark, b2, index_dir, CFG, batch_id=1, maintain_vocab_hll=True
+    )
+    stored = incremental.load_latest_vocab_hll(spark, index_dir)
+    full = incremental.load_latest(spark, index_dir, CFG)
+    direct = sketches.hll_registers(full.postings.select("term"), "term")
+    # covers BATCH1's vocabulary too, not just the enabling batch's
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    with pytest.raises(ValueError, match="len_hist"):
+        incremental.merge_batch(
+            spark,
+            spark.createDataFrame(BATCH1, DOCS_DDL),
+            index_dir,
+            CFG,
+            batch_id=2,
+            maintain_len_hist=True,
+        )
+
+
+def test_start_incremental_plumbs_new_sidecar_flags(spark, tmp_path):
+    """start_incremental_index forwards maintain_doc_bloom /
+    maintain_len_hist to every micro-batch merge (ADVICE r3)."""
+    input_dir = str(tmp_path / "sc_in")
+    index_dir = str(tmp_path / "sc_idx")
+    ckpt = str(tmp_path / "sc_ckpt")
+    os.makedirs(input_dir)
+    spark.createDataFrame(BATCH1 + BATCH2, DOCS_DDL).write.mode(
+        "append"
+    ).parquet(input_dir)
+    q = incremental.start_incremental_index(
+        spark, input_dir, index_dir, CFG, ckpt,
+        maintain_doc_bloom=True, maintain_len_hist=True,
+    )
+    q.awaitTermination(120)
+    assert incremental.load_latest_doc_bloom(spark, index_dir) is not None
+    assert incremental.load_latest_len_hist(spark, index_dir) is not None
