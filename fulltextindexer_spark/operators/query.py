@@ -1515,6 +1515,11 @@ def ranking_metrics(
     so any engine reproduces them; only queries with at least one
     relevant doc are reported.
 
+    Both inputs are deduplicated on (query, doc) first — duplicate
+    result rows would otherwise occupy two ranks and duplicate qrels
+    would inflate n_rel/n_hits (recall could exceed 1). The max
+    score / max rel row wins, deterministically.
+
     Scale shape: one query-partitioned rank window over the k-bounded
     candidate lists (never a global sort), one hits join, two
     query-keyed aggs; IDCG is a closed-form per-row expression in the
@@ -1529,11 +1534,18 @@ def ranking_metrics(
     )
     topk = (
         results.select(query_col, id_col, score_col)
+        .groupBy(query_col, id_col)
+        .agg(F.max(score_col).alias(score_col))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    rels = qrels.where(F.col(rel_col) > 0).select(
-        query_col, id_col, F.col(rel_col).cast("double").alias("_rel")
+    rels = (
+        qrels.where(F.col(rel_col) > 0)
+        .select(
+            query_col, id_col, F.col(rel_col).cast("double").alias("_rel")
+        )
+        .groupBy(query_col, id_col)
+        .agg(F.max("_rel").alias("_rel"))
     )
     gain = (
         F.pow(F.lit(2.0), F.col("_rel")) - 1.0 if graded else F.lit(1.0)

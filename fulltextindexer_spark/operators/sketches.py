@@ -306,9 +306,19 @@ def histogram_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     (an ingest regression shows up as mass moving between length
     bins long before any query breaks). All-integer (floor-ppm), so
     any engine reproduces it; the frames are ≤64 rows each, the join
-    trivial."""
-    ta = a.agg(F.sum("n").cast("bigint").alias("total_a"))
-    tb = b.agg(F.sum("n").cast("bigint").alias("total_b"))
+    trivial. A side with no mass (empty frame or all-zero counts —
+    e.g. a slice that matched no docs) gets ppm 0 in every bin rather
+    than NULL: totals are guarded with greatest(total, 1)."""
+    ta = a.agg(
+        F.greatest(
+            F.coalesce(F.sum("n").cast("bigint"), F.lit(0)), F.lit(1)
+        ).alias("total_a")
+    )
+    tb = b.agg(
+        F.greatest(
+            F.coalesce(F.sum("n").cast("bigint"), F.lit(0)), F.lit(1)
+        ).alias("total_b")
+    )
     joined = (
         a.select("bin", F.col("n").alias("n_a"))
         .join(b.select("bin", F.col("n").alias("n_b")), "bin", "full")
@@ -388,8 +398,20 @@ def _bloom_bit_expr(row: int, value_expr: str, n_hex_digits: int) -> str:
     gate oracle)."""
     return (
         f"cast(conv(substring(md5(concat('b{row}:', {value_expr})),"
-        f" 1, {n_hex_digits}), 16, 10) as int)"
+        f" 1, {n_hex_digits}), 16, 10) as bigint)"
     )
+
+
+def _check_hex_digits(n_hex_digits: int) -> None:
+    """16^8 > 2^31 silently became NULL bits under the old int cast;
+    the fold is bigint now, but the bitmap render still allocates
+    16^n/4 driver-side chars — cap the filter size explicitly instead
+    of inviting a 1 GiB literal."""
+    if not 1 <= int(n_hex_digits) <= 7:
+        raise ValueError(
+            f"n_hex_digits must be in [1, 7] (16^n bits; got "
+            f"{n_hex_digits})"
+        )
 
 
 def bloom_bits(
@@ -407,6 +429,7 @@ def bloom_bits(
     per-snapshot filters compose exactly — the mergeable build a
     runtime filter over a 100 TB keep-list needs.
     """
+    _check_hex_digits(n_hex_digits)
     bits = F.array(
         *[
             F.expr(
@@ -443,6 +466,7 @@ def bloom_contains(
     equi-join against the ≤16^n-row bit frame (AQE broadcasts it),
     one probe-keyed agg. For a scan predicate with zero joins use
     :func:`bloom_bitmap_hex` + :func:`bloom_member_sql` instead."""
+    _check_hex_digits(n_hex_digits)
     exploded = probes.select(
         F.col(value_col).alias("item"),
         F.explode(
@@ -476,6 +500,7 @@ def bloom_bitmap_hex(
     bit b lives in char b//4 with mask 8 >> (b % 4)) — 16^n/4 chars
     (8 KiB at the default), small enough to ship to every task as a
     literal. The one driver collect is bounded by 16^n rows."""
+    _check_hex_digits(n_hex_digits)
     m = 16 ** n_hex_digits
     nibbles = [0] * (m // 4)
     for row in bits.select("bit").collect():
@@ -499,6 +524,7 @@ def bloom_member_expr(
     11 s vs sub-second on the same input). Same pass set: bit indices
     are the identical md5 fold, pinned against the join path and the
     portable text in pytest."""
+    _check_hex_digits(n_hex_digits)
     tests = []
     for r in range(k):
         bit = _bloom_bit_expr(r, value_expr, n_hex_digits)
@@ -525,6 +551,7 @@ def bloom_member_sql(
     pass set with expressions compact enough for whole-stage codegen.
     Pass ``bitmap_sql`` (e.g. a CTE scalar) to substitute something
     other than an inline literal."""
+    _check_hex_digits(n_hex_digits)
     bm = bitmap_sql if bitmap_sql is not None else f"'{bitmap_hex}'"
     tests = []
     for r in range(k):

@@ -120,3 +120,41 @@ def test_graded_reduces_to_binary_when_rels_are_one(spark):
     assert (a["mrr"], a["ndcg"], a["recall"]) == (
         b["mrr"], b["ndcg"], b["recall"],
     )
+
+
+def test_ranking_metrics_dedupes_duplicate_inputs(spark):
+    """Duplicate (query, doc) rows in results or qrels must not skew
+    the metrics (ADVICE r3): dup results would occupy two ranks, dup
+    qrels would inflate n_rel and push recall past 1. Max score / max
+    rel wins."""
+    from fulltextindexer_spark.operators.query import ranking_metrics
+
+    results = spark.createDataFrame(
+        [
+            ("q1", 1, 0.9), ("q1", 1, 0.5),  # dup doc, lower score too
+            ("q1", 2, 0.8),
+            ("q1", 3, 0.7),
+        ],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 1, 2), ("q1", 2, 1)],  # dup qrel
+        "query_id string, doc_id long, rel int",
+    )
+    row = ranking_metrics(results, qrels, k=3).collect()[0]
+    assert row["n_rel"] == 2
+    assert row["n_hits"] == 2
+    assert row["recall"] == 1.0
+    assert row["mrr"] == 1.0
+
+    clean = ranking_metrics(
+        results.dropDuplicates(["query_id", "doc_id"]),
+        spark.createDataFrame(
+            [("q1", 1, 2), ("q1", 2, 1)],
+            "query_id string, doc_id long, rel int",
+        ),
+        k=3,
+        graded=True,
+    ).collect()[0]
+    dirty = ranking_metrics(results, qrels, k=3, graded=True).collect()[0]
+    assert dirty == clean

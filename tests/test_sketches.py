@@ -289,3 +289,45 @@ def test_histogram_drift_and_tvd(spark):
     # TVD: sum|diff|/2 = (250000+250000+250000+750000)/2
     assert sketches.histogram_tvd_ppm(a, b) == 750000
     assert sketches.histogram_tvd_ppm(a, a) == 0
+
+
+def test_histogram_drift_empty_side_yields_zero_ppm(spark):
+    """A side with no mass (empty slice) must produce ppm 0, not NULL
+    (ADVICE r3): drift rows stay non-null and the TVD score is the
+    full 500000 half-sum rather than a TypeError."""
+    from fulltextindexer_spark.operators import sketches
+
+    a = sketches.log2_histogram(
+        spark.createDataFrame([(10,), (100,), (1000,)], "n int"), "n"
+    )
+    empty = sketches.log2_histogram(
+        spark.createDataFrame([], "n int"), "n"
+    )
+    drift = sketches.histogram_drift(a, empty).collect()
+    assert drift, "bins from the non-empty side must survive the join"
+    assert all(r["ppm_b"] == 0 for r in drift)
+    assert all(r["ppm_a"] is not None for r in drift)
+    # TVD: all of a's mass is unmatched -> sum(ppm_a)/2 (floor shares)
+    assert sketches.histogram_tvd_ppm(a, empty) == (
+        sum(r["ppm_a"] for r in drift) // 2
+    )
+    assert sketches.histogram_tvd_ppm(empty, empty) == 0
+
+
+def test_bloom_hex_digit_bounds_and_bigint_fold(spark):
+    """n_hex_digits is validated to [1,7] (16^8 overflowed the old int
+    cast to NULL bits); at the max width the bigint fold yields real
+    bit positions, never NULL."""
+    from fulltextindexer_spark.operators import sketches
+
+    vals = spark.createDataFrame([("x",), ("y",)], "v string")
+    for bad in (0, 8, 16):
+        with pytest.raises(ValueError, match="n_hex_digits"):
+            sketches.bloom_bits(vals, "v", n_hex_digits=bad)
+    with pytest.raises(ValueError, match="n_hex_digits"):
+        sketches.bloom_bitmap_hex(
+            sketches.bloom_bits(vals, "v"), n_hex_digits=8
+        )
+    rows = sketches.bloom_bits(vals, "v", n_hex_digits=7).collect()
+    assert rows and all(r["bit"] is not None for r in rows)
+    assert all(0 <= r["bit"] < 16 ** 7 for r in rows)
