@@ -698,6 +698,33 @@ class InvertedIndex:
             remaining, self.config, self.key_map, self.natural_key
         )
 
+    def remove_where(self, pred) -> "InvertedIndex":
+        """Predicate-form removal — the reference's
+        ``Remove(Predicate<TKey>)`` overload (IndexData.cs:147-163):
+        drop every doc whose KEY satisfies ``pred`` (a boolean
+        ``Column``).
+
+        Numeric-keyed index: ``pred`` references ``doc_id`` and is
+        applied as a plain NOT-filter on the postings scan — no join
+        at all, the cheapest possible shape at 100 TB. String-keyed
+        index: ``pred`` references ``doc_key`` (the natural key) and
+        is evaluated against the (doc_id, doc_key) map, then removed
+        via the same AQE-decided anti join as :meth:`remove_keys`.
+        """
+        if self.key_map is not None:
+            hit = self.key_map.where(pred).select("doc_id")
+            removed = self.remove_keys(hit)
+            key_map = self.key_map.where(~pred)
+            return InvertedIndex(
+                removed.postings, self.config, key_map, self.natural_key
+            )
+        return InvertedIndex(
+            self.postings.where(~pred),
+            self.config,
+            self.key_map,
+            self.natural_key,
+        )
+
     def prune_terms(
         self,
         min_df: int = 1,
@@ -1007,6 +1034,7 @@ def fields_from_schema(
     key_column: str,
     weights: Optional[dict[str, float]] = None,
     default_weight: float = 1.0,
+    exclude: Optional[set] = None,
 ) -> tuple[FieldConfig, ...]:
     """Derive the indexed-field list from a DataFrame schema.
 
@@ -1017,13 +1045,20 @@ def fields_from_schema(
     where every readable string/string-set property is indexed
     automatically. ``weights`` overrides per-column weight (the
     builder's SetWeightMultiplier); everything else gets
-    ``default_weight``.
+    ``default_weight``. ``exclude`` names columns to skip — the
+    builder's ``Ignore()``
+    (AutomatedIndexGeneratorFactoryBuilder.cs:229-274); unknown names
+    raise rather than silently no-op.
     """
     from pyspark.sql.types import ArrayType, StringType
 
+    exclude = set(exclude or ())
+    unknown = exclude - {f.name for f in docs.schema.fields}
+    if unknown:
+        raise ValueError(f"exclude names unknown columns: {sorted(unknown)}")
     out = []
     for f in docs.schema.fields:
-        if f.name == key_column:
+        if f.name == key_column or f.name in exclude:
             continue
         dt = f.dataType
         is_str = isinstance(dt, StringType)

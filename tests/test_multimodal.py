@@ -182,3 +182,38 @@ def test_feature_extraction_over_real_media(spark):
     for v in feats.values():
         assert len(v) == M.FEATURE_DIM
         assert abs(sum(x * x for x in v) - 1.0) < 1e-3
+
+
+def test_video_decodes_real_avi_or_refuses():
+    """Round-3 verdict: no fake features for video — uncompressed
+    RIFF/AVI really parses (frame bytes round-trip exactly through the
+    writer/decoder pair); anything else raises instead of fabricating
+    a buffer."""
+    from fulltextindexer_spark.operators.multimodal import (
+        decode_media,
+        make_avi,
+    )
+
+    frames = [bytes(range(36)), bytes(range(36, 72))]
+    avi = make_avi(frames, width=4, height=3)
+    buf, decoder = decode_media(avi, "video")
+    assert decoder == "avi-stdlib"
+    assert bytes(buf.tobytes()) == b"".join(frames)
+
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_media(b"definitely-not-a-container", "video")
+    # a RIFF that is not AVI (e.g. a WAV) must refuse too, not misparse
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_media(b"RIFF\x04\x00\x00\x00WAVE", "video")
+
+
+def test_synth_video_payloads_are_real_avi(media):
+    """The synthetic corpus's video rows carry real AVI containers:
+    the real decoder handles them (never the fake), with n_frames
+    frames of width*height*3 bytes."""
+    from fulltextindexer_spark.operators.multimodal import decode_media
+
+    row = media.where(F.col("kind") == "video").first()
+    buf, decoder = decode_media(bytes(row["data"]), "video")
+    assert decoder == "avi-stdlib"
+    assert buf.size == row["n_frames"] * row["width"] * row["height"] * 3

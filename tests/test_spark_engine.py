@@ -1416,3 +1416,69 @@ def test_create_views_sql_equals_dataframe_api(spark):
         for r in spark.sql("SELECT * FROM vtest_terms").collect()
     }
     assert terms[ht] == (2, 3)
+
+
+def test_index_algebra_remove_where(spark):
+    """Predicate-form removal (reference IndexData.Remove(Predicate<TKey>),
+    IndexData.cs:147-163): numeric keys filter the postings scan
+    directly; string keys evaluate the predicate on the natural key —
+    both must equal remove_keys over the predicate's key set."""
+    docs = [
+        {"id": 1, "title": "", "content": "Product alpha"},
+        {"id": 2, "title": "", "content": "Product beta"},
+        {"id": 3, "title": "", "content": "Product gamma"},
+    ]
+    idx = build_index(_docs_df(spark, docs), POSTS_CONFIG)
+    by_pred = idx.remove_where(q.F.col("doc_id") >= 2)
+    by_keys = idx.remove_keys(
+        spark.createDataFrame([(2,), (3,)], "doc_id long")
+    )
+    key = lambda r: (r["term"], r["doc_id"])
+    assert sorted(map(key, by_pred.postings.collect())) == sorted(
+        map(key, by_keys.postings.collect())
+    )
+    assert _scores(
+        q.get_matches(by_pred, "Product").select(
+            "doc_id", q.F.col("weight").alias("score")
+        )
+    ) == [(1, 1.0)]
+
+    sdocs = spark.createDataFrame(
+        [("post/alpha", "cat dog"), ("post/beta", "cat fish")],
+        "slug string, content string",
+    )
+    sidx = build_index(
+        sdocs,
+        IndexConfig(key_column="slug", fields=(FieldConfig("content", 1.0),)),
+    )
+    kept = sidx.remove_where(q.F.col("doc_key") == "post/beta")
+    got = {
+        r["doc_key"]
+        for r in kept.resolve_keys(
+            q.get_partial_matches(kept, "cat")
+        ).collect()
+    }
+    assert got == {"post/alpha"}
+    # key map pruned alongside the postings
+    assert {r["doc_key"] for r in kept.key_map.collect()} == {"post/alpha"}
+
+
+def test_fields_from_schema_exclude(spark):
+    """Ignore() parity (AutomatedIndexGeneratorFactoryBuilder.cs:229-274):
+    excluded columns are skipped; unknown names raise."""
+    import pytest as _pytest
+
+    from fulltextindexer_spark.operators.index_build import (
+        fields_from_schema,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", ["x"], "body")],
+        "id long, title string, tags array<string>, body string",
+    )
+    fields = fields_from_schema(df, "id", exclude={"tags"})
+    assert fields == (FieldConfig("title", 1.0), FieldConfig("body", 1.0))
+    with _pytest.raises(ValueError, match="unknown columns"):
+        fields_from_schema(df, "id", exclude={"nope"})
+    with _pytest.raises(ValueError, match="no string"):
+        fields_from_schema(df, "id", exclude={"title", "tags", "body"})
