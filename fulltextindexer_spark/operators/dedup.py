@@ -390,11 +390,27 @@ def lsh_verified_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def _iter_checkpoint(df: DataFrame, checkpoint_dir, eager: bool) -> DataFrame:
+    """Per-round lineage truncation for iterative loops: cheap
+    ``localCheckpoint`` by default (fine in local mode and on executor
+    loss-free runs); a RELIABLE ``checkpoint`` to ``checkpoint_dir``
+    when given — on a real cluster a lost executor invalidates
+    localCheckpoint blocks mid-loop, while reliable checkpoints
+    survive on distributed storage."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list: one
     ``(node, component)`` row per node appearing in ``pairs``, where
@@ -417,9 +433,10 @@ def connected_components(
     ``localCheckpoint``-ed every round: iterative DataFrame loops must
     truncate lineage or analysis cost grows quadratically with rounds,
     and orphaned checkpoint RDDs are freed by Spark's ContextCleaner
-    as references drop. On a real cluster prefer a reliable
-    ``setCheckpointDir`` + ``checkpoint`` for executor-loss tolerance;
-    local mode has no such loss, so the cheap local variant is used.
+    as references drop. Pass ``checkpoint_dir=`` to switch every
+    round to a RELIABLE ``checkpoint`` on that path (executor-loss
+    tolerance on a real cluster); the default stays the cheap local
+    variant, which local mode cannot lose.
     Raises ``RuntimeError`` if not converged within ``max_iter``
     rounds (monotone-decreasing labels make convergence certain; the
     bound is a safety net, and 30 rounds covers components of ~2^30
@@ -438,8 +455,8 @@ def connected_components(
             edges.select(F.col("u").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        labels = _iter_checkpoint(labels, checkpoint_dir, eager=True)
         for _ in range(max_iter):
             nbr = (
                 edges.join(labels, edges["v"] == labels["node"])
@@ -467,8 +484,8 @@ def connected_components(
                     merged["old_label"],
                     F.least(merged["label"], ptr["plabel"]).alias("label"),
                 )
-                .localCheckpoint(eager=False)
             )
+            jumped = _iter_checkpoint(jumped, checkpoint_dir, eager=False)
             n_changed = jumped.where(
                 F.col("label") != F.col("old_label")
             ).count()
@@ -494,6 +511,7 @@ def pagerank(
     n_iter: int = 8,
     damping: float = 0.85,
     round_dp: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (e.g. the banded-minhash
     candidate graph) — the centrality read on duplication hubs: a
@@ -513,9 +531,10 @@ def pagerank(
     Scale shape: per iteration one keyed equi-join (edges ⋈ ranks on
     the source) + one groupBy(dst) — AQE-sized shuffles, no all-pairs
     step; the edge⋈degree frame is built once and persisted; ranks are
-    ``localCheckpoint``-ed per round to truncate lineage (same
-    rationale as :func:`connected_components`). ``n`` (node count) is
-    the one driver scalar.
+    checkpointed per round to truncate lineage (same rationale and
+    same ``checkpoint_dir=`` reliable-mode switch as
+    :func:`connected_components`). ``n`` (node count) is the one
+    driver scalar.
     """
     e = pairs.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
@@ -538,8 +557,8 @@ def pagerank(
             .select(
                 "node", F.round(F.lit(1.0) / n, round_dp).alias("rank")
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = _iter_checkpoint(ranks, checkpoint_dir, eager=True)
         for _ in range(n_iter):
             ranks = (
                 edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
@@ -552,8 +571,8 @@ def pagerank(
                         round_dp,
                     ).alias("rank")
                 )
-                .localCheckpoint(eager=True)
             )
+            ranks = _iter_checkpoint(ranks, checkpoint_dir, eager=True)
     finally:
         edges_deg.unpersist()
     return ranks

@@ -65,3 +65,41 @@ def test_pagerank_ignores_self_loops_and_duplicate_edges(spark):
         ).collect()
     }
     assert got == {1: 0.5, 2: 0.5}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir= switches CC/PageRank per-round truncation to a
+    reliable checkpoint (executor-loss tolerance on real clusters):
+    results identical to the localCheckpoint default, and checkpoint
+    RDD dirs actually materialise under the given path."""
+    import os
+
+    from fulltextindexer_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ck = str(tmp_path / "reliable_ck")
+    cc_local = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    cc_rel = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=ck
+        ).collect()
+    }
+    assert cc_rel == cc_local == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+    }
+    assert any(os.scandir(ck)), "reliable checkpoints must hit the dir"
+
+    pr_local = {
+        r["node"]: r["rank"] for r in dedup.pagerank(pairs).collect()
+    }
+    pr_rel = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank(pairs, checkpoint_dir=ck).collect()
+    }
+    assert pr_rel == pr_local
