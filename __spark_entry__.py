@@ -2505,6 +2505,118 @@ def q_distinct_ngrams(spark, sf_dir):
     return textstats.distinct_ngrams(_documents(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Unicode-stress parity corpus (round-3 verdict #4): combining marks
+# (composed AND decomposed), NFKD-expanding ligatures/fullwidth/
+# mathematical letters, astral (surrogate-pair) codepoints, CJK with
+# ideographic space, RTL Arabic, NBSP, and P*-category punctuation —
+# the exact risk surface of the survey's top-ranked hard part
+# (.NET-vs-Python normaliser divergence). The engine indexes with the
+# DEFAULT normaliser (NFKD → drop P* → marks-to-space → collapse →
+# lower); the oracle replays it with per-character replace() chains
+# derived from the SAME corpus inventory (each char's image under the
+# pipeline is deterministic), so Spark and DuckDB must agree on every
+# normalised TERM, not just on scores.
+#
+# Envelope exclusions (documented, deliberately absent from the
+# corpus): chars whose lowercase differs between Python str.lower and
+# DuckDB lower (Turkish dotted İ, German ẞ, final-sigma ς) and chars
+# whose NFKD image itself contains corpus-special chars.
+UNICODE_DOCS = [
+    # composed \u00e9, DEcomposed e+\u0301, mid-token \u00ef
+    (1, "Caf\u00e9 cafe\u0301 na\u00efve"),
+    # U+FB01 ligature, fullwidth SQL, mathematical-script capital S
+    (2, "\ufb01le \uff33\uff31\uff2c \U0001d4aeort"),
+    # CJK + ideographic space U+3000
+    (3, "\u6570\u636e\u5e93\u3000\u67e5\u8be2 engine"),
+    # RTL Arabic
+    (4, "\u0642\u0627\u0639\u062f\u0629 \u0628\u064a\u0627\u0646\u0627\u062a data"),
+    # stop word, NBSP between sort/data, astral emoji
+    (5, "the file sort\u00a0data \U0001f600"),
+    # \u00a7 dropped (Po), break chars, hyphen dropped (Pd)
+    (6, "a\u00a7b (index) data-base"),
+]
+
+# char -> its image after NFKD + category translate (P* dropped, marks
+# to space), BEFORE the final collapse/trim/lower -- pinned equal to
+# functions.normalize.default_normalise in pytest
+UNICODE_CHAR_IMAGES = [
+    ("\u00e9", "e "),   # e-acute -> e + combining mark -> 'e '
+    ("\u0301", " "),    # raw combining acute -> space
+    ("\u00ef", "i "),   # i-diaeresis -> i + mark
+    ("\ufb01", "fi"),   # ligature fi
+    ("\uff33", "S"), ("\uff31", "Q"), ("\uff2c", "L"),  # fullwidth
+    ("\U0001d4ae", "S"),  # mathematical script capital S (astral)
+    ("\u00a7", ""),     # section sign is Po -> dropped
+    ("-", ""),           # hyphen is Pd -> dropped
+]
+
+UNICODE_BREAK_CHARS = "()"  # corpus chars from the break set
+UNICODE_WHITESPACE = (
+    "\u00a0", "\u3000",  # tokenizer \s beyond ' ' (NBSP, ideographic)
+)
+
+
+def q_unicode(spark, sf_dir):
+    """Full-vocabulary parity over the Unicode-stress corpus: every
+    (term, doc_id, tf, weight) posting from a default-normaliser index
+    build — term STRINGS are compared across engines, so any NFKD /
+    mark / ligature / astral divergence fails the gate rather than
+    hiding inside a score."""
+    docs = spark.createDataFrame(UNICODE_DOCS, "doc_id long, content string")
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("content", 1.0),),
+        normaliser="default",
+        capture_positions=False,
+    )
+    idx = build_index(docs, cfg)
+    return idx.postings.select(
+        "term",
+        "doc_id",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round(F.col("weight").cast("double"), 4).alias("w"),
+    )
+
+
+def _unicode_oracle_sql() -> str:
+    from fulltextindexer_spark.config import ENGLISH_STOP_WORDS
+    from fulltextindexer_spark.functions.normalize import default_normalise
+
+    values = ",\n                          ".join(
+        f"(CAST({i} AS BIGINT), '{text}')" for i, text in UNICODE_DOCS
+    )
+    pre = "content"
+    for c in UNICODE_BREAK_CHARS:
+        pre = f"replace({pre}, '{c}', ' ')"
+    for c in UNICODE_WHITESPACE:
+        pre = f"replace({pre}, '{c}', ' ')"
+    term = "t"
+    for c, img in UNICODE_CHAR_IMAGES:
+        term = f"replace({term}, '{c}', '{img}')"
+    term = f"lower(trim(regexp_replace({term}, ' +', ' '), ' '))"
+    stops = ", ".join(
+        f"'{default_normalise(w)}'" for w in sorted(ENGLISH_STOP_WORDS)
+    )
+    return f"""
+WITH docs(doc_id, content) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, unnest(string_split({pre}, ' ')) AS t FROM docs
+),
+norm AS (
+  SELECT doc_id, {term} AS term FROM tok WHERE t <> ''
+),
+post AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM norm WHERE term <> '' GROUP BY term, doc_id
+)
+SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
+       round(tf * (CASE WHEN term IN ({stops}) THEN 0.01 ELSE 1.0 END),
+             4) AS w
+FROM post
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver samples the FIRST ~50 entries for its
     # correctness record, so the SURVEY §2-mapped ftix core stays at
@@ -2545,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_remove": q_remove,
         "ftix_combine": q_combine,
         "ftix_compact_search": q_compact_search,
+        "ftix_unicode": q_unicode,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_sig": q_minhash_sig,
@@ -3859,6 +3972,7 @@ m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
 SELECT doc_id, round(sum(w), 4) AS score FROM m
 GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
+        "ftix_unicode": _unicode_oracle_sql(),
         "ftix_prefix": _prefix_sql(),
         "ftix_prefix_prop": _prefix_prop_sql(),
         "ftix_combined_tokens": _combined_tokens_sql(),

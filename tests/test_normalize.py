@@ -133,3 +133,48 @@ def test_default_translate_table_golden():
 _TABLE_SHA = (
     "476d54cabfb93d5bf2b00dd1761a78e73f3a56c282b1c1b0fd6fc6cd46d36d03"
 )
+
+
+def test_unicode_gate_char_images_match_default_normalise():
+    """The ftix_unicode oracle's per-char replace images must equal the
+    engine's real NFKD pipeline (functions.normalize.default_normalise)
+    for every token of the gate corpus — combining marks (composed and
+    decomposed), ligatures, fullwidth, astral, CJK, RTL, dropped
+    punctuation. If a corpus or image edit breaks this equivalence the
+    pin fails before the gate does."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    def oracle_norm(t):
+        for c, img in entry_mod.UNICODE_CHAR_IMAGES:
+            t = t.replace(c, img)
+        return re.sub(" +", " ", t).strip(" ").lower()
+
+    import unicodedata
+
+    seen_classes = set()
+    for _, text in entry_mod.UNICODE_DOCS:
+        pre = text
+        for c in entry_mod.UNICODE_BREAK_CHARS:
+            assert c in "<>[](){}.,:;\"?!/\\@+|="  # real break chars only
+            pre = pre.replace(c, " ")
+        for c in entry_mod.UNICODE_WHITESPACE:
+            assert c.isspace()
+            pre = pre.replace(c, " ")
+        for tok in pre.split(" "):
+            if not tok:
+                continue
+            assert default_normalise(tok) == oracle_norm(tok), tok
+            if any(ord(ch) > 0xFFFF for ch in tok):
+                seen_classes.add("astral")
+            if any(0x4E00 <= ord(ch) <= 0x9FFF for ch in tok):
+                seen_classes.add("cjk")
+            if any(0x600 <= ord(ch) <= 0x6FF for ch in tok):
+                seen_classes.add("rtl")
+            if any(
+                unicodedata.combining(ch) for ch in tok
+            ) or tok != unicodedata.normalize("NFKD", tok):
+                seen_classes.add("marks_or_nfkd")
+    # the corpus must keep covering all four stress classes
+    assert seen_classes == {"astral", "cjk", "rtl", "marks_or_nfkd"}
