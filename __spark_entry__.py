@@ -695,6 +695,21 @@ def q_remove(spark, sf_dir):
     )
 
 
+def q_remove_where(spark, sf_dir):
+    """Predicate-form Remove (reference IndexData.Remove(Predicate<TKey>),
+    IndexData.cs:147-163): drop every doc whose doc_id % 7 == 3 with a
+    pure scan NOT-filter (no key-set join at all for numeric keys),
+    return the surviving per-term doc_freq."""
+    idx = _docs_index(spark, sf_dir)
+    pruned = idx.remove_where(F.col("doc_id") % 7 == 3)
+    return (
+        pruned.postings.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_combine(spark, sf_dir):
     """Index algebra Combine (reference IndexData.cs:69-116): build two
     half-corpus indexes, merge them, and score — must equal a
@@ -2611,7 +2626,8 @@ post AS (
   FROM norm WHERE term <> '' GROUP BY term, doc_id
 )
 SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
-       round(tf * (CASE WHEN term IN ({stops}) THEN 0.01 ELSE 1.0 END),
+       round(CAST(tf AS DOUBLE)
+             * (CASE WHEN term IN ({stops}) THEN 0.01 ELSE 1.0 END),
              4) AS w
 FROM post
 """
@@ -2655,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_rank_eval_graded": q_rank_eval_graded,
         "ftix_bm25_wand": q_bm25_wand,
         "ftix_remove": q_remove,
+        "ftix_remove_where": q_remove_where,
         "ftix_combine": q_combine,
         "ftix_compact_search": q_compact_search,
         "ftix_unicode": q_unicode,
@@ -4231,6 +4248,12 @@ SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id
 WITH {TOK_CTE}
 SELECT term, count(DISTINCT doc_id) AS doc_freq
 FROM tok WHERE doc_id % 10 <> 0
+GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20
+""",
+        "ftix_remove_where": f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq
+FROM tok WHERE doc_id % 7 <> 3
 GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20
 """,
         "ftix_combine": f"""

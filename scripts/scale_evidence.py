@@ -1,0 +1,201 @@
+"""Scale-evidence run: the top-cost gate tier at sf0.1 vs a 10x corpus.
+
+Round-3 verdict #3: every 100x-scale claim rested on plan shape alone;
+this harness grounds one measured decade. It synthesises a
+deterministic sf1 (10x sf0.1: 50k docs / 20k embeddings) under
+``.scale/sf1`` — replicas are VOCABULARY-SALTED (a deterministic ~30%%
+of words per replica get a replica suffix; embeddings get seeded unit
+jitter) so cross-replica near-duplicate/neighbour structure does NOT
+explode: the duplicate and candidate-pair density per doc stays
+comparable to sf0.1 and the measured growth isolates input scale, not
+an artificial 10x-duplicate cluster blow-up.
+
+Usage (run ALONE — bench numbers are quota-sensitive):
+    python scripts/scale_evidence.py [--out scale_result.json]
+
+For each sf it starts a fresh local[32] session (same config as
+bench.py), pre-builds the shared artefacts as their own timed lines,
+then times each tier gate with query-scoped caches released between
+gates (the bench.py serving-loop contract). CPU-quota probes run
+before/after each sf so a hypervisor window can be ruled in/out
+(BENCH.md §3: minima across windows are the engine numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (bench.py at repo root: session/probe helpers)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale", "sf1",
+)
+N_REPS = 10
+
+# the verdict's top-cost tier, in dependency order
+TIER_GATES = [
+    "ftix_search_and",
+    "ftix_phrase",
+    "ftix_bm25",
+    "ftix_bm25_wand",
+    "dedup_minhash_pairs",
+    "dedup_cluster",
+    "curate_pipeline",
+    "sim_semantic_keep",
+    "curate_pack",
+]
+
+
+def _salt_word(w: str, rep: int) -> str:
+    # deterministic ~30% of (word, replica) pairs get a replica marker:
+    # cross-replica Jaccard ~ (0.7)^2/(2*0.7-0.49) ~ 0.54 on shared
+    # 1-grams and far lower on 3-gram shingles, so LSH near-dup pairs
+    # stay dominated by WITHIN-replica structure (as at sf0.1)
+    if rep == 0:
+        return w
+    return f"{w}r{rep}" if zlib.crc32(f"{w}:{rep}".encode()) % 10 < 3 else w
+
+
+def build_sf1(force: bool = False) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(SF1, "_COMPLETE")
+    if os.path.exists(marker) and not force:
+        return SF1
+    os.makedirs(SF1, exist_ok=True)
+    docs = pq.read_table(os.path.join(SF01, "documents.parquet")).to_pandas()
+    out_docs = []
+    for rep in range(N_REPS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + rep * 10_000_000
+        if rep:
+            d["text"] = [
+                " ".join(_salt_word(w, rep) for w in t.split(" "))
+                for t in d["text"]
+            ]
+        d["n_chars"] = [len(t) for t in d["text"]]
+        out_docs.append(d)
+    import pandas as pd
+
+    big = pd.concat(out_docs, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big, preserve_index=False),
+        os.path.join(SF1, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(SF01, "embeddings.parquet")).to_pandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float32)
+    out_emb = []
+    for rep in range(N_REPS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + rep * 10_000_000
+        if rep:
+            rng = np.random.default_rng(1000 + rep)
+            jit = mat + 0.35 * rng.standard_normal(mat.shape).astype(
+                np.float32
+            )
+            jit /= np.linalg.norm(jit, axis=1, keepdims=True)
+            e["embedding"] = [row.tolist() for row in jit]
+        out_emb.append(e)
+    bige = pd.concat(out_emb, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(bige, preserve_index=False),
+        os.path.join(SF1, "embeddings.parquet"),
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return SF1
+
+
+def run_sf(sf_dir: str, cpus: int = 32) -> dict:
+    from fulltextindexer_spark.plans import cachereg
+
+    probe_before = bench.quota_probe(cpus)
+    spark = bench._make_session(cpus, app=f"ftix-scale-{os.path.basename(sf_dir)}")
+    try:
+        import __spark_entry__ as entrymod
+
+        spark.range(1000).selectExpr("sum(id)").collect()
+        timings: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        gate_idx = entrymod._docs_index(spark, sf_dir)
+        gate_idx.postings.count()
+        timings["shared_index_build"] = round(time.perf_counter() - t0, 3)
+
+        from fulltextindexer_spark.operators import bm25 as bm25_mod
+
+        t0 = time.perf_counter()
+        bm25_mod.get_bm25_stats(gate_idx)
+        timings["bm25_stats_build"] = round(time.perf_counter() - t0, 3)
+
+        qs = entrymod.queries()
+        for name in TIER_GATES:
+            t0 = time.perf_counter()
+            bench._materialize(qs[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            cachereg.release_all(scope="query")
+
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        return {
+            "sf_dir": sf_dir,
+            "n_docs": n_docs,
+            "cpus": cpus,
+            "cpu_quota_fraction_before": probe_before,
+            "cpu_quota_fraction_after": bench.quota_probe(cpus),
+            "timings": timings,
+            "total_sec": round(sum(timings.values()), 3),
+        }
+    finally:
+        entrymod.release_caches()
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="scale_result.json")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    build_sf1(force=args.rebuild)
+    r_small = run_sf(SF01, args.cpus)
+    r_big = run_sf(SF1, args.cpus)
+    ratios = {
+        k: (
+            round(r_big["timings"][k] / r_small["timings"][k], 2)
+            if r_small["timings"][k] > 0
+            else None
+        )
+        for k in r_small["timings"]
+    }
+    result = {
+        "metric": "sf0.1->sf1 wall-time ratio (10x input)",
+        "small": r_small,
+        "big": r_big,
+        "ratio_10x": ratios,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({"ratio_10x": ratios,
+                      "small_total": r_small["total_sec"],
+                      "big_total": r_big["total_sec"],
+                      "quota": [r_small["cpu_quota_fraction_before"],
+                                r_big["cpu_quota_fraction_after"]]}))
+
+
+if __name__ == "__main__":
+    main()
