@@ -1326,8 +1326,19 @@ def q_semantic_keep(spark, sf_dir):
     Threshold 0.35 yields a non-trivial cluster structure on the
     synthetic random embeddings — multi-member transitive clusters
     without collapsing the corpus into one mega-component (real
-    pipelines run >=0.9)."""
-    emb, _, assigned = _ivf_index(spark, sf_dir, IVF_K)
+    pipelines run >=0.9).
+
+    The shard count SCALES with the corpus
+    (similarity.semdedup_n_clusters: ceil(n/250), floor IVF_K) so the
+    per-cluster quadratic verify stays bounded — linear total work at
+    any sf. At the sf0.01 oracle corpus (200 vectors) the formula
+    lands exactly on IVF_K, so the DuckDB oracle's seeded 8-centroid
+    replay is unchanged."""
+    n_emb = _embeddings(spark, sf_dir).count()
+    k = similarity.semdedup_n_clusters(
+        n_emb, target_cluster_size=250, k_min=IVF_K
+    )
+    emb, _, assigned = _ivf_index(spark, sf_dir, k)
     pairs = similarity.clustered_neardup_pairs(emb, assigned, threshold=0.35)
     return similarity.semantic_keep_list(emb, pairs)
 

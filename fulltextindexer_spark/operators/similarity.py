@@ -629,6 +629,36 @@ def rp_cosine_topk_lsh(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def semdedup_n_clusters(
+    n_vectors: int,
+    target_cluster_size: int = 250,
+    k_min: int = 8,
+) -> int:
+    """Shard count for SemDeDup-style clustered pairwise verification:
+    ``k = ceil(n / target_cluster_size)`` (floored at ``k_min``), so the
+    expected per-cluster size — and with it the quadratic verify join —
+    stays constant as the corpus grows. Total candidate-pair work is
+    then ``k * target²/2 ≈ n * target/2``: LINEAR in n, vs ``n²/(2k)``
+    (quadratic) at a fixed k.
+
+    Fixed k is the classic SemDeDup scaling trap: this repo's own 10x
+    scale harness (scripts/scale_evidence.py) measured a 7.5x wall-time
+    ratio for the semantic-dedup gate at fixed k=8 before adopting this
+    (BENCH.md §7). Abbas et al. 2023 likewise scale k with the corpus
+    (k=11k clusters for LAION-440M). The floor keeps tiny corpora on a
+    deterministic small-k path so the correctness oracle's seeded
+    clustering stays reproducible.
+    """
+    if target_cluster_size <= 0:
+        raise ValueError("target_cluster_size must be positive")
+    if n_vectors <= 0:
+        return k_min
+    return max(
+        k_min,
+        (n_vectors + target_cluster_size - 1) // target_cluster_size,
+    )
+
+
 def clustered_neardup_pairs(
     embeddings: DataFrame,
     assignment: DataFrame,

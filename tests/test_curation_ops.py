@@ -802,6 +802,25 @@ def test_semantic_keep_list_transitive(spark):
     assert keep == {1, 4}
 
 
+def test_semdedup_n_clusters_scales_linearly():
+    # fixed-k is the SemDeDup scaling trap: k must grow with n so the
+    # per-cluster quadratic verify stays bounded (BENCH.md §7)
+    f = similarity.semdedup_n_clusters
+    assert f(0) == 8 and f(-1) == 8  # degenerate inputs → floor
+    assert f(200) == 8  # sf0.01 oracle corpus lands exactly on IVF_K
+    assert f(2_000) == 8  # floor still binding at sf0.1
+    assert f(20_000) == 80  # 10x corpus → 10x shards, same cluster size
+    assert f(20_001) == 81  # ceil, not floor division
+    assert f(10**9, target_cluster_size=1000) == 10**6
+    # expected cluster size never exceeds the target once above floor
+    for n in (20_000, 123_457, 10**7):
+        assert n / f(n) <= 250
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        f(100, target_cluster_size=0)
+
+
 def test_mask_pii_rules_and_count(spark):
     docs = spark.createDataFrame(
         [
