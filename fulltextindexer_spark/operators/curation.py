@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fulltextindexer_spark.operators import decontam, dedup, textstats
+from fulltextindexer_spark.plans import cachereg
 
 
 def assemble_training_corpus(
@@ -39,9 +40,27 @@ def assemble_training_corpus(
     """The final corpus: all input columns plus ``split``; rows that
     fail any stage are gone. The quality used for the near-dup keep is
     content length (the simplest monotone proxy; swap by pre-computing
-    a ``quality`` column and calling the stages directly)."""
+    a ``quality`` column and calling the stages directly).
+
+    Scale shape: the two frames every later branch re-reads are
+    persisted (query scope) — ``base`` (exact-dedup survivors, whose
+    lineage contains the full-corpus groupBy(content) shuffle) feeds
+    the near-dup signature build, the keep-best join, and the split
+    join; ``withsplit`` feeds the train/eval branches, the decontam
+    shingle sides, and the final union. Without the persists those
+    branches re-run the exact-dedup shuffle up to 4x — at 100 TB that
+    is 4 corpus shuffles instead of 1 (pinned by
+    ``test_assemble_corpus_scans_source_exactly_thrice``). The serving
+    loop releases them via ``cachereg.release_all(scope="query")``.
+    """
     exact = dedup.deduplicated_keep_list(docs, text_col, id_col)
-    base = docs.join(exact, id_col, "left_semi")
+    base = cachereg.persist_tracked(
+        docs.join(exact, id_col, "left_semi"), scope="query"
+    )
+    # eager: the near-dup build below branches off base several times
+    # inside single jobs; a cold cache would race those branches into
+    # recomputing partitions (and re-scanning the source) concurrently
+    base.count()
     near = dedup.neardup_keep_best(
         base.withColumn("__quality", F.length(text_col)),
         "__quality",
@@ -56,7 +75,8 @@ def assemble_training_corpus(
     split = textstats.corpus_split(docs, id_col=id_col).withColumnRenamed(
         "doc_id", id_col
     )
-    withsplit = kept.join(split, id_col)
+    withsplit = cachereg.persist_tracked(kept.join(split, id_col), scope="query")
+    withsplit.count()  # eager, same rationale as base
     tr = withsplit.where(F.col("split") == "train")
     ev = withsplit.where(F.col("split") != "train")
     clean_tr = decontam.decontaminated_corpus(

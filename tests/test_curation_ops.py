@@ -1946,3 +1946,79 @@ def test_calibration_curve_hand_computed(spark):
     assert got[9] == (3, 0.98, 1.0)
     assert got[5] == (1, 0.55, 0.0)
     assert set(got) == {0, 5, 9}
+
+
+def test_assemble_corpus_scans_source_exactly_thrice(spark):
+    """Plan-efficiency pin for the pipeline persists (round-4): every
+    branch of assemble_training_corpus (near-dup signature build,
+    keep-best join, split join, the two decontam shingle sides, the
+    final union) must read the persisted base/withsplit frames, so the
+    SOURCE lineage is scanned exactly 3x regardless of branch count —
+    once under exact-dedup's groupBy(content), once as the survivor
+    join's probe side, once under corpus_split. Without the persists
+    the exact-dedup shuffle re-runs per branch (6+ source scans).
+    Counted with a per-partition accumulator under mapInArrow."""
+    from fulltextindexer_spark.operators.curation import (
+        assemble_training_corpus,
+    )
+    from fulltextindexer_spark.plans import cachereg
+
+    rows = [
+        (i, f"doc {i % 17} body word{i % 7} tail {i % 5} "
+            f"filler alpha beta gamma delta epsilon {i % 3}")
+        for i in range(120)
+    ] + [(1000 + i, f"doc {i} body word{i} exact-copy") for i in range(6)] * 2
+    base = spark.createDataFrame(
+        [(int(a), b) for a, b in rows], "doc_id long, text string"
+    ).repartition(4)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_partition(it):
+        acc.add(1)
+        yield from it
+
+    counted = base.mapInArrow(count_partition, base.schema)
+    out = assemble_training_corpus(counted)
+    n = out.count()
+    released = cachereg.release_all(scope="query")
+    assert n > 0
+    assert acc.value == 12, (
+        f"expected 3 scans of the 4-partition source, saw "
+        f"{acc.value / 4}x"
+    )
+    # base + withsplit (plus the near-dup tier's own internal persists)
+    assert released >= 2
+    assert cachereg.tracked_count(scope="query") == 0
+
+
+def test_assemble_corpus_semantics(spark):
+    """Exact dups collapse to one survivor; split column present; no
+    train row shares a 5-gram with the held-out splits."""
+    from fulltextindexer_spark.operators import decontam
+    from fulltextindexer_spark.operators.curation import (
+        assemble_training_corpus,
+    )
+    from fulltextindexer_spark.plans import cachereg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "one two three four five six seven"),
+            (4, "unrelated text body entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = assemble_training_corpus(docs).collect()
+    cachereg.release_all(scope="query")
+    ids = {r["doc_id"] for r in out}
+    assert 2 not in ids  # exact dup dropped (min-id survivor kept)
+    assert all(r["split"] in ("train", "valid", "test") for r in out)
+    tr = [r for r in out if r["split"] == "train"]
+    ev = [r for r in out if r["split"] != "train"]
+    if tr and ev:
+        tr_df = spark.createDataFrame(tr)
+        ev_df = spark.createDataFrame(ev)
+        bad = decontam.contaminated_ids(tr_df, ev_df, k=5).count()
+        assert bad == 0
