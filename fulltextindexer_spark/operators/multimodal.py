@@ -214,20 +214,26 @@ def _decode_avi_stdlib(data: bytes) -> np.ndarray:
     if data[:4] != _RIFF_MAGIC or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI")
     frames = []
-
-    def walk(buf: bytes) -> None:
-        pos = 0
-        while pos + 8 <= len(buf):
+    # iterative in-order chunk walk (explicit resume stack): a crafted
+    # deeply-nested LIST chain must surface as the contractual
+    # ValueError below, not a RecursionError out of an executor task
+    stack: list = []
+    buf, pos = data[12:], 0
+    while True:
+        if pos + 8 <= len(buf):
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body = buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)
             if fourcc == b"LIST":
-                walk(body[4:])  # skip the list subtype, recurse
+                stack.append((buf, pos))  # resume siblings after the list
+                buf, pos = body[4:], 0  # skip the list subtype, descend
             elif fourcc[2:4] in (b"db", b"dc") and size:
                 frames.append(body)
-            pos += 8 + size + (size % 2)
-
-    walk(data[12:])
+        elif stack:
+            buf, pos = stack.pop()
+        else:
+            break
     if not frames:
         raise ValueError("no video frame chunks")
     return np.frombuffer(b"".join(frames), dtype=np.uint8)

@@ -217,3 +217,43 @@ def test_synth_video_payloads_are_real_avi(media):
     buf, decoder = decode_media(bytes(row["data"]), "video")
     assert decoder == "avi-stdlib"
     assert buf.size == row["n_frames"] * row["width"] * row["height"] * 3
+
+
+def test_avi_deeply_nested_lists_raise_valueerror():
+    """Adversarial container: a 3000-deep LIST chain must surface as
+    the contractual ValueError (no frame chunks), not a RecursionError
+    out of an executor task — the chunk walk is iterative."""
+    import struct
+
+    from fulltextindexer_spark.operators.multimodal import (
+        _decode_avi_stdlib,
+    )
+
+    inner = b""
+    for _ in range(3000):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"xxxx" + inner
+    bomb = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        _decode_avi_stdlib(bomb)
+
+
+def test_avi_sibling_lists_preserve_frame_order():
+    """Frames split across sibling LISTs and top-level chunks decode
+    in container order (the iterative walk resumes siblings after a
+    descent)."""
+    import struct
+
+    from fulltextindexer_spark.operators.multimodal import (
+        _decode_avi_stdlib,
+    )
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    l1 = chunk(b"LIST", b"movi" + chunk(b"00db", b"AAAA"))
+    top = chunk(b"00db", b"BBBB")
+    l2 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"CCCC"))
+    body = b"AVI " + l1 + top + l2
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _decode_avi_stdlib(avi).tobytes() == b"AAAABBBBCCCC"
