@@ -2605,6 +2605,126 @@ def q_unicode(spark, sf_dir):
     )
 
 
+def q_contam_score(spark, sf_dir):
+    """Fractional contamination audit: per train doc, the ppm share of
+    its distinct 5-gram shingles that occur anywhere in the held-out
+    eval split (doc_id % 29 == 0) — the per-document "dirtiness"
+    metric the GPT-3/PaLM contamination appendices report, where
+    curate_decontam only answers drop/keep. Same scale shape: distinct
+    (benchmark-sized) eval shingle set, ONE train-side aggregation."""
+    docs = _documents(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 29 == 0)
+    tr = docs.where(F.col("doc_id") % 29 != 0)
+    return decontam.contamination_scores(tr, ev, k=5)
+
+
+def q_epoch_plan(spark, sf_dir):
+    """Data-constrained mixing plan (Muennighoff et al. 2023): per
+    source, the integer EPOCH count + floor-ppm remainder sampling
+    rate that hits budget_share tokens without exceeding 4 repeats,
+    plus the exact planned/shortfall token accounting. All-integer
+    outputs; one scan + one #sources-row aggregation."""
+    return textstats.epoch_plan(
+        _documents(spark, sf_dir),
+        budget_tokens=20000,
+        targets={"src0": 0.5, "src1": 0.25, "src2": 0.125},
+        max_epochs=4,
+    )
+
+
+def q_recency_boost(spark, sf_dir):
+    """Freshness-boosted relevance: the AND-query scores halved per 30
+    'days' of document age (age derived deterministically as
+    doc_id % 365 — the corpus has no date column). The decay factor is
+    an exact power of two, so the boosted score is bit-deterministic
+    wherever the base score is; join cost is one result-list-sized
+    hash join, no new corpus work."""
+    idx = _docs_index(spark, sf_dir)
+    scored = q.get_partial_matches(idx, "sort table")
+    ages = _documents(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 365).alias("age_days")
+    )
+    return q.recency_boost(scored, ages, half_life_days=30)
+
+
+def q_html_strip(spark, sf_dir):
+    """Web-crawl text extraction: documents wrapped in deterministic
+    HTML (tags + a style block + a comment + an entity-escaped
+    ampersand + a script with its own '<') and stripped back to
+    visible text by operators.textstats.strip_html — the C4/RefinedWeb
+    first stage. Pure regexp_replace/replace codegen chain; map-only
+    scan, identical ladder replayed by the DuckDB oracle."""
+    docs = _documents(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><style>p{color:red}</style>'
+                "<!-- nav --></head><body><p class=\"t\">"
+            ),
+            F.replace(F.col("text"), F.lit(" a "), F.lit(" &amp; ")),
+            F.lit('</p><script>var x = 1 < 2;</script><br/></body></html>'),
+        ).alias("text"),
+    )
+    return textstats.strip_html(wrapped)
+
+
+def q_incremental_search(spark, sf_dir):
+    """Search over the LSM incremental-index path end-to-end: the
+    corpus arrives as two disjoint batches folded through
+    streaming.incremental.merge_batch (versioned snapshots, manifest,
+    _LATEST pointer), the latest snapshot is loaded and queried. The
+    oracle is the plain full-corpus scoring SQL — merged snapshot ≡
+    from-scratch build is the gate's claim, on the driver's own
+    cross-engine check rather than only pytest."""
+    from fulltextindexer_spark.streaming import incremental
+
+    key = ("incr_idx", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        index_dir = tempfile.mkdtemp(prefix="ftix_incr_gate_")
+        docs = _documents(spark, sf_dir)
+        incremental.merge_batch(
+            spark,
+            docs.where(F.pmod("doc_id", F.lit(2)) == 0),
+            index_dir,
+            DOCS_CONFIG,
+            batch_id=0,
+        )
+        incremental.merge_batch(
+            spark,
+            docs.where(F.pmod("doc_id", F.lit(2)) == 1),
+            index_dir,
+            DOCS_CONFIG,
+            batch_id=1,
+        )
+        idx = incremental.load_latest(spark, index_dir, DOCS_CONFIG)
+        cachereg.persist_tracked(idx.postings)
+        _INDEX_CACHE[key] = idx
+    return _round_score(
+        q.get_partial_matches(_INDEX_CACHE[key], "merge batch")
+    )
+
+
+def q_filtered_topk(spark, sf_dir):
+    """Filtered ANN: exact top-10 by cosine among vectors with
+    label = 3 only — the metadata-filtered vector query every vector
+    store serves (pre-filter semantics: the predicate prunes the scan
+    BEFORE scoring, so recall over the filtered set is exact and the
+    label filter reaches the parquet reader as a pushed predicate)."""
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    scores = similarity.cosine_scores(
+        emb.where(F.col("label") == 3), list(qv)
+    )
+    return (
+        scores.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def _unicode_oracle_sql() -> str:
     from fulltextindexer_spark.config import ENGLISH_STOP_WORDS
     from fulltextindexer_spark.functions.normalize import default_normalise
@@ -2813,6 +2933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_label": q_knn_label,
         "curate_fertility": q_fertility,
         "text_distinct_ngrams": q_distinct_ngrams,
+        "curate_contam_score": q_contam_score,
+        "curate_epoch_plan": q_epoch_plan,
+        "ftix_recency_boost": q_recency_boost,
+        "text_html_strip": q_html_strip,
+        "ftix_incremental_search": q_incremental_search,
+        "sim_filtered_topk": q_filtered_topk,
     }
 
 
@@ -6135,5 +6261,137 @@ SELECT source, n, sum(cnt)::BIGINT AS total_ngrams,
        count(*)::BIGINT AS distinct_ngrams,
        round(count(*) * 1.0 / sum(cnt), 4) AS distinct_ratio
 FROM pg GROUP BY source, n
+""",
+        "curate_contam_score": """
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0),
+tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM tr),
+tg AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                  AS shingle
+       FROM tt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+tds AS (SELECT DISTINCT doc_id, shingle FROM tg WHERE shingle IS NOT NULL),
+et AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+       FROM documents WHERE doc_id % 29 = 0),
+eg AS (SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                  || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                  AS shingle
+       FROM et WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+evs AS (SELECT DISTINCT shingle FROM eg WHERE shingle IS NOT NULL)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit,
+       CAST(floor(1000000
+                  * sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS contam_ppm
+FROM tds t LEFT JOIN evs e USING (shingle)
+GROUP BY t.doc_id
+""",
+        "curate_epoch_plan": """
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+),
+agg AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM tok GROUP BY source),
+plan AS (
+  SELECT source, n_tokens,
+         CAST(floor((CASE WHEN source = 'src0' THEN CAST(0.5 AS DOUBLE)
+                          WHEN source = 'src1' THEN CAST(0.25 AS DOUBLE)
+                          WHEN source = 'src2' THEN CAST(0.125 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END) * 20000)
+              AS BIGINT) AS want_tokens
+  FROM agg
+),
+ep AS (
+  SELECT source, n_tokens, want_tokens,
+         least(CAST(4 AS BIGINT),
+               CAST(floor(want_tokens / n_tokens) AS BIGINT)) AS epochs
+  FROM plan
+),
+rem AS (
+  SELECT source, n_tokens, want_tokens, epochs,
+         CASE WHEN epochs >= 4 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(1000000 * (want_tokens - epochs * n_tokens)
+                              / n_tokens) AS BIGINT)
+         END AS remainder_ppm
+  FROM ep
+),
+pl AS (
+  SELECT source, n_tokens, want_tokens, epochs, remainder_ppm,
+         epochs * n_tokens
+           + CAST(floor(remainder_ppm * n_tokens / 1000000) AS BIGINT)
+           AS planned_tokens
+  FROM rem
+)
+SELECT source, n_tokens, want_tokens, epochs, remainder_ppm,
+       planned_tokens,
+       greatest(want_tokens - planned_tokens, CAST(0 AS BIGINT))
+           AS shortfall_tokens
+FROM pl
+""",
+        "ftix_recency_boost": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('sort~', 0),
+                              ('table~', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term),
+s AS (SELECT doc_id, sum(w) AS score FROM m
+      GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2)
+SELECT doc_id,
+       round(score * pow(0.5, floor((doc_id % 365) / 30)), 4) AS score
+FROM s
+""",
+        "text_html_strip": """
+WITH w AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style><!-- nav --></head>'
+           || '<body><p class="t">'
+           || replace(text, ' a ', ' &amp; ')
+           || '</p><script>var x = 1 < 2;</script><br/></body></html>'
+           AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g')
+                  AS h FROM w),
+s2 AS (SELECT doc_id,
+              regexp_replace(h, '(?s)<style[^>]*>.*?</style>', ' ', 'g')
+                  AS h FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
+       FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]*>', ' ', 'g') AS h
+       FROM s3),
+s5 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(h,
+                  '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+                  '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS h
+       FROM s4)
+SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g'), ' ') AS clean
+FROM s5
+""",
+        "ftix_incremental_search": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('merge~', 0),
+                              ('batch~', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
+        "sim_filtered_topk": """
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.v)::DOUBLE AS y
+  FROM embeddings e, qv
+  WHERE e.label = 3
+),
+dots AS (SELECT vec_id, sum(x * y) AS dot,
+                sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+         FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
 """,
     }

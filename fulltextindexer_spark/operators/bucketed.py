@@ -122,7 +122,14 @@ def merge_batch_bucketed(
     version, last_batch = current_snapshot(spark, prefix)
     if batch_id >= 0 and batch_id <= last_batch:
         return version
-    docs = with_doc_identity(batch_docs)
+    # same contract as streaming.incremental.merge_batch: a batch that
+    # already carries the engine key keeps it; identity derivation is
+    # only for docs-shaped (repo, path, …) batches
+    docs = (
+        batch_docs
+        if config.key_column in batch_docs.columns
+        else with_doc_identity(batch_docs)
+    )
     new_postings = build_postings(docs, config)
     staging = f"{prefix}_staging"
     (

@@ -77,6 +77,60 @@ def contaminated_ids(
     )
 
 
+def contamination_scores(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fractional contamination per train document: the share of its
+    DISTINCT word ``k``-gram shingles that also occur anywhere in the
+    evaluation corpus (the "dirtiness" metric the GPT-3 appendix and
+    the PaLM contamination analysis report per document, where the
+    binary :func:`contaminated_ids` only answers drop/keep).
+
+    Returns ``(doc_id, n_shingles, n_hit, contam_ppm)`` for every
+    train doc that HAS at least one shingle (docs shorter than ``k``
+    tokens have no k-grams and no defined ratio). ``contam_ppm`` is an
+    exact floor-ppm integer — cross-engine comparable with no float
+    rounding contract.
+
+    Scale shape: same as :func:`contaminated_ids` — the eval shingle
+    set is distinct-ed (benchmark-sized, AQE-broadcastable) and the
+    train side aggregates per doc_id once; the hit count rides the
+    same aggregation as the size count (a conditional sum after a
+    LEFT join), so the corpus is scanned and shuffled exactly once.
+    """
+    tr = word_shingles(train, k, text_col, id_col, distinct=True).select(
+        F.col("doc_id").alias(id_col), "shingle"
+    )
+    ev = (
+        word_shingles(eval_docs, k, text_col, id_col, distinct=False)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(ev, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            F.floor(1000000 * F.col("n_hit") / F.col("n_shingles"))
+            .cast("long")
+            .alias("contam_ppm"),
+        )
+    )
+
+
 def decontaminated_corpus(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -1601,3 +1601,54 @@ def ranking_metrics(
             "n_hits"
         ),
     )
+
+
+def recency_boost(
+    scored: DataFrame,
+    ages: DataFrame,
+    half_life_days: int = 30,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    age_col: str = "age_days",
+) -> DataFrame:
+    """Time-decayed relevance: halve a document's score for every
+    ``half_life_days`` of age — the freshness boost every news/feed
+    search layer puts on top of its lexical scorer.
+
+    ``boosted = score × 2^−floor(age/half_life)``. The decay factor is
+    a step function over EXACT binary powers of two, deliberately: a
+    continuous ``exp(−λ·age)`` hits libm ulp differences between
+    engines, whereas scaling by 2^−k is exact in IEEE-754, so the
+    boosted score is bit-deterministic wherever the base score is.
+    Docs with no age row keep their score (age 0 — the reference
+    semantics for "undated = current").
+
+    One broadcast-or-hash join of the (top-k-sized) result list onto
+    the age frame; the decay itself is a scan expression. No new
+    corpus-scale work.
+
+    Returns ``(doc_id, score)`` rounded to 4dp, descending-score /
+    ascending-id deterministic order left to the caller's cut.
+    """
+    if half_life_days < 1:
+        raise ValueError(
+            f"half_life_days must be >= 1, got {half_life_days}"
+        )
+    age = F.coalesce(F.col(age_col), F.lit(0))
+    decay = F.pow(
+        F.lit(0.5),
+        F.floor(age / F.lit(int(half_life_days))).cast("double"),
+    )
+    return (
+        scored.join(
+            ages.select(F.col(id_col).alias("doc_id"), F.col(age_col)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.round(F.col(score_col).cast("double") * decay, 4).alias(
+                "score"
+            ),
+        )
+    )

@@ -1558,3 +1558,126 @@ def distinct_ngrams(
             ).alias("distinct_ratio"),
         )
     )
+
+
+# Entity ladder for strip_html: applied AFTER tag removal, longest
+# first so "&amp;lt;" decodes to "&lt;" (single pass, no re-decode —
+# the same one-pass contract both engines can express as a chain of
+# plain string replaces).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean",
+) -> DataFrame:
+    """Web-crawl text extraction: strip HTML down to visible text.
+
+    The standard first stage of a Common-Crawl-style corpus pipeline
+    (C4 / RefinedWeb both start from an HTML-to-text pass): drop
+    ``<script>``/``<style>`` blocks with their contents, remove all
+    remaining tags, decode the six core character entities
+    (:data:`HTML_ENTITIES`, longest-first single pass), and collapse
+    runs of whitespace to single spaces.
+
+    Pure ``regexp_replace``/``replace`` expression chain — JVM-side,
+    whole-stage codegen, no shuffle, and the regexes stay inside the
+    Java ∩ RE2 ∩ Python subset (``(?s)`` + non-greedy ``.*?``; no
+    lookaround) so the identical ladder runs on a SQL oracle engine.
+    At 100 TB this is a map-only scan: cost tracks bytes in, nothing
+    is wider than the input row.
+
+    Returns ``(doc_id, <out_col>)``.
+    """
+    c = F.col(text_col)
+    # script/style blocks: contents are NOT visible text
+    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    # comments, then any remaining tag
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select(F.col(id_col).alias("doc_id"), c.alias(out_col))
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    targets: dict,
+    max_epochs: int = 4,
+    default_target: float = 0.0,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained mixing plan: how many EPOCHS (full repeats) of
+    each ``by`` group a training run should take, plus the fractional
+    remainder sampling rate, to hit ``budget_tokens * target_share``
+    tokens per group without exceeding ``max_epochs`` repeats (past
+    ~4 epochs repeated data stops helping — Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models").
+
+    Where :func:`mix_plan` reports the raw resampling weight, this op
+    decomposes it into the pair a dataloader actually consumes:
+    ``epochs`` full passes + one partial pass sampled at
+    ``remainder_ppm`` (floor-ppm; feed it to :func:`corpus_sample`).
+    ``planned_tokens`` is the resulting exact token count,
+    ``shortfall_tokens`` what the cap left unfilled (> 0 only when the
+    group is too small to meet its target inside ``max_epochs``).
+
+    All-integer outputs (exact cross-engine contract). One corpus scan
+    + one #groups-row aggregation, same scale shape as
+    :func:`mix_plan`.
+
+    Returns ``(<by>, n_tokens, want_tokens, epochs, remainder_ppm,
+    planned_tokens, shortfall_tokens)``.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    agg = (
+        docs.select(F.col(by), n.alias("n"))
+        .groupBy(by)
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    target = F.lit(float(default_target))
+    for grp, share in sorted(targets.items()):
+        target = F.when(F.col(by) == grp, F.lit(float(share))).otherwise(
+            target
+        )
+    want = F.floor(target * F.lit(int(budget_tokens))).cast("long")
+    full = F.least(
+        F.lit(int(max_epochs)).cast("long"),
+        F.floor(want / F.col("n_tokens")).cast("long"),
+    )
+    rem_tokens = want - full * F.col("n_tokens")
+    rem_ppm = F.when(
+        full >= F.lit(int(max_epochs)), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(1000000 * rem_tokens / F.col("n_tokens")).cast("long")
+    )
+    planned = (
+        full * F.col("n_tokens")
+        + F.floor(rem_ppm * F.col("n_tokens") / 1000000).cast("long")
+    )
+    return agg.select(
+        by,
+        "n_tokens",
+        want.alias("want_tokens"),
+        full.alias("epochs"),
+        rem_ppm.alias("remainder_ppm"),
+        planned.alias("planned_tokens"),
+        F.greatest(want - planned, F.lit(0).cast("long")).alias(
+            "shortfall_tokens"
+        ),
+    )

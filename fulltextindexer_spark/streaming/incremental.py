@@ -459,7 +459,17 @@ def _merge_batch_locked(
                 "the length histogram cannot be rebuilt from postings; "
                 "enable it from the first batch"
             )
-    docs = with_doc_identity(batch_docs)
+    # attach the derived identity only for docs-shaped batches; a batch
+    # that already carries the engine key (config.key_column) is used
+    # as-is — callers indexing a pre-keyed table (e.g. the sandbox
+    # documents table, or any upstream that owns key assignment, as the
+    # reference's TKey contract allows) must not have their keys
+    # silently rewritten to xxhash64(repo, path)
+    docs = (
+        batch_docs
+        if config.key_column in batch_docs.columns
+        else with_doc_identity(batch_docs)
+    )
     new_postings = build_postings(docs, config)
     current = load_latest(spark, index_dir, config)
     if current is None:

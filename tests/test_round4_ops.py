@@ -1,0 +1,171 @@
+"""Unit tests for the round-4 continuation operators: fractional
+contamination scores, data-constrained epoch plan, HTML stripping,
+recency-boosted scoring, and key-preserving incremental merges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import decontam, textstats
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+
+TEXT_CONFIG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+
+def test_contamination_scores_exact_fractions(spark):
+    # eval corpus holds exactly one 2-gram: "c d"
+    ev = spark.createDataFrame([(100, "c d")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles {a b, b c, c d} -> 1/3 hit
+            (2, "c d c d"),      # distinct {c d, d c} -> 1/2 hit
+            (3, "x y z"),        # no overlap -> 0
+            (4, "q"),            # shorter than k -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contam_ppm"])
+        for r in decontam.contamination_scores(tr, ev, k=2).collect()
+    }
+    assert got == {
+        1: (3, 1, 333333),
+        2: (2, 1, 500000),
+        3: (2, 0, 0),
+    }
+
+
+def test_epoch_plan_caps_and_remainders(spark):
+    docs = spark.createDataFrame(
+        [
+            # src_a: 4 tokens/doc x 5 docs = 20 tokens
+            *[(i, "t1 t2 t3 t4", "src_a") for i in range(5)],
+            # src_b: 10 tokens
+            *[(10 + i, "t1 t2 t3 t4 t5", "src_b") for i in range(2)],
+            # src_c: untargeted
+            (20, "t1 t2", "src_c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    plan = {
+        r["source"]: r.asDict()
+        for r in textstats.epoch_plan(
+            docs,
+            budget_tokens=100,
+            targets={"src_a": 0.5, "src_b": 0.25},
+            max_epochs=4,
+        ).collect()
+    }
+    # src_a wants 50 of 20 -> capped at 4 epochs = 80... no: 50//20 = 2
+    a = plan["src_a"]
+    assert (a["n_tokens"], a["want_tokens"], a["epochs"]) == (20, 50, 2)
+    assert a["remainder_ppm"] == 500000  # 10 of 20 remaining
+    assert a["planned_tokens"] == 50 and a["shortfall_tokens"] == 0
+    # src_b wants 25 of 10 -> 2 full epochs + 5/10 remainder
+    b = plan["src_b"]
+    assert (b["epochs"], b["remainder_ppm"], b["planned_tokens"]) == (
+        2, 500000, 25,
+    )
+    # src_c has no target: all zero
+    c = plan["src_c"]
+    assert (c["want_tokens"], c["epochs"], c["planned_tokens"]) == (0, 0, 0)
+
+
+def test_epoch_plan_shortfall_at_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "t1 t2", "small")], "doc_id long, text string, source string"
+    )
+    row = textstats.epoch_plan(
+        docs, budget_tokens=100, targets={"small": 1.0}, max_epochs=4
+    ).collect()[0]
+    # wants 100 of 2 available: capped at 4 epochs = 8 tokens
+    assert row["epochs"] == 4 and row["remainder_ppm"] == 0
+    assert row["planned_tokens"] == 8 and row["shortfall_tokens"] == 92
+
+
+def test_epoch_plan_rejects_bad_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="max_epochs"):
+        textstats.epoch_plan(docs, 10, {}, max_epochs=0)
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><style>p {color: red}</style><!-- hi -->'
+                '</head><body><p class="t">a &amp; b &lt;tag&gt;'
+                "&nbsp;&quot;c&quot; &#39;d&#39;</p>"
+                "<script>if (1 < 2) { alert('x'); }</script>"
+                "<br/>tail</body></html>",
+            ),
+            (2, "no markup at all"),
+            (3, "<p></p>"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in textstats.strip_html(docs).collect()
+    }
+    assert got[1] == "a & b <tag> \"c\" 'd' tail"
+    assert got[2] == "no markup at all"
+    assert got[3] == ""
+
+
+def test_recency_boost_exact_halving(spark):
+    scored = spark.createDataFrame(
+        [(1, 4.0), (2, 4.0), (3, 4.0), (4, 4.0)],
+        "doc_id long, score double",
+    )
+    ages = spark.createDataFrame(
+        [(1, 0), (2, 29), (3, 30), (4, 65)],
+        "doc_id long, age_days int",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in q.recency_boost(scored, ages, half_life_days=30).collect()
+    }
+    assert got == {1: 4.0, 2: 4.0, 3: 2.0, 4: 1.0}
+
+
+def test_recency_boost_missing_age_is_current(spark):
+    scored = spark.createDataFrame([(7, 2.0)], "doc_id long, score double")
+    ages = spark.createDataFrame([(8, 400)], "doc_id long, age_days int")
+    got = q.recency_boost(scored, ages).collect()
+    assert got[0]["doc_id"] == 7 and got[0]["score"] == 2.0
+    with pytest.raises(ValueError, match="half_life_days"):
+        q.recency_boost(scored, ages, half_life_days=0)
+
+
+def test_merge_batch_preserves_existing_key(spark, tmp_path):
+    """A pre-keyed batch (the reference's caller-owned TKey contract)
+    must keep its doc_ids through the incremental merge path instead of
+    having them rewritten to xxhash64(repo, path)."""
+    from fulltextindexer_spark.streaming import incremental
+
+    index_dir = str(tmp_path / "keyed_idx")
+    b1 = spark.createDataFrame(
+        [(11, "apple banana")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame([(22, "banana")], "doc_id long, text string")
+    incremental.merge_batch(spark, b1, index_dir, TEXT_CONFIG, batch_id=0)
+    incremental.merge_batch(spark, b2, index_dir, TEXT_CONFIG, batch_id=1)
+    idx = incremental.load_latest(spark, index_dir, TEXT_CONFIG)
+    ids = {r["doc_id"] for r in idx.postings.select("doc_id").collect()}
+    assert ids == {11, 22}
+    # and the merged snapshot equals the from-scratch build
+    full = build_index(b1.unionByName(b2), TEXT_CONFIG)
+    snap = lambda df: sorted(  # noqa: E731
+        (r["term"], r["doc_id"], round(float(r["weight"]), 6))
+        for r in df.postings.select("term", "doc_id", "weight").collect()
+    )
+    assert snap(idx) == snap(full)
