@@ -2669,14 +2669,12 @@ def q_html_strip(spark, sf_dir):
     return textstats.strip_html(wrapped)
 
 
-def q_incremental_search(spark, sf_dir):
-    """Search over the LSM incremental-index path end-to-end: the
-    corpus arrives as two disjoint batches folded through
-    streaming.incremental.merge_batch (versioned snapshots, manifest,
-    _LATEST pointer), the latest snapshot is loaded and queried. The
-    oracle is the plain full-corpus scoring SQL — merged snapshot ≡
-    from-scratch build is the gate's claim, on the driver's own
-    cross-engine check rather than only pytest."""
+def _incremental_index(spark, sf_dir):
+    """Build-once LSM artefact behind ftix_incremental_search: the
+    corpus folded through two disjoint merge_batch snapshots, latest
+    loaded + postings persisted. bench.py times this as its own
+    ``incremental_index_build`` line so the gate line measures the
+    search, not two index builds (same split as index_diff_build)."""
     from fulltextindexer_spark.streaming import incremental
 
     key = ("incr_idx", id(spark), sf_dir)
@@ -2702,8 +2700,20 @@ def q_incremental_search(spark, sf_dir):
         idx = incremental.load_latest(spark, index_dir, DOCS_CONFIG)
         cachereg.persist_tracked(idx.postings)
         _INDEX_CACHE[key] = idx
+        _INDEX_CACHE[("incr_dir",) + key[1:]] = index_dir
+    return _INDEX_CACHE[key]
+
+
+def q_incremental_search(spark, sf_dir):
+    """Search over the LSM incremental-index path end-to-end: the
+    corpus arrives as two disjoint batches folded through
+    streaming.incremental.merge_batch (versioned snapshots, manifest,
+    _LATEST pointer), the latest snapshot is loaded and queried. The
+    oracle is the plain full-corpus scoring SQL — merged snapshot ≡
+    from-scratch build is the gate's claim, on the driver's own
+    cross-engine check rather than only pytest."""
     return _round_score(
-        q.get_partial_matches(_INDEX_CACHE[key], "merge batch")
+        q.get_partial_matches(_incremental_index(spark, sf_dir), "merge batch")
     )
 
 
@@ -2723,6 +2733,43 @@ def q_filtered_topk(spark, sf_dir):
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def q_time_travel(spark, sf_dir):
+    """Time-travel read over the LSM snapshot catalog: version 0 is
+    immutably the batch-0 half of the corpus (even doc_ids), no matter
+    how many merges committed after it — the same AND query scored
+    against load_version(0) must therefore equal the oracle scoring SQL
+    over WHERE doc_id % 2 = 0. Snapshots are versioned dirs + manifest
+    with an atomic _LATEST flip (incremental.py:16-34); a version read
+    is one parquet scan of that dir, no reconstruction."""
+    from fulltextindexer_spark.streaming import incremental
+
+    _incremental_index(spark, sf_dir)
+    index_dir = _INDEX_CACHE[("incr_dir", id(spark), sf_dir)]
+    idx = incremental.load_version(spark, index_dir, 0, DOCS_CONFIG)
+    return _round_score(q.get_partial_matches(idx, "merge batch"))
+
+
+def q_ivf_filtered(spark, sf_dir):
+    """Filtered ANN on the IVF scale path: the label predicate prunes
+    the embeddings scan (pushed to parquet), the build-once full-corpus
+    assignment prunes candidates to the probed lists, and the exact
+    kernel scores only their intersection. Where sim_filtered_topk is
+    the brute-force baseline, this is the shape a 100 TB filtered
+    vector query takes: candidate volume ~ (n_probe/n_lists) x
+    selectivity of the corpus."""
+    emb, centroids, assigned = _ivf_index(spark, sf_dir, IVF_K)
+    qrow = emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = similarity.ivf_topk(
+        emb.where(F.col("label") == 3),
+        list(qrow),
+        centroids,
+        k=10,
+        n_probe=IVF_PROBE,
+        assigned=assigned,
+    )
+    return got.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def _unicode_oracle_sql() -> str:
@@ -2939,6 +2986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_strip": q_html_strip,
         "ftix_incremental_search": q_incremental_search,
         "sim_filtered_topk": q_filtered_topk,
+        "sim_ivf_filtered": q_ivf_filtered,
+        "ftix_time_travel": q_time_travel,
     }
 
 
@@ -3114,10 +3163,16 @@ SELECT doc_id, round(sum(w), 4) AS score FROM hits GROUP BY doc_id
 """
 
 
-def _ivf_sql(k_lists: int, n_probe: int, query_vec_id: int) -> str:
+def _ivf_sql(
+    k_lists: int, n_probe: int, query_vec_id: int, where_final: str = ""
+) -> str:
     """IVF oracle: seeded centroids (k lowest-id vectors), nearest-
     centroid assignment (cos desc, cid tiebreak), probe top lists,
-    exact cosine within them."""
+    exact cosine within them. ``where_final`` (e.g. "e.label = 3")
+    restricts the FINAL candidate scoring only — pre-filter semantics
+    over an assignment built on the full corpus, matching
+    ivf_topk(emb.where(pred), ..., assigned=full_assignment)."""
+    and_final = f"AND {where_final}" if where_final else ""
     return f"""
 WITH cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
@@ -3145,7 +3200,7 @@ cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probes)),
 fp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
               unnest(qv.v)::DOUBLE AS y
        FROM embeddings e CROSS JOIN qv
-       WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+       WHERE e.vec_id IN (SELECT vec_id FROM cand) {and_final}),
 fc AS (SELECT vec_id,
               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
        FROM fp GROUP BY vec_id)
@@ -4775,6 +4830,9 @@ WHERE round(dot / (nx * ny), 4) >= 0.2
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """,
         "sim_ivf_topk": _ivf_sql(IVF_K, IVF_PROBE, 1),
+        "sim_ivf_filtered": _ivf_sql(
+            IVF_K, IVF_PROBE, 1, where_final="e.label = 3"
+        ),
         "sim_ivf64_topk": _ivf_sql(IVF64_K, IVF64_PROBE, 2),
         "sim_ivf_recall": f"""
 WITH approx AS ({_ivf_sql(IVF64_K, IVF64_PROBE, 2)}),
@@ -6372,6 +6430,19 @@ s5 AS (SELECT doc_id,
        FROM s4)
 SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g'), ' ') AS clean
 FROM s5
+""",
+        "ftix_time_travel": f"""
+WITH tok AS (
+  SELECT doc_id, {STEM_T} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id % 2 = 0)
+  WHERE t <> ''
+), {POST_CTE},
+q(term, token_idx) AS (VALUES ('merge~', 0),
+                              ('batch~', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
 """,
         "ftix_incremental_search": f"""
 WITH {TOK_CTE}, {POST_CTE},

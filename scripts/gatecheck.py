@@ -49,9 +49,11 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        checked += 1
         try:
             sdf = norm_frame(fn(spark, SF_DIR).toPandas())
         except Exception as ex:  # noqa: BLE001
@@ -85,7 +87,7 @@ def main() -> int:
                 print("  spark:", sdf.dtypes.to_dict())
                 print("  oracle:", odf.dtypes.to_dict())
     print(
-        f"SUMMARY: {len(qs) - len(failures)}/{len(qs)} match"
+        f"SUMMARY: {checked - len(failures)}/{checked} match"
         + (f"; FAILURES: {failures}" if failures else "")
     )
     spark.stop()

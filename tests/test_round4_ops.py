@@ -169,3 +169,38 @@ def test_merge_batch_preserves_existing_key(spark, tmp_path):
         for r in df.postings.select("term", "doc_id", "weight").collect()
     )
     assert snap(idx) == snap(full)
+
+
+def test_ivf_topk_prefiltered_candidates(spark):
+    """Filtered ANN on the IVF path: pre-filtering the embeddings frame
+    while reusing the FULL-corpus assignment must (a) return only rows
+    satisfying the predicate and (b) score them identically to
+    brute-force cosine over the filtered-and-probed set."""
+    from fulltextindexer_spark.operators import similarity
+
+    rows = [
+        (i, [float(i % 5 + 1), float((i * 3) % 7 + 1)], i % 2)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    centroids = similarity.seed_centroids(emb, k=4)
+    assigned = similarity.build_ivf_assignment(emb, centroids)
+    qv = [1.0, 2.0]
+    got = similarity.ivf_topk(
+        emb.where(F.col("label") == 1), qv, centroids,
+        k=5, n_probe=2, assigned=assigned,
+    ).collect()
+    assert got, "probed lists must contain label-1 vectors"
+    ids = [r["vec_id"] for r in got]
+    labels = dict(
+        (r["vec_id"], r["label"]) for r in emb.collect()
+    )
+    assert all(labels[i] == 1 for i in ids)
+    # brute-force over the same filtered+probed candidate set agrees
+    full = similarity.ivf_topk(
+        emb, qv, centroids, k=40, n_probe=2, assigned=assigned
+    ).collect()
+    expect = [r["vec_id"] for r in full if labels[r["vec_id"]] == 1][:5]
+    assert ids == expect
