@@ -2452,13 +2452,12 @@ def q_hist_drift(spark, sf_dir):
     return sketches.histogram_drift(en, rest)
 
 
-def q_bm25_merged(spark, sf_dir):
-    """Incremental BM25/WAND maintenance: sufficient statistics built
-    per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
-    folds, intrinsic-rank champion re-cut — no corpus rescan), realized
-    into queryable wand stats. The top-k must equal the from-scratch
-    exact scorer — the oracle is the same SQL as ftix_bm25_wand."""
-    idx = _docs_index(spark, sf_dir)
+def _bm25_merged_stats(spark, sf_dir):
+    """Build-once merged-suffstats artefact behind ftix_bm25_merged:
+    two half-corpus index builds + suffstats + exact merge + realize.
+    bench.py times this as its own ``bm25_merged_stats_build`` line so
+    the gate line measures the WAND query over the merged stats, not
+    three stats builds (same split as index_diff_build)."""
     key = ("bm25_merged_stats", id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         docs = _documents(spark, sf_dir)
@@ -2474,8 +2473,19 @@ def q_bm25_merged(spark, sf_dir):
                 bm25.build_bm25_suffstats(odd),
             )
         )
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_merged(spark, sf_dir):
+    """Incremental BM25/WAND maintenance: sufficient statistics built
+    per half-corpus, merged EXACTLY (scalar adds, df sums, max_tf/min_dl
+    folds, intrinsic-rank champion re-cut — no corpus rescan), realized
+    into queryable wand stats. The top-k must equal the from-scratch
+    exact scorer — the oracle is the same SQL as ftix_bm25_wand."""
+    idx = _docs_index(spark, sf_dir)
+    stats = _bm25_merged_stats(spark, sf_dir)
     return _round_score(
-        bm25.bm25_topk_wand(idx, "data stream", k=10, stats=_INDEX_CACHE[key])
+        bm25.bm25_topk_wand(idx, "data stream", k=10, stats=stats)
     )
 
 

@@ -389,6 +389,16 @@ def run_default() -> dict:
         timings["incremental_index_build"] = round(
             time.perf_counter() - t0, 3
         )
+        # and the three stats builds behind ftix_bm25_merged (two
+        # half-corpus indexes + suffstats merge + realize): the gate
+        # line should measure the WAND query over the merged stats
+        t0 = time.perf_counter()
+        _merged = entrymod._bm25_merged_stats(spark, SF_DIR)
+        _merged.term_stats.count()
+        _merged.champions.count()
+        timings["bm25_merged_stats_build"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         from fulltextindexer_spark.plans import cachereg
 
