@@ -395,6 +395,7 @@ def run_default() -> dict:
         t0 = time.perf_counter()
         _merged = entrymod._bm25_merged_stats(spark, SF_DIR)
         _merged.term_stats.count()
+        _merged.block_stats.count()
         _merged.champions.count()
         timings["bm25_merged_stats_build"] = round(
             time.perf_counter() - t0, 3

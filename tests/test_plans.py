@@ -478,7 +478,8 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
     MapInPandas nodes (Python in a hot path is the engine's no-go)."""
     import datetime as dt
 
-    from fulltextindexer_spark.operators import dedup, textstats
+    from fulltextindexer_spark.operators import decontam, dedup, textstats
+    from fulltextindexer_spark.operators import query as qmod
     from fulltextindexer_spark.operators.packing import pack_sequences
     from fulltextindexer_spark.operators.temporal import (
         anomalous_hours,
@@ -522,6 +523,16 @@ def test_new_jvm_operators_have_no_python_nodes(spark):
         textstats.encoding_stats(docs),
         pack_sequences(docs, block_size=4, n_buckets=2),
         anomalous_hours(ev),
+        # round-4 continuation operators claiming pure-JVM plans
+        textstats.strip_html(docs),
+        textstats.epoch_plan(docs, budget_tokens=100, targets={"s0": 0.5}),
+        decontam.contamination_scores(
+            docs, docs.where(F.col("doc_id") % 3 == 0), k=2
+        ),
+        qmod.recency_boost(
+            docs.select("doc_id", F.lit(1.0).alias("score")),
+            docs.select("doc_id", (F.col("doc_id") % 30).alias("age_days")),
+        ),
     ]
     for df in frames:
         plan = _plan(df)
