@@ -52,6 +52,10 @@ TIER_GATES = [
     "curate_pipeline",
     "sim_semantic_keep",
     "curate_pack",
+    # round-4 continuation additions: the fractional-contamination
+    # shingle join and the LSM merge->load->query path
+    "curate_contam_score",
+    "ftix_incremental_search",
 ]
 
 
@@ -139,6 +143,12 @@ def run_sf(sf_dir: str, cpus: int = 32) -> dict:
         t0 = time.perf_counter()
         bm25_mod.get_bm25_stats(gate_idx)
         timings["bm25_stats_build"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        entrymod._incremental_index(spark, sf_dir).postings.count()
+        timings["incremental_index_build"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         qs = entrymod.queries()
         for name in TIER_GATES:
