@@ -433,7 +433,9 @@ def run_default() -> dict:
         spark.stop()
 
 
-def compact_result(full: dict, max_queries: int = 30) -> dict:
+def compact_result(
+    full: dict, max_queries: int = 30, full_result: str = "bench_result.json"
+) -> dict:
     """The driver captures only the TAIL of stdout (~2000 chars), so
     the final printed line must stay parseable at 161 gates: keep every
     scalar field, keep only the ``max_queries`` slowest per-gate
@@ -450,7 +452,7 @@ def compact_result(full: dict, max_queries: int = 30) -> dict:
     out["queries"] = slowest
     out["n_queries"] = len(timings)
     out["queries_omitted"] = max(0, len(timings) - len(slowest))
-    out["full_result"] = "bench_result.json"
+    out["full_result"] = full_result
     return out
 
 
@@ -475,13 +477,15 @@ def main() -> None:
         out_path = "bench_scaling.json"
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
-    line = json.dumps(compact_result(result))
+    line = json.dumps(compact_result(result, full_result=out_path))
     # belt and braces: if even the compact line somehow outgrows the
     # driver's tail capture, shrink the query list until it fits
     k = 30
     while len(line) > 1800 and k > 0:
         k -= 5
-        line = json.dumps(compact_result(result, max_queries=k))
+        line = json.dumps(
+            compact_result(result, max_queries=k, full_result=out_path)
+        )
     print(line)
 
 

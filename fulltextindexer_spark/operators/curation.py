@@ -52,6 +52,13 @@ def assemble_training_corpus(
     is 4 corpus shuffles instead of 1 (pinned by
     ``test_assemble_corpus_scans_source_exactly_thrice``). The serving
     loop releases them via ``cachereg.release_all(scope="query")``.
+
+    CALLER CONTRACT: the two persists deliberately outlive this call
+    (the returned frame's consumption is what they exist for), so a
+    library caller NOT inside the bench/serving loop must call
+    ``cachereg.release_all(scope="query")`` after materialising the
+    result — repeated un-released calls pin two corpus-scale cached
+    frames each.
     """
     exact = dedup.deduplicated_keep_list(docs, text_col, id_col)
     base = cachereg.persist_tracked(

@@ -400,8 +400,13 @@ def _iter_checkpoint(df: DataFrame, checkpoint_dir, eager: bool) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    # setCheckpointDir stores a UUID-suffixed fully-qualified subpath,
+    # so comparing getCheckpointDir() to the caller's string never
+    # matches — track the last dir WE set instead (set-once per dir,
+    # not once per loop round)
+    if getattr(sc, "_ftix_ckpt_dir", None) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        sc._ftix_ckpt_dir = checkpoint_dir
     return df.checkpoint(eager=eager)
 
 

@@ -1641,12 +1641,12 @@ def recency_boost(
     )
     return (
         scored.join(
-            ages.select(F.col(id_col).alias("doc_id"), F.col(age_col)),
-            "doc_id",
+            ages.select(F.col(id_col), F.col(age_col)),
+            id_col,
             "left",
         )
         .select(
-            "doc_id",
+            id_col,
             F.round(F.col(score_col).cast("double") * decay, 4).alias(
                 "score"
             ),

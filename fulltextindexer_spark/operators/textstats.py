@@ -1656,13 +1656,19 @@ def epoch_plan(
             target
         )
     want = F.floor(target * F.lit(int(budget_tokens))).cast("long")
-    full = F.least(
-        F.lit(int(max_epochs)).cast("long"),
-        F.floor(want / F.col("n_tokens")).cast("long"),
+    # a zero-token group gets 0 epochs, not max_epochs: want/0 is NULL
+    # in Spark and F.least skips NULLs, which would silently promote
+    # the max_epochs literal
+    full = F.when(F.col("n_tokens") <= 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(int(max_epochs)).cast("long"),
+            F.floor(want / F.col("n_tokens")).cast("long"),
+        )
     )
     rem_tokens = want - full * F.col("n_tokens")
     rem_ppm = F.when(
-        full >= F.lit(int(max_epochs)), F.lit(0).cast("long")
+        (full >= F.lit(int(max_epochs))) | (F.col("n_tokens") <= 0),
+        F.lit(0).cast("long"),
     ).otherwise(
         F.floor(1000000 * rem_tokens / F.col("n_tokens")).cast("long")
     )

@@ -88,7 +88,19 @@ class _writer_lock:
             self._fd = os.open(
                 self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
             )
-            os.write(self._fd, str(os.getpid()).encode())
+            try:
+                os.write(self._fd, str(os.getpid()).encode())
+            except OSError:
+                # failing INSIDE __enter__ means __exit__ never runs:
+                # release the fd and the lockfile or every later writer
+                # sees a phantom holder
+                os.close(self._fd)
+                self._fd = None
+                try:
+                    os.unlink(self.path)
+                except OSError:
+                    pass
+                raise
         except FileExistsError:
             raise RuntimeError(
                 f"another writer holds {self.path} — snapshot mutation "
@@ -531,8 +543,27 @@ def _merge_batch_locked(
             log2_histogram,
         )
 
+        # histogram the combined length of the CONFIGURED field columns
+        # (not a hard-coded "content"): pre-keyed batches — blessed by
+        # the key-passthrough above — may carry any text schema
+        _dtypes = dict(docs.dtypes)
+        _len_expr = None
+        for _fc in config.fields:
+            if _dtypes.get(_fc.column, "string").startswith("array"):
+                _part = _F.coalesce(
+                    _F.aggregate(
+                        _fc.column,
+                        _F.lit(0),
+                        lambda acc, x: acc
+                        + _F.coalesce(_F.length(x), _F.lit(0)),
+                    ),
+                    _F.lit(0),
+                )
+            else:
+                _part = _F.coalesce(_F.length(_fc.column), _F.lit(0))
+            _len_expr = _part if _len_expr is None else _len_expr + _part
         delta_hist = log2_histogram(
-            docs.select(_F.length("content").alias("n_chars")), "n_chars"
+            docs.select(_len_expr.alias("n_chars")), "n_chars"
         )
         prev_hist = load_latest_len_hist(spark, index_dir)
         hist = (

@@ -204,3 +204,76 @@ def test_ivf_topk_prefiltered_candidates(spark):
     ).collect()
     expect = [r["vec_id"] for r in full if labels[r["vec_id"]] == 1][:5]
     assert ids == expect
+
+
+def test_recency_boost_honours_id_col(spark):
+    """Review fix: the join/select must use id_col, not a hard-coded
+    doc_id, so vec_id-keyed frames work."""
+    scored = spark.createDataFrame([(7, 8.0)], "vec_id long, score double")
+    ages = spark.createDataFrame([(7, 65)], "vec_id long, age_days int")
+    got = q.recency_boost(scored, ages, half_life_days=30, id_col="vec_id")
+    rows = got.collect()
+    assert rows[0]["vec_id"] == 7 and rows[0]["score"] == 2.0
+
+
+def test_epoch_plan_zero_token_group(spark):
+    """Review fix: a group with zero tokens must plan 0 epochs (not
+    silently max_epochs via NULL-skipping least)."""
+    docs = spark.createDataFrame(
+        [(1, "", "empty"), (2, "a b c d", "full")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in textstats.epoch_plan(
+            docs, budget_tokens=8, targets={"empty": 0.5, "full": 0.5}
+        ).collect()
+    }
+    assert got["empty"]["n_tokens"] == 0
+    assert got["empty"]["epochs"] == 0
+    assert got["empty"]["remainder_ppm"] == 0
+    assert got["empty"]["planned_tokens"] == 0
+    assert got["empty"]["shortfall_tokens"] == 4
+    assert got["full"]["epochs"] == 1
+
+
+def test_len_hist_follows_config_fields(spark, tmp_path):
+    """Review fix: maintain_len_hist must histogram the CONFIGURED
+    field columns, not a hard-coded 'content' — pre-keyed text batches
+    (the key-passthrough contract) would otherwise kill the stream."""
+    from fulltextindexer_spark.streaming import incremental
+
+    index_dir = str(tmp_path / "lh_idx")
+    b = spark.createDataFrame(
+        [(1, "apple banana"), (2, "x")], "doc_id long, text string"
+    )
+    incremental.merge_batch(
+        spark, b, index_dir, TEXT_CONFIG, batch_id=0,
+        maintain_len_hist=True,
+    )
+    hist = incremental.load_latest_len_hist(spark, index_dir)
+    assert hist is not None
+    assert sum(r["n"] for r in hist.collect()) == 2
+
+
+def test_writer_lock_released_on_write_failure(tmp_path, monkeypatch):
+    """Review fix: a failure INSIDE __enter__ (after O_EXCL open) must
+    not leave a phantom lockfile behind."""
+    import os as _os
+
+    from fulltextindexer_spark.streaming import incremental
+
+    lock_dir = str(tmp_path / "idx")
+    real_write = _os.write
+
+    def boom(fd, data):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(_os, "write", boom)
+    with pytest.raises(OSError, match="disk full"):
+        with incremental._writer_lock(lock_dir):
+            pass
+    monkeypatch.setattr(_os, "write", real_write)
+    # the lock must be acquirable now — no phantom holder
+    with incremental._writer_lock(lock_dir):
+        pass
