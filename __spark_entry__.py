@@ -6424,10 +6424,12 @@ WITH w AS (
   FROM documents
 ),
 s1 AS (SELECT doc_id,
-              regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g')
+              regexp_replace(h, '(?is)<script(\s[^>]*)?>.*?</script\s*>',
+                             ' ', 'g')
                   AS h FROM w),
 s2 AS (SELECT doc_id,
-              regexp_replace(h, '(?s)<style[^>]*>.*?</style>', ' ', 'g')
+              regexp_replace(h, '(?is)<style(\s[^>]*)?>.*?</style\s*>',
+                             ' ', 'g')
                   AS h FROM s1),
 s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h
        FROM s2),

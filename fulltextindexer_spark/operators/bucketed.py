@@ -125,11 +125,18 @@ def merge_batch_bucketed(
     # same contract as streaming.incremental.merge_batch: a batch that
     # already carries the engine key keeps it; identity derivation is
     # only for docs-shaped (repo, path, …) batches
-    docs = (
-        batch_docs
-        if config.key_column in batch_docs.columns
-        else with_doc_identity(batch_docs)
-    )
+    if config.key_column in batch_docs.columns:
+        _kt = dict(batch_docs.dtypes)[config.key_column]
+        if _kt not in ("bigint", "int", "smallint", "tinyint", "long"):
+            raise ValueError(
+                f"pre-keyed batch column {config.key_column!r} has type "
+                f"{_kt}; the posting kernel requires an integral key — "
+                "map natural keys first (index_build natural-key path) "
+                "or drop the column to derive xxhash64(repo, path)"
+            )
+        docs = batch_docs
+    else:
+        docs = with_doc_identity(batch_docs)
     new_postings = build_postings(docs, config)
     staging = f"{prefix}_staging"
     (

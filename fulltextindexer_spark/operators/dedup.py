@@ -404,7 +404,16 @@ def _iter_checkpoint(df: DataFrame, checkpoint_dir, eager: bool) -> DataFrame:
     # so comparing getCheckpointDir() to the caller's string never
     # matches — track the last dir WE set instead (set-once per dir,
     # not once per loop round)
-    if getattr(sc, "_ftix_ckpt_dir", None) != checkpoint_dir:
+    current = None
+    try:
+        current = sc.getCheckpointDir()
+    except Exception:  # noqa: BLE001 - py4j None unwrap differences
+        current = None
+    if (
+        getattr(sc, "_ftix_ckpt_dir", None) != checkpoint_dir
+        or not current
+        or checkpoint_dir.rstrip("/") not in current
+    ):
         sc.setCheckpointDir(checkpoint_dir)
         sc._ftix_ckpt_dir = checkpoint_dir
     return df.checkpoint(eager=eager)

@@ -1634,17 +1634,22 @@ def recency_boost(
         raise ValueError(
             f"half_life_days must be >= 1, got {half_life_days}"
         )
-    age = F.coalesce(F.col(age_col), F.lit(0))
+    # one row per key (max age = most conservative decay when an age
+    # table carries per-snapshot rows), a private column name (no
+    # AMBIGUOUS_REFERENCE if scored already carries age_col), and a
+    # non-negative clamp (future-dated/negative ages must not AMPLIFY)
+    age_side = ages.groupBy(id_col).agg(
+        F.max(age_col).alias("__ftix_age")
+    )
+    age = F.greatest(
+        F.coalesce(F.col("__ftix_age"), F.lit(0)), F.lit(0)
+    )
     decay = F.pow(
         F.lit(0.5),
         F.floor(age / F.lit(int(half_life_days))).cast("double"),
     )
     return (
-        scored.join(
-            ages.select(F.col(id_col), F.col(age_col)),
-            id_col,
-            "left",
-        )
+        scored.join(age_side, id_col, "left")
         .select(
             id_col,
             F.round(F.col(score_col).cast("double") * decay, 4).alias(

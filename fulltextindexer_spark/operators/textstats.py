@@ -1135,7 +1135,7 @@ def mix_plan(
     """
     from pyspark.sql import Window
 
-    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    n = _ws_token_count(text_col)
     agg = (
         docs.select(F.col(by), n.alias("n"))
         .groupBy(by)
@@ -1145,11 +1145,7 @@ def mix_plan(
         )
     )
     total = F.sum("n_tokens").over(Window.partitionBy())
-    target = F.lit(float(default_target))
-    for grp, share in sorted(targets.items()):
-        target = F.when(F.col(by) == grp, F.lit(float(share))).otherwise(
-            target
-        )
+    target = _target_share(targets, default_target, by)
     return agg.select(
         by,
         "n_docs",
@@ -1560,6 +1556,25 @@ def distinct_ngrams(
     )
 
 
+def _ws_token_count(text_col: str):
+    """The one whitespace token-count expression shared by mix_plan /
+    epoch_plan (and anything else budgeting in tokens): empty-string
+    splits don't count. A single definition so epoch shares and mix
+    shares can never disagree on the same corpus."""
+    return F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+
+
+def _target_share(targets: dict, default_target: float, by: str):
+    """The shared group -> target-share when-chain (sorted for a
+    deterministic expression tree)."""
+    target = F.lit(float(default_target))
+    for grp, share in sorted(targets.items()):
+        target = F.when(F.col(by) == grp, F.lit(float(share))).otherwise(
+            target
+        )
+    return target
+
+
 # Entity ladder for strip_html: applied AFTER tag removal, longest
 # first so "&amp;lt;" decodes to "&lt;" (single pass, no re-decode —
 # the same one-pass contract both engines can express as a chain of
@@ -1591,8 +1606,11 @@ def strip_html(
 
     Pure ``regexp_replace``/``replace`` expression chain — JVM-side,
     whole-stage codegen, no shuffle, and the regexes stay inside the
-    Java ∩ RE2 ∩ Python subset (``(?s)`` + non-greedy ``.*?``; no
-    lookaround) so the identical ladder runs on a SQL oracle engine.
+    Java ∩ RE2 ∩ Python subset (``(?is)`` embedded flags + non-greedy
+    ``.*?``; no lookaround) so the identical ladder runs on a SQL
+    oracle engine. Script/style matching is case-insensitive and the
+    tag name is anchored (``<script(\s[^>]*)?>`` — ``<styled-card>``
+    must NOT match ``<style``).
     At 100 TB this is a map-only scan: cost tracks bytes in, nothing
     is wider than the input row.
 
@@ -1600,8 +1618,8 @@ def strip_html(
     """
     c = F.col(text_col)
     # script/style blocks: contents are NOT visible text
-    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
-    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?is)<script(\s[^>]*)?>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style(\s[^>]*)?>.*?</style\s*>", " ")
     # comments, then any remaining tag
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
@@ -1644,17 +1662,13 @@ def epoch_plan(
     """
     if max_epochs < 1:
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
-    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    n = _ws_token_count(text_col)
     agg = (
         docs.select(F.col(by), n.alias("n"))
         .groupBy(by)
         .agg(F.sum("n").cast("long").alias("n_tokens"))
     )
-    target = F.lit(float(default_target))
-    for grp, share in sorted(targets.items()):
-        target = F.when(F.col(by) == grp, F.lit(float(share))).otherwise(
-            target
-        )
+    target = _target_share(targets, default_target, by)
     want = F.floor(target * F.lit(int(budget_tokens))).cast("long")
     # a zero-token group gets 0 epochs, not max_epochs: want/0 is NULL
     # in Spark and F.least skips NULLs, which would silently promote
@@ -1666,15 +1680,22 @@ def epoch_plan(
         )
     )
     rem_tokens = want - full * F.col("n_tokens")
+    dec = "decimal(38,0)"
     rem_ppm = F.when(
         (full >= F.lit(int(max_epochs))) | (F.col("n_tokens") <= 0),
         F.lit(0).cast("long"),
     ).otherwise(
-        F.floor(1000000 * rem_tokens / F.col("n_tokens")).cast("long")
+        F.floor(
+            (rem_tokens.cast(dec) * F.lit(1000000).cast(dec))
+            / F.col("n_tokens").cast(dec)
+        ).cast("long")
     )
     planned = (
         full * F.col("n_tokens")
-        + F.floor(rem_ppm * F.col("n_tokens") / 1000000).cast("long")
+        + F.floor(
+            (rem_ppm.cast(dec) * F.col("n_tokens").cast(dec))
+            / F.lit(1000000).cast(dec)
+        ).cast("long")
     )
     return agg.select(
         by,

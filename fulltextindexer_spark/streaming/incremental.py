@@ -416,7 +416,15 @@ def merge_batch(
 
     With ``maintain_len_hist=True`` the snapshot carries the corpus
     content-length log2 histogram (``sketches.log2_histogram``,
-    cell-sum merged per batch — exact under any split). Successive
+    cell-sum merged per batch — exact under any split). The MEASURE is
+    the summed character length of the CONFIGURED field columns
+    (array fields fold element lengths; NULL fields count 0) — for a
+    single-field config this equals the old ``length(content)``
+    definition, but a multi-field sidecar accumulated before this
+    definition landed mixes units with new deltas — and the histogram
+    is NOT reconstructible from postings (content lengths are gone),
+    so such an index needs a from-scratch re-ingest before its drift
+    numbers are trustworthy. Successive
     versions' histograms feed ``sketches.histogram_drift`` /
     ``histogram_tvd_ppm``: the promotion gate's distribution-shift
     check (an ingest regression moves mass between length bins long
@@ -477,11 +485,18 @@ def _merge_batch_locked(
     # documents table, or any upstream that owns key assignment, as the
     # reference's TKey contract allows) must not have their keys
     # silently rewritten to xxhash64(repo, path)
-    docs = (
-        batch_docs
-        if config.key_column in batch_docs.columns
-        else with_doc_identity(batch_docs)
-    )
+    if config.key_column in batch_docs.columns:
+        _kt = dict(batch_docs.dtypes)[config.key_column]
+        if _kt not in ("bigint", "int", "smallint", "tinyint", "long"):
+            raise ValueError(
+                f"pre-keyed batch column {config.key_column!r} has type "
+                f"{_kt}; the posting kernel requires an integral key — "
+                "map natural keys first (index_build natural-key path) "
+                "or drop the column to derive xxhash64(repo, path)"
+            )
+        docs = batch_docs
+    else:
+        docs = with_doc_identity(batch_docs)
     new_postings = build_postings(docs, config)
     current = load_latest(spark, index_dir, config)
     if current is None:

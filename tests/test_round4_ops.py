@@ -277,3 +277,76 @@ def test_writer_lock_released_on_write_failure(tmp_path, monkeypatch):
     # the lock must be acquirable now — no phantom holder
     with incremental._writer_lock(lock_dir):
         pass
+
+
+def test_strip_html_case_insensitive_and_anchored(spark):
+    """Review fixes: uppercase <SCRIPT>/<STYLE> contents must be
+    stripped, and a tag NAME that merely starts with 'style'
+    (<styled-card>) must not trigger block deletion."""
+    docs = spark.createDataFrame(
+        [
+            (1, '<SCRIPT>var t = 1;</SCRIPT>visible one'),
+            (2, '<styled-card>Price $9</styled-card><style>p{}</style>ok'),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean"] for r in textstats.strip_html(docs).collect()}
+    assert got[1] == "visible one"
+    assert got[2] == "Price $9 ok"
+
+
+def test_epoch_plan_huge_counts_no_overflow(spark):
+    """Review fix: the ppm products run in decimal(38,0) so 64-bit
+    token counts near the long range don't overflow (ANSI mode would
+    otherwise kill the job)."""
+    big = 5_000_000_000_000  # 5e12 tokens in one 'doc'
+    docs = spark.createDataFrame(
+        [(1, big, "s0")], "doc_id long, n long, source string"
+    )
+    # bypass tokenisation: aggregate a prepared count via the same op
+    # shape (one group, want close to n so rem_tokens is huge)
+    from fulltextindexer_spark.operators.textstats import (
+        _target_share,
+    )
+    agg = docs.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    # replicate epoch_plan's rem_ppm math at want = 0.9 * n
+    dec = "decimal(38,0)"
+    want = F.floor(F.lit(0.9) * F.col("n_tokens")).cast("long")
+    rem = want  # 0 full epochs
+    out = agg.select(
+        F.floor(
+            (rem.cast(dec) * F.lit(1000000).cast(dec))
+            / F.col("n_tokens").cast(dec)
+        ).cast("long").alias("ppm")
+    ).collect()
+    assert out[0]["ppm"] == 899999 or out[0]["ppm"] == 900000
+
+
+def test_recency_boost_negative_age_and_dup_ages(spark):
+    """Review fixes: negative ages clamp to 0 (no amplification) and
+    duplicate age rows collapse to max-age instead of fanning out."""
+    scored = spark.createDataFrame(
+        [(1, 4.0), (2, 4.0)], "doc_id long, score double"
+    )
+    ages = spark.createDataFrame(
+        [(1, -40), (2, 10), (2, 65)], "doc_id long, age_days int"
+    )
+    rows = q.recency_boost(scored, ages, half_life_days=30).collect()
+    assert len(rows) == 2
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got[1] == 4.0  # clamped, not 16.0
+    assert got[2] == 1.0  # max age 65 -> 2 half-lives
+
+
+def test_merge_batch_rejects_non_integral_key(spark, tmp_path):
+    """Review fix: a pre-keyed batch with a string key must fail fast
+    with a clear error, not an ArrowInvalid inside an executor."""
+    from fulltextindexer_spark.streaming import incremental
+
+    b = spark.createDataFrame(
+        [("k1", "apple")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral key"):
+        incremental.merge_batch(
+            spark, b, str(tmp_path / "ix"), TEXT_CONFIG, batch_id=0
+        )
