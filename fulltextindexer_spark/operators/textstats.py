@@ -1595,7 +1595,7 @@ def strip_html(
     id_col: str = "doc_id",
     out_col: str = "clean",
 ) -> DataFrame:
-    """Web-crawl text extraction: strip HTML down to visible text.
+    r"""Web-crawl text extraction: strip HTML down to visible text.
 
     The standard first stage of a Common-Crawl-style corpus pipeline
     (C4 / RefinedWeb both start from an HTML-to-text pass): drop

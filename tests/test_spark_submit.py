@@ -51,6 +51,36 @@ spark.stop()
 """
 
 
+def _submit(tmp_path, master, driver_text, args=(), extra_conf=()):
+    zip_path = tmp_path / "fulltextindexer_spark.zip"
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "package.py"),
+            str(zip_path),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    driver = tmp_path / "driver.py"
+    driver.write_text(driver_text)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    cmd = [SPARK_SUBMIT, "--master", master, "--py-files", str(zip_path)]
+    for kv in extra_conf:
+        cmd += ["--conf", kv]
+    cmd += [str(driver), *args]
+    return subprocess.run(
+        cmd,
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
 @pytest.mark.skipif(
     not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
 )
@@ -97,3 +127,92 @@ def test_spark_submit_pyfiles_build_and_query(tmp_path):
     ]
     assert markers, (res.stdout[-2000:], res.stderr[-2000:])
     assert int(markers[0].split("=")[1]) == 379  # pinned sf0.001 count
+
+
+MULTI_EXEC_DRIVER = """\
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("local-cluster-e2e")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+sc = spark.sparkContext
+
+deadline = time.time() + 90
+n_up = 0
+while time.time() < deadline:
+    n_up = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+    if n_up >= 2:
+        break
+    time.sleep(0.5)
+assert n_up >= 2, "executors failed to register: %d/2" % n_up
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.query import get_partial_matches
+
+docs = spark.read.parquet(sys.argv[1] + "/documents.parquet")
+idx = build_index(
+    docs,
+    IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    ),
+)
+print("LOCAL_CLUSTER_ROWS=%d" % get_partial_matches(idx, "data").count())
+
+# the work must have run in SEPARATE executor processes (not the
+# driver JVM's worker pool): distinct python-worker pids across a
+# full-width map, minus the driver's own pid
+pids = set(
+    sc.parallelize(range(8), 8)
+    .map(lambda _: __import__("os").getpid())
+    .collect()
+)
+assert os.getpid() not in pids
+print("LOCAL_CLUSTER_NPIDS=%d" % len(pids))
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_local_cluster_multi_executor(tmp_path):
+    """The full deployment story at once: spark-submit --py-files against
+    a REAL multi-executor cluster (local-cluster = 2 standalone executor
+    JVMs with their own python worker pools). Pins that nothing in the
+    build/query path assumes a single JVM: imports resolve from the zip
+    on every executor, broadcasts/accumulators cross process boundaries,
+    and the result matches the single-process pinned count.
+    """
+    res = _submit(
+        tmp_path,
+        "local-cluster[2,2,1024]",
+        MULTI_EXEC_DRIVER,
+        args=("/root/testdata/sf0.001",),
+        extra_conf=("spark.sql.execution.arrow.pyspark.enabled=true",),
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    rows = [
+        ln
+        for ln in res.stdout.splitlines()
+        if ln.startswith("LOCAL_CLUSTER_ROWS=")
+    ]
+    npids = [
+        ln
+        for ln in res.stdout.splitlines()
+        if ln.startswith("LOCAL_CLUSTER_NPIDS=")
+    ]
+    assert rows and npids, (res.stdout[-2000:], res.stderr[-2000:])
+    # same pinned count as the local[4] --py-files test
+    assert int(rows[0].split("=")[1]) == 379
+    # >= 2 distinct worker pids across 2 executors x 2 cores
+    assert int(npids[0].split("=")[1]) >= 2
