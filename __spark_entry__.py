@@ -919,26 +919,42 @@ def q_pagerank(spark, sf_dir):
     return dedup.pagerank(pairs, n_iter=4)
 
 
+def _neardup_stream_store(spark, sf_dir):
+    """Build-once two-micro-batch near-dup band/pair store (the setup
+    behind ``dedup_stream_pairs``): the corpus split at the median
+    doc_id, each half folded through merge_neardup_batch. Cached so
+    bench can time the ingestion as its own line and the gate line
+    measures the accumulated-pairs read."""
+    key = ("ndstream", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from fulltextindexer_spark.streaming import neardup as nd
+
+        docs = _documents(spark, sf_dir)
+        store = tempfile.mkdtemp(prefix="ftix_gate_ndstream_")
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        nd.merge_neardup_batch(
+            spark, docs.where(F.col("doc_id") <= half), store, batch_id=0
+        )
+        nd.merge_neardup_batch(
+            spark, docs.where(F.col("doc_id") > half), store, batch_id=1
+        )
+        _INDEX_CACHE[key] = store
+    return _INDEX_CACHE[key]
+
+
 def q_stream_pairs(spark, sf_dir):
     """Continuous-ingestion near-dup: the corpus arrives in two
     micro-batches; each batch's banded signatures join the accumulated
     band store (new×old ∪ new×new). Chunked processing must — and does
     — emit exactly the one-shot band self-join's pairs, so the oracle
     is the SAME SQL as dedup_minhash_pairs."""
-    import tempfile
-
     from fulltextindexer_spark.streaming import neardup as nd
 
-    docs = _documents(spark, sf_dir)
-    store = tempfile.mkdtemp(prefix="ftix_gate_ndstream_")
-    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
-    nd.merge_neardup_batch(
-        spark, docs.where(F.col("doc_id") <= half), store, batch_id=0
+    return nd.neardup_pairs_so_far(
+        spark, _neardup_stream_store(spark, sf_dir)
     )
-    nd.merge_neardup_batch(
-        spark, docs.where(F.col("doc_id") > half), store, batch_id=1
-    )
-    return nd.neardup_pairs_so_far(spark, store)
 
 
 def q_lsh_verified(spark, sf_dir):
@@ -1915,6 +1931,16 @@ def q_curate_pack(spark, sf_dir):
     """Concat-and-chunk sequence-packing manifest at block 2048 —
     which slice of which doc lands where in which training sequence."""
     return packing.pack_sequences(_documents(spark, sf_dir), block_size=2048)
+
+
+def q_token_budget(spark, sf_dir):
+    """Greedy best-tokens-first corpus selection: rank documents by the
+    all-integer lexical-diversity score (distinct-token ppm), take
+    whole docs in rank order until 30% of the corpus's tokens are
+    spent. Distributed two-phase prefix sum — no global window."""
+    return packing.select_token_budget(
+        _documents(spark, sf_dir), budget_fraction=(3, 10)
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2998,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_filtered_topk": q_filtered_topk,
         "sim_ivf_filtered": q_ivf_filtered,
         "ftix_time_travel": q_time_travel,
+        "curate_token_budget": q_token_budget,
     }
 
 
@@ -6476,5 +6503,32 @@ dots AS (SELECT vec_id, sum(x * y) AS dot,
          FROM pairs GROUP BY vec_id)
 SELECT vec_id, round(dot / (nx * ny), 4) AS cosine
 FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        # greedy best-quality-first whole-doc selection under a global
+        # token budget (30% of corpus tokens); all-integer quality key
+        # so the (quality desc, doc_id) order is exact in both engines
+        "curate_token_budget": """
+WITH q AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+             AS n_toks,
+         len(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+             AS n_distinct
+  FROM documents
+),
+nz AS (
+  SELECT doc_id, n_toks, (n_distinct * 1000000) // n_toks AS quality_ppm
+  FROM q WHERE n_toks > 0
+),
+c AS (
+  SELECT doc_id, quality_ppm, n_toks,
+         SUM(n_toks) OVER (ORDER BY quality_ppm DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_tokens
+  FROM nz
+)
+SELECT doc_id, quality_ppm, n_toks, cum_tokens FROM c
+WHERE cum_tokens <= (SELECT (SUM(n_toks) * 3) // 10 FROM nz)
 """,
     }

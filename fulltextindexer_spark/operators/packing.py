@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from ..plans.cachereg import persist_tracked
 
-__all__ = ["pack_sequences", "pack_batch", "packed_so_far"]
+__all__ = [
+    "pack_sequences",
+    "pack_batch",
+    "packed_so_far",
+    "select_token_budget",
+]
 
 MANIFEST_SCHEMA = "doc_id long, seq_id long, seq_offset long, n_tokens long"
 
@@ -319,4 +324,121 @@ def pack_stats(
         F.sum(F.when(F.col("n_spans_doc") > 1, 1).otherwise(0)).alias(
             "n_boundary_docs"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget: int | None = None,
+    budget_fraction: tuple[int, int] | None = None,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy highest-quality-first document selection under a global
+    token budget — "give me the best B tokens of this corpus", the
+    selection step of a data-constrained pretraining run.
+
+    Documents are ranked by an all-integer lexical-diversity score
+    ``quality_ppm = (distinct_tokens * 1_000_000) div n_tokens``
+    (whitespace tokens; ties broken by ``doc_id``) and taken in rank
+    order while the running token total stays within the budget. Only
+    whole documents are selected (the greedy prefix; no partial-doc
+    slicing — that is :func:`pack_sequences`' job downstream).
+
+    ``budget`` is an absolute token count; ``budget_fraction=(num,
+    den)`` instead sets ``budget = total_tokens * num // den`` with
+    exact integer arithmetic (scale-invariant: the same call selects
+    ~30% of any corpus with ``(3, 10)``). Exactly one must be given.
+
+    Output: ``(doc_id, quality_ppm, n_toks, cum_tokens)`` for selected
+    documents, where ``cum_tokens`` is the running total in selection
+    order (so ``max(cum_tokens) <= budget``).
+
+    Scale design — the global prefix sum over quality order is the
+    only ordered step, and it never becomes a single-partition window:
+    quality is integer-valued with known ``[q_min, q_max]`` (one cheap
+    aggregate), so documents bucket by the monotone-descending map
+    ``(q_max - quality_ppm) * n_buckets div (q_max - q_min + 1)``.
+    Cumsum runs *within* each bucket (partitioned window — parallel);
+    bucket totals (≤ ``n_buckets`` rows) prefix on the driver and
+    broadcast back as offsets. Equal scores always share a bucket, so
+    the (quality desc, doc_id) total order is preserved exactly.
+    Per-doc stats are per-row array expressions (``array_distinct`` /
+    ``size``) — no explode, no groupBy, one corpus scan.
+
+    No reference-parity citation: FullTextIndexer has no corpus
+    selector — this is part of the LLM-pipeline suite alongside
+    ``pack_sequences`` / ``textstats``.
+    """
+    if (budget is None) == (budget_fraction is None):
+        raise ValueError("give exactly one of budget / budget_fraction")
+    if budget is not None and budget <= 0:
+        raise ValueError("budget must be positive")
+    if budget_fraction is not None:
+        num, den = budget_fraction
+        if num <= 0 or den <= 0:
+            raise ValueError("budget_fraction parts must be positive")
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).where(F.col("n_toks") > 0)
+    nz = persist_tracked(
+        stats.select(
+            "doc_id",
+            "n_toks",
+            F.expr("n_distinct * 1000000L DIV n_toks").alias("quality_ppm"),
+        ),
+        scope="query",
+    )
+
+    out_schema = (
+        "doc_id long, quality_ppm long, n_toks long, cum_tokens long"
+    )
+    qmin, qmax = nz.agg(F.min("quality_ppm"), F.max("quality_ppm")).first()
+    if qmin is None:
+        return nz.sparkSession.createDataFrame([], out_schema)
+    span = int(qmax) - int(qmin) + 1
+    bucket = F.expr(
+        f"({int(qmax)}L - quality_ppm) * {int(n_buckets)}L DIV {span}L"
+    ).alias("bucket")
+    b = nz.select("doc_id", "n_toks", "quality_ppm", bucket)
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("quality_ppm").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = b.withColumn("cum_in", F.sum("n_toks").over(w_in))
+
+    totals = {
+        r["bucket"]: r["t"]
+        for r in b.groupBy("bucket").agg(F.sum("n_toks").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for bk in sorted(totals):
+        offsets.append((int(bk), acc))
+        acc += int(totals[bk])
+    if budget_fraction is not None:
+        budget = acc * num // den
+    off_df = b.sparkSession.createDataFrame(
+        offsets, "bucket long, bucket_offset long"
+    )
+    return (
+        cum_in.join(F.broadcast(off_df), "bucket")
+        .select(
+            "doc_id",
+            "quality_ppm",
+            "n_toks",
+            (F.col("bucket_offset") + F.col("cum_in")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= F.lit(int(budget)))
     )

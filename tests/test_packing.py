@@ -155,3 +155,103 @@ def test_pack_long_doc_spans_many_sequences(spark):
         for r in pack_sequences(docs, block_size=8).collect()
     )
     assert m == [(s, 0, 8) for s in range(12)] + [(12, 0, 4)]
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def _budget_docs(spark):
+    # mix of diversity levels: repeated-token docs (low ppm), unique-token
+    # docs (ppm = 1e6), ties (identical quality, ordered by doc_id)
+    rows = [
+        (1, "a a a a a a a a"),            # 8 toks, 1 distinct -> 125000
+        (2, "b c d e"),                    # 4/4 -> 1000000
+        (3, "f f g g"),                    # 4/2 -> 500000
+        (4, "h i j k"),                    # 4/4 -> 1000000 (tie with 2)
+        (5, ""),                           # dropped
+        (6, "m m m n"),                    # 4/2 -> 500000 (tie with 3)
+        (7, " ".join(f"u{j}" for j in range(20))),  # 20/20 -> 1000000
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_selection(spark, docs, budget):
+    rows = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("n"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            )
+        ).cast("long").alias("d"),
+    ).collect()
+    scored = sorted(
+        ((r["d"] * 1_000_000 // r["n"], r["doc_id"], r["n"])
+         for r in rows if r["n"] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    out, cum = [], 0
+    for q, did, n in scored:
+        cum += n
+        if cum > budget:
+            break
+        out.append((did, q, n, cum))
+    return out
+
+
+def test_select_token_budget_matches_brute_force(spark):
+    from fulltextindexer_spark.operators.packing import select_token_budget
+
+    docs = _budget_docs(spark)
+    for budget in (4, 8, 24, 28, 29, 36, 1000):
+        for nb in (1, 3, 64):
+            got = sorted(
+                tuple(r) for r in select_token_budget(
+                    docs, budget=budget, n_buckets=nb
+                ).collect()
+            )
+            want = sorted(_brute_selection(spark, docs, budget))
+            assert got == want, (budget, nb, got, want)
+
+
+def test_select_token_budget_fraction_and_validation(spark):
+    import pytest
+
+    from fulltextindexer_spark.operators.packing import select_token_budget
+
+    docs = _budget_docs(spark)
+    # total tokens = 8+4+4+4+4+20 = 44; (44*3)//10 = 13 token budget
+    got = sorted(
+        tuple(r)
+        for r in select_token_budget(
+            docs, budget_fraction=(3, 10)
+        ).collect()
+    )
+    assert got == sorted(_brute_selection(spark, docs, 13))
+    assert max(r[3] for r in got) <= 13
+
+    with pytest.raises(ValueError):
+        select_token_budget(docs)  # neither
+    with pytest.raises(ValueError):
+        select_token_budget(docs, budget=10, budget_fraction=(1, 2))
+    with pytest.raises(ValueError):
+        select_token_budget(docs, budget=0)
+    with pytest.raises(ValueError):
+        select_token_budget(docs, budget_fraction=(0, 10))
+
+
+def test_select_token_budget_empty_corpus(spark):
+    from fulltextindexer_spark.operators.packing import select_token_budget
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    res = select_token_budget(empty, budget=100)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "doc_id", "quality_ppm", "n_toks", "cum_tokens",
+    ]
