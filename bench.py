@@ -400,6 +400,15 @@ def run_default() -> dict:
         timings["bm25_merged_stats_build"] = round(
             time.perf_counter() - t0, 3
         )
+        # and the two-micro-batch near-dup ingestion behind
+        # dedup_stream_pairs (two banded-signature builds + band-store
+        # joins): timed here so the gate line measures the accumulated
+        # pairs read, not the ingestion
+        t0 = time.perf_counter()
+        entrymod._neardup_stream_store(spark, SF_DIR)
+        timings["neardup_stream_build"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         from fulltextindexer_spark.plans import cachereg
 

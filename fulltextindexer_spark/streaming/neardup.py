@@ -186,3 +186,153 @@ def start_incremental_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# bucketed band store (the zero-Exchange scale tier)
+# ---------------------------------------------------------------------------
+
+
+def _nd_snapshot(spark: SparkSession, prefix: str) -> tuple[int, int]:
+    """(version, last_batch_id) from the meta table; (-1, -1) if none."""
+    meta = f"{prefix}_meta"
+    if not spark.catalog.tableExists(meta):
+        return -1, -1
+    row = spark.table(meta).collect()[0]
+    return int(row["version"]), int(row["batch_id"])
+
+
+def merge_neardup_batch_bucketed(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    prefix: str,
+    batch_id: int,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """The band store's bucketed twin — the physical upgrade the module
+    docstring promises for 100 TB (same argument as
+    ``operators/bucketed.py``): band snapshots live in tables bucketed
+    by the join key ``(band_idx, band_value)``, so the per-batch
+    candidate probe — new × accumulated — plans with ZERO Exchange on
+    the accumulated side (both sides bucket-aligned ⇒ no shuffle at
+    all; pinned by ``tests/test_plans.py``). Only the batch-sized
+    staging write shuffles.
+
+    Protocol mirrors ``bucketed.merge_batch_bucketed``: staging table
+    for the new bands, snapshot rotation ``<prefix>_v{n+1}`` for the
+    accumulated store, one-row ``<prefix>_meta`` flipped last, replayed
+    batch ids skipped. Emitted pairs append to the plain
+    ``<prefix>_pairs`` table (tiny relative to bands; distinct at
+    read). Chunked ingestion emits exactly the one-shot self-join's
+    pairs — the same invariant as :func:`merge_neardup_batch`, pinned
+    cross-path in tests.
+    """
+    version, last_batch = _nd_snapshot(spark, prefix)
+    if batch_id <= last_batch:
+        return 0
+    new_bands = banded_signatures(
+        batch_docs, n_hashes, bands, k, text_col, id_col
+    )
+    staging = f"{prefix}_staging"
+    (
+        new_bands.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_idx", "band_value")
+        .sortBy("band_idx", "band_value")
+        .saveAsTable(staging)
+    )
+    # staging is overwritten every batch — drop stale file listings
+    spark.catalog.refreshTable(staging)
+    staged = spark.table(staging)
+
+    a = staged.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_value"
+    )
+    vs_new = a.join(
+        staged.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+        ),
+        ["band_idx", "band_value"],
+    ).where(F.col("doc_a") < F.col("doc_b"))
+    if version >= 0:
+        old = spark.table(f"{prefix}_v{version}")
+        vs_old = a.join(
+            old.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+            ),
+            ["band_idx", "band_value"],
+        )
+        cands = vs_old.unionByName(vs_new)
+    else:
+        cands = vs_new
+    pairs = (
+        cands.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    n_pairs = pairs.count()
+    if n_pairs:
+        pairs.write.mode("append").saveAsTable(f"{prefix}_pairs")
+
+    v_next = version + 1
+    merged = (
+        staged
+        if version < 0
+        else spark.table(f"{prefix}_v{version}").unionByName(staged)
+    )
+    (
+        merged.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_idx", "band_value")
+        .sortBy("band_idx", "band_value")
+        .saveAsTable(f"{prefix}_v{v_next}")
+    )
+    spark.createDataFrame(
+        [(v_next, batch_id)], "version int, batch_id int"
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+    return n_pairs
+
+
+def neardup_pairs_so_far_bucketed(
+    spark: SparkSession, prefix: str
+) -> DataFrame:
+    """All candidate pairs the bucketed store has emitted so far."""
+    if not spark.catalog.tableExists(f"{prefix}_pairs"):
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    return spark.table(f"{prefix}_pairs").distinct()
+
+
+def neardup_probe_plan_is_shuffle_free(
+    spark: SparkSession, prefix: str
+) -> bool:
+    """True iff the new×accumulated candidate probe between the staging
+    table and the current snapshot plans without any Exchange — the
+    zero-shuffle property the bucketed tier exists for.
+
+    The probe is pinned on the sort-merge path (``hint("merge")``):
+    with toy inputs the optimizer prefers broadcasting the staging side
+    — also accumulated-side-shuffle-free, but proving nothing about the
+    tables. Bucket alignment is what guarantees no Exchange even when
+    BOTH sides outgrow the broadcast threshold (the 100 TB regime), and
+    that is exactly what the hinted plan demonstrates."""
+    version, _ = _nd_snapshot(spark, prefix)
+    if version < 0 or not spark.catalog.tableExists(f"{prefix}_staging"):
+        raise ValueError(f"no staged batch + snapshot under {prefix}")
+    staged = spark.table(f"{prefix}_staging")
+    old = spark.table(f"{prefix}_v{version}")
+    probe = staged.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_value"
+    ).hint("merge").join(
+        old.select(
+            F.col("doc_id").alias("doc_b"), "band_idx", "band_value"
+        ),
+        ["band_idx", "band_value"],
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

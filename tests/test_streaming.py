@@ -1007,3 +1007,69 @@ def test_start_incremental_plumbs_new_sidecar_flags(spark, tmp_path):
     q.awaitTermination(120)
     assert incremental.load_latest_doc_bloom(spark, index_dir) is not None
     assert incremental.load_latest_len_hist(spark, index_dir) is not None
+
+
+def test_bucketed_neardup_equals_full_batch_and_is_shuffle_free(
+    spark, tmp_path
+):
+    """The bucketed band-store twin: chunked ingestion over bucketed
+    snapshot tables emits exactly the one-shot band self-join's pairs,
+    replays are no-ops, and the new×accumulated candidate probe plans
+    with ZERO Exchange (bucket-aligned join — the tier's reason to
+    exist)."""
+    from pyspark.sql import functions as F
+
+    from fulltextindexer_spark.operators import dedup
+    from fulltextindexer_spark.streaming import neardup as nd
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ftixnd LOCATION '{tmp_path}/wh'"
+    )
+    rows = []
+    for i in range(30):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        if i % 3 == 0:
+            rows.append((i, base))
+        elif i % 3 == 1:
+            rows.append((i, base.replace("zeta", f"w{i}")))
+        else:
+            rows.append((i, f"unique {i} words only here {i} x y z"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prefix = "ftixnd.bands"
+
+    chunks = [
+        docs.where(F.col("doc_id") < 10),
+        docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 17)),
+        docs.where(F.col("doc_id") >= 17),
+    ]
+    for bid, chunk in enumerate(chunks):
+        nd.merge_neardup_batch_bucketed(
+            spark, chunk, prefix, batch_id=bid, n_buckets=4
+        )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.neardup_pairs_so_far_bucketed(spark, prefix).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_band_pairs(docs).collect()
+    }
+    assert got == want and got
+
+    # the probe between the last staged batch and the accumulated
+    # snapshot is Exchange-free — the zero-shuffle scale property
+    assert nd.neardup_probe_plan_is_shuffle_free(spark, prefix)
+
+    # replaying a batch id is a no-op
+    assert (
+        nd.merge_neardup_batch_bucketed(
+            spark, chunks[1], prefix, batch_id=1, n_buckets=4
+        )
+        == 0
+    )
+    again = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.neardup_pairs_so_far_bucketed(spark, prefix).collect()
+    }
+    assert again == want
