@@ -957,6 +957,51 @@ def q_stream_pairs(spark, sf_dir):
     )
 
 
+def _neardup_bucketed_prefix(spark, sf_dir):
+    """Build-once bucketed band store (two micro-batches at the median
+    split, same chunking as the plain store). Tables from a previous
+    process are dropped first so every run ingests fresh."""
+    key = ("ndbstream", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        import re
+        import tempfile
+
+        from fulltextindexer_spark.streaming import neardup as nd
+
+        # the session catalog is per-process but managed-table dirs
+        # under spark-warehouse linger across processes — root this
+        # gate's database at a fresh temp location instead
+        db = "ndb_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+        loc = tempfile.mkdtemp(prefix="ftix_gate_ndbucketed_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        prefix = f"{db}.bands"
+        for t in spark.catalog.listTables(db):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t.name}")
+        docs = _documents(spark, sf_dir)
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        nd.merge_neardup_batch_bucketed(
+            spark, docs.where(F.col("doc_id") <= half), prefix, batch_id=0
+        )
+        nd.merge_neardup_batch_bucketed(
+            spark, docs.where(F.col("doc_id") > half), prefix, batch_id=1
+        )
+        _INDEX_CACHE[key] = prefix
+    return _INDEX_CACHE[key]
+
+
+def q_stream_pairs_bucketed(spark, sf_dir):
+    """The bucketed band-store twin under the driver's own cross-engine
+    check: two micro-batches folded through versioned bucketed band
+    snapshots (zero-Exchange new×accumulated probe, plan-pinned in
+    tests) must emit exactly the one-shot band self-join's pairs — the
+    oracle is the SAME SQL as dedup_stream_pairs."""
+    from fulltextindexer_spark.streaming import neardup as nd
+
+    return nd.neardup_pairs_so_far_bucketed(
+        spark, _neardup_bucketed_prefix(spark, sf_dir)
+    )
+
+
 def q_lsh_verified(spark, sf_dir):
     return dedup.lsh_verified_jaccard_pairs(
         _documents(spark, sf_dir), n_hashes=8, bands=4, k=3, threshold=0.5
@@ -3025,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_filtered": q_ivf_filtered,
         "ftix_time_travel": q_time_travel,
         "curate_token_budget": q_token_budget,
+        "dedup_stream_bucketed": q_stream_pairs_bucketed,
     }
 
 
@@ -4550,6 +4596,18 @@ SELECT node, rank FROM r4
         # chunked == one-shot (pinned in tests), so the incremental
         # tier's oracle is the full-batch band self-join verbatim
         "dedup_stream_pairs": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+     AND a.doc_id < b.doc_id
+""",
+        # bucketed band-store twin: identical pair semantics — the
+        # zero-Exchange snapshot path must emit the one-shot self-join
+        "dedup_stream_bucketed": f"""
 WITH {SH3_CTE},
 bands AS (
 {bands}

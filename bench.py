@@ -409,6 +409,11 @@ def run_default() -> dict:
         timings["neardup_stream_build"] = round(
             time.perf_counter() - t0, 3
         )
+        t0 = time.perf_counter()
+        entrymod._neardup_bucketed_prefix(spark, SF_DIR)
+        timings["neardup_bucketed_build"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         from fulltextindexer_spark.plans import cachereg
 
