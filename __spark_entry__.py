@@ -803,6 +803,40 @@ def q_hybrid(spark, sf_dir):
     )
 
 
+def _rank_eval_results(spark, sf_dir):
+    """Build-once (query_id, doc_id, score) frame under evaluation —
+    the BM25 and weighted-or_sum top-20 rankings of 'data stream' —
+    shared by the binary and graded eval gates (a real eval sweep
+    scores one result set against several qrel sets)."""
+    key = ("rankeval", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = _docs_index(spark, sf_dir)
+        bm = q.paginate_topk(
+            _round_score(
+                bm25.bm25_scores(
+                    idx, "data stream", stats=bm25.get_bm25_stats(idx)
+                )
+            ),
+            20,
+        )
+        ws = q.paginate_topk(
+            _round_score(
+                q.get_partial_matches(idx, "data stream", combiner="or_sum")
+            ),
+            20,
+        )
+        results = cachereg.persist_tracked(
+            bm.select(
+                F.lit("bm").alias("query_id"), "doc_id", "score"
+            ).unionByName(
+                ws.select(F.lit("ws").alias("query_id"), "doc_id", "score")
+            )
+        )
+        results.count()
+        _INDEX_CACHE[key] = results
+    return _INDEX_CACHE[key]
+
+
 def q_rank_eval(spark, sf_dir):
     """Retrieval evaluation: MRR/nDCG/recall@10 for the BM25 and
     weighted-or_sum top-20 rankings of 'data stream' (query_ids 'bm'
@@ -811,25 +845,7 @@ def q_rank_eval(spark, sf_dir):
     change runs before shipping. Ranks derive from display-rounded
     scores so both engines rank identically."""
     idx = _docs_index(spark, sf_dir)
-    bm = q.paginate_topk(
-        _round_score(
-            bm25.bm25_scores(
-                idx, "data stream", stats=bm25.get_bm25_stats(idx)
-            )
-        ),
-        20,
-    )
-    ws = q.paginate_topk(
-        _round_score(
-            q.get_partial_matches(idx, "data stream", combiner="or_sum")
-        ),
-        20,
-    )
-    results = bm.select(
-        F.lit("bm").alias("query_id"), "doc_id", "score"
-    ).unionByName(
-        ws.select(F.lit("ws").alias("query_id"), "doc_id", "score")
-    )
+    results = _rank_eval_results(spark, sf_dir)
     relset = q.get_partial_matches(idx, "data stream").select("doc_id")
     qrels = relset.select(
         F.lit("bm").alias("query_id"), "doc_id", F.lit(1).alias("rel")
@@ -846,27 +862,10 @@ def q_rank_eval_graded(spark, sf_dir):
     docs phrase-matching "data stream" (adjacent, in order) and rel=1
     for the remaining AND-match docs; nDCG uses the 2^rel − 1 gain
     with a gain-ranked ideal ordering, MRR/recall stay binary. Same
-    two rankings under evaluation (BM25 'bm', weighted-or 'ws')."""
+    two rankings under evaluation (BM25 'bm', weighted-or 'ws') —
+    consumed from the shared build-once result frame."""
     idx = _docs_index(spark, sf_dir)
-    bm = q.paginate_topk(
-        _round_score(
-            bm25.bm25_scores(
-                idx, "data stream", stats=bm25.get_bm25_stats(idx)
-            )
-        ),
-        20,
-    )
-    ws = q.paginate_topk(
-        _round_score(
-            q.get_partial_matches(idx, "data stream", combiner="or_sum")
-        ),
-        20,
-    )
-    results = bm.select(
-        F.lit("bm").alias("query_id"), "doc_id", "score"
-    ).unionByName(
-        ws.select(F.lit("ws").alias("query_id"), "doc_id", "score")
-    )
+    results = _rank_eval_results(spark, sf_dir)
     pos_idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
     phrase = (
         q.get_consecutive_matches(pos_idx, "data stream")
