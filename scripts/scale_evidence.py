@@ -56,6 +56,8 @@ TIER_GATES = [
     # shingle join and the LSM merge->load->query path
     "curate_contam_score",
     "ftix_incremental_search",
+    # second continuation: the global-prefix-sum budget selection
+    "curate_token_budget",
 ]
 
 
