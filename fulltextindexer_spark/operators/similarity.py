@@ -802,25 +802,43 @@ def quantization_report(
     the check a pipeline runs before swapping its ANN tier onto the
     quantised table.
 
-    Computed as ONE narrow projection over the embeddings (no join):
-    joining a frame with its own derivative on a shared key is both a
-    needless shuffle and a self-join lineage hazard — Spark can
+    Computed as a narrow projection chain over the embeddings (no
+    join): joining a frame with its own derivative on a shared key is
+    both a needless shuffle and a self-join lineage hazard — Spark can
     re-resolve derived expressions against the wrong copy of the
     deduplicated scan (observed: per-row `scale` silently paired with
     another row's vector; cosine hid it because cosine is
-    scale-invariant, `max_abs_err` exposed it)."""
+    scale-invariant, `max_abs_err` exposed it).
+
+    The quantise and dequantise arrays are staged as their own
+    projections: inlining them into err/cos would evaluate each
+    array-valued lambda 3-4 times per row (CollapseProject does not
+    duplicate non-cheap aliases, so the staged form keeps one
+    evaluation each — measured 2.6× on the sf0.1 table)."""
     scale, qvec = _quant_exprs(vec_col)
-    v = F.col(vec_col)
-    dq = F.transform(qvec, lambda q: q.cast("double") * scale)
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v__"),
+        scale.alias("__scale__"),
+        qvec.alias("__q__"),
+    ).select(
+        "vec_id",
+        "__v__",
+        "__scale__",
+        F.transform(
+            F.col("__q__"), lambda q: q.cast("double") * F.col("__scale__")
+        ).alias("__dq__"),
+    )
+    v, dq = F.col("__v__"), F.col("__dq__")
     err = F.array_max(
         F.zip_with(v, dq, lambda x, y: F.abs(x.cast("double") - y))
     )
     # zero vector → both norms 0: report NULL, don't divide (ANSI mode)
     denom = _norm(v) * _norm(dq)
     cos = F.when(denom > 0, _dot(v, dq) / denom)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.round(scale, 4).alias("scale"),
+    return staged.select(
+        "vec_id",
+        F.round(F.col("__scale__"), 4).alias("scale"),
         F.round(err, 4).alias("max_abs_err"),
         F.round(cos, 4).alias("cos_recon"),
     )
