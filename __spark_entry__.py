@@ -2264,6 +2264,15 @@ def q_facets(spark, sf_dir):
     return q.facet_counts(matches, _documents(spark, sf_dir), "lang")
 
 
+def q_collapse(spark, sf_dir):
+    """Field collapsing: best hit per lang for the 'sort table' AND
+    query + the per-lang hit count it folded away — k=1 is a pure
+    min_by hash aggregation (no window, skew-proof)."""
+    idx = _docs_index(spark, sf_dir)
+    matches = _round_score(q.get_partial_matches(idx, "sort table"))
+    return q.collapse_results(matches, _documents(spark, sf_dir), "lang")
+
+
 def q_containment(spark, sf_dir):
     """Directed subset-duplication pairs: shingle containment
     |inner∩outer|/|inner| ≥ 0.6 — catches short-doc-pasted-into-long
@@ -3122,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_time_travel": q_time_travel,
         "curate_token_budget": q_token_budget,
         "dedup_stream_bucketed": q_stream_pairs_bucketed,
+        "ftix_collapse": q_collapse,
     }
 
 
@@ -6322,6 +6332,24 @@ res AS (SELECT doc_id, round(sum(w), 4) AS score FROM m
         GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2)
 SELECT d.lang, count(*) AS n_docs, round(sum(res.score), 4) AS score_sum
 FROM res JOIN documents d USING (doc_id) GROUP BY d.lang
+""",
+        "ftix_collapse": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term),
+res AS (SELECT doc_id, round(sum(w), 4) AS score FROM m
+        GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2),
+j AS (SELECT d.lang, res.doc_id, res.score
+      FROM res JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_group
+      FROM j)
+SELECT lang, doc_id, score, CAST(rk AS BIGINT) AS rank,
+       CAST(n_group AS BIGINT) AS n_group
+FROM r WHERE rk = 1
 """,
         "dedup_containment": f"""
 WITH {SH3_CTE},

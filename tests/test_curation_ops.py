@@ -1300,6 +1300,72 @@ def test_facet_counts_sums_and_counts(spark):
     assert out == {"en": (2, 3.5), "de": (1, 0.5)}
 
 
+def test_collapse_results_k1_agg_path(spark):
+    """k=1 keeps the best (score desc, doc_id asc) hit per group and
+    counts the group's folded hits — via min_by aggregation, no
+    window node in the plan."""
+    from fulltextindexer_spark.operators.query import collapse_results
+
+    results = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, 1.5), (4, 0.5)],
+        "doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (5, "fr")],
+        "doc_id long, lang string",
+    )
+    out = collapse_results(results, docs, "lang")
+    rows = {
+        r["lang"]: (r["doc_id"], r["score"], r["rank"], r["n_group"])
+        for r in out.collect()
+    }
+    # tie at score 2.0 between docs 1 and 2 -> lower doc_id wins
+    assert rows == {"en": (1, 2.0, 1, 3), "de": (4, 0.5, 1, 1)}
+    # the k=1 path must be a pure aggregation: no Window node
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_collapse_results_k2_window_path(spark):
+    from fulltextindexer_spark.operators.query import collapse_results
+
+    results = spark.createDataFrame(
+        [(1, 2.0), (2, 2.0), (3, 1.5), (4, 0.5)],
+        "doc_id long, score double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de")],
+        "doc_id long, lang string",
+    )
+    rows = {
+        (r["lang"], r["rank"]): (r["doc_id"], r["n_group"])
+        for r in collapse_results(results, docs, "lang", k=2).collect()
+    }
+    assert rows == {
+        ("en", 1): (1, 3),
+        ("en", 2): (2, 3),
+        ("de", 1): (4, 1),
+    }
+
+
+def test_collapse_results_string_keys_and_bad_k(spark):
+    """min_by's (−score, id) struct tie-break works for STRING ids
+    too (negating the id would not)."""
+    import pytest as _pytest
+
+    from fulltextindexer_spark.operators.query import collapse_results
+
+    results = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "doc_id string, score double"
+    )
+    docs = spark.createDataFrame(
+        [("a", "en"), ("b", "en")], "doc_id string, lang string"
+    )
+    [row] = collapse_results(results, docs, "lang").collect()
+    assert (row["doc_id"], row["n_group"]) == ("a", 2)
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        collapse_results(results, docs, "lang", k=0)
+
+
 # -- linear quality probe ----------------------------------------------------
 
 
