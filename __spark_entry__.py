@@ -2039,6 +2039,14 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_interleave(spark, sf_dir):
+    """Round-robin source interleaving: a global training position
+    that cycles through sources every step — md5-lottery rank within
+    source via the 256-bucket distributed rank (no per-source
+    single-task window), pos = (rank-1)*n_sources + source_idx."""
+    return packing.interleave_order(_documents(spark, sf_dir), by="source")
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
@@ -3132,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_token_budget": q_token_budget,
         "dedup_stream_bucketed": q_stream_pairs_bucketed,
         "ftix_collapse": q_collapse,
+        "curate_interleave": q_interleave,
     }
 
 
@@ -6644,6 +6653,23 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # greedy best-quality-first whole-doc selection under a global
         # token budget (30% of corpus tokens); all-integer quality key
         # so the (quality desc, doc_id) order is exact in both engines
+        "curate_interleave": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5('il1' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS rank_in_group
+  FROM documents),
+g AS (
+  SELECT source,
+         row_number() OVER (ORDER BY source) - 1 AS gidx
+  FROM (SELECT DISTINCT source FROM documents)),
+n AS (SELECT count(*) AS n_groups FROM g)
+SELECT r.doc_id, r.source,
+       CAST(r.rank_in_group AS BIGINT) AS rank_in_group,
+       CAST((r.rank_in_group - 1) * n.n_groups + g.gidx AS BIGINT) AS pos
+FROM r JOIN g USING (source) CROSS JOIN n
+""",
         "curate_token_budget": """
 WITH q AS (
   SELECT doc_id,

@@ -52,6 +52,7 @@ __all__ = [
     "pack_batch",
     "packed_so_far",
     "select_token_budget",
+    "interleave_order",
 ]
 
 MANIFEST_SCHEMA = "doc_id long, seq_id long, seq_offset long, n_tokens long"
@@ -441,4 +442,108 @@ def select_token_budget(
             (F.col("bucket_offset") + F.col("cum_in")).alias("cum_tokens"),
         )
         .where(F.col("cum_tokens") <= F.lit(int(budget)))
+    )
+
+
+def interleave_order(
+    docs: DataFrame,
+    by: str = "source",
+    salt: str = "il1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Round-robin source interleaving: assign every document a global
+    training position such that consecutive positions cycle through
+    the ``by`` groups — the stratified data ORDER a trainer wants so a
+    batch never degenerates into one source's docs, which
+    ``pack_sequences(shuffle=True)``'s source-blind permutation cannot
+    guarantee.
+
+    Within each group, documents are ordered by the deterministic
+    ``md5(salt || doc_id)`` lottery (ties by ``doc_id``), giving
+    ``rank_in_group`` (1-based). With ``n_groups`` distinct group
+    values and ``gidx`` the group's 0-based alphabetical index, the
+    position key is::
+
+        pos = (rank_in_group - 1) * n_groups + gidx
+
+    so positions 0..n_groups-1 are round 1 (one doc of every group),
+    the next n_groups are round 2, and so on. ``pos`` is a strict
+    total order; it is dense iff all groups are equal-sized —
+    exhausted groups leave gaps, which is harmless for an ORDER BY
+    key (document this at call sites that expect density).
+
+    Scale design — per-group rank without a per-group single-task
+    window: the md5 key's first hex byte is a MONOTONE bucket in md5
+    order, so (1) ``row_number`` runs per ``(group, bucket)`` —
+    ≤256 parallel slices per group; (2) bucket counts cumsum into
+    offsets with a window per group over ≤256 rows; (3) one equi-join
+    adds the offset back. No stage ever holds a whole group. The
+    distinct-group frame (for ``gidx``) is assumed
+    small-by-construction — the same contract as every mixing plan
+    here (``epoch_plan`` / ``corpus_mix``); its global window sorts
+    ``n_groups`` rows, not documents.
+
+    Returns ``(doc_id, <by>, rank_in_group, pos)`` — all ranks/keys
+    BIGINT.
+
+    No reference-parity citation: FullTextIndexer has no training-data
+    loader — LLM-pipeline suite, alongside :func:`pack_sequences`.
+    """
+    skey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(by),
+        skey.alias("skey"),
+        F.conv(F.substring(skey, 1, 2), 16, 10).cast("long").alias("bucket"),
+    )
+
+    w_rank = Window.partitionBy(by, "bucket").orderBy("skey", "doc_id")
+    ranked = keyed.withColumn(
+        "rank_in_bucket", F.row_number().over(w_rank).cast("long")
+    )
+
+    # bucket offsets: ≤256 rows per group — a window over the tiny
+    # per-(group, bucket) counts frame, fully distributed
+    w_off = (
+        Window.partitionBy(by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy(by, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            by,
+            "bucket",
+            F.coalesce(F.sum("n").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("bucket_offset"),
+        )
+    )
+
+    groups = docs.select(F.col(by)).distinct()
+    n_groups = groups.count()
+    gidx = groups.select(
+        by,
+        (F.row_number().over(Window.orderBy(by)) - 1)
+        .cast("long")
+        .alias("gidx"),
+    )
+
+    rank_in_group = (
+        F.col("bucket_offset") + F.col("rank_in_bucket")
+    ).alias("rank_in_group")
+    return (
+        ranked.join(offsets, [by, "bucket"])
+        .join(gidx, by)
+        .select(
+            "doc_id",
+            by,
+            rank_in_group,
+            (
+                (F.col("bucket_offset") + F.col("rank_in_bucket") - 1)
+                * F.lit(int(n_groups)).cast("long")
+                + F.col("gidx")
+            ).alias("pos"),
+        )
     )

@@ -255,3 +255,54 @@ def test_select_token_budget_empty_corpus(spark):
     assert [f.name for f in res.schema.fields] == [
         "doc_id", "quality_ppm", "n_toks", "cum_tokens",
     ]
+
+
+def test_interleave_order_round_robin(spark):
+    """Equal-size groups: positions are the dense 0..N-1 permutation
+    and every consecutive n_groups-block holds one doc per group."""
+    from fulltextindexer_spark.operators.packing import interleave_order
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_order(docs, by="source").collect()
+    assert len(out) == 30
+    pos = sorted(r["pos"] for r in out)
+    assert pos == list(range(30))
+    by_pos = {r["pos"]: r["source"] for r in out}
+    for block in range(10):
+        assert {by_pos[block * 3 + j] for j in range(3)} == {
+            "s0", "s1", "s2"
+        }
+    # rank_in_group is contiguous 1..|group| inside every group
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["source"], []).append(r["rank_in_group"])
+    assert all(sorted(v) == list(range(1, 11)) for v in ranks.values())
+
+
+def test_interleave_order_skewed_groups_and_determinism(spark):
+    """Unequal groups: pos stays a strict total order (gaps allowed),
+    the within-group order is the md5 lottery, and reruns are
+    identical."""
+    from fulltextindexer_spark.operators.packing import interleave_order
+
+    rows = [(i, "big" if i < 20 else "tiny") for i in range(23)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(tuple(r) for r in interleave_order(docs).collect())
+    b = sorted(tuple(r) for r in interleave_order(docs).collect())
+    assert a == b
+    assert len({t[3] for t in a}) == 23  # pos all distinct
+    # round 1..3 (pos 0..5) interleave big/tiny; after tiny runs out,
+    # big continues alone at stride n_groups
+    import hashlib
+
+    def lottery(doc_id):
+        return hashlib.md5(f"il1{doc_id}".encode()).hexdigest()
+
+    big_ids = sorted(range(20), key=lambda i: (lottery(i), i))
+    got_big = [
+        t[0]
+        for t in sorted(a, key=lambda t: t[3])
+        if t[1] == "big"
+    ]
+    assert got_big == big_ids
