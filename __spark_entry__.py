@@ -763,6 +763,15 @@ def q_bm25f(spark, sf_dir):
     )
 
 
+def q_lm_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001) — the language-model alternative to BM25, same single
+    broadcast-join + one-shuffle job shape; collection stats cached
+    per index. Unclamped form so the oracle is the literal formula."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(bm25.lm_dirichlet_scores(idx, "data stream"))
+
+
 def q_rrf(spark, sf_dir):
     """Hybrid-retrieval fusion: the BM25 and weighted-or_sum rankings
     of one query fused by reciprocal rank (k=60, top-20 each side) —
@@ -3141,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream_bucketed": q_stream_pairs_bucketed,
         "ftix_collapse": q_collapse,
         "curate_interleave": q_interleave,
+        "ftix_lm_dirichlet": q_lm_dirichlet,
     }
 
 
@@ -3442,6 +3452,35 @@ scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
     return body + f"""
 SELECT doc_id, round(score, 4) AS score FROM
   (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {topk}) t
+"""
+
+
+def _lm_dirichlet_sql(mu: float = 2000.0) -> str:
+    """Dirichlet query-likelihood (Zhai & Lafferty 2001) for query
+    'data stream': unclamped form, expression tree identical to
+    bm25.lm_dirichlet_scores — ((tf*T)/(mu*cf)) then ln1p, plus
+    n_matched * ln(mu/(dl+mu))."""
+    t1 = english_plurality_normalise("data")
+    t2 = english_plurality_normalise("stream")
+    return f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf
+       WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+m AS (
+  SELECT tf.doc_id,
+         ln(1.0 + CAST(tf.tf AS DOUBLE) * tot.t / ({mu} * cf.cf)) AS sat,
+         dl.dl
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+s AS (SELECT doc_id, sum(sat) AS sat, count(*) AS nm, max(dl) AS dl
+      FROM m GROUP BY doc_id)
+SELECT doc_id,
+       round(sat + CAST(nm AS DOUBLE)
+                   * ln({mu} / (CAST(dl AS DOUBLE) + {mu})), 4) AS score
+FROM s
 """
 
 
@@ -6653,6 +6692,10 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # greedy best-quality-first whole-doc selection under a global
         # token budget (30% of corpus tokens); all-integer quality key
         # so the (quality desc, doc_id) order is exact in both engines
+        # Dirichlet query-likelihood for 'data stream' (mu=2000):
+        # sat term ln(1 + tf*T/(mu*cf)) mirrors the engine's exact
+        # double expression tree; per-doc length norm nm*ln(mu/(dl+mu))
+        "ftix_lm_dirichlet": _lm_dirichlet_sql(),
         "curate_interleave": """
 WITH r AS (
   SELECT doc_id, source,

@@ -517,6 +517,110 @@ def bm25_topk(
     return _topk(bm25_scores(index, source, k1, b, stats), k)
 
 
+DEFAULT_MU = 2000.0
+
+
+def _cached_collection_stats(index: InvertedIndex) -> tuple[int, int]:
+    """(total_tokens, n_docs) memoised per index: Σ dl over distinct
+    docs — one doc-distinct aggregation, two scalars."""
+    cached = getattr(index, "_lm_collection_stats", None)
+    if cached is None:
+        row = (
+            index.postings.select("doc_id", "dl")
+            .groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(
+                F.sum("dl").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        cached = (int(row["total"] or 0), int(row["n"]))
+        object.__setattr__(index, "_lm_collection_stats", cached)
+    return cached
+
+
+def lm_dirichlet_scores(
+    index: InvertedIndex,
+    source: str,
+    mu: float = DEFAULT_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood scores (doc_id, score) —
+    the language-model ranking alternative to BM25 (Zhai & Lafferty,
+    "A Study of Smoothing Methods for Language Models Applied to Ad
+    Hoc Information Retrieval", SIGIR 2001; Lucene ships the clamped
+    variant as LMDirichletSimilarity). Unclamped rank-equivalent
+    form, OR semantics over the distinct query terms::
+
+        p(t|C)     = cf_t / total_tokens           (collection LM)
+        score(q,d) = Σ_{t ∈ q, tf>0} ln(1 + tf·T / (μ·cf_t))
+                     + n_matched(q,d) · ln(μ / (dl + μ))
+
+    Scores are doubles (scale-mode scorer, no float32-parity
+    obligation — same contract as :func:`bm25_scores`).
+
+    Scale shape — identical to BM25 scoring: collection stats
+    (total token count) are one cached doc-distinct aggregation per
+    index; per-query collection frequencies are a term-pruned
+    aggregation collected as ≤ |q| driver rows and broadcast back;
+    the scoring job is one broadcast join on the query terms plus a
+    single ``groupBy(doc_id)`` shuffle. ``tf``/``dl`` ride the
+    postings, so no document-length side join.
+    """
+    terms = _query_terms(index, source)
+    if not terms:
+        return _empty(index)
+    total_tokens, _ = _cached_collection_stats(index)
+    if total_tokens == 0:
+        return _empty(index)
+    cf_rows = (
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .collect()
+    )
+    cf_rows = [(r["term"], int(r["cf"])) for r in cf_rows if r["cf"]]
+    if not cf_rows:
+        return _empty(index)
+    spark = index.postings.sparkSession
+    qdf = spark.createDataFrame(cf_rows, "term string, cf long")
+    matched = index.postings.join(F.broadcast(qdf), "term")
+    mu_l = F.lit(float(mu))
+    sat = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        * F.lit(float(total_tokens))
+        / (mu_l * F.col("cf").cast("double"))
+    )
+    return (
+        matched.select("doc_id", "dl", sat.alias("sat"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("sat").alias("sat"),
+            F.count(F.lit(1)).alias("nm"),
+            F.max("dl").alias("dl"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("sat")
+                + F.col("nm").cast("double")
+                * F.log(mu_l / (F.col("dl").cast("double") + mu_l))
+            ).alias("score"),
+        )
+    )
+
+
+def lm_dirichlet_topk(
+    index: InvertedIndex,
+    source: str,
+    k: int = 10,
+    mu: float = DEFAULT_MU,
+) -> DataFrame:
+    """Top-k Dirichlet query-likelihood: score desc, doc_id asc."""
+    return _topk(lm_dirichlet_scores(index, source, mu), k)
+
+
 def bm25_topk_wand(
     index: InvertedIndex,
     source: str,

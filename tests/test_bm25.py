@@ -426,3 +426,61 @@ def test_realize_empty_suffstats(spark):
     suff = bm25.build_bm25_suffstats(idx)
     stats = bm25.realize_bm25_stats(suff)
     assert stats.n_docs == 0 and stats.avgdl == 0.0
+
+
+# -- LM Dirichlet ------------------------------------------------------------
+
+
+def _oracle_lm_dirichlet(query_terms, mu=2000.0):
+    """Independent Dirichlet query-likelihood over DOCS."""
+    norm_docs = []
+    for doc_id, text in DOCS:
+        terms = [normalise_scalar(t, CFG.normaliser) for t in text.split()]
+        norm_docs.append((doc_id, [t for t in terms if t]))
+    total = sum(len(ts) for _, ts in norm_docs)
+    scores = {}
+    for term in dict.fromkeys(query_terms):
+        nt = normalise_scalar(term, CFG.normaliser)
+        cf = sum(ts.count(nt) for _, ts in norm_docs)
+        if cf == 0:
+            continue
+        for doc_id, ts in norm_docs:
+            tf = ts.count(nt)
+            if tf == 0:
+                continue
+            sat = math.log(1.0 + tf * float(total) / (mu * float(cf)))
+            norm = math.log(mu / (len(ts) + mu))
+            scores[doc_id] = scores.get(doc_id, 0.0) + sat + norm
+    return scores
+
+
+def test_lm_dirichlet_matches_oracle(index):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25.lm_dirichlet_scores(index, "dog hash").collect()
+    }
+    want = _oracle_lm_dirichlet(["dog", "hash"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+
+
+def test_lm_dirichlet_topk_order(index):
+    rows = bm25.lm_dirichlet_topk(index, "dog", k=2).collect()
+    want = _oracle_lm_dirichlet(["dog"])
+    order = sorted(want, key=lambda d: (-want[d], d))[:2]
+    assert [r["doc_id"] for r in rows] == order
+
+
+def test_lm_dirichlet_rewards_higher_tf(index):
+    # doc 4 has 3x 'join'; it must outrank any single-occurrence doc
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25.lm_dirichlet_scores(index, "join").collect()
+    }
+    assert got and max(got, key=got.get) == 4
+
+
+def test_lm_dirichlet_empty_and_absent(index):
+    assert bm25.lm_dirichlet_scores(index, "").count() == 0
+    assert bm25.lm_dirichlet_scores(index, "zzzzz").count() == 0
