@@ -42,6 +42,7 @@ from fulltextindexer_spark.operators import (
     codestats,
     decontam,
     dedup,
+    feedback,
     packing,
     similarity,
     sketches,
@@ -770,6 +771,20 @@ def q_lm_dirichlet(spark, sf_dir):
     per index. Unclamped form so the oracle is the literal formula."""
     idx = _docs_index(spark, sf_dir)
     return _round_score(bm25.lm_dirichlet_scores(idx, "data stream"))
+
+
+def q_prf(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback: top-5 BM25 docs for
+    'data stream' vote expansion terms (3 most frequent in the
+    feedback pool — integer pick), final score = base + 0.5 ×
+    expansion BM25 over the full outer match union."""
+    idx = _docs_index(spark, sf_dir)
+    return _round_score(
+        feedback.prf_matches(
+            idx, "data stream", fb_k=5, m=3, beta=0.5,
+            stats=bm25.get_bm25_stats(idx),
+        )
+    )
 
 
 def q_rrf(spark, sf_dir):
@@ -3151,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_collapse": q_collapse,
         "curate_interleave": q_interleave,
         "ftix_lm_dirichlet": q_lm_dirichlet,
+        "ftix_prf": q_prf,
     }
 
 
@@ -3452,6 +3468,48 @@ scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
     return body + f"""
 SELECT doc_id, round(score, 4) AS score FROM
   (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {topk}) t
+"""
+
+
+def _prf_sql() -> str:
+    """Rocchio PRF for 'data stream' (fb_k=5, m=3, beta=0.5): the BM25
+    base ranking picks the feedback docs, the expansion terms are the
+    integer (fb_df desc, term asc) pick over the feedback pool minus
+    query/stop terms, and the blend is a full outer join."""
+    t1 = english_plurality_normalise("data")
+    t2 = english_plurality_normalise("stream")
+    contrib = """
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))"""
+    return f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bc AS (
+  SELECT tf.doc_id, {contrib} AS c
+  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s WHERE tf.term IN ('{t1}', '{t2}')
+),
+base AS (SELECT doc_id, sum(c) AS score FROM bc GROUP BY doc_id),
+fb AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT 5),
+pool AS (SELECT tf.term, count(*) AS fb_df FROM tf JOIN fb USING (doc_id)
+         WHERE tf.term NOT IN ({STOP_IN})
+           AND tf.term NOT IN ('{t1}', '{t2}')
+         GROUP BY tf.term),
+sel AS (SELECT term FROM pool ORDER BY fb_df DESC, term LIMIT 3),
+xc AS (
+  SELECT tf.doc_id, {contrib} AS c
+  FROM tf JOIN sel USING (term) JOIN dfreq d USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+exp AS (SELECT doc_id, sum(c) AS xscore FROM xc GROUP BY doc_id)
+SELECT doc_id,
+       round(COALESCE(b.score, 0.0) + 0.5 * COALESCE(e.xscore, 0.0), 4)
+           AS score
+FROM base b FULL OUTER JOIN exp e USING (doc_id)
 """
 
 
@@ -6696,6 +6754,10 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # sat term ln(1 + tf*T/(mu*cf)) mirrors the engine's exact
         # double expression tree; per-doc length norm nm*ln(mu/(dl+mu))
         "ftix_lm_dirichlet": _lm_dirichlet_sql(),
+        # Rocchio PRF for 'data stream': top-5 BM25 docs vote the 3
+        # most-frequent pool terms (integer pick, term-asc ties);
+        # final = base + 0.5 × expansion over the full outer union
+        "ftix_prf": _prf_sql(),
         "curate_interleave": """
 WITH r AS (
   SELECT doc_id, source,

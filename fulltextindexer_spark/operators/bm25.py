@@ -465,7 +465,22 @@ def bm25_scores(
     ``Bm25Stats`` for the per-term idf when available (cached or
     passed), falling back to a per-query df count otherwise.
     """
-    terms = _query_terms(index, source)
+    return bm25_scores_terms(
+        index, _query_terms(index, source), k1, b, stats
+    )
+
+
+def bm25_scores_terms(
+    index: InvertedIndex,
+    terms: list[str],
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """:func:`bm25_scores` over pre-normalised terms — the entry point
+    for callers whose query is already a term list (more-like-this,
+    relevance-feedback expansion, programmatic queries). Terms are
+    used as-is: no tokenisation or normalisation."""
     if not terms:
         return _empty(index)
     if stats is None:

@@ -1,0 +1,143 @@
+"""Pseudo-relevance feedback (Rocchio-style query expansion) over the
+inverted index.
+
+The reference engine has no feedback loop (its querier is a one-shot
+expression evaluator); this is the engine's scale-mode retrieval
+extension in the tradition of classic Rocchio PRF (Rocchio 1971;
+Salton & Buckley 1990). Doc→doc retrieval lives next door as
+:func:`~fulltextindexer_spark.operators.bm25.more_like_this`.
+
+The operator composes the index's existing primitives — term-pruned
+postings reads, precomputed BM25 statistics, and
+:func:`~fulltextindexer_spark.operators.bm25.bm25_scores_terms` — so
+the corpus-scale work stays the one-broadcast-join + one-shuffle BM25
+job shape.
+
+Determinism contract (cross-engine gates): expansion-term SELECTION
+never compares floats — terms are ranked by the all-integer key
+``(feedback-doc-frequency desc, term asc)`` — so both engines pick
+identical term sets; only the final BM25 scores are floating point
+(rounded at the gate boundary like every scoring gate).
+
+Scale notes: the feedback-document term pool in
+:func:`prf_expansion_terms` is ``fb_k`` documents' postings — bounded
+by ``fb_k × dl``, aggregated map-side before the ≤ |pool| collect;
+the final blend is a full outer join of two doc-keyed score frames.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.bm25 import (
+    DEFAULT_B,
+    DEFAULT_K1,
+    Bm25Stats,
+    bm25_scores_terms,
+    bm25_topk,
+)
+from fulltextindexer_spark.operators.index_build import (
+    InvertedIndex,
+    normalised_stop_words,
+)
+
+__all__ = [
+    "prf_expansion_terms",
+    "prf_matches",
+]
+
+
+def prf_expansion_terms(
+    index: InvertedIndex,
+    source: str,
+    fb_k: int = 10,
+    m: int = 5,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+    exclude_terms: Optional[frozenset] = None,
+) -> tuple[list[str], list[str]]:
+    """Pseudo-relevance-feedback expansion: run the query, take the
+    top ``fb_k`` documents as assumed-relevant, and pick the ``m``
+    terms that occur in the MOST feedback documents (feedback df —
+    an integer, so the pick is exact across engines; ties term asc),
+    excluding the original query terms and stop words.
+
+    Returns ``(original_terms, expansion_terms)``. The feedback pool
+    is ``fb_k`` docs' postings — one ``isin(doc_ids)``-pruned
+    aggregation, collected at ≤ |pool| rows."""
+    from fulltextindexer_spark.operators.bm25 import _query_terms
+
+    q_terms = _query_terms(index, source)
+    if not q_terms:
+        return [], []
+    if exclude_terms is None:
+        exclude_terms = normalised_stop_words(index.config)
+    fb_ids = [
+        int(r["doc_id"])
+        for r in bm25_topk(index, source, k=fb_k, k1=k1, b=b, stats=stats)
+        .select("doc_id")
+        .collect()
+    ]
+    if not fb_ids:
+        return q_terms, []
+    drop = set(q_terms) | set(exclude_terms)
+    pool = (
+        index.postings.where(F.col("doc_id").isin(fb_ids))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_df"))
+        .collect()
+    )
+    cand = sorted(
+        ((r["term"], int(r["fb_df"])) for r in pool if r["term"] not in drop),
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    return q_terms, [t for t, _ in cand[:m]]
+
+
+def prf_matches(
+    index: InvertedIndex,
+    source: str,
+    fb_k: int = 10,
+    m: int = 5,
+    beta: float = 0.5,
+    k: Optional[int] = None,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """Rocchio-style feedback retrieval: final score =
+    ``bm25(original terms) + beta × bm25(expansion terms)`` per doc
+    (full outer over the two match sets — a doc matching only the
+    expansion still surfaces). Returns ``(doc_id, score)``; top-k
+    (score desc, doc_id asc) when ``k`` is given.
+
+    Two BM25 jobs plus the feedback-pool aggregation — three
+    broadcast-join scans total, no corpus-wide intermediate."""
+    q_terms, x_terms = prf_expansion_terms(
+        index, source, fb_k, m, k1, b, stats
+    )
+    base = bm25_scores_terms(index, q_terms, k1, b, stats)
+    if not x_terms:
+        out = base
+    else:
+        exp = bm25_scores_terms(index, x_terms, k1, b, stats).select(
+            "doc_id", F.col("score").alias("xscore")
+        )
+        out = (
+            base.join(exp, "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.lit(float(beta))
+                    * F.coalesce(F.col("xscore"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    if k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return out

@@ -1,0 +1,101 @@
+"""Pseudo-relevance-feedback expansion (Rocchio)."""
+
+import pytest
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.functions.normalize import normalise_scalar
+from fulltextindexer_spark.operators import bm25, feedback
+from fulltextindexer_spark.operators.index_build import build_index
+
+CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+    stop_words=frozenset({"the", "a", "and"}),
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick sort and merge sort are sorting algorithms"),
+    (3, "the dog barks at the brown cat"),
+    (4, "merge join hash join sort merge join strategies"),
+    (5, "a fox and a dog and a cat walked home"),
+    (6, "hash tables map keys to buckets via a hash function"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, CFG)
+    idx.postings.persist().count()
+    yield idx
+    idx.postings.unpersist()
+
+
+def _norm_docs():
+    out = []
+    for doc_id, text in DOCS:
+        terms = [normalise_scalar(t, CFG.normaliser) for t in text.split()]
+        out.append((doc_id, [t for t in terms if t]))
+    return out
+
+
+def test_prf_expansion_terms_integer_pick(index):
+    """fb set for 'dog' = docs {1,3,5}; expansion terms are the most
+    common non-query non-stop terms of that pool."""
+    q, x = feedback.prf_expansion_terms(index, "dog", fb_k=3, m=2)
+    assert q == [normalise_scalar("dog", CFG.normaliser)]
+    nd = dict(_norm_docs())
+    stops = {normalise_scalar(w, CFG.normaliser) for w in CFG.stop_words}
+    fbids = [r["doc_id"] for r in bm25.bm25_topk(index, "dog", k=3).collect()]
+    pool = {}
+    for d in fbids:
+        for t in set(nd[d]):
+            pool[t] = pool.get(t, 0) + 1
+    cand = {t: c for t, c in pool.items() if t not in stops and t not in q}
+    want = sorted(cand, key=lambda t: (-cand[t], t))[:2]
+    assert x == want
+
+
+def test_prf_matches_blends_scores(index):
+    # 'barks' hits only doc 3; its expansion pool (doc 3's terms)
+    # includes 'dog', which surfaces docs 1 and 5 via the outer join
+    q, x = feedback.prf_expansion_terms(index, "barks", fb_k=1, m=4)
+    base = {r["doc_id"]: r["score"]
+            for r in bm25.bm25_scores(index, "barks").collect()}
+    exp = {r["doc_id"]: r["score"]
+           for r in bm25.bm25_scores_terms(index, x).collect()}
+    got = {r["doc_id"]: r["score"]
+           for r in feedback.prf_matches(index, "barks", fb_k=1, m=4,
+                                         beta=0.5).collect()}
+    want = {}
+    for d in set(base) | set(exp):
+        want[d] = base.get(d, 0.0) + 0.5 * exp.get(d, 0.0)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+    # expansion can surface docs the original query missed
+    assert set(exp) - set(base), "fixture should exercise the outer join"
+
+
+def test_prf_topk_cut(index):
+    rows = feedback.prf_matches(index, "barks", fb_k=1, m=4, k=3).collect()
+    assert len(rows) == 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_prf_with_stats_same_result(index):
+    stats = bm25.get_bm25_stats(index)
+    a = {(r["doc_id"], round(r["score"], 10))
+         for r in feedback.prf_matches(index, "dog", fb_k=3, m=2).collect()}
+    b = {(r["doc_id"], round(r["score"], 10))
+         for r in feedback.prf_matches(index, "dog", fb_k=3, m=2,
+                                       stats=stats).collect()}
+    assert a == b
+
+
+def test_prf_empty_query(index):
+    assert feedback.prf_matches(index, "").count() == 0
+    assert feedback.prf_expansion_terms(index, "") == ([], [])
