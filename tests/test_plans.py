@@ -557,3 +557,64 @@ def test_bloom_bitmap_predicate_plan_is_scan_only(spark):
     plan = _plan(df.where(F.expr(pred)))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_ranking_extensions_jvm_only_and_broadcast(spark):
+    """LM-Dirichlet, PRF and k=1 collapse plan without Python-eval
+    nodes over a materialized postings table; the scoring join on the
+    driver-tiny query frame is a broadcast, and the k=1 collapse is
+    pure hash aggregation (no Window, no SinglePartition)."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators import bm25, feedback
+    from fulltextindexer_spark.operators import query as qmod
+    from fulltextindexer_spark.operators.index_build import build_index
+
+    cfg = IndexConfig(
+        key_column="doc_id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("alpha" if i % 2 else "beta"))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, cfg)
+    idx.postings.persist().count()
+    try:
+        lm = bm25.lm_dirichlet_scores(idx, "alpha beta")
+        prf = feedback.prf_matches(idx, "alpha", fb_k=3, m=2)
+        groups = docs.select(
+            "doc_id", (F.col("doc_id") % 3).alias("grp")
+        )
+        scored = lm.limit(20)
+        col = qmod.collapse_results(scored, groups, "grp", k=1)
+        for df in (lm, prf):
+            plan = _plan(df)
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, (marker, plan[:2000])
+            assert "BroadcastHashJoin" in plan, plan[:2000]
+            assert "CartesianProduct" not in plan
+        cplan = _plan(col)
+        assert "Window" not in cplan, cplan[:2000]
+        assert "min_by" in cplan or "minby" in cplan.lower(), cplan[:2000]
+    finally:
+        idx.postings.unpersist()
+
+
+def test_interleave_order_rank_window_is_partitioned(spark):
+    """interleave_order's per-group rank must run partitioned by
+    (group, md5-bucket) — never a corpus-wide single-partition window.
+    (The gidx window over the DISTINCT-group frame is the documented
+    groups-are-small contract, same as epoch_plan/corpus_mix.)"""
+    from fulltextindexer_spark.operators.packing import interleave_order
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 4)) for i in range(40)],
+        "doc_id long, source string",
+    )
+    plan = _plan(interleave_order(docs, by="source"))
+    assert "hashpartitioning(source" in plan, plan[:3000]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, (marker, plan[:2000])
