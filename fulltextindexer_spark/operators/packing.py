@@ -472,6 +472,10 @@ def interleave_order(
     exhausted groups leave gaps, which is harmless for an ORDER BY
     key (document this at call sites that expect density).
 
+    Rows whose ``by`` value is NULL are EXCLUDED from the output (the
+    offset/gidx equi-joins drop null keys) — filter them out or fill
+    a sentinel group upstream if they must be scheduled.
+
     Scale design — per-group rank without a per-group single-task
     window: the md5 key's first hex byte is a MONOTONE bucket in md5
     order, so (1) ``row_number`` runs per ``(group, bucket)`` —

@@ -306,3 +306,15 @@ def test_interleave_order_skewed_groups_and_determinism(spark):
         if t[1] == "big"
     ]
     assert got_big == big_ids
+
+
+def test_interleave_order_null_group_rows_excluded(spark):
+    """Documented contract: NULL-group rows drop out of the schedule
+    (equi-join semantics); non-null groups are unaffected."""
+    from fulltextindexer_spark.operators.packing import interleave_order
+
+    rows = [(1, "a"), (2, None), (3, "b"), (4, "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_order(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 4]
+    assert len({r["pos"] for r in out}) == 3
