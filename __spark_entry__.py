@@ -787,6 +787,53 @@ def q_prf(spark, sf_dir):
     )
 
 
+# stored alert queries for the percolation gate — term-diverse, with
+# a multi-term AND and a never-matching probe
+PERCOLATE_QUERIES = (
+    ("alert-stream", "data stream"),
+    ("alert-join", "hash join"),
+    ("alert-window", "window agg sort"),
+    ("alert-miss", "zzzzunseen"),
+)
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (Elasticsearch percolator): which stored alert
+    queries does each document satisfy? Percolation = a term equi-join
+    of two indexes — the corpus index against an index built over the
+    query strings with the same config — plus a coverage gate (AND
+    semantics). Nothing collects to the driver; millions of stored
+    alerts and a streaming batch both scale."""
+    from fulltextindexer_spark.operators.percolate import percolate
+
+    idx = _docs_index(spark, sf_dir)
+    key = ("percolate_q", id(spark))
+    if key not in _INDEX_CACHE:
+        qdf = spark.createDataFrame(
+            list(PERCOLATE_QUERIES), "query_key string, text string"
+        )
+        qcfg = IndexConfig(
+            key_column="query_key",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        )
+        _INDEX_CACHE[key] = build_index(qdf, qcfg)
+    qidx = _INDEX_CACHE[key]
+    res = percolate(idx, qidx)
+    return (
+        qidx.resolve_keys(
+            res.withColumnRenamed("doc_id", "target_doc")
+            .withColumnRenamed("query_id", "doc_id")
+        )
+        .select(
+            F.col("doc_key").alias("query_key"),
+            F.col("target_doc").alias("doc_id"),
+            "n_matched",
+            "n_terms",
+        )
+    )
+
+
 def q_rrf(spark, sf_dir):
     """Hybrid-retrieval fusion: the BM25 and weighted-or_sum rankings
     of one query fused by reciprocal rank (k=60, top-20 each side) —
@@ -3167,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_interleave": q_interleave,
         "ftix_lm_dirichlet": q_lm_dirichlet,
         "ftix_prf": q_prf,
+        "ftix_percolate": q_percolate,
     }
 
 
@@ -3468,6 +3516,33 @@ scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
     return body + f"""
 SELECT doc_id, round(score, 4) AS score FROM
   (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {topk}) t
+"""
+
+
+def _percolate_sql() -> str:
+    """Percolation oracle: the stored queries' stemmed distinct terms
+    inlined as VALUES, coverage-gated AND match against the distinct
+    (doc, term) pairs."""
+    vals = []
+    for qk, text in PERCOLATE_QUERIES:
+        terms = []
+        for tok in text.split():
+            t = english_plurality_normalise(tok)
+            if t and t not in terms:
+                terms.append(t)
+        vals.extend(f"('{qk}', '{t}')" for t in terms)
+    values = ", ".join(vals)
+    return f"""
+WITH {TOK_CTE},
+qt AS (SELECT * FROM (VALUES {values}) AS v(query_key, term)),
+nt AS (SELECT query_key, count(*) AS n_terms FROM qt GROUP BY query_key),
+tfd AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (SELECT q.query_key, t.doc_id, count(*) AS n_matched
+      FROM qt q JOIN tfd t USING (term) GROUP BY q.query_key, t.doc_id)
+SELECT m.query_key, m.doc_id,
+       CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST(nt.n_terms AS BIGINT) AS n_terms
+FROM m JOIN nt USING (query_key) WHERE m.n_matched >= nt.n_terms
 """
 
 
@@ -6754,6 +6829,9 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # sat term ln(1 + tf*T/(mu*cf)) mirrors the engine's exact
         # double expression tree; per-doc length norm nm*ln(mu/(dl+mu))
         "ftix_lm_dirichlet": _lm_dirichlet_sql(),
+        # reverse search: stored-alert coverage gate over distinct
+        # (doc, term); AND semantics, never-matching probe included
+        "ftix_percolate": _percolate_sql(),
         # Rocchio PRF for 'data stream': top-5 BM25 docs vote the 3
         # most-frequent pool terms (integer pick, term-asc ties);
         # final = base + 0.5 × expansion over the full outer union

@@ -1,0 +1,107 @@
+"""Percolation: reverse search — match a batch of documents against a
+TABLE of stored queries (the Elasticsearch percolator / Lucene
+MemoryIndex alerting primitive: "which saved searches does this new
+doc satisfy?").
+
+The Spark-first insight is that percolation is a TERM JOIN OF TWO
+INDEXES: build the stored queries with the engine's own
+:func:`~fulltextindexer_spark.operators.index_build.build_index`
+(same config ⇒ same tokenizer/normaliser term space as the documents
+— reusing S2/T1-T4/N1-N4 wholesale), then
+
+    matches(query, doc) = |terms(query) ∩ terms(doc)|
+
+is one equi-join on ``term`` plus a ``groupBy(query, doc)`` count,
+gated on per-query coverage (AND semantics, or a ``min_match``
+relaxation). Both sides stay DataFrames: millions of stored alerts
+and a streaming micro-batch of documents both scale — nothing is
+collected to the driver.
+
+The reference engine has no reverse-search surface; this is the
+engine's alerting extension over the same postings shape
+(IndexData_Extensions_PartialMatches.cs:17-137 defines the forward
+semantics the coverage gate mirrors).
+
+Scale notes: the join is term-keyed, so a stored query containing a
+hot term (a stop word) fans out to that term's whole posting list —
+inherent to percolation semantics; AQE's skew-join split handles the
+imbalance, and ``exclude_terms`` lets callers drop stop terms from
+the required set explicitly (a documented semantic change, never a
+silent one). Queries whose text normalises to zero terms cannot
+match (they have no postings) — the vacuous-AND reading is
+deliberately NOT implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+__all__ = ["percolate"]
+
+
+def percolate(
+    doc_index: InvertedIndex,
+    query_index: InvertedIndex,
+    min_match: Optional[int] = None,
+    exclude_terms: Optional[frozenset] = None,
+) -> DataFrame:
+    """Match every document of ``doc_index`` against every stored
+    query of ``query_index`` (a normal index built over the query
+    strings, one "document" per stored query).
+
+    ``min_match=None`` is AND semantics — every query term must occur
+    in the doc; an integer relaxes it to
+    ``n_matched >= least(min_match, n_terms)`` (so short queries stay
+    satisfiable, the engine-wide min-should rule).
+
+    Returns ``(query_id, doc_id, n_matched, n_terms)`` — internal
+    long ids; map back to natural keys with each index's
+    ``resolve_keys``.
+
+    Raises if the two indexes disagree on normaliser or break chars —
+    a silent term-space mismatch would "work" and match nothing.
+    """
+    dc, qc = doc_index.config, query_index.config
+    if (dc.normaliser, dc.break_chars) != (qc.normaliser, qc.break_chars):
+        raise ValueError(
+            "doc and query indexes must share normaliser + break chars "
+            f"(docs: {dc.normaliser!r}/{dc.break_chars!r}, "
+            f"queries: {qc.normaliser!r}/{qc.break_chars!r})"
+        )
+    qterms = query_index.postings.select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    if exclude_terms:
+        qterms = qterms.where(~F.col("term").isin(list(exclude_terms)))
+    n_terms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    # postings are unique per (term, doc) on both sides, so the join
+    # result is unique per (query, doc, term) and count(*) is the
+    # distinct matched-term count
+    matched = (
+        doc_index.postings.select("term", "doc_id")
+        .join(qterms, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    required = (
+        F.col("n_terms")
+        if min_match is None
+        else F.least(F.lit(int(min_match)), F.col("n_terms"))
+    )
+    return (
+        matched.join(n_terms, "query_id")
+        .where(F.col("n_matched") >= required)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Percolation (reverse search): docs matched against stored queries."""
+
+import pytest
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.operators.percolate import percolate
+
+DOC_CFG = IndexConfig(
+    key_column="doc_id",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+Q_CFG = IndexConfig(
+    key_column="query_key",
+    fields=(FieldConfig("text", 1.0),),
+    capture_positions=False,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "dogs and cats are pets"),
+    (3, "hash join beats nested loops"),
+    (4, "sort merge join shuffles both sides"),
+]
+QUERIES = [
+    ("q-cat", "cat"),
+    ("q-join", "join"),
+    ("q-hash-join", "hash join"),
+    ("q-cat-dog", "cat dog"),
+    ("q-empty", "..."),
+]
+
+
+@pytest.fixture(scope="module")
+def indexes(spark):
+    didx = build_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), DOC_CFG
+    )
+    qidx = build_index(
+        spark.createDataFrame(QUERIES, "query_key string, text string"),
+        Q_CFG,
+    )
+    didx.postings.persist().count()
+    qidx.postings.persist().count()
+    yield didx, qidx
+    didx.postings.unpersist()
+    qidx.postings.unpersist()
+
+
+def _resolved(didx, qidx, res):
+    out = qidx.resolve_keys(
+        res.withColumnRenamed("doc_id", "target_doc")
+        .withColumnRenamed("query_id", "doc_id")
+    )
+    return {
+        (r["doc_key"], r["target_doc"]): (r["n_matched"], r["n_terms"])
+        for r in out.collect()
+    }
+
+
+def test_percolate_and_semantics(indexes):
+    didx, qidx = indexes
+    got = _resolved(didx, qidx, percolate(didx, qidx))
+    # stemming folds cats/cat and dogs/dog
+    assert set(got) == {
+        ("q-cat", 1), ("q-cat", 2),
+        ("q-join", 3), ("q-join", 4),
+        ("q-hash-join", 3),
+        ("q-cat-dog", 2),
+    }
+    assert got[("q-hash-join", 3)] == (2, 2)
+    assert got[("q-cat", 1)] == (1, 1)
+
+
+def test_percolate_min_match_relaxation(indexes):
+    didx, qidx = indexes
+    got = _resolved(didx, qidx, percolate(didx, qidx, min_match=1))
+    # 'cat dog' now matches doc 1 (cat only); short queries unaffected
+    assert ("q-cat-dog", 1) in got
+    assert got[("q-cat-dog", 1)] == (1, 2)
+    assert ("q-cat", 1) in got  # least(min_match, n_terms) keeps 1-term
+
+
+def test_percolate_empty_query_never_matches(indexes):
+    didx, qidx = indexes
+    got = _resolved(didx, qidx, percolate(didx, qidx))
+    assert not any(k[0] == "q-empty" for k in got)
+
+
+def test_percolate_exclude_terms(indexes):
+    didx, qidx = indexes
+    from fulltextindexer_spark.functions.normalize import normalise_scalar
+
+    drop = frozenset({normalise_scalar("dog", Q_CFG.normaliser)})
+    got = _resolved(didx, qidx, percolate(didx, qidx, exclude_terms=drop))
+    # with 'dog' dropped, 'cat dog' is a 1-term query matching docs 1+2
+    assert got[("q-cat-dog", 1)] == (1, 1)
+    assert got[("q-cat-dog", 2)] == (1, 1)
+
+
+def test_percolate_config_mismatch_raises(spark, indexes):
+    didx, _ = indexes
+    other = build_index(
+        spark.createDataFrame(QUERIES, "query_key string, text string"),
+        IndexConfig(
+            key_column="query_key",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+            normaliser="default",
+        ),
+    )
+    with pytest.raises(ValueError, match="normaliser"):
+        percolate(didx, other)
