@@ -797,16 +797,9 @@ PERCOLATE_QUERIES = (
 )
 
 
-def q_percolate(spark, sf_dir):
-    """Reverse search (Elasticsearch percolator): which stored alert
-    queries does each document satisfy? Percolation = a term equi-join
-    of two indexes — the corpus index against an index built over the
-    query strings with the same config — plus a coverage gate (AND
-    semantics). Nothing collects to the driver; millions of stored
-    alerts and a streaming batch both scale."""
-    from fulltextindexer_spark.operators.percolate import percolate
-
-    idx = _docs_index(spark, sf_dir)
+def _percolate_query_index(spark):
+    """Build-once index over the stored alert queries (alert-table
+    cadence, not ingest cadence)."""
     key = ("percolate_q", id(spark))
     if key not in _INDEX_CACHE:
         qdf = spark.createDataFrame(
@@ -818,8 +811,12 @@ def q_percolate(spark, sf_dir):
             capture_positions=False,
         )
         _INDEX_CACHE[key] = build_index(qdf, qcfg)
-    qidx = _INDEX_CACHE[key]
-    res = percolate(idx, qidx)
+    return _INDEX_CACHE[key]
+
+
+def _resolve_percolate(qidx, res):
+    """(query_id, doc_id, …) → natural alert keys via the query
+    index's key map."""
     return (
         qidx.resolve_keys(
             res.withColumnRenamed("doc_id", "target_doc")
@@ -831,6 +828,63 @@ def q_percolate(spark, sf_dir):
             "n_matched",
             "n_terms",
         )
+    )
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (Elasticsearch percolator): which stored alert
+    queries does each document satisfy? Percolation = a term equi-join
+    of two indexes — the corpus index against an index built over the
+    query strings with the same config — plus a coverage gate (AND
+    semantics). Nothing collects to the driver; millions of stored
+    alerts and a streaming batch both scale."""
+    from fulltextindexer_spark.operators.percolate import percolate
+
+    idx = _docs_index(spark, sf_dir)
+    qidx = _percolate_query_index(spark)
+    return _resolve_percolate(qidx, percolate(idx, qidx))
+
+
+def _percolate_stream_store(spark, sf_dir):
+    """Build-once two-micro-batch percolation store (the setup behind
+    ``ftix_percolate_stream``): the corpus split at the median doc_id,
+    each half matched against the stored-alert index via
+    match_percolate_batch. Cached so bench times the ingestion as its
+    own line (``percolate_stream_build``)."""
+    key = ("percstream", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from fulltextindexer_spark.streaming import percolate as sperc
+
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        store = tempfile.mkdtemp(prefix="ftix_gate_percstream_")
+        qidx = _percolate_query_index(spark)
+        half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        sperc.match_percolate_batch(
+            spark, docs.where(F.col("doc_id") <= half), qidx, store,
+            batch_id=0,
+        )
+        sperc.match_percolate_batch(
+            spark, docs.where(F.col("doc_id") > half), qidx, store,
+            batch_id=1,
+        )
+        _INDEX_CACHE[key] = store
+    return _INDEX_CACHE[key]
+
+
+def q_percolate_stream(spark, sf_dir):
+    """Streaming percolation under the cross-engine check: the corpus
+    arrives in two micro-batches, each matched against the standing
+    alert index and appended to the store; the accumulated matches
+    must — and do — equal the one-shot percolation, so the oracle is
+    the SAME SQL as ftix_percolate."""
+    from fulltextindexer_spark.streaming import percolate as sperc
+
+    store = _percolate_stream_store(spark, sf_dir)
+    qidx = _percolate_query_index(spark)
+    return _resolve_percolate(
+        qidx, sperc.percolate_matches_so_far(spark, store).drop("batch_id")
     )
 
 
@@ -3215,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_lm_dirichlet": q_lm_dirichlet,
         "ftix_prf": q_prf,
         "ftix_percolate": q_percolate,
+        "ftix_percolate_stream": q_percolate_stream,
     }
 
 
@@ -6832,6 +6887,9 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # reverse search: stored-alert coverage gate over distinct
         # (doc, term); AND semantics, never-matching probe included
         "ftix_percolate": _percolate_sql(),
+        # streaming percolation must be invisible: two-micro-batch
+        # ingestion ≡ one-shot, so the oracle is identical
+        "ftix_percolate_stream": _percolate_sql(),
         # Rocchio PRF for 'data stream': top-5 BM25 docs vote the 3
         # most-frequent pool terms (integer pick, term-asc ties);
         # final = base + 0.5 × expansion over the full outer union

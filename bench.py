@@ -414,6 +414,13 @@ def run_default() -> dict:
         timings["neardup_bucketed_build"] = round(
             time.perf_counter() - t0, 3
         )
+        # the two-micro-batch ingestion behind ftix_percolate_stream:
+        # timed here so the gate line measures the match-store read
+        t0 = time.perf_counter()
+        entrymod._percolate_stream_store(spark, SF_DIR)
+        timings["percolate_stream_build"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         from fulltextindexer_spark.plans import cachereg
 

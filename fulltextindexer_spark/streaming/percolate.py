@@ -1,0 +1,140 @@
+"""Streaming percolation: match every arriving micro-batch of
+documents against a standing table of stored alert queries.
+
+This is the deployment shape reverse search exists for (an
+Elasticsearch percolator index serving a firehose): the stored-query
+index is built ONCE (it changes at alert-management cadence, not
+ingest cadence), each micro-batch is tokenised into a transient
+postings frame with the SAME config — reusing the whole
+tokeniser/normaliser stack — and
+:func:`~fulltextindexer_spark.operators.percolate.percolate` runs the
+term equi-join + coverage gate per batch. Matches append to a store;
+a batch-id manifest turns at-least-once replays into no-ops (the
+``streaming/incremental.py`` protocol).
+
+Per-batch cost is |batch postings| ⋈ |query postings| — the batch is
+micro-batch-sized and the query side is alert-table-sized; neither is
+corpus-scale, and nothing accumulates driver-side. The matches store
+grows append-only and is keyed by (batch_id), so downstream alert
+routers can consume it incrementally (readStream over the matches
+directory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.operators.index_build import (
+    InvertedIndex,
+    build_postings,
+)
+from fulltextindexer_spark.operators.percolate import percolate
+
+DOCS_STREAM_DDL = "doc_id long, text string"
+MATCHES_SCHEMA = (
+    "query_id long, doc_id long, n_matched long, n_terms long, "
+    "batch_id long"
+)
+
+
+def _batches_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_batches")
+
+
+def applied_batch_ids(store_dir: str) -> set:
+    p = _batches_path(store_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return {int(line) for line in f if line.strip()}
+
+
+def _record_batch_id(store_dir: str, batch_id: int) -> None:
+    with open(_batches_path(store_dir), "a") as f:
+        f.write(f"{batch_id}\n")
+
+
+def match_percolate_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    query_index: InvertedIndex,
+    store_dir: str,
+    batch_id: int,
+    min_match: int | None = None,
+) -> int:
+    """Percolate one micro-batch against the stored-query index and
+    append its matches (tagged with ``batch_id``) to the store.
+    Returns the number of matches (0 on a replayed batch id).
+
+    The batch's postings are built with the QUERY index's config
+    (minus its key column — the batch keeps ``doc_id``), so the term
+    spaces agree by construction and :func:`percolate`'s
+    config-compatibility check passes trivially.
+    """
+    if batch_id in applied_batch_ids(store_dir):
+        return 0
+    os.makedirs(store_dir, exist_ok=True)
+    cfg = dataclasses.replace(query_index.config, key_column="doc_id")
+    batch_index = InvertedIndex(build_postings(batch_docs, cfg), cfg)
+    matches = percolate(batch_index, query_index, min_match).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    n = matches.count()
+    if n:
+        matches.write.mode("append").parquet(
+            os.path.join(store_dir, "matches")
+        )
+    _record_batch_id(store_dir, batch_id)
+    return n
+
+
+def percolate_matches_so_far(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """All matches accumulated so far (distinct over replays is
+    unnecessary — the manifest already made appends exactly-once)."""
+    p = os.path.join(store_dir, "matches")
+    if not os.path.exists(p):
+        return spark.createDataFrame([], MATCHES_SCHEMA)
+    return spark.read.schema(MATCHES_SCHEMA).parquet(p)
+
+
+def start_streaming_percolate(
+    spark: SparkSession,
+    input_dir: str,
+    query_index: InvertedIndex,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    min_match: int | None = None,
+):
+    """Structured Streaming driver: tail a growing documents directory
+    and percolate each micro-batch (foreachBatch; the batch-id
+    manifest makes replays no-ops). After ANY drain schedule,
+    :func:`percolate_matches_so_far` equals the one-shot percolation
+    of the full corpus (modulo the ``batch_id`` tag)."""
+    os.makedirs(store_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        match_percolate_batch(
+            spark, batch_df, query_index, store_dir, batch_id,
+            min_match=min_match,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1073,3 +1073,99 @@ def test_bucketed_neardup_equals_full_batch_and_is_shuffle_free(
         for r in nd.neardup_pairs_so_far_bucketed(spark, prefix).collect()
     }
     assert again == want
+
+
+def test_percolate_chunked_equals_one_shot_and_replay(spark, tmp_path):
+    """Streaming percolation converges to the one-shot percolation of
+    the union corpus; a replayed batch id is a no-op."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import build_index
+    from fulltextindexer_spark.operators.percolate import percolate
+    from fulltextindexer_spark.streaming import percolate as sp
+
+    qcfg = IndexConfig(
+        key_column="query_key",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    qidx = build_index(
+        spark.createDataFrame(
+            [("q-ab", "alpha beta"), ("q-g", "gamma"), ("q-x", "xyzzy")],
+            "query_key string, text string",
+        ),
+        qcfg,
+    )
+    rows1 = [(1, "alpha beta gamma"), (2, "alpha only here")]
+    rows2 = [(3, "beta alpha"), (4, "gamma gamma gamma")]
+    ddl = "doc_id long, text string"
+    store = str(tmp_path / "perc_store")
+
+    n1 = sp.match_percolate_batch(
+        spark, spark.createDataFrame(rows1, ddl), qidx, store, batch_id=0
+    )
+    n2 = sp.match_percolate_batch(
+        spark, spark.createDataFrame(rows2, ddl), qidx, store, batch_id=1
+    )
+    assert n1 > 0 and n2 > 0
+    # replay: no-op, store unchanged
+    assert sp.match_percolate_batch(
+        spark, spark.createDataFrame(rows2, ddl), qidx, store, batch_id=1
+    ) == 0
+    got = {
+        (r["query_id"], r["doc_id"], r["n_matched"], r["n_terms"])
+        for r in sp.percolate_matches_so_far(spark, store).collect()
+    }
+    import dataclasses
+
+    dcfg = dataclasses.replace(qcfg, key_column="doc_id")
+    full_idx = build_index(
+        spark.createDataFrame(rows1 + rows2, ddl), dcfg
+    )
+    want = {
+        (r["query_id"], r["doc_id"], r["n_matched"], r["n_terms"])
+        for r in percolate(full_idx, qidx).collect()
+    }
+    assert got == want and len(got) == n1 + n2
+    # the never-matching stored query stays silent
+    qkey = {r["doc_id"]: r["doc_key"] for r in qidx.key_map.collect()}
+    assert all(qkey[q] != "q-x" for q, _, _, _ in got)
+
+
+def test_streaming_percolate_driver(spark, tmp_path):
+    """The readStream driver drains a growing directory and the match
+    store converges across two drains."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import build_index
+    from fulltextindexer_spark.streaming import percolate as sp
+
+    qidx = build_index(
+        spark.createDataFrame(
+            [("q-ab", "alpha beta")], "query_key string, text string"
+        ),
+        IndexConfig(
+            key_column="query_key",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+        ),
+    )
+    input_dir = str(tmp_path / "perc_in")
+    store = str(tmp_path / "perc_store2")
+    ckpt = str(tmp_path / "perc_ck")
+    ddl = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta")], ddl
+    ).write.mode("append").parquet(input_dir)
+    q = sp.start_streaming_percolate(spark, input_dir, qidx, store, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(3, "beta and alpha too")], ddl
+    ).write.mode("append").parquet(input_dir)
+    q = sp.start_streaming_percolate(spark, input_dir, qidx, store, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_matched"])
+        for r in sp.percolate_matches_so_far(spark, store).collect()
+    }
+    assert got == {(1, 2), (3, 2)}
