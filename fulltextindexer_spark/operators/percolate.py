@@ -73,6 +73,16 @@ def percolate(
             f"(docs: {dc.normaliser!r}/{dc.break_chars!r}, "
             f"queries: {qc.normaliser!r}/{qc.break_chars!r})"
         )
+    if qc.prefix_expansion is not None or qc.consecutive_combine is not None:
+        # expansion variants / combined runs would count as extra
+        # required terms and silently break the coverage gate; a
+        # prefix-expanded DOC index is fine (docs then match query
+        # terms by fragment — a feature), the QUERY side must be plain
+        raise ValueError(
+            "query index must be built without prefix/substring "
+            "expansion or consecutive-token combining (they inflate "
+            "the per-query required-term count)"
+        )
     qterms = query_index.postings.select(
         F.col("doc_id").alias("query_id"), "term"
     )

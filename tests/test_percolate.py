@@ -112,3 +112,20 @@ def test_percolate_config_mismatch_raises(spark, indexes):
     )
     with pytest.raises(ValueError, match="normaliser"):
         percolate(didx, other)
+
+
+def test_percolate_expanded_query_index_raises(spark, indexes):
+    didx, _ = indexes
+    from fulltextindexer_spark.config import PrefixExpansionConfig
+
+    expanded = build_index(
+        spark.createDataFrame(QUERIES, "query_key string, text string"),
+        IndexConfig(
+            key_column="query_key",
+            fields=(FieldConfig("text", 1.0),),
+            capture_positions=False,
+            prefix_expansion=PrefixExpansionConfig(min_len=2, max_len=4),
+        ),
+    )
+    with pytest.raises(ValueError, match="expansion"):
+        percolate(didx, expanded)
