@@ -155,6 +155,49 @@ def cmd_curate(args) -> dict:
     }
 
 
+def cmd_percolate(args) -> dict:
+    """Reverse search: match a docs table against a stored-alert
+    table. Alert CRUD is the existing index algebra — add_docs /
+    remove_keys on the query index — so a standing alert index can be
+    maintained incrementally; this command builds both sides fresh
+    for the one-shot batch form."""
+    import dataclasses
+
+    from fulltextindexer_spark.config import IndexConfig
+    from fulltextindexer_spark.operators.index_build import build_index
+    from fulltextindexer_spark.operators.percolate import percolate
+
+    spark = _get_spark("ftix-percolate")
+    docs = spark.read.parquet(args.docs)
+    queries = spark.read.parquet(args.queries)
+    dcfg = IndexConfig(
+        key_column=args.doc_key,
+        fields=_parse_fields(args.fields),
+        capture_positions=False,
+    )
+    qcfg = dataclasses.replace(dcfg, key_column=args.query_key)
+    didx = build_index(docs, dcfg)
+    qidx = build_index(queries, qcfg)
+    res = percolate(didx, qidx, min_match=args.min_match)
+    if qidx.key_map is not None:
+        res = qidx.resolve_keys(
+            res.withColumnRenamed("doc_id", "target_doc")
+            .withColumnRenamed("query_id", "doc_id")
+        ).withColumnsRenamed(
+            {"doc_key": "query_key", "target_doc": "doc_id"}
+        )
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = res.count()
+    return {
+        "matches": int(n),
+        "min_match": args.min_match,
+        "output": args.output,
+    }
+
+
 def cmd_optimize(args) -> dict:
     from fulltextindexer_spark.streaming import incremental
 
@@ -247,6 +290,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     o.add_argument("--index", required=True, help="snapshot index dir")
     o.set_defaults(fn=cmd_optimize)
+
+    pc = sub.add_parser(
+        "percolate",
+        help="reverse search: match a docs parquet table against a "
+             "stored-alert parquet table (query_key,text); AND "
+             "coverage unless --min-match",
+    )
+    pc.add_argument("--docs", required=True, help="docs parquet path")
+    pc.add_argument(
+        "--queries", required=True,
+        help="alerts parquet path (key column + text field)",
+    )
+    pc.add_argument("--fields", default="text:1.0")
+    pc.add_argument("--doc-key", default="doc_id")
+    pc.add_argument("--query-key", default="query_key")
+    pc.add_argument("--min-match", type=int, default=None)
+    pc.add_argument("--output", default=None, help="matches parquet out")
+    pc.set_defaults(fn=cmd_percolate)
 
     p = sub.add_parser(
         "prune",

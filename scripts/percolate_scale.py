@@ -1,0 +1,148 @@
+"""Percolation scale evidence: one measured decade in EACH dimension.
+
+The percolate join costs ~ Σ_term df_docs(t) × df_queries(t), so wall
+time should grow ~linearly in the corpus (fixed alert table) and
+~linearly in the alert table (fixed corpus). This probe measures both
+decades on the same synthetic sf1 corpus the main scale harness uses
+(vocabulary-salted 10× of sf0.1):
+
+- corpus decade: 5k docs → 50k docs at 5,000 stored alerts
+- alert decade:  500 → 5,000 stored alerts at 50k docs
+
+Alerts are deterministic 2-term AND queries over MID-FREQUENCY
+vocabulary (df ranks 50-1050 of the sf0.1 corpus) — the realistic
+alert shape; an alert on a hot stop-word term would instead fan out
+to that term's whole posting list (inherent to percolation semantics,
+handled by AQE skew splits — documented in operators/percolate.py).
+
+Usage (run ALONE — numbers are quota-sensitive):
+    python scripts/percolate_scale.py [--out percolate_scale.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from scripts.scale_evidence import SF01, build_sf1  # noqa: E402
+
+N_ALERTS_SMALL = 500
+N_ALERTS_BIG = 5_000
+
+
+def _alert_frame(spark, sf_dir: str, n_alerts: int):
+    """Deterministic 2-term alerts from mid-frequency vocabulary."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    idx = entrymod._docs_index(spark, SF01)  # vocab source: sf0.1 always
+    vocab = [
+        r["term"]
+        for r in idx.postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(1050)
+        .collect()
+    ][50:]
+    rows = []
+    for i in range(n_alerts):
+        a = vocab[(i * 7) % len(vocab)]
+        b = vocab[(i * 13 + 1) % len(vocab)]
+        if a == b:
+            b = vocab[(i * 13 + 2) % len(vocab)]
+        rows.append((f"alert-{i}", f"{a} {b}"))
+    return spark.createDataFrame(rows, "query_key string, text string")
+
+
+def _query_index(spark, sf_dir: str, n_alerts: int):
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import build_index
+
+    qcfg = IndexConfig(
+        key_column="query_key",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    qidx = build_index(_alert_frame(spark, sf_dir, n_alerts), qcfg)
+    qidx.postings.persist().count()
+    return qidx
+
+
+def run_leg(sf_dir: str, n_alerts: int, cpus: int = 32) -> dict:
+    from fulltextindexer_spark.plans import cachereg
+
+    probe_before = bench.quota_probe(cpus)
+    spark = bench._make_session(
+        cpus, app=f"ftix-perc-scale-{os.path.basename(sf_dir)}-{n_alerts}"
+    )
+    try:
+        import __spark_entry__ as entrymod
+        from fulltextindexer_spark.operators.percolate import percolate
+
+        spark.range(1000).selectExpr("sum(id)").collect()
+        t0 = time.perf_counter()
+        didx = entrymod._docs_index(spark, sf_dir)
+        didx.postings.count()
+        build_sec = time.perf_counter() - t0
+
+        qidx = _query_index(spark, sf_dir, n_alerts)
+        t0 = time.perf_counter()
+        n_matches = percolate(didx, qidx).count()
+        match_sec = time.perf_counter() - t0
+        n_docs = entrymod._documents(spark, sf_dir).count()
+        entrymod.release_caches()
+        cachereg.release_all()
+        return {
+            "sf_dir": sf_dir,
+            "n_docs": int(n_docs),
+            "n_alerts": int(n_alerts),
+            "n_matches": int(n_matches),
+            "index_build_sec": round(build_sec, 3),
+            "percolate_sec": round(match_sec, 3),
+            "quota_probe_before": probe_before,
+            "quota_probe_after": bench.quota_probe(cpus),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="percolate_scale.json")
+    args = ap.parse_args()
+    sf1 = build_sf1()
+    legs = {
+        "small_corpus_big_alerts": run_leg(SF01, N_ALERTS_BIG),
+        "big_corpus_big_alerts": run_leg(sf1, N_ALERTS_BIG),
+        "big_corpus_small_alerts": run_leg(sf1, N_ALERTS_SMALL),
+    }
+    r = {
+        "metric": "percolation wall seconds across one corpus decade "
+        "(5k->50k docs at 5k alerts) and one alert decade "
+        "(500->5k alerts at 50k docs), local[32]",
+        "legs": legs,
+        "corpus_decade_ratio": round(
+            legs["big_corpus_big_alerts"]["percolate_sec"]
+            / max(legs["small_corpus_big_alerts"]["percolate_sec"], 1e-9),
+            2,
+        ),
+        "alert_decade_ratio": round(
+            legs["big_corpus_big_alerts"]["percolate_sec"]
+            / max(legs["big_corpus_small_alerts"]["percolate_sec"], 1e-9),
+            2,
+        ),
+    }
+    with open(args.out, "w") as fh:
+        json.dump(r, fh, indent=1, sort_keys=True)
+    print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,33 @@ def test_percolate_expanded_query_index_raises(spark, indexes):
     )
     with pytest.raises(ValueError, match="expansion"):
         percolate(didx, expanded)
+
+
+def test_cli_percolate_end_to_end(spark, tmp_path, capsys):
+    """The percolate subcommand: parquet in, resolved matches out."""
+    import json
+
+    from fulltextindexer_spark.cli import main as cli_main
+
+    docs_p = str(tmp_path / "docs.parquet")
+    qs_p = str(tmp_path / "alerts.parquet")
+    out_p = str(tmp_path / "matches.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(
+        docs_p
+    )
+    spark.createDataFrame(
+        QUERIES, "query_key string, text string"
+    ).write.parquet(qs_p)
+    rc = cli_main([
+        "percolate", "--docs", docs_p, "--queries", qs_p,
+        "--output", out_p,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {
+        (r["query_key"], r["doc_id"])
+        for r in spark.read.parquet(out_p).collect()
+    }
+    assert report["matches"] == len(got)
+    assert ("q-hash-join", 3) in got and ("q-cat", 1) in got
+    assert not any(k == "q-empty" for k, _ in got)
