@@ -2172,6 +2172,15 @@ def q_interleave(spark, sf_dir):
     return packing.interleave_order(_documents(spark, sf_dir), by="source")
 
 
+def q_distinctive(spark, sf_dir):
+    """Per-language distinctive vocabulary: integer-exact ppm-share
+    lift of in-group term share over corpus share, top-5 per lang —
+    one corpus scan, rank window over the candidate vocabulary only."""
+    return textstats.grouped_distinctive_terms(
+        _documents(spark, sf_dir), by="lang", m=5, min_tf=5
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_documents(spark, sf_dir), k=5)
 
@@ -3270,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_prf": q_prf,
         "ftix_percolate": q_percolate,
         "ftix_percolate_stream": q_percolate_stream,
+        "text_distinctive": q_distinctive,
     }
 
 
@@ -6890,6 +6900,33 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # streaming percolation must be invisible: two-micro-batch
         # ingestion ≡ one-shot, so the oracle is identical
         "ftix_percolate_stream": _percolate_sql(),
+        # per-lang distinctive terms: integer ppm-share lift, top-5
+        # by (lift desc, tf desc, term asc), min_tf 5
+        "text_distinctive": """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+tt AS (SELECT lang, term FROM t WHERE term <> ''),
+gt AS (SELECT lang, term, count(*) AS tf FROM tt GROUP BY lang, term),
+gtot AS (SELECT lang, sum(tf) AS g_tokens FROM gt GROUP BY lang),
+ct AS (SELECT term, sum(tf) AS ctf FROM gt GROUP BY term),
+ctot AS (SELECT sum(tf) AS c_tokens FROM gt),
+cand AS (
+  SELECT gt.lang, gt.term, CAST(gt.tf AS BIGINT) AS tf,
+         (gt.tf * 1000000 // gtot.g_tokens) AS share_g,
+         (ct.ctf * 1000000 // ctot.c_tokens) AS share_c
+  FROM gt JOIN gtot USING (lang) JOIN ct USING (term) CROSS JOIN ctot
+  WHERE gt.tf >= 5),
+l AS (SELECT lang, term, tf,
+             CAST(share_g * 1000 // greatest(share_c, 1) AS BIGINT)
+                 AS lift_ppk
+      FROM cand),
+r AS (SELECT lang, term, tf, lift_ppk,
+             CAST(row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY lift_ppk DESC, tf DESC, term) AS BIGINT) AS rank
+      FROM l)
+SELECT lang, term, tf, lift_ppk, rank FROM r WHERE rank <= 5
+""",
         # Rocchio PRF for 'data stream': top-5 BM25 docs vote the 3
         # most-frequent pool terms (integer pick, term-asc ties);
         # final = base + 0.5 × expansion over the full outer union

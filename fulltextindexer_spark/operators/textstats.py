@@ -464,6 +464,85 @@ def keyterms(
     )
 
 
+def grouped_distinctive_terms(
+    docs: DataFrame,
+    by: str = "lang",
+    m: int = 5,
+    min_tf: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-GROUP distinctive vocabulary — what a slice (language,
+    source, domain) talks about that the rest of the corpus doesn't;
+    the corpus-composition companion to the per-doc :func:`keyterms`.
+
+    Distinctiveness is the integer-exact lift of the term's in-group
+    token share over its corpus share, in parts-per-thousand::
+
+        share_g_ppm = tf_g × 1e6  div  tokens_g
+        share_c_ppm = tf_c × 1e6  div  tokens_c
+        lift_ppk    = share_g_ppm × 1000  div  max(share_c_ppm, 1)
+
+    All-integer arithmetic (the engine-wide exact-selection rule), so
+    the top-``m`` per group — (lift_ppk desc, tf desc, term asc) over
+    terms with ``tf_g >= min_tf`` — is identical across engines, and
+    every intermediate stays within int64 at any corpus size (shares
+    are ≤ 1e6, lifts ≤ 1e9).
+
+    Scale shape: one token explode feeds a (group, term) hash
+    aggregation; corpus counts REUSE that frame (one corpus scan
+    total, persisted query-scoped); the final rank window partitions
+    by group over the min_tf-filtered candidate vocabulary — never
+    the corpus. Returns ``(``by``, term, tf, lift_ppk, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+    toks = docs.select(
+        F.col(by).alias("grp"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    gt = persist_tracked(
+        toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf")),
+        scope="query",
+    )
+    gtot = gt.groupBy("grp").agg(F.sum("tf").alias("g_tokens"))
+    ct = gt.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    ctot = gt.agg(F.sum("tf").alias("c_tokens"))
+    cand = (
+        gt.where(F.col("tf") >= int(min_tf))
+        .join(gtot, "grp")
+        .join(ct, "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "grp",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.expr("tf * 1000000L div g_tokens").alias("share_g"),
+            F.expr("ctf * 1000000L div c_tokens").alias("share_c"),
+        )
+        .select(
+            "grp",
+            "term",
+            "tf",
+            F.expr("share_g * 1000L div greatest(share_c, 1L)")
+            .cast("long")
+            .alias("lift_ppk"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("lift_ppk"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(m))
+        .select(F.col("grp").alias(by), "term", "tf", "lift_ppk", "rank")
+    )
+
+
 def corpus_sample(
     docs: DataFrame,
     rates: dict,

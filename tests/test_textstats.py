@@ -1,0 +1,38 @@
+
+
+def test_grouped_distinctive_terms_lift_and_cut(spark):
+    """Group-exclusive terms out-lift shared ones; integer lift is
+    exact; min_tf filters singletons; rank cut is per-group."""
+    from fulltextindexer_spark.operators.textstats import (
+        grouped_distinctive_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 else "fr",
+             ("common both " + ("london thames " if i % 2 else "paris seine "))
+             * 3 + ("rare" if i == 0 else ""))
+            for i in range(10)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = grouped_distinctive_terms(docs, by="lang", m=3, min_tf=2)
+    rows = {(r["lang"], r["term"]): r for r in out.collect()}
+    # exclusive terms rank above the shared 'common'/'both'
+    en = sorted(
+        (r for (lg, _), r in rows.items() if lg == "en"),
+        key=lambda r: r["rank"],
+    )
+    assert {en[0]["term"], en[1]["term"]} == {"london", "thames"}
+    # exact integer lift: en has 5 docs * 6 tokens... compute directly
+    # tf(london,en)=15, g_tokens(en)=60, ctf(london)=15, c_tokens=121
+    g = rows[("en", "london")]
+    assert g["tf"] == 15
+    share_g = 15 * 1_000_000 // 60
+    share_c = 15 * 1_000_000 // 121
+    assert g["lift_ppk"] == share_g * 1000 // share_c
+    # 'rare' (tf 1) is filtered by min_tf
+    assert not any(t == "rare" for (_, t) in rows)
+    # per-group cut: exactly 3 per lang
+    assert sum(1 for (lg, _) in rows if lg == "en") == 3
+    assert sum(1 for (lg, _) in rows if lg == "fr") == 3
