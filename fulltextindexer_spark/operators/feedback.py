@@ -37,12 +37,12 @@ from fulltextindexer_spark.operators.bm25 import (
     DEFAULT_K1,
     Bm25Stats,
     bm25_scores_terms,
-    bm25_topk,
 )
 from fulltextindexer_spark.operators.index_build import (
     InvertedIndex,
     normalised_stop_words,
 )
+from fulltextindexer_spark.plans.cachereg import persist_tracked
 
 __all__ = [
     "prf_expansion_terms",
@@ -59,6 +59,7 @@ def prf_expansion_terms(
     b: float = DEFAULT_B,
     stats: Optional[Bm25Stats] = None,
     exclude_terms: Optional[frozenset] = None,
+    base_scores: Optional[DataFrame] = None,
 ) -> tuple[list[str], list[str]]:
     """Pseudo-relevance-feedback expansion: run the query, take the
     top ``fb_k`` documents as assumed-relevant, and pick the ``m``
@@ -68,7 +69,11 @@ def prf_expansion_terms(
 
     Returns ``(original_terms, expansion_terms)``. The feedback pool
     is ``fb_k`` docs' postings — one ``isin(doc_ids)``-pruned
-    aggregation, collected at ≤ |pool| rows."""
+    aggregation, collected at ≤ |pool| rows. Pass ``base_scores``
+    (an already-computed ``bm25_scores_terms`` frame for the query)
+    to cut the feedback set from it instead of re-scoring —
+    :func:`prf_matches` does, so the query's postings are scanned
+    once, not twice."""
     from fulltextindexer_spark.operators.bm25 import _query_terms
 
     q_terms = _query_terms(index, source)
@@ -76,9 +81,14 @@ def prf_expansion_terms(
         return [], []
     if exclude_terms is None:
         exclude_terms = normalised_stop_words(index.config)
+    if base_scores is None:
+        base_scores = bm25_scores_terms(index, q_terms, k1, b, stats)
     fb_ids = [
         int(r["doc_id"])
-        for r in bm25_topk(index, source, k=fb_k, k1=k1, b=b, stats=stats)
+        for r in base_scores.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        .limit(fb_k)
         .select("doc_id")
         .collect()
     ]
@@ -115,12 +125,21 @@ def prf_matches(
     expansion still surfaces). Returns ``(doc_id, score)``; top-k
     (score desc, doc_id asc) when ``k`` is given.
 
-    Two BM25 jobs plus the feedback-pool aggregation — three
-    broadcast-join scans total, no corpus-wide intermediate."""
-    q_terms, x_terms = prf_expansion_terms(
-        index, source, fb_k, m, k1, b, stats
+    The base ranking is computed ONCE, persisted query-scoped, and
+    reused for both the feedback cut and the blend — one postings
+    scan for the query terms plus one for the expansion terms, plus
+    the feedback-pool aggregation. Nothing corpus-wide lingers: the
+    persisted frame is ranking-sized and released by the serving
+    loop's query-scope release (``plans/cachereg.py``)."""
+    from fulltextindexer_spark.operators.bm25 import _query_terms
+
+    q_terms = _query_terms(index, source)
+    base = persist_tracked(
+        bm25_scores_terms(index, q_terms, k1, b, stats), scope="query"
     )
-    base = bm25_scores_terms(index, q_terms, k1, b, stats)
+    _, x_terms = prf_expansion_terms(
+        index, source, fb_k, m, k1, b, stats, base_scores=base
+    )
     if not x_terms:
         out = base
     else:

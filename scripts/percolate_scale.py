@@ -37,7 +37,14 @@ N_ALERTS_BIG = 5_000
 
 
 def _alert_frame(spark, sf_dir: str, n_alerts: int):
-    """Deterministic 2-term alerts from mid-frequency vocabulary."""
+    """Deterministic multi-term alerts over the corpus vocabulary.
+
+    The synthetic corpus has a small word pool (~30 distinct stemmed
+    terms at sf0.1), so alerts are 3-term AND combinations cycling
+    through the pool minus the 5 hottest — every alert term is still
+    corpus-hot (df ~ 0.8N), which makes this a WORST-CASE join-fanout
+    measurement, not a best case: matched rows ≈ n_alerts × 3 × df.
+    """
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -48,16 +55,19 @@ def _alert_frame(spark, sf_dir: str, n_alerts: int):
         for r in idx.postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
-        .limit(1050)
         .collect()
-    ][50:]
+    ][5:]
+    n = len(vocab)
     rows = []
     for i in range(n_alerts):
-        a = vocab[(i * 7) % len(vocab)]
-        b = vocab[(i * 13 + 1) % len(vocab)]
-        if a == b:
-            b = vocab[(i * 13 + 2) % len(vocab)]
-        rows.append((f"alert-{i}", f"{a} {b}"))
+        a = vocab[(i * 7) % n]
+        b = vocab[(i * 13 + 1) % n]
+        c = vocab[(i * 17 + 2) % n]
+        if b in (a,):
+            b = vocab[(i * 13 + 3) % n]
+        if c in (a, b):
+            c = vocab[(i * 17 + 4) % n]
+        rows.append((f"alert-{i}", f"{a} {b} {c}"))
     return spark.createDataFrame(rows, "query_key string, text string")
 
 
