@@ -599,8 +599,14 @@ def test_ranking_extensions_jvm_only_and_broadcast(spark):
         cplan = _plan(col)
         assert "Window" not in cplan, cplan[:2000]
         assert "min_by" in cplan or "minby" in cplan.lower(), cplan[:2000]
+        # PRF's blend must reuse the persisted base ranking (one scan
+        # of the query terms' postings, not two)
+        assert "InMemoryTableScan" in _plan(prf), _plan(prf)[:2000]
     finally:
         idx.postings.unpersist()
+        from fulltextindexer_spark.plans import cachereg
+
+        cachereg.release_all()
 
 
 def test_interleave_order_rank_window_is_partitioned(spark):
