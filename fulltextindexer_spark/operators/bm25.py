@@ -582,6 +582,8 @@ def lm_dirichlet_scores(
     single ``groupBy(doc_id)`` shuffle. ``tf``/``dl`` ride the
     postings, so no document-length side join.
     """
+    if not mu > 0:
+        raise ValueError(f"mu must be > 0, got {mu}")
     terms = _query_terms(index, source)
     if not terms:
         return _empty(index)

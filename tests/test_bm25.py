@@ -484,3 +484,8 @@ def test_lm_dirichlet_rewards_higher_tf(index):
 def test_lm_dirichlet_empty_and_absent(index):
     assert bm25.lm_dirichlet_scores(index, "").count() == 0
     assert bm25.lm_dirichlet_scores(index, "zzzzz").count() == 0
+
+
+def test_lm_dirichlet_invalid_mu_raises(index):
+    with pytest.raises(ValueError, match="mu"):
+        bm25.lm_dirichlet_scores(index, "dog", mu=0.0)
