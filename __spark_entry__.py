@@ -2983,8 +2983,23 @@ def _incremental_index(spark, sf_dir):
         idx = incremental.load_latest(spark, index_dir, DOCS_CONFIG)
         cachereg.persist_tracked(idx.postings)
         _INDEX_CACHE[key] = idx
+        _INDEX_CACHE[("incr_dir", id(spark), sf_dir)] = index_dir
         _INDEX_CACHE[("incr_dir",) + key[1:]] = index_dir
     return _INDEX_CACHE[key]
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """LSM promotion audit: the vocabulary-level diff between two
+    committed snapshot versions (version 0 = even-doc batch, version
+    1 = full corpus) — the gate a production tier reads before
+    flipping consumers to a new version. Two term aggs + one
+    co-partitioned full outer join over the LOADED versions; the
+    oracle recomputes both vocabularies from the batch definitions."""
+    from fulltextindexer_spark.streaming import incremental
+
+    _incremental_index(spark, sf_dir)  # ensure snapshots exist
+    index_dir = _INDEX_CACHE[("incr_dir", id(spark), sf_dir)]
+    return incremental.snapshot_diff(spark, index_dir, 0, 1, DOCS_CONFIG)
 
 
 def q_incremental_search(spark, sf_dir):
@@ -3280,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_percolate": q_percolate,
         "ftix_percolate_stream": q_percolate_stream,
         "text_distinctive": q_distinctive,
+        "ftix_snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -6900,6 +6916,32 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # streaming percolation must be invisible: two-micro-batch
         # ingestion ≡ one-shot, so the oracle is identical
         "ftix_percolate_stream": _percolate_sql(),
+        # snapshot promotion audit: version 0 (even docs) vs version 1
+        # (full corpus) vocabulary diff — all-integer df + status
+        "ftix_snapshot_diff": f"""
+WITH {TOK_CTE},
+tok_old AS (
+  SELECT doc_id, {STEM_T} AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id % 2 = 0)
+  WHERE t <> ''
+),
+a AS (SELECT term, count(*) AS df_old
+      FROM (SELECT doc_id, term FROM tok_old GROUP BY doc_id, term)
+      GROUP BY term),
+b AS (SELECT term, count(*) AS df_new
+      FROM (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+      GROUP BY term)
+SELECT term,
+       COALESCE(df_old, 0)::BIGINT AS df_old,
+       COALESCE(df_new, 0)::BIGINT AS df_new,
+       CASE WHEN df_old IS NULL THEN 'added'
+            WHEN df_new IS NULL THEN 'removed'
+            WHEN df_new > df_old THEN 'grown'
+            WHEN df_new < df_old THEN 'shrunk'
+            ELSE 'same' END AS status
+FROM a FULL JOIN b USING (term)
+""",
         # per-lang distinctive terms: integer ppm-share lift, top-5
         # by (lift desc, tf desc, term asc), min_tf 5
         "text_distinctive": """
