@@ -2282,6 +2282,75 @@ def q_code_imports(spark, sf_dir):
     return codestats.module_popularity(codestats.extract_imports(docs))
 
 
+def q_code_comment_ratio(spark, sf_dir):
+    """Comment/blank/code line decomposition over a code-shaped corpus:
+    3-word runs rewrite to a code line + '#' comment line + blank line,
+    and a doc_id%4-keyed header exercises every comment style
+    (#, //, /*, none); comment_stats counts lines with JVM array
+    lambdas and emits the integer-exact comment_ppm density."""
+    m = F.col("doc_id") % 4
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(m == 0, F.lit("# header\n"))
+            .when(m == 1, F.lit("// header\n"))
+            .when(m == 2, F.lit("/* header */\n"))
+            .otherwise(F.lit("")),
+            F.regexp_replace(
+                "text", "([a-z]+) ([a-z]+) ([a-z]+)", "$1\n# $2\n\n$3"
+            ),
+        ).alias("text"),
+    )
+    return codestats.comment_stats(docs)
+
+
+def q_code_generated(spark, sf_dir):
+    """Generated/minified detection over a code-shaped corpus: every
+    fifth doc gains a generator banner (marker regex is
+    case-insensitive), every seventh a 600-char minified line;
+    generated_scan emits marker counts + line-shape integers and the
+    two drop flags a code curation pass filters on."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("Generated by protoc. DO NOT EDIT.\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\n"), F.repeat(F.lit("m"), 600)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return codestats.generated_scan(docs)
+
+
+def q_code_dup_functions(spark, sf_dir):
+    """Function-granular exact dedup over a code-shaped corpus: each
+    doc gains three def-headed functions — bodies keyed md5(doc_id%50)
+    and md5(doc_id%7) (duplicated across the corpus by construction)
+    plus a unique md5(doc_id) body (filtered by n_total>1) —
+    duplicated_functions splits on the function-head pattern, hashes
+    bodies, and reports per-hash distinct-file/occurrence counts."""
+    d = F.col("doc_id")
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit('\ndef a():\n    return "'),
+            F.md5((d % 50).cast("string")),
+            F.lit('"\ndef b():\n    return "'),
+            F.md5((d % 7).cast("string")),
+            F.lit('"\ndef u():\n    return "'),
+            F.md5(d.cast("string")),
+            F.lit('"\n'),
+        ).alias("text"),
+    )
+    return codestats.duplicated_functions(docs)
+
+
 def q_pps_sample(spark, sf_dir):
     """Poisson PPS sampling gate: expected-100-doc sample drawn with
     probability ∝ n_chars via the integer-exact md5-coin rule — the
@@ -3296,6 +3365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_percolate_stream": q_percolate_stream,
         "text_distinctive": q_distinctive,
         "ftix_snapshot_diff": q_snapshot_diff,
+        "code_comment_ratio": q_code_comment_ratio,
+        "code_generated": q_code_generated,
+        "code_dup_functions": q_code_dup_functions,
     }
 
 
@@ -7013,5 +7085,93 @@ c AS (
 )
 SELECT doc_id, quality_ppm, n_toks, cum_tokens FROM c
 WHERE cum_tokens <= (SELECT (SUM(n_toks) * 3) // 10 FROM nz)
+""",
+        # comment/blank/code line decomposition over the injected
+        # code-shaped corpus; patterns rendered from the single-source
+        # codestats rule constants (RE2 ∩ Java subset, embed verbatim)
+        "code_comment_ratio": f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '# header' || chr(10)
+           WHEN 1 THEN '// header' || chr(10)
+           WHEN 2 THEN '/* header */' || chr(10)
+           ELSE '' END
+         || regexp_replace(text, '([a-z]+) ([a-z]+) ([a-z]+)',
+                           '\\1' || chr(10) || '# \\2' || chr(10)
+                           || chr(10) || '\\3', 'g') AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '{codestats.BLANK_LINE_PATTERN}')
+         ))::BIGINT AS n_blank,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '{codestats.COMMENT_LINE_PATTERN}')
+                  AND NOT regexp_matches(x,
+                      '{codestats.BLANK_LINE_PATTERN}')
+         ))::BIGINT AS n_comment
+  FROM injected
+)
+SELECT doc_id, n_lines, n_blank, n_comment,
+       (n_lines - n_blank - n_comment)::BIGINT AS n_code,
+       (n_comment * 1000000 // n_lines)::BIGINT AS comment_ppm
+FROM counted
+""",
+        "code_generated": f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'Generated by protoc. DO NOT EDIT.' || chr(10)
+              ELSE '' END
+         || text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || repeat('m', 600) ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '{codestats.GENERATED_MARKER_PATTERN}'))::BIGINT
+             AS n_gen_markers,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         list_max(list_transform(string_split(text, chr(10)),
+             x -> length(x)))::BIGINT AS max_line_len,
+         (length(text) // len(string_split(text, chr(10))))::BIGINT
+             AS avg_line_len
+  FROM injected
+)
+SELECT doc_id, n_gen_markers, n_lines, max_line_len, avg_line_len,
+       (n_gen_markers > 0)::INT AS is_generated,
+       (max_line_len >= {codestats.MINIFIED_MAX_LINE}
+        AND avg_line_len >= {codestats.MINIFIED_AVG_LINE})::INT
+           AS is_minified
+FROM scanned
+""",
+        "code_dup_functions": f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || chr(10) || 'def a():' || chr(10) || '    return "'
+         || md5((doc_id % 50)::VARCHAR)
+         || '"' || chr(10) || 'def b():' || chr(10) || '    return "'
+         || md5((doc_id % 7)::VARCHAR)
+         || '"' || chr(10) || 'def u():' || chr(10) || '    return "'
+         || md5(doc_id::VARCHAR) || '"' || chr(10) AS text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text,
+             '{codestats.FUNC_SPLIT_PATTERN}')[2:]) AS chunk
+  FROM injected
+)
+SELECT md5(chunk) AS body_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_total,
+       max(length(chunk))::BIGINT AS n_chars
+FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
 """,
     }

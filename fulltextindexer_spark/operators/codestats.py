@@ -239,6 +239,175 @@ def extract_imports(
     )
 
 
+# ---------------------------------------------------------------------------
+# Comment / blank / code line decomposition
+# ---------------------------------------------------------------------------
+
+# A line whose first non-whitespace characters open a comment in the
+# lookahead-free lexical tier: #, //, /* or a block-comment
+# continuation *. Shared with the DuckDB oracle verbatim (RE2 ∩ Java).
+COMMENT_LINE_PATTERN = r"^[ \t]*(#|//|/\*|\*)"
+BLANK_LINE_PATTERN = r"^[ \t]*$"
+
+
+def comment_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file line decomposition: total / blank / comment / code line
+    counts plus an integer-exact ``comment_ppm`` density.
+
+    Returns (doc_id, n_lines, n_blank, n_comment, n_code,
+    comment_ppm). All counters are computed on the newline-split line
+    array with JVM lambda expressions (``filter`` + ``rlike``) — one
+    narrow projection, no shuffle, a scan-side pass at 10^12 files.
+    ``comment_ppm = n_comment × 1e6 div n_lines`` (floor integer
+    division, cross-engine exact). Comment grammar is the lexical tier
+    of :data:`COMMENT_LINE_PATTERN`; strings containing comment-like
+    text are counted as comments by design (same trade every
+    regex-tier analyzer — cloc, scc — makes before a real lexer).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_blank = F.size(
+        F.filter(lines, lambda x: x.rlike(BLANK_LINE_PATTERN))
+    ).cast("bigint")
+    n_comment = F.size(
+        F.filter(
+            lines,
+            lambda x: x.rlike(COMMENT_LINE_PATTERN)
+            & ~x.rlike(BLANK_LINE_PATTERN),
+        )
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_blank.alias("n_blank"),
+        n_comment.alias("n_comment"),
+        (n_lines - n_blank - n_comment).alias("n_code"),
+    ).withColumn("comment_ppm", F.expr("n_comment * 1000000L DIV n_lines"))
+
+
+# ---------------------------------------------------------------------------
+# Generated / vendored / minified detection
+# ---------------------------------------------------------------------------
+
+# Case-insensitive generated-file markers (the strings code generators
+# actually emit — protoc, stringer, yarn/webpack banners). Literal
+# alternation, RE2 ∩ Java safe.
+GENERATED_MARKER_PATTERN = (
+    r"(?i)(generated by|do not edit|auto-?generated|code generated)"
+)
+# Minified-file thresholds: a source file whose longest line exceeds
+# MINIFIED_MAX_LINE and whose mean line length exceeds
+# MINIFIED_AVG_LINE is bundler output, not training-grade code.
+MINIFIED_MAX_LINE = 500
+MINIFIED_AVG_LINE = 200
+
+
+def generated_scan(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Generated/minified-file signals: marker hits + line-shape stats.
+
+    Returns (doc_id, n_gen_markers, n_lines, max_line_len,
+    avg_line_len, is_generated, is_minified) — all integers
+    (``avg_line_len = length div n_lines``, floor). A curation pass
+    drops ``is_generated OR is_minified`` files before training (the
+    Go corpus convention — generated code teaches the generator's
+    idiom, minified bundles teach nothing). Pure JVM lambda pipeline
+    over the split line array; scan-side at 100 TB.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    lens = F.transform(lines, F.length)
+    n_markers = F.regexp_count(
+        text, F.lit(GENERATED_MARKER_PATTERN)
+    ).cast("bigint")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            n_markers.alias("n_gen_markers"),
+            n_lines.alias("n_lines"),
+            F.array_max(lens).cast("bigint").alias("max_line_len"),
+            F.length(text).cast("bigint").alias("_n_chars"),
+        )
+        .withColumn("avg_line_len", F.expr("_n_chars DIV n_lines"))
+        .select(
+            "doc_id",
+            "n_gen_markers",
+            "n_lines",
+            "max_line_len",
+            "avg_line_len",
+            (F.col("n_gen_markers") > 0).cast("int").alias("is_generated"),
+            (
+                (F.col("max_line_len") >= MINIFIED_MAX_LINE)
+                & (F.col("avg_line_len") >= MINIFIED_AVG_LINE)
+            )
+            .cast("int")
+            .alias("is_minified"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Function-granular exact duplication
+# ---------------------------------------------------------------------------
+
+# Function-head split pattern: each occurrence starts a new chunk; the
+# chunk runs to the next head (or EOF) and is the function's body text
+# at the regex tier. def/function heads only (the same dialect subset
+# as SYMBOL_RULES).
+FUNC_SPLIT_PATTERN = r"(?m)^[ \t]*(def|function) "
+
+
+def function_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per function-ish chunk: (doc_id, chunk_idx, body_hash,
+    n_chars). Splits each file on :data:`FUNC_SPLIT_PATTERN` and drops
+    the pre-amble chunk (index 0); ``body_hash = md5(chunk)``. JVM
+    split + explode, linear in matches."""
+    chunks = F.split(F.col(text_col), FUNC_SPLIT_PATTERN)
+    bodies = F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0)))
+    body = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(bodies).alias("chunk_idx", "chunk"),
+    )
+    return body.select(
+        "doc_id",
+        (F.col("chunk_idx") + 1).cast("bigint").alias("chunk_idx"),
+        F.md5(F.col("chunk")).alias("body_hash"),
+        F.length(F.col("chunk")).cast("bigint").alias("n_chars"),
+    )
+
+
+def duplicated_functions(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Function bodies that repeat across the corpus: per body hash,
+    the distinct-file count, total occurrence count, and body length —
+    filtered to ``n_total > 1``.
+
+    Returns (body_hash, n_docs, n_total, n_chars). This is exact
+    function-granular dedup (the unit a code corpus actually
+    duplicates: vendored helpers, copy-pasted utils) — the
+    within-file-span sibling of ``dedup_exact``. One explode + one
+    map-side-combinable groupBy on the hash; at 10^12 files the group
+    key is the hash, so the shuffle is uniform by construction.
+    """
+    return (
+        function_chunks(docs, text_col, id_col)
+        .groupBy("body_hash")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_total"),
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .where(F.col("n_total") > 1)
+    )
+
+
 def module_popularity(imports: DataFrame) -> DataFrame:
     """Library-popularity table from :func:`extract_imports` output:
     per module, the number of distinct importing files and the total

@@ -135,3 +135,65 @@ def test_module_popularity_distinct_docs(spark):
     }
     assert pop["a"] == (2, 3)
     assert pop["b"] == (1, 1)
+
+
+def test_comment_stats_line_decomposition(spark):
+    rows = [
+        (1, "# c\n\tx = 1\n\n// c2\n/* block\n * cont\n*/\ncode\n"),
+        (2, ""),  # one empty line: blank, zero code
+        (3, "no comments here"),
+    ]
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_blank"], r["n_comment"], r["n_code"],
+            r["comment_ppm"],
+        )
+        for r in codestats.comment_stats(_docs(spark, rows)).collect()
+    }
+    # doc 1: 9 lines (trailing \n yields an empty last line):
+    # comments = {# c, // c2, /* block, * cont, */}, blanks = {"", last}
+    assert got[1] == (9, 2, 5, 2, 5 * 1_000_000 // 9)
+    assert got[2] == (1, 1, 0, 0, 0)
+    assert got[3] == (1, 0, 0, 1, 0)
+
+
+def test_generated_scan_markers_and_minified(spark):
+    rows = [
+        (1, "Generated by protoc. DO NOT EDIT.\nreal code\n"),
+        (2, "m" * 600),  # single long line: minified
+        (3, "short\nlines\nonly\n"),
+        (4, ("x" * 600 + "\n") + "y\n" * 10),  # long max, low avg: not minified
+    ]
+    got = {
+        r["doc_id"]: (
+            r["n_gen_markers"], r["max_line_len"], r["is_generated"],
+            r["is_minified"],
+        )
+        for r in codestats.generated_scan(_docs(spark, rows)).collect()
+    }
+    assert got[1] == (2, 33, 1, 0)  # 'Generated by' + 'DO NOT EDIT'
+    assert got[2] == (0, 600, 0, 1)
+    assert got[3] == (0, 5, 0, 0)
+    assert got[4][3] == 0  # avg below threshold
+
+
+def test_duplicated_functions_cross_file(spark):
+    body = 'def f():\n    return 1\n'
+    rows = [
+        (1, "preamble\n" + body + 'def g():\n    return 2\n'),
+        (2, body),
+        (3, "function h() {}\n"),
+        (4, "function h() {}\n"),
+    ]
+    dup = {
+        r["body_hash"]: (r["n_docs"], r["n_total"])
+        for r in codestats.duplicated_functions(_docs(spark, rows)).collect()
+    }
+    # f-body appears in docs 1 and 2; h-body in 3 and 4; g unique.
+    assert sorted(dup.values()) == [(2, 2), (2, 2)]
+    # chunk indices are 1-based and preamble is dropped
+    chunks = codestats.function_chunks(_docs(spark, rows))
+    idx = sorted(
+        (r["doc_id"], r["chunk_idx"]) for r in chunks.collect()
+    )
+    assert idx == [(1, 1), (1, 2), (2, 1), (3, 1), (4, 1)]
