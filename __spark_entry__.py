@@ -39,6 +39,7 @@ from fulltextindexer_spark.functions.normalize import (
 )
 from fulltextindexer_spark.operators import (
     bm25,
+    bpe,
     codestats,
     decontam,
     dedup,
@@ -2351,6 +2352,33 @@ def q_code_dup_functions(spark, sf_dir):
     return codestats.duplicated_functions(docs)
 
 
+BPE_GATE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016): learn the
+    top-8 merges from the corpus word-frequency table — one corpus
+    scan, then vocabulary-sized iterations (pair-count groupBy +
+    1-row argmax collect + JVM fold re-segmentation). The oracle
+    replays the full 8-step training as chained DuckDB CTEs with the
+    same list_reduce fold, so the merge table is cross-engine exact."""
+    merges, _state = bpe.learn_bpe(
+        spark, _documents(spark, sf_dir), BPE_GATE_MERGES
+    )
+    return merges
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """The BPE-trained vocabulary states: each corpus word as its
+    '|'-joined subword segmentation after the 8 learned merges, with
+    its corpus frequency — proves the greedy left-to-right fold
+    application end-to-end (not just the merge picks)."""
+    _merges, state = bpe.learn_bpe(
+        spark, _documents(spark, sf_dir), BPE_GATE_MERGES
+    )
+    return state
+
+
 def q_pps_sample(spark, sf_dir):
     """Poisson PPS sampling gate: expected-100-doc sample drawn with
     probability ∝ n_chars via the integer-exact md5-coin rule — the
@@ -3368,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_comment_ratio": q_code_comment_ratio,
         "code_generated": q_code_generated,
         "code_dup_functions": q_code_dup_functions,
+        "curate_bpe_merges": q_bpe_merges,
+        "curate_bpe_vocab": q_bpe_vocab,
     }
 
 
@@ -7174,4 +7204,9 @@ SELECT md5(chunk) AS body_hash,
        max(length(chunk))::BIGINT AS n_chars
 FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
 """,
+        # full 8-step BPE training replayed as chained CTEs (pair
+        # counts -> argmax -> list_reduce fold per step); generated
+        # from the same single-source module as the Spark learner
+        "curate_bpe_merges": bpe.bpe_merges_oracle_sql(BPE_GATE_MERGES),
+        "curate_bpe_vocab": bpe.bpe_vocab_oracle_sql(BPE_GATE_MERGES),
     }

@@ -1,0 +1,283 @@
+"""Distributed byte-pair-encoding (BPE) merge learning.
+
+The tokenizer-training primitive a large-scale training-data pipeline
+needs alongside token counting: learn the top-K BPE merges from the
+corpus (Sennrich, Haddow & Birch, "Neural Machine Translation of Rare
+Words with Subword Units", ACL 2016 — the algorithm behind GPT-2/BERT
+vocabularies).
+
+Spark-first shape
+-----------------
+BPE training never needs the raw corpus after the first pass: it
+operates on the *word-frequency table* (word, n) — vocabulary-sized,
+many orders smaller than the corpus. The implementation:
+
+1. one corpus scan builds ``word_counts`` (map-side-combinable
+   groupBy — the same job shape as the term dictionary);
+2. each merge iteration is a vocabulary-sized job: adjacent-pair
+   counts (explode + groupBy(pair), map-side partial), a 1-row
+   ``collect()`` of the arg-max pair (bounded — house rule), and a
+   pure JVM fold that applies the merge to every word state;
+3. word states are re-persisted per iteration and the previous state
+   released, so lineage stays flat across iterations (same discipline
+   as the connected-components / PageRank loops in ``dedup.py``).
+
+At 100 TB the corpus scan dominates and runs once; iterations touch
+only the vocabulary (~10^7-10^8 rows for code corpora), each a single
+small shuffle. For very large K, batch several merges per pass ONLY
+if they are non-interacting — this implementation stays exact
+(one pair per iteration, the reference algorithm).
+
+Cross-engine exactness
+----------------------
+Word state is the ``'|'``-joined symbol string (words are lowercase
+``[a-z]+`` runs, so ``'|'`` never collides). Applying a merge is a
+left-to-right fold over the symbol array — merging each
+non-overlapping (left, right) occurrence greedily, exactly the
+reference BPE behaviour (``a a a a`` + merge(a,a) → ``aa aa``) — and
+is expressed with the same fold in Spark (``F.aggregate``) and DuckDB
+(``list_reduce``), so the driver gate can replay the whole K-step
+training in pure SQL. Tie-breaks are total: (count desc, left asc,
+right asc) over ASCII symbols.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.cachereg import persist_tracked, release_one
+
+SEP = "|"
+# Words are maximal lowercase runs: uppercase/digits/punctuation act
+# as separators. Locale-free (no lower()) so Java and DuckDB/RE2
+# tokenize byte-identically.
+WORD_SPLIT_PATTERN = r"[^a-z]+"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus word-frequency table (word, n): one scan, explode +
+    map-side-combinable groupBy. The only corpus-sized job in BPE
+    training."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), WORD_SPLIT_PATTERN)).alias(
+                "word"
+            )
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def initial_state(words: DataFrame) -> DataFrame:
+    """(state, n): each word as its ``'|'``-joined character symbols."""
+    return words.select(
+        F.array_join(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
+        ).alias("state"),
+        "n",
+    )
+
+
+def pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the weighted word states:
+    (left_sym, right_sym, n). Explode is linear in symbols; the
+    groupBy is map-side partial on the pair key."""
+    s = F.split(F.col("state"), "\\|")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(s) - 1),
+        lambda i: F.struct(
+            F.element_at(s, i).alias("l"), F.element_at(s, i + 1).alias("r")
+        ),
+    )
+    return (
+        state.where(F.size(s) >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def merge_pair_col(state: Column, left: str, right: str) -> Column:
+    """JVM fold applying one merge to a ``'|'``-joined state string:
+    greedy left-to-right, non-overlapping — reference BPE semantics."""
+    s = F.split(state, "\\|")
+    rest = F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0)))
+    merged = left + right
+    last_sym = lambda acc: F.regexp_extract(acc, r"([^|]*)$", 1)  # noqa: E731
+    return F.aggregate(
+        rest,
+        F.element_at(s, 1),
+        lambda acc, x: F.when(
+            (last_sym(acc) == left) & (x == right),
+            F.concat(
+                F.regexp_replace(acc, r"[^|]*$", ""), F.lit(merged)
+            ),
+        ).otherwise(F.concat(acc, F.lit(SEP), x)),
+    )
+
+
+def learn_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 1,
+    checkpoint_every: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, final_state)``: ``merges`` is a driver-built
+    frame (step, left_sym, right_sym, pair_count) — bounded at
+    ``n_merges`` rows — and ``final_state`` the vocabulary-sized
+    (state, n) table after all merges (the input to encoding).
+
+    Stops early when no pair reaches ``min_pair_count``. Each
+    iteration persists the new state and releases the previous one;
+    set ``checkpoint_every`` > 0 to additionally ``localCheckpoint``
+    every k iterations (long trainings on real clusters should prefer
+    a reliable checkpoint dir, same caveat as the CC loop).
+    """
+    state = persist_tracked(
+        initial_state(word_counts(docs, text_col, id_col)), scope="query"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            pair_counts(state)
+            .orderBy(
+                F.col("n").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = (
+            top[0]["left_sym"],
+            top[0]["right_sym"],
+            int(top[0]["n"]),
+        )
+        merges.append((step, left, right, n))
+        new_state = state.select(
+            merge_pair_col(F.col("state"), left, right).alias("state"), "n"
+        )
+        if checkpoint_every and step % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint()
+        new_state = persist_tracked(new_state, scope="query")
+        new_state.count()
+        release_one(state)
+        state = new_state
+    merges_df = spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, pair_count bigint",
+    )
+    return merges_df, state
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply learned merges (in order) to a (word, ...) frame:
+    returns the input plus ``tokens`` (array<string>) and ``n_tokens``.
+
+    Each merge is one JVM fold; ``len(merges)`` chained expressions.
+    For large merge tables, checkpoint every ~16 merges to keep the
+    expression tree bounded (codegen falls back to interpreted mode
+    past ~(64) nested lambdas; correctness is unaffected).
+    """
+    state = F.array_join(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
+    )
+    for left, right in merges:
+        state = merge_pair_col(state, left, right)
+    tokens = F.split(state, "\\|")
+    return words.withColumn("tokens", tokens).withColumn(
+        "n_tokens", F.size(F.col("tokens")).cast("bigint")
+    )
+
+
+def bpe_vocab_oracle_sql(
+    n_merges: int, source_table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`learn_bpe`'s FINAL STATE: the
+    vocabulary-sized (state, n) table after all merges — proves the
+    fold application end-to-end, not just the merge picks."""
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges, source_table, text_col))
+        + f"\nSELECT state, n::BIGINT AS n FROM s{n_merges}"
+    )
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int, source_table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`learn_bpe`: programmatically chained
+    CTEs — per step, pair counts from the previous state, the
+    (count desc, left asc, right asc) arg-max, and the same
+    left-to-right ``list_reduce`` fold. Single source of truth for the
+    driver gate's oracle."""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS step, left_sym, right_sym,"
+        f" n::BIGINT AS pair_count FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges, source_table, text_col))
+        + "\n"
+        + unions
+    )
+
+
+def _bpe_ctes(
+    n_merges: int, source_table: str = "documents", text_col: str = "text"
+) -> list[str]:
+    ctes = [
+        f"w AS (SELECT unnest(string_split_regex({text_col},"
+        f" '{WORD_SPLIT_PATTERN}')) AS word FROM {source_table})",
+        "wc AS (SELECT word, count(*) AS n FROM w WHERE word <> ''"
+        " GROUP BY word)",
+        "s0 AS (SELECT array_to_string(regexp_extract_all(word, '.'),"
+        " '|') AS state, n FROM wc)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+  SELECT pr.l AS left_sym, pr.r AS right_sym, sum(n)::BIGINT AS n
+  FROM (
+    SELECT unnest(list_transform(range(1, len(sy)),
+               i -> {{'l': sy[i], 'r': sy[i + 1]}})) AS pr, n
+    FROM (SELECT string_split(state, '|') AS sy, n FROM {prev})
+  ) GROUP BY pr.l, pr.r
+)"""
+        )
+        ctes.append(
+            f"t{k} AS (SELECT left_sym, right_sym, n FROM p{k}\n"
+            f"  ORDER BY n DESC, left_sym, right_sym LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+  SELECT list_reduce(string_split(state, '|'), (acc, x) ->
+      CASE WHEN regexp_extract(acc, '([^|]*)$', 1) = left_sym
+                AND x = right_sym
+           THEN regexp_replace(acc, '[^|]*$', '')
+                || left_sym || right_sym
+           ELSE acc || '|' || x END) AS state, {prev}.n AS n
+  FROM {prev} CROSS JOIN t{k}
+)"""
+        )
+    return ctes

@@ -1,0 +1,135 @@
+"""Distributed BPE merge learning (operators/bpe.py): reference-BPE
+parity, greedy left-to-right merge semantics, encoding, and the
+DuckDB oracle replay."""
+
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from fulltextindexer_spark.operators import bpe
+
+
+def _ref_bpe(texts, k):
+    """Pure-Python reference BPE (Sennrich et al. 2016): word-frequency
+    table, arg-max pair per step (count desc, pair asc), greedy
+    left-to-right non-overlapping merge."""
+    wc = Counter(w for t in texts for w in re.split("[^a-z]+", t) if w)
+    vocab = {tuple(w): n for w, n in wc.items()}
+    out = []
+    for step in range(1, k + 1):
+        pc = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += n
+        if not pc:
+            break
+        m = max(pc.values())
+        best = sorted(p for p, c in pc.items() if c == m)[0]
+        out.append((step, best[0], best[1], m))
+        newv = {}
+        for sym, n in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    merged.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            key = tuple(merged)
+            newv[key] = newv.get(key, 0) + n
+        vocab = newv
+    return out, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wider wide widest, WIDE!",
+]
+
+
+def _docs(spark):
+    rows = [(i + 1, t) for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_learn_bpe_matches_reference(spark):
+    merges, state = bpe.learn_bpe(spark, _docs(spark), 6)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    want, ref_vocab = _ref_bpe(TEXTS, 6)
+    assert got == want
+    # final states match the reference vocabulary (joined symbols)
+    got_vocab = {
+        tuple(r["state"].split(bpe.SEP)): r["n"] for r in state.collect()
+    }
+    assert got_vocab == ref_vocab
+
+
+def test_merge_is_greedy_left_to_right(spark):
+    rows = [(1, "aaaa aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, state = bpe.learn_bpe(spark, df, 1)
+    m = merges.collect()[0]
+    # pairs: aaaa has 3 (a,a), aaa has 2 -> count 5
+    assert (m["left_sym"], m["right_sym"], m["pair_count"]) == ("a", "a", 5)
+    states = {r["state"] for r in state.collect()}
+    assert states == {"aa|aa", "aa|a"}
+
+
+def test_learn_bpe_early_stop(spark):
+    rows = [(1, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, state = bpe.learn_bpe(spark, df, 10)
+    assert merges.count() == 1  # only (a,b) exists; then no pairs remain
+    assert [r["state"] for r in state.collect()] == ["ab"]
+
+
+def test_encode_words_roundtrip(spark):
+    merges, _ = bpe.learn_bpe(spark, _docs(spark), 6)
+    pairs = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("step").collect()
+    ]
+    words = spark.createDataFrame(
+        [("lowest",), ("newer",), ("unseen",)], "word string"
+    )
+    enc = {
+        r["word"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe.encode_words(words, pairs).collect()
+    }
+    for w, (toks, n) in enc.items():
+        assert "".join(toks) == w  # lossless segmentation
+        assert n == len(toks)
+    # learned subwords actually merge: 'low' learned as one token
+    assert enc["lowest"][0][0] == "low"
+
+
+def test_oracle_sql_replays_learner(spark):
+    merges, _ = bpe.learn_bpe(spark, _docs(spark), 5)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i + 1, t) for i, t in enumerate(TEXTS)],
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe.bpe_merges_oracle_sql(5) + " ORDER BY step"
+        ).fetchall()
+    ]
+    assert got == want
