@@ -2069,6 +2069,14 @@ def q_mix_plan(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed mixture weights: per-source sampling share
+    ∝ n_tokens^0.7 (the multilingual-LM exponent rule) — natural share
+    (floor-ppm), smoothed target share, and the repeat/keep weight,
+    computed from the corpus itself."""
+    return textstats.temperature_mix(_documents(spark, sf_dir), alpha=0.7)
+
+
 def q_quality_quantile(spark, sf_dir):
     """Per-source quality floor: drop the bottom quartile of each
     source by the deterministic rank rule (quality asc, doc_id asc;
@@ -2355,6 +2363,22 @@ def q_code_dup_functions(spark, sf_dir):
 BPE_GATE_MERGES = 8
 
 
+def _bpe_gate_merges(spark, sf_dir):
+    """Train once per (sf_dir): the 8-row merge table is driver data
+    (bounded), cached so the two BPE gates share one training."""
+    key = ("bpe_merges", sf_dir, BPE_GATE_MERGES)
+    if key not in _INDEX_CACHE:
+        merges, state = bpe.learn_bpe(
+            spark, _documents(spark, sf_dir), BPE_GATE_MERGES
+        )
+        _INDEX_CACHE[key] = [
+            (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in merges.orderBy("step").collect()
+        ]
+        cachereg.release_one(state)
+    return _INDEX_CACHE[key]
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich 2016): learn the
     top-8 merges from the corpus word-frequency table — one corpus
@@ -2362,21 +2386,25 @@ def q_bpe_merges(spark, sf_dir):
     1-row argmax collect + JVM fold re-segmentation). The oracle
     replays the full 8-step training as chained DuckDB CTEs with the
     same list_reduce fold, so the merge table is cross-engine exact."""
-    merges, _state = bpe.learn_bpe(
-        spark, _documents(spark, sf_dir), BPE_GATE_MERGES
+    rows = _bpe_gate_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "step bigint, left_sym string, right_sym string, pair_count bigint",
     )
-    return merges
 
 
 def q_bpe_vocab(spark, sf_dir):
     """The BPE-trained vocabulary states: each corpus word as its
     '|'-joined subword segmentation after the 8 learned merges, with
-    its corpus frequency — proves the greedy left-to-right fold
-    application end-to-end (not just the merge picks)."""
-    _merges, state = bpe.learn_bpe(
-        spark, _documents(spark, sf_dir), BPE_GATE_MERGES
+    its corpus frequency. Deliberately computed through the ENCODE
+    path (encode_words: the merges applied as one chained JVM fold)
+    while the oracle replays the training's iterative folds — pinning
+    train-time and encode-time segmentation against each other."""
+    pairs = [(l, r) for _s, l, r, _n in _bpe_gate_merges(spark, sf_dir)]
+    words = bpe.word_counts(_documents(spark, sf_dir))
+    return bpe.encode_words(words, pairs).select(
+        F.array_join("tokens", bpe.SEP).alias("state"), "n"
     )
-    return state
 
 
 def q_pps_sample(spark, sf_dir):
@@ -2551,6 +2579,14 @@ def q_phrase_prefix(spark, sf_dir):
     time. All-integer."""
     idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
     return q.phrase_prefix_matches(idx, "hash", "j")
+
+
+def q_phrase_slop(spark, sf_dir):
+    """Ordered sloppy phrase: 'hash … join' with at most 2 intervening
+    tokens (Lucene sloppy-PhraseQuery's ordered tier) — distinct
+    qualifying spans + tightest span length per doc. All-integer."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.get_phrase_slop_matches(idx, "hash join", slop=2)
 
 
 def q_spell(spark, sf_dir):
@@ -3398,6 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dup_functions": q_code_dup_functions,
         "curate_bpe_merges": q_bpe_merges,
         "curate_bpe_vocab": q_bpe_vocab,
+        "ftix_phrase_slop": q_phrase_slop,
+        "curate_temperature_mix": q_temperature_mix,
     }
 
 
@@ -7209,4 +7247,39 @@ FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
         # from the same single-source module as the Spark learner
         "curate_bpe_merges": bpe.bpe_merges_oracle_sql(BPE_GATE_MERGES),
         "curate_bpe_vocab": bpe.bpe_vocab_oracle_sql(BPE_GATE_MERGES),
+        # ordered sloppy phrase 'hash … join', gap <= 3 (slop=2):
+        # distinct (start, end) spans + tightest span length
+        "ftix_phrase_slop": f"""
+WITH {TOKP_CTE},
+a AS (SELECT doc_id, pos FROM tokp
+      WHERE term = '{english_plurality_normalise("hash")}'),
+b AS (SELECT doc_id, pos FROM tokp
+      WHERE term = '{english_plurality_normalise("join")}'),
+spans AS (
+  SELECT DISTINCT a.doc_id, a.pos AS s, b.pos AS e
+  FROM a JOIN b ON a.doc_id = b.doc_id
+     AND b.pos > a.pos AND b.pos <= a.pos + 3
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       min(e - s + 1)::BIGINT AS min_len
+FROM spans GROUP BY doc_id
+""",
+        "curate_temperature_mix": """
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+),
+agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS n_tokens
+        FROM tok GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total,
+               sum(pow(n_tokens::DOUBLE, 0.7)) AS pow_total FROM agg)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(1000000.0 * n_tokens / tot.total) AS BIGINT) AS share_ppm,
+       round(pow(n_tokens::DOUBLE, 0.7) / tot.pow_total, 4) AS temp_share,
+       round((pow(n_tokens::DOUBLE, 0.7) / tot.pow_total)
+             / (n_tokens / tot.total), 4) AS weight
+FROM agg CROSS JOIN tot
+""",
     }

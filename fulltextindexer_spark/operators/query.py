@@ -1136,6 +1136,81 @@ def get_near_matches(
     )
 
 
+def get_phrase_slop_matches(
+    index: InvertedIndex,
+    source: str,
+    slop: int = 1,
+) -> DataFrame:
+    """Ordered sloppy-phrase matching: the query terms must appear in
+    order with at most ``slop`` intervening tokens between consecutive
+    terms (``slop = 0`` ≡ exact adjacency, the
+    ``GetConsecutiveMatches`` semantics; ``slop`` relaxes the gap the
+    way Lucene's sloppy PhraseQuery does for ordered rewrites).
+
+    Returns all-integer ``(doc_id, n_spans, min_len)``: the number of
+    DISTINCT qualifying (start, end) occurrence spans and the tightest
+    span's token length — callers rank tighter-first (``min_len asc``)
+    and weight by ``n_spans``.
+
+    Scale shape: one term-pruned posting read per query term (row-group
+    skips on the term-sorted index), position explodes of only those
+    match sets, then n−1 equi-joins on (doc, field) with the ordered
+    bounded-gap range predicate — the join chain of
+    :func:`get_consecutive_matches_chain` with the adjacency constant
+    widened to ``slop + 1``. Intermediate spans are de-duplicated per
+    step (distinct middles collapse), so the frame stays bounded by
+    occurrence pairs, never the cross product.
+    """
+    if not index.config.capture_positions:
+        raise ValueError("index must record source locations for slop")
+    spark = index.postings.sparkSession
+    tokens = break_tokens(source, index.config.break_chars)
+    terms = [
+        normalise_scalar(tok, index.config.normaliser)
+        for tok, _, _, _ in tokens
+    ]
+    terms = [t for t in terms if t]
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_spans long, min_len long"
+    )
+    if not terms:
+        return empty
+
+    def _pos(term: str, out: str) -> DataFrame:
+        return (
+            index.postings.where(F.col("term") == F.lit(term))
+            .select("doc_id", F.explode("positions").alias("p"))
+            .select(
+                "doc_id",
+                F.col("p.field_idx").alias("field_idx"),
+                F.col("p.token_idx").alias(out),
+            )
+        )
+
+    spans = _pos(terms[0], "start").select(
+        "doc_id", "field_idx", "start", F.col("start").alias("end")
+    )
+    for term in terms[1:]:
+        nxt = _pos(term, "p")
+        spans = (
+            spans.join(nxt, ["doc_id", "field_idx"])
+            .where(
+                (F.col("p") > F.col("end"))
+                & (F.col("p") <= F.col("end") + slop + 1)
+            )
+            .select(
+                "doc_id", "field_idx", "start", F.col("p").alias("end")
+            )
+            .distinct()
+        )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.min(F.col("end") - F.col("start") + 1)
+        .cast("long")
+        .alias("min_len"),
+    )
+
+
 def phrase_prefix_matches(
     index: InvertedIndex,
     lead: str,

@@ -1237,6 +1237,59 @@ def mix_plan(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture weights: sampling share ∝ n_g^alpha
+    (exponent-smoothed sampling, Conneau & Lample, "Cross-lingual
+    Language Model Pretraining", NeurIPS 2019 — the rule multilingual
+    LM corpora use to up-weight small groups without drowning large
+    ones; alpha=1 reproduces natural shares, alpha=0 uniform).
+
+    Returns (<by>, n_docs, n_tokens, share_ppm, temp_share, weight):
+    natural token share (floor-ppm integer), the temperature-smoothed
+    target share (double, 4dp), and ``weight = temp_share /
+    natural_share`` (4dp) — the repeat/keep factor feeding
+    :func:`corpus_sample` / :func:`epoch_plan`, exactly like
+    :func:`mix_plan` but with the targets computed from the corpus
+    itself instead of supplied.
+
+    Same plan shape as :func:`mix_plan`: one scan + one group-sized
+    aggregation; the share window runs over the #groups-row aggregate,
+    never the corpus.
+    """
+    from pyspark.sql import Window
+
+    n = _ws_token_count(text_col)
+    agg = (
+        docs.select(F.col(by), n.alias("n"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    pow_total = F.sum(powed).over(w)
+    temp_share = powed / pow_total
+    natural_share = F.col("n_tokens") / total
+    return agg.select(
+        by,
+        "n_docs",
+        "n_tokens",
+        F.floor(1000000.0 * F.col("n_tokens") / total)
+        .cast("long")
+        .alias("share_ppm"),
+        F.round(temp_share, 4).alias("temp_share"),
+        F.round(temp_share / natural_share, 4).alias("weight"),
+    )
+
+
 def corpus_report_rollup(
     docs: DataFrame,
     by: tuple = ("source", "lang"),

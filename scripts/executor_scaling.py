@@ -71,6 +71,10 @@ LEVELS = tuple(
 # posting build over the deterministic synthetic source-code corpus,
 # full-width warm-up, noop sink), plus an executor-registration barrier
 # so the timed region never starts on a partially-arrived cluster.
+# --job query swaps the timed region for the serving-tier job: a
+# 32-query batched AND-sum top-10 search (one term join + one
+# (query, doc) aggregation for the whole batch) over the same corpus's
+# index, built untimed inside the same cluster.
 DRIVER = '''\
 import json
 import sys
@@ -78,7 +82,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-corpus, n_exec = sys.argv[1], int(sys.argv[2])
+corpus, n_exec, job = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 
 spark = (
     SparkSession.builder.appName("ftix-exec-scaling-%d" % n_exec)
@@ -126,23 +130,56 @@ pids = (
     .collect()
 )
 
-t0 = time.perf_counter()
-materialize(build_postings(docs, cfg))
-dt = time.perf_counter() - t0
+if job == "build":
+    t0 = time.perf_counter()
+    materialize(build_postings(docs, cfg))
+    dt = time.perf_counter() - t0
+    result = {"n_docs": n_docs, "sec": dt, "docs_per_sec": n_docs / dt}
+else:
+    # serving tier: index built untimed in THIS cluster (separate JVMs
+    # cannot share a built index), then one batched top-k search job
+    import itertools
 
-print("EXEC_SCALING_RESULT=" + json.dumps({
-    "n_executors": n_exec,
-    "executor_cores": __CORES__,
-    "n_docs": n_docs,
-    "sec": dt,
-    "docs_per_sec": n_docs / dt,
-    "n_worker_pids": len(set(pids)),
-}))
+    from fulltextindexer_spark.operators.index_build import build_index
+    from fulltextindexer_spark.operators import query as q
+
+    idx = build_index(docs, cfg)
+    idx.postings.persist()
+    n_postings = idx.postings.count()
+    terms = [
+        r["term"]
+        for r in idx.postings.select("term").distinct()
+        .orderBy("term").limit(16).collect()
+    ]
+    pairs = list(itertools.combinations(terms, 2))[:32]
+    queries = {
+        "q%03d" % i: "%s %s" % p for i, p in enumerate(pairs)
+    }
+    warm = dict(list(queries.items())[:2])
+    materialize(q.get_partial_matches_batch(idx, warm, k=10))
+    t0 = time.perf_counter()
+    materialize(q.get_partial_matches_batch(idx, queries, k=10))
+    dt = time.perf_counter() - t0
+    result = {
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "n_queries": len(queries),
+        "sec": dt,
+        "docs_per_sec": len(queries) * n_docs / dt,
+        "queries_per_sec": len(queries) / dt,
+    }
+
+result.update({"n_executors": n_exec, "executor_cores": __CORES__,
+               "n_worker_pids": len(set(pids)), "job": job})
+print("EXEC_SCALING_RESULT=" + json.dumps(result))
 spark.stop()
 '''.replace("__CORES__", str(EXEC_CORES))
 
 
-def run_level(n_exec: int, corpus: str, zip_path: str, workdir: str) -> dict:
+def run_level(
+    n_exec: int, corpus: str, zip_path: str, workdir: str,
+    job: str = "build",
+) -> dict:
     driver = os.path.join(workdir, f"driver_{n_exec}.py")
     with open(driver, "w") as fh:
         fh.write(DRIVER)
@@ -166,7 +203,7 @@ def run_level(n_exec: int, corpus: str, zip_path: str, workdir: str) -> dict:
             f"-XX:ParallelGCThreads={EXEC_CORES} -XX:ConcGCThreads=1"
         ),
         "--conf", "spark.driver.extraJavaOptions=-XX:ActiveProcessorCount=2",
-        driver, corpus, str(n_exec),
+        driver, corpus, str(n_exec), job,
     ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{total_cores}"] + cmd  # +1 driver core
@@ -191,10 +228,16 @@ def run_level(n_exec: int, corpus: str, zip_path: str, workdir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="executor_scaling.json")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--job", choices=("build", "query"), default="build")
     ap.add_argument("--repeats", type=int,
                     default=int(os.environ.get("FTIX_SCALING_REPEATS", "2")))
     args = ap.parse_args()
+    if args.out is None:
+        args.out = (
+            "executor_scaling.json" if args.job == "build"
+            else "executor_scaling_query.json"
+        )
 
     # corpus: generated once with a plain local session (input bytes are
     # identical for every level/run — deterministic generator)
@@ -214,8 +257,10 @@ def main() -> None:
     rounds = []
     for _ in range(args.repeats):
         probe = bench.quota_probe(hi_n * EXEC_CORES)
-        lo = run_level(lo_n, bench.SCALING_CORPUS, zip_path, workdir)
-        hi = run_level(hi_n, bench.SCALING_CORPUS, zip_path, workdir)
+        lo = run_level(lo_n, bench.SCALING_CORPUS, zip_path, workdir,
+                       args.job)
+        hi = run_level(hi_n, bench.SCALING_CORPUS, zip_path, workdir,
+                       args.job)
         speedup = lo["sec"] / hi["sec"]
         rounds.append({
             "low": lo,
@@ -227,7 +272,8 @@ def main() -> None:
     best = max(rounds, key=lambda r: r["efficiency"])
     result = {
         "metric": (
-            f"index-build scaling efficiency, spark-submit --py-files, "
+            f"{'index-build' if args.job == 'build' else 'batched top-k query'}"
+            f" scaling efficiency, spark-submit --py-files, "
             f"local-cluster[{lo_n},{EXEC_CORES},{EXEC_MEM_MB}] -> "
             f"local-cluster[{hi_n},{EXEC_CORES},{EXEC_MEM_MB}] "
             f"(separate executor JVMs, taskset-pinned, best of "

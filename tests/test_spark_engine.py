@@ -1482,3 +1482,68 @@ def test_fields_from_schema_exclude(spark):
         fields_from_schema(df, "id", exclude={"nope"})
     with _pytest.raises(ValueError, match="no string"):
         fields_from_schema(df, "id", exclude={"title", "tags", "body"})
+
+
+def test_phrase_slop_ordered_spans(spark):
+    """Ordered sloppy phrase: gaps bounded by slop+1, order enforced,
+    spans distinct, min_len is the tightest span."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    docs = [
+        # adjacent (len 2) AND gapped (len 4) spans
+        (1, "hash join x hash y z join"),
+        # reversed order only: no match
+        (2, "join then hash"),
+        # gap of exactly slop (2 intervening): len 4
+        (3, "hash a b join"),
+        # gap too wide at slop=2
+        (4, "hash a b c join"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    idx = build_index(df, cfg)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["min_len"])
+        for r in q.get_phrase_slop_matches(idx, "hash join", slop=2).collect()
+    }
+    # doc 1 spans: (0,1) len 2; (3,6) len 4 -> 2 spans, min 2
+    assert got == {1: (2, 2), 3: (1, 4)}
+    # slop=0 degenerates to exact adjacency
+    got0 = {
+        r["doc_id"]: (r["n_spans"], r["min_len"])
+        for r in q.get_phrase_slop_matches(idx, "hash join", slop=0).collect()
+    }
+    assert got0 == {1: (1, 2)}
+
+
+def test_phrase_slop_three_term_chain(spark):
+    """Three-term chains: every consecutive gap must satisfy the slop
+    bound; distinct middles collapse to one (start, end) span."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    docs = [
+        (1, "hash a join b sort"),       # gaps 2,2: ok at slop>=1
+        (2, "hash join a a a sort"),     # second gap 4: needs slop>=3
+        (3, "hash join join sort"),      # two middles, same (0,3) span
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    idx = build_index(df, cfg)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["min_len"])
+        for r in q.get_phrase_slop_matches(
+            idx, "hash join sort", slop=1
+        ).collect()
+    }
+    assert got == {1: (1, 5), 3: (1, 4)}
+    got3 = {
+        r["doc_id"]: (r["n_spans"], r["min_len"])
+        for r in q.get_phrase_slop_matches(
+            idx, "hash join sort", slop=3
+        ).collect()
+    }
+    assert got3 == {1: (1, 5), 2: (1, 6), 3: (1, 4)}

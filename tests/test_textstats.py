@@ -36,3 +36,27 @@ def test_grouped_distinctive_terms_lift_and_cut(spark):
     # per-group cut: exactly 3 per lang
     assert sum(1 for (lg, _) in rows if lg == "en") == 3
     assert sum(1 for (lg, _) in rows if lg == "fr") == 3
+
+
+def test_temperature_mix_shares_and_weights(spark):
+    """alpha=0.5 on 2 sources with 9:1 token ratio: temp shares 3:1;
+    small group up-weighted, large down-weighted; alpha=1 is neutral."""
+    from fulltextindexer_spark.operators import textstats
+
+    rows = [(1, "src0", "w " * 900), (2, "src1", "w " * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["share_ppm"], r["temp_share"],
+                      r["weight"])
+        for r in textstats.temperature_mix(df, alpha=0.5).collect()
+    }
+    assert got["src0"][:2] == (900, 900000)
+    assert got["src1"][:2] == (100, 100000)
+    assert got["src0"][2] == 0.75 and got["src1"][2] == 0.25
+    assert got["src0"][3] == round(0.75 / 0.9, 4)
+    assert got["src1"][3] == round(0.25 / 0.1, 4)
+    neutral = {
+        r["source"]: r["weight"]
+        for r in textstats.temperature_mix(df, alpha=1.0).collect()
+    }
+    assert neutral == {"src0": 1.0, "src1": 1.0}
