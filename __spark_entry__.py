@@ -2360,6 +2360,37 @@ def q_code_dup_functions(spark, sf_dir):
     return codestats.duplicated_functions(docs)
 
 
+def q_code_file_rank(spark, sf_dir):
+    """Module centrality over the corpus import graph: PageRank on the
+    bipartite file↔module edge list from extract_imports (undirected,
+    string-prefixed node ids — 'd:<doc>' / 'm:<module>'), fixed
+    4-iteration power method with per-iteration 6dp rounding (the
+    dedup.pagerank contract). The module ranking a corpus-mix pass
+    uses to decide which libraries' idioms dominate — flowing through
+    files, not raw import counts (a module imported by well-connected
+    files outranks one imported by leaf files)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            "text",
+            "([a-z]+) ([a-z]+) ([a-z]+) ([a-z]+)",
+            "import $1.$2\nfrom $3 import x\n",
+        ).alias("text"),
+    )
+    edges = (
+        codestats.extract_imports(docs)
+        .select(
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias(
+                "u"
+            ),
+            F.concat(F.lit("m:"), F.col("module")).alias("v"),
+        )
+        .distinct()
+    )
+    ranks = dedup.pagerank(edges, src_col="u", dst_col="v", n_iter=4)
+    return ranks.where(F.col("node").startswith("m:"))
+
+
 BPE_GATE_MERGES = 8
 
 
@@ -3436,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_bpe_vocab": q_bpe_vocab,
         "ftix_phrase_slop": q_phrase_slop,
         "curate_temperature_mix": q_temperature_mix,
+        "code_file_rank": q_code_file_rank,
     }
 
 
@@ -4060,17 +4092,24 @@ SELECT *, (({total}) > 0)::INT AS has_secret FROM scanned
 """
 
 
-def _code_imports_sql() -> str:
-    """Oracle for the import-extraction gate: the import-pair rewrite
-    (chr(10) newlines; DuckDB backreference syntax), then one UNION ALL
-    branch per :data:`codestats.IMPORT_RULES` entry, per-(doc, kind,
-    module) counts mirroring extract_imports, and the module rollup."""
-    branches = "\n  UNION ALL\n".join(
+def _import_branches() -> str:
+    """One UNION ALL branch per :data:`codestats.IMPORT_RULES` entry
+    over the ``ctext`` CTE (shared by the import-extraction and
+    file-rank oracles)."""
+    return "\n  UNION ALL\n".join(
         f"  SELECT doc_id, '{kind}' AS kind,\n"
         f"         unnest(regexp_extract_all(text, '{pat}', 1)) AS module\n"
         f"  FROM ctext"
         for kind, pat in codestats.IMPORT_RULES
     )
+
+
+def _code_imports_sql() -> str:
+    """Oracle for the import-extraction gate: the import-pair rewrite
+    (chr(10) newlines; DuckDB backreference syntax), then one UNION ALL
+    branch per :data:`codestats.IMPORT_RULES` entry, per-(doc, kind,
+    module) counts mirroring extract_imports, and the module rollup."""
+    branches = _import_branches()
     return f"""
 WITH ctext AS (
   SELECT doc_id,
@@ -7281,5 +7320,28 @@ SELECT source, n_docs, n_tokens,
        round((pow(n_tokens::DOUBLE, 0.7) / tot.pow_total)
              / (n_tokens / tot.total), 4) AS weight
 FROM agg CROSS JOIN tot
+""",
+        # PageRank over the bipartite file<->module import graph,
+        # module nodes reported; same iteration CTEs as dedup_pagerank
+        "code_file_rank": f"""
+WITH ctext AS (
+  SELECT doc_id,
+         regexp_replace(text, '([a-z]+) ([a-z]+) ([a-z]+) ([a-z]+)',
+                        'import \\1.\\2' || chr(10)
+                        || 'from \\3 import x' || chr(10), 'g') AS text
+  FROM documents
+),
+imp AS (
+{_import_branches()}
+),
+edges0 AS (SELECT DISTINCT 'd:' || doc_id AS u, 'm:' || module AS v
+           FROM imp),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+ed AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON e.u = d.u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u AS node, round(1.0 / (SELECT n FROM nn), 6) AS rank
+       FROM deg){_pagerank_iter_ctes(4)}
+SELECT node, rank FROM r4 WHERE node LIKE 'm:%'
 """,
     }
