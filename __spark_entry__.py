@@ -2438,6 +2438,24 @@ def q_bpe_vocab(spark, sf_dir):
     )
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Corpus subword-fertility audit under the learned BPE merges:
+    total word occurrences, total subword tokens, and the integer
+    tokens-per-word ppm — the number a tokenizer-training pass
+    publishes to judge merge-table quality (fertility → 1e6 as the
+    vocabulary saturates the corpus)."""
+    pairs = [(l, r) for _s, l, r, _n in _bpe_gate_merges(spark, sf_dir)]
+    enc = bpe.encode_words(bpe.word_counts(_documents(spark, sf_dir)), pairs)
+    return enc.agg(
+        F.sum("n").cast("bigint").alias("n_words"),
+        F.sum(F.col("n_tokens") * F.col("n"))
+        .cast("bigint")
+        .alias("n_subwords"),
+    ).withColumn(
+        "fertility_ppm", F.expr("n_subwords * 1000000L DIV n_words")
+    )
+
+
 def q_pps_sample(spark, sf_dir):
     """Poisson PPS sampling gate: expected-100-doc sample drawn with
     probability ∝ n_chars via the integer-exact md5-coin rule — the
@@ -3468,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_phrase_slop": q_phrase_slop,
         "curate_temperature_mix": q_temperature_mix,
         "code_file_rank": q_code_file_rank,
+        "curate_bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -7286,6 +7305,9 @@ FROM chunks GROUP BY md5(chunk) HAVING count(*) > 1
         # from the same single-source module as the Spark learner
         "curate_bpe_merges": bpe.bpe_merges_oracle_sql(BPE_GATE_MERGES),
         "curate_bpe_vocab": bpe.bpe_vocab_oracle_sql(BPE_GATE_MERGES),
+        "curate_bpe_fertility": bpe.bpe_fertility_oracle_sql(
+            BPE_GATE_MERGES
+        ),
         # ordered sloppy phrase 'hash … join', gap <= 3 (slop=2):
         # distinct (start, end) spans + tightest span length
         "ftix_phrase_slop": f"""

@@ -221,6 +221,25 @@ def bpe_vocab_oracle_sql(
     )
 
 
+def bpe_fertility_oracle_sql(
+    n_merges: int, source_table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of the corpus-level subword fertility audit:
+    total word occurrences, total subword tokens after the learned
+    merges, and the integer-exact tokens-per-word ppm."""
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges, source_table, text_col))
+        + f""",
+f AS (SELECT sum(n)::BIGINT AS n_words,
+             sum(len(string_split(state, '|')) * n)::BIGINT AS n_subwords
+      FROM s{n_merges})
+SELECT n_words, n_subwords,
+       (n_subwords * 1000000 // n_words)::BIGINT AS fertility_ppm
+FROM f"""
+    )
+
+
 def bpe_merges_oracle_sql(
     n_merges: int, source_table: str = "documents", text_col: str = "text"
 ) -> str:
