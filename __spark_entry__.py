@@ -2360,6 +2360,16 @@ def q_code_dup_functions(spark, sf_dir):
     return codestats.duplicated_functions(docs)
 
 
+def q_passage_rank(spark, sf_dir):
+    """RAG passage retrieval: per matching doc, the best 25-token
+    aligned window for 'hash join sort' — distinct query terms
+    present, then occurrence count, as the all-integer rank key. The
+    window is computed from index positions (term-pruned posting
+    reads), never by re-scanning documents."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.passage_rank(idx, "hash join sort", window=25, k=1)
+
+
 def q_code_file_rank(spark, sf_dir):
     """Module centrality over the corpus import graph: PageRank on the
     bipartite file↔module edge list from extract_imports (undirected,
@@ -3487,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_temperature_mix": q_temperature_mix,
         "code_file_rank": q_code_file_rank,
         "curate_bpe_fertility": q_bpe_fertility,
+        "ftix_passage_rank": q_passage_rank,
     }
 
 
@@ -7365,5 +7376,26 @@ nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT u AS node, round(1.0 / (SELECT n FROM nn), 6) AS rank
        FROM deg){_pagerank_iter_ctes(4)}
 SELECT node, rank FROM r4 WHERE node LIKE 'm:%'
+""",
+        # best 25-token aligned window per doc for 'hash join sort':
+        # rank (distinct terms desc, hits desc, window asc), top-1
+        "ftix_passage_rank": f"""
+WITH {TOKP_CTE},
+q(term) AS (VALUES ('{english_plurality_normalise("hash")}'),
+                   ('{english_plurality_normalise("join")}'),
+                   ('{english_plurality_normalise("sort")}')),
+m AS (SELECT doc_id, (pos - 1) // 25 AS window_id, tokp.term
+      FROM tokp JOIN q ON tokp.term = q.term),
+a AS (SELECT doc_id, window_id,
+             count(DISTINCT term) AS n_terms, count(*) AS n_hits
+      FROM m GROUP BY doc_id, window_id),
+r AS (SELECT doc_id, window_id, n_terms, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_terms DESC, n_hits DESC, window_id) AS rn
+      FROM a)
+SELECT doc_id, CAST(0 AS BIGINT) AS field_idx,
+       window_id::BIGINT AS window_id,
+       n_terms::BIGINT AS n_terms, n_hits::BIGINT AS n_hits
+FROM r WHERE rn <= 1
 """,
     }

@@ -1211,6 +1211,84 @@ def get_phrase_slop_matches(
     )
 
 
+def passage_rank(
+    index: InvertedIndex,
+    source: str,
+    window: int = 32,
+    k: int = 1,
+) -> DataFrame:
+    """Best fixed-width token-window passage(s) per matching doc for a
+    query — the retrieval-for-RAG primitive: a downstream consumer
+    wants the best W-token slice of each hit, not the whole document.
+
+    Windows are aligned blocks ``window_id = token_idx div window``
+    (block alignment keeps the op one aggregation — sliding windows
+    would explode each position W times for marginal gain). Per
+    (doc, field, window): ``n_terms`` = distinct query terms present,
+    ``n_hits`` = total query-term occurrences; the per-doc top-``k``
+    is ranked (n_terms desc, n_hits desc, field_idx asc, window_id
+    asc) — all-integer, cross-engine exact.
+
+    Scale shape: term-pruned posting reads (only the query's terms are
+    scanned), position explode of the match set only, one map-side
+    combinable (doc, field, window) aggregation, and a per-doc rank
+    window whose partitions are bounded by windows-per-doc — never a
+    global sort. Returns (doc_id, field_idx, window_id, n_terms,
+    n_hits).
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations for passage ranking"
+        )
+    from pyspark.sql import Window as W
+
+    spark = index.postings.sparkSession
+    tokens = break_tokens(source, index.config.break_chars)
+    terms = sorted(
+        {
+            t
+            for t in (
+                normalise_scalar(tok, index.config.normaliser)
+                for tok, _, _, _ in tokens
+            )
+            if t
+        }
+    )
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, field_idx long, window_id long, "
+            "n_terms long, n_hits long",
+        )
+    hits = (
+        index.postings.where(F.col("term").isin(terms))
+        .select("doc_id", "term", F.explode("positions").alias("p"))
+        .select(
+            "doc_id",
+            "term",
+            F.col("p.field_idx").cast("long").alias("field_idx"),
+            (F.col("p.token_idx").cast("long") / window)
+            .cast("long")
+            .alias("window_id"),
+        )
+    )
+    agg = hits.groupBy("doc_id", "field_idx", "window_id").agg(
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    rank = W.partitionBy("doc_id").orderBy(
+        F.desc("n_terms"),
+        F.desc("n_hits"),
+        F.asc("field_idx"),
+        F.asc("window_id"),
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(rank))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def phrase_prefix_matches(
     index: InvertedIndex,
     lead: str,

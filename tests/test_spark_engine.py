@@ -1547,3 +1547,35 @@ def test_phrase_slop_three_term_chain(spark):
         ).collect()
     }
     assert got3 == {1: (1, 5), 2: (1, 6), 3: (1, 4)}
+
+
+def test_passage_rank_best_window(spark):
+    """Block-aligned passage ranking: distinct-term coverage beats raw
+    hit count; per-doc top-k; window ids from token positions."""
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    docs = [
+        # window 0 (tokens 0-3): hash x hash x -> 1 term, 2 hits
+        # window 1 (tokens 4-7): hash join y z -> 2 terms, 2 hits (wins)
+        (1, "hash x hash x hash join y z"),
+        # no query terms at all
+        (2, "a b c d"),
+        # only window 2 has a hit
+        (3, "a b c d e f g h i join"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    idx = build_index(df, cfg)
+    got = {
+        r["doc_id"]: (r["window_id"], r["n_terms"], r["n_hits"])
+        for r in q.passage_rank(idx, "hash join", window=4, k=1).collect()
+    }
+    assert got == {1: (1, 2, 2), 3: (2, 1, 1)}
+    # k=2 returns the runner-up window for doc 1
+    rows = sorted(
+        (r["doc_id"], r["window_id"])
+        for r in q.passage_rank(idx, "hash join", window=4, k=2).collect()
+    )
+    assert rows == [(1, 0), (1, 1), (3, 2)]
