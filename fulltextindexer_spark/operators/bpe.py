@@ -187,24 +187,38 @@ def learn_bpe(
 
 
 def encode_words(
-    words: DataFrame, merges: list[tuple[str, str]]
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    materialize_every: int = 2,
 ) -> DataFrame:
     """Apply learned merges (in order) to a (word, ...) frame:
     returns the input plus ``tokens`` (array<string>) and ``n_tokens``.
 
-    Each merge is one JVM fold; ``len(merges)`` chained expressions.
-    For large merge tables, checkpoint every ~16 merges to keep the
-    expression tree bounded (codegen falls back to interpreted mode
-    past ~(64) nested lambdas; correctness is unaffected).
+    Each merge is one JVM fold. Folds CANNOT simply be chained as one
+    expression: step k's fold references step k−1's state ~4× (split /
+    element_at / slice / size), so a naive chain grows the expression
+    tree ~4^k — measured 30+ s for 8 merges on a 5k-doc corpus vs ~2 s
+    materialized. Every ``materialize_every`` merges the state is
+    therefore localCheckpointed (vocabulary-sized rows — cheap), which
+    both bounds the expression depth and truncates lineage; the same
+    discipline :func:`learn_bpe`'s per-iteration persist applies.
     """
-    state = F.array_join(
-        F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
+    df = words.withColumn(
+        "state",
+        F.array_join(F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP),
     )
-    for left, right in merges:
-        state = merge_pair_col(state, left, right)
-    tokens = F.split(state, "\\|")
-    return words.withColumn("tokens", tokens).withColumn(
-        "n_tokens", F.size(F.col("tokens")).cast("bigint")
+    for i, (left, right) in enumerate(merges, start=1):
+        df = df.withColumn(
+            "state", merge_pair_col(F.col("state"), left, right)
+        )
+        if materialize_every and i % materialize_every == 0 and i < len(
+            merges
+        ):
+            df = df.localCheckpoint(eager=True)
+    return (
+        df.withColumn("tokens", F.split(F.col("state"), "\\|"))
+        .drop("state")
+        .withColumn("n_tokens", F.size(F.col("tokens")).cast("bigint"))
     )
 
 
