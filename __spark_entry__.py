@@ -2416,7 +2416,7 @@ def _bpe_gate_merges(spark, sf_dir):
             (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
             for r in merges.orderBy("step").collect()
         ]
-        cachereg.release_one(state)
+        del state  # localCheckpointed blocks GC'd with the reference
     return _INDEX_CACHE[key]
 
 

@@ -18,9 +18,14 @@ many orders smaller than the corpus. The implementation:
    counts (explode + groupBy(pair), map-side partial), a 1-row
    ``collect()`` of the arg-max pair (bounded — house rule), and a
    pure JVM fold that applies the merge to every word state;
-3. word states are re-persisted per iteration and the previous state
-   released, so lineage stays flat across iterations (same discipline
-   as the connected-components / PageRank loops in ``dedup.py``).
+3. word states are ``localCheckpoint``-ed per iteration — the logical
+   plan is SEVERED, not just cached: a persist/unpersist chain still
+   re-inlines the previous iteration's fold expression when the old
+   cache entry is dropped, and the fold references its input ~4×, so
+   the optimizer's tree doubles per iteration (measured: driver OOM by
+   merge 20 on a 90-word vocabulary). Checkpointing keeps every
+   iteration O(1) in plan size — the same truncation discipline as the
+   connected-components / PageRank loops in ``dedup.py``.
 
 At 100 TB the corpus scan dominates and runs once; iterations touch
 only the vocabulary (~10^7-10^8 rows for code corpora), each a single
@@ -47,8 +52,6 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from ..plans.cachereg import persist_tracked, release_one
 
 SEP = "|"
 # Words are maximal lowercase runs: uppercase/digits/punctuation act
@@ -132,7 +135,7 @@ def learn_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_pair_count: int = 1,
-    checkpoint_every: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -142,14 +145,21 @@ def learn_bpe(
     (state, n) table after all merges (the input to encoding).
 
     Stops early when no pair reaches ``min_pair_count``. Each
-    iteration persists the new state and releases the previous one;
-    set ``checkpoint_every`` > 0 to additionally ``localCheckpoint``
-    every k iterations (long trainings on real clusters should prefer
-    a reliable checkpoint dir, same caveat as the CC loop).
+    iteration ``localCheckpoint``-s the new state (plan severed —
+    see the module docstring for why persist alone is NOT enough);
+    pass ``checkpoint_dir`` for a reliable on-disk checkpoint instead
+    (survives executor loss — the production choice on real clusters,
+    same caveat as the CC loop in ``dedup.py``).
     """
-    state = persist_tracked(
-        initial_state(word_counts(docs, text_col, id_col)), scope="query"
-    )
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
+        # lazy: the next iteration's pair_counts action materializes the
+        # checkpoint as a side effect — one job per iteration, not two
+        return df.localCheckpoint(eager=False)
+
+    state = _cut(initial_state(word_counts(docs, text_col, id_col)))
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -170,15 +180,12 @@ def learn_bpe(
             int(top[0]["n"]),
         )
         merges.append((step, left, right, n))
-        new_state = state.select(
-            merge_pair_col(F.col("state"), left, right).alias("state"), "n"
+        state = _cut(
+            state.select(
+                merge_pair_col(F.col("state"), left, right).alias("state"),
+                "n",
+            )
         )
-        if checkpoint_every and step % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint()
-        new_state = persist_tracked(new_state, scope="query")
-        new_state.count()
-        release_one(state)
-        state = new_state
     merges_df = spark.createDataFrame(
         merges,
         "step bigint, left_sym string, right_sym string, pair_count bigint",
@@ -214,7 +221,7 @@ def encode_words(
         if materialize_every and i % materialize_every == 0 and i < len(
             merges
         ):
-            df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=False)
     return (
         df.withColumn("tokens", F.split(F.col("state"), "\\|"))
         .drop("state")

@@ -133,3 +133,45 @@ def test_oracle_sql_replays_learner(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_learn_bpe_larger_vocab_deep_merges(spark):
+    """20 merges over a ~90-word generated vocabulary: multi-char
+    merge interactions (merged symbols pairing with neighbours) match
+    the pure-Python reference exactly, and the encode path (with its
+    periodic materialization) reproduces the training segmentation."""
+    import itertools
+
+    syll = ["ka", "to", "mi", "ren", "bu", "sol"]
+    words = [
+        "".join(p)
+        for n in (2, 3)
+        for p in itertools.product(syll, repeat=n)
+    ][:90]
+    # deterministic frequencies: word i appears (i % 7) + 1 times
+    texts = [" ".join(w for i, w in enumerate(words) for _ in range(i % 7 + 1))]
+    df = spark.createDataFrame(
+        [(1, texts[0])], "doc_id long, text string"
+    )
+    merges, state = bpe.learn_bpe(spark, df, 20)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    want, ref_vocab = _ref_bpe(texts, 20)
+    assert got == want
+    got_vocab = {
+        tuple(r["state"].split(bpe.SEP)): r["n"] for r in state.collect()
+    }
+    assert got_vocab == ref_vocab
+    # encode path == training segmentation for every word
+    pairs = [(l, r) for _s, l, r, _n in got]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    enc = {
+        r["word"]: tuple(r["tokens"])
+        for r in bpe.encode_words(wdf, pairs).collect()
+    }
+    train_seg = {"".join(k): k for k in ref_vocab}
+    for w, toks in enc.items():
+        assert "".join(toks) == w
+        assert toks == train_seg[w]
