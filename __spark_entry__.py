@@ -2360,6 +2360,98 @@ def q_code_dup_functions(spark, sf_dir):
     return codestats.duplicated_functions(docs)
 
 
+LANG_MIX_DE = ("der und ist von " * 15).strip()
+LANG_MIX_ES = ("el la que en " * 15).strip()
+
+
+def q_lang_mix(spark, sf_dir):
+    """Mixed-language detection: every third doc gains a 60-token
+    German block and every fifth a Spanish one (deterministic
+    injection, identical string in both engines), then lang_mix votes
+    language per 50-token window and reports the per-doc mix profile —
+    the code-switching signal a monolingual-corpus filter needs."""
+    d = F.col("doc_id")
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit(" " + LANG_MIX_DE)).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 5 == 1, F.lit(" " + LANG_MIX_ES)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return textstats.lang_mix(docs, window=50)
+
+
+def _lang_mix_sql() -> str:
+    """Oracle for the lang-mix gate: injection CASEs + the windowed
+    lexicon vote rendered from :data:`textstats.LANG_LEXICONS`
+    (single source), same tie rules (alphabetical; zero hits → und;
+    majority by count desc, lang asc via the coalesce-on-greatest
+    idiom)."""
+    langs = sorted(textstats.LANG_LEXICONS)
+    hit_sums = ",\n         ".join(
+        f"sum(CASE WHEN tok IN ({_sql_list(textstats.LANG_LEXICONS[l])})"
+        f" THEN 1 ELSE 0 END) AS hits_{l}"
+        for l in langs
+    )
+    g = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    win_lang = "CASE WHEN " + g + " = 0 THEN 'und' ELSE CASE "
+    win_lang += " ".join(
+        f"WHEN hits_{l} = {g} THEN '{l}'" for l in langs
+    )
+    win_lang += " END END"
+    all_langs = langs + ["und"]
+    cnt_sums = ",\n         ".join(
+        f"sum(CASE WHEN win_lang = '{l}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS cnt_{l}"
+        for l in all_langs
+    )
+    gc = "greatest(" + ", ".join(f"cnt_{l}" for l in all_langs) + ")"
+    main_lang = "CASE " + " ".join(
+        f"WHEN cnt_{l} = {gc} THEN '{l}'" for l in all_langs
+    ) + " END"
+    n_langs = " + ".join(
+        f"(cnt_{l} > 0)::INT" for l in all_langs
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' {LANG_MIX_DE}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 1 THEN ' {LANG_MIX_ES}' ELSE '' END
+             AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, t AS tok, (pos - 1) // 50 AS win
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM injected)
+  WHERE t <> ''
+),
+v AS (
+  SELECT doc_id, win,
+         {hit_sums}
+  FROM tk GROUP BY doc_id, win
+),
+wl AS (SELECT doc_id, {win_lang} AS win_lang FROM v),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows,
+         {cnt_sums}
+  FROM wl GROUP BY doc_id
+)
+SELECT doc_id, n_windows,
+       ({n_langs})::BIGINT AS n_langs,
+       {main_lang} AS main_lang,
+       ({gc} * 1000000 // n_windows)::BIGINT AS main_win_ppm
+FROM pd
+"""
+
+
 def q_passage_rank(spark, sf_dir):
     """RAG passage retrieval: per matching doc, the best 25-token
     aligned window for 'hash join sort' — distinct query terms
@@ -3498,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_file_rank": q_code_file_rank,
         "curate_bpe_fertility": q_bpe_fertility,
         "ftix_passage_rank": q_passage_rank,
+        "text_lang_mix": q_lang_mix,
     }
 
 
@@ -7398,4 +7491,5 @@ SELECT doc_id, CAST(0 AS BIGINT) AS field_idx,
        n_terms::BIGINT AS n_terms, n_hits::BIGINT AS n_hits
 FROM r WHERE rn <= 1
 """,
+        "text_lang_mix": _lang_mix_sql(),
     }

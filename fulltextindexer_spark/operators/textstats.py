@@ -126,6 +126,90 @@ def langid(
     )
 
 
+def lang_mix(
+    docs: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixed-language detection: language-ID per aligned token window,
+    then the per-doc mix profile — code-switching and concatenated
+    multilingual scrapes look monolingual to a whole-doc vote but not
+    to a windowed one (the CCNet/CommonCrawl curation lesson).
+
+    Windows are ``pos div window`` blocks over the raw split ordinals
+    (the same alignment rule as passage ranking); each window votes by
+    the :data:`LANG_LEXICONS` function-word hit counts (ties
+    alphabetical, zero hits → 'und'). Returns per doc:
+    (doc_id, n_windows, n_langs, main_lang, main_win_ppm) — the
+    distinct window languages, the majority window language (count
+    desc, lang asc), and its integer window share.
+
+    Scale shape: one token explode, one (doc, window) aggregation with
+    fixed-width conditional sums, one (doc) rollup — all map-side
+    combinable; no corpus-wide key beyond doc_id.
+    """
+    langs = sorted(LANG_LEXICONS)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    win = toks.select(
+        "doc_id",
+        F.expr(f"CAST(pos AS BIGINT) DIV {int(window)}").alias("win"),
+        "tok",
+    )
+    hit_cols = [
+        F.sum(
+            F.when(F.col("tok").isin(list(LANG_LEXICONS[lang])), 1)
+            .otherwise(0)
+        ).alias(f"hits_{lang}")
+        for lang in langs
+    ]
+    votes = win.groupBy("doc_id", "win").agg(*hit_cols)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    win_lang = F.when(best == 0, F.lit("und")).otherwise(
+        F.coalesce(
+            *[
+                F.when(F.col(f"hits_{l}") == best, F.lit(l))
+                for l in langs
+            ]
+        )
+    )
+    wl = votes.select("doc_id", win_lang.alias("win_lang"))
+    all_langs = langs + ["und"]
+    cnt_cols = [
+        F.sum(F.when(F.col("win_lang") == l, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"cnt_{l}")
+        for l in all_langs
+    ]
+    per_doc = wl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"), *cnt_cols
+    )
+    best_cnt = F.greatest(*[F.col(f"cnt_{l}") for l in all_langs])
+    main_lang = F.coalesce(
+        *[
+            F.when(F.col(f"cnt_{l}") == best_cnt, F.lit(l))
+            for l in all_langs
+        ]
+    )
+    n_langs = sum(
+        (F.col(f"cnt_{l}") > 0).cast("int") for l in all_langs
+    ).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        n_langs.alias("n_langs"),
+        main_lang.alias("main_lang"),
+        F.expr(
+            "greatest("
+            + ", ".join(f"cnt_{l}" for l in all_langs)
+            + ") * 1000000L DIV n_windows"
+        ).alias("main_win_ppm"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -60,3 +60,29 @@ def test_temperature_mix_shares_and_weights(spark):
         for r in textstats.temperature_mix(df, alpha=1.0).collect()
     }
     assert neutral == {"src0": 1.0, "src1": 1.0}
+
+
+def test_lang_mix_windowed_votes(spark):
+    """Window-level language mix: a doc whose halves are different
+    languages reports both; monolingual and lexicon-free docs are
+    pure; majority ties break alphabetically."""
+    from fulltextindexer_spark.operators import textstats
+
+    en = "the of and to in is was for on as "  # 10 en tokens
+    de = "der die das und ist von mit den ein eine "  # 10 de tokens
+    rows = [
+        (1, en * 5 + de * 5),        # 50 en + 50 de -> 1 window each
+        (2, en * 10),                # pure en, 2 windows
+        (3, "zz yy xx " * 20),       # no lexicon hits: und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_windows"], r["n_langs"], r["main_lang"], r["main_win_ppm"]
+        )
+        for r in textstats.lang_mix(df, window=50).collect()
+    }
+    # doc 1: window 0 = en, window 1 = de -> tie, alphabetical -> de
+    assert got[1] == (2, 2, "de", 500000)
+    assert got[2] == (2, 1, "en", 1000000)
+    assert got[3][1:] == (1, "und", 1000000)
