@@ -2462,6 +2462,15 @@ def q_passage_rank(spark, sf_dir):
     return q.passage_rank(idx, "hash join sort", window=25, k=1)
 
 
+def q_bpe_doc_tokens(spark, sf_dir):
+    """Per-doc subword token accounting under the learned BPE merges:
+    one corpus explode joined to the vocabulary-sized segmentation on
+    word — the real-tokenizer replacement for the whitespace token
+    budget every curation op currently proxies with."""
+    pairs = [(l, r) for _s, l, r, _n in _bpe_gate_merges(spark, sf_dir)]
+    return bpe.doc_token_counts(_documents(spark, sf_dir), pairs)
+
+
 def q_code_file_rank(spark, sf_dir):
     """Module centrality over the corpus import graph: PageRank on the
     bipartite file↔module edge list from extract_imports (undirected,
@@ -3591,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_bpe_fertility": q_bpe_fertility,
         "ftix_passage_rank": q_passage_rank,
         "text_lang_mix": q_lang_mix,
+        "curate_bpe_doc_tokens": q_bpe_doc_tokens,
     }
 
 
@@ -7492,4 +7502,7 @@ SELECT doc_id, CAST(0 AS BIGINT) AS field_idx,
 FROM r WHERE rn <= 1
 """,
         "text_lang_mix": _lang_mix_sql(),
+        "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
+            BPE_GATE_MERGES
+        ),
     }

@@ -229,6 +229,99 @@ def encode_words(
     )
 
 
+def doc_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc subword token accounting under a learned merge table:
+    (doc_id, n_words, n_subwords) — the number a token-budgeted
+    curation pass (``corpus_token_budget``, ``epoch_plan``) needs once
+    the real tokenizer replaces the whitespace proxy.
+
+    One corpus explode to (doc, word, count), one vocabulary-sized
+    encode (:func:`encode_words` over DISTINCT words only), one join
+    on word + per-doc rollup. The encode cost is vocabulary-sized, not
+    corpus-sized — at 100 TB the join is the only corpus-scale
+    exchange, keyed uniformly by word.
+    """
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), WORD_SPLIT_PATTERN)).alias(
+                "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("m"))
+    )
+    enc = encode_words(
+        words.select("word").distinct(), merges
+    ).select("word", "n_tokens")
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_words"),
+            F.sum(F.col("m") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_subwords"),
+        )
+    )
+
+
+def save_merges(merges: list[tuple], path: str) -> None:
+    """Persist a learned merge table as a JSON tokenizer artifact:
+    ``{"version": 1, "merges": [[step, left, right, count], ...]}`` —
+    the file a serving/encode tier ships instead of retraining."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {"version": 1, "merges": [list(m) for m in merges]}, fh
+        )
+
+
+def load_merges(path: str) -> list[tuple[int, str, str, int]]:
+    """Load a :func:`save_merges` artifact back to the merge-table
+    rows (step, left, right, count), ordered by step."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    if doc.get("version") != 1:
+        raise ValueError(f"unsupported merges artifact: {doc.get('version')}")
+    rows = [tuple(m) for m in doc["merges"]]
+    return sorted(rows, key=lambda m: m[0])
+
+
+def bpe_doc_tokens_oracle_sql(
+    n_merges: int, source_table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`doc_token_counts`: the word-carried
+    state chain joined back to per-doc word counts."""
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_merges, source_table, text_col))
+        + f""",
+dw AS (
+  SELECT doc_id, word, count(*) AS m
+  FROM (SELECT doc_id,
+               unnest(string_split_regex({text_col},
+                   '{WORD_SPLIT_PATTERN}')) AS word
+        FROM {source_table})
+  WHERE word <> '' GROUP BY doc_id, word
+),
+enc AS (SELECT word, len(string_split(state, '|')) AS n_tokens
+        FROM s{n_merges})
+SELECT doc_id, sum(m)::BIGINT AS n_words,
+       sum(m * n_tokens)::BIGINT AS n_subwords
+FROM dw JOIN enc USING (word) GROUP BY doc_id"""
+    )
+
+
 def bpe_vocab_oracle_sql(
     n_merges: int, source_table: str = "documents", text_col: str = "text"
 ) -> str:
@@ -290,8 +383,8 @@ def _bpe_ctes(
         f" '{WORD_SPLIT_PATTERN}')) AS word FROM {source_table})",
         "wc AS (SELECT word, count(*) AS n FROM w WHERE word <> ''"
         " GROUP BY word)",
-        "s0 AS (SELECT array_to_string(regexp_extract_all(word, '.'),"
-        " '|') AS state, n FROM wc)",
+        "s0 AS (SELECT word, array_to_string(regexp_extract_all(word,"
+        " '.'), '|') AS state, n FROM wc)",
     ]
     for k in range(1, n_merges + 1):
         prev = f"s{k - 1}"
@@ -316,7 +409,8 @@ def _bpe_ctes(
                 AND x = right_sym
            THEN regexp_replace(acc, '[^|]*$', '')
                 || left_sym || right_sym
-           ELSE acc || '|' || x END) AS state, {prev}.n AS n
+           ELSE acc || '|' || x END) AS state,
+         {prev}.word AS word, {prev}.n AS n
   FROM {prev} CROSS JOIN t{k}
 )"""
         )

@@ -175,3 +175,27 @@ def test_learn_bpe_larger_vocab_deep_merges(spark):
     for w, toks in enc.items():
         assert "".join(toks) == w
         assert toks == train_seg[w]
+
+
+def test_doc_token_counts_and_artifact_roundtrip(spark, tmp_path):
+    """Per-doc subword accounting sums word-level fertility; the JSON
+    merges artifact round-trips exactly."""
+    merges, _ = bpe.learn_bpe(spark, _docs(spark), 6)
+    rows = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    path = str(tmp_path / "merges.json")
+    bpe.save_merges(rows, path)
+    assert bpe.load_merges(path) == rows
+    pairs = [(l, r) for _s, l, r, _n in rows]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe.doc_token_counts(_docs(spark), pairs).collect()
+    }
+    # reference: encode every word of each text with the ref segmenter
+    _, ref_vocab = _ref_bpe(TEXTS, 6)
+    seg = {"".join(k): len(k) for k in ref_vocab}
+    for i, text in enumerate(TEXTS, start=1):
+        ws = [w for w in re.split("[^a-z]+", text) if w]
+        assert got[i] == (len(ws), sum(seg[w] for w in ws))
