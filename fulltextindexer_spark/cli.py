@@ -207,6 +207,43 @@ def cmd_optimize(args) -> dict:
     return {"index": args.index, "compacted_from": old_v, "version": new_v}
 
 
+def cmd_bpe_train(args) -> dict:
+    """Train a BPE merge table from a docs parquet table and write the
+    versioned JSON tokenizer artifact (+ optional fertility audit)."""
+    from fulltextindexer_spark.operators import bpe
+
+    spark = _get_spark("ftix-bpe-train")
+    docs = spark.read.parquet(args.input)
+    merges_df, state = bpe.learn_bpe(
+        spark,
+        docs,
+        args.merges,
+        text_col=args.text_col,
+        min_pair_count=args.min_pair_count,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    rows = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    bpe.save_merges(rows, args.output)
+    from pyspark.sql import functions as F
+
+    fert = state.agg(
+        F.sum("n").alias("n_words"),
+        F.sum(
+            F.size(F.split("state", "\\|")).cast("long") * F.col("n")
+        ).alias("n_subwords"),
+    ).collect()[0]
+    return {
+        "input": args.input,
+        "output": args.output,
+        "n_merges": len(rows),
+        "n_words": int(fert["n_words"] or 0),
+        "n_subwords": int(fert["n_subwords"] or 0),
+    }
+
+
 def cmd_prune(args) -> dict:
     from fulltextindexer_spark.streaming import incremental
 
@@ -308,6 +345,22 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--min-match", type=int, default=None)
     pc.add_argument("--output", default=None, help="matches parquet out")
     pc.set_defaults(fn=cmd_percolate)
+
+    bt = sub.add_parser(
+        "bpe-train",
+        help="learn a BPE merge table; write the JSON tokenizer artifact",
+    )
+    bt.add_argument("--input", required=True, help="docs parquet path")
+    bt.add_argument("--output", required=True, help="merges.json path")
+    bt.add_argument("--merges", type=int, default=1000)
+    bt.add_argument("--text-col", default="content")
+    bt.add_argument("--min-pair-count", type=int, default=2)
+    bt.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable checkpoint dir for long trainings on clusters",
+    )
+    bt.set_defaults(fn=cmd_bpe_train)
 
     p = sub.add_parser(
         "prune",

@@ -199,3 +199,28 @@ def test_doc_token_counts_and_artifact_roundtrip(spark, tmp_path):
     for i, text in enumerate(TEXTS, start=1):
         ws = [w for w in re.split("[^a-z]+", text) if w]
         assert got[i] == (len(ws), sum(seg[w] for w in ws))
+
+
+def test_cli_bpe_train(spark, tmp_path, capsys):
+    """bpe-train CLI: trains from a parquet docs table, writes the JSON
+    artifact, reports fertility totals."""
+    import json as _json
+
+    from fulltextindexer_spark import cli
+
+    src = str(tmp_path / "docs")
+    _docs(spark).withColumnRenamed("text", "content").write.parquet(src)
+    out = str(tmp_path / "merges.json")
+    rc = cli.main(
+        ["bpe-train", "--input", src, "--output", out, "--merges", "6",
+         "--min-pair-count", "1"]
+    )
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert res["n_merges"] == 6
+    rows = bpe.load_merges(out)
+    want, _ = _ref_bpe(TEXTS, 6)
+    assert rows == want
+    assert res["n_words"] == sum(
+        1 for t in TEXTS for w in re.split("[^a-z]+", t) if w
+    )
