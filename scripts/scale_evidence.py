@@ -58,6 +58,15 @@ TIER_GATES = [
     "ftix_incremental_search",
     # second continuation: the global-prefix-sum budget selection
     "curate_token_budget",
+    # fourth continuation: tokenizer training (corpus scan +
+    # vocab-sized iterations), per-doc subword accounting (corpus
+    # explode + vocab join), function-granular dedup, windowed
+    # lang-mix, and passage ranking — the new linear tiers
+    "curate_bpe_merges",
+    "curate_bpe_doc_tokens",
+    "code_dup_functions",
+    "text_lang_mix",
+    "ftix_passage_rank",
 ]
 
 
