@@ -740,6 +740,32 @@ def q_bm25(spark, sf_dir):
     return _round_score(bm25.bm25_scores(idx, "data stream", stats=stats))
 
 
+def q_bm25_explain(spark, sf_dir):
+    """Per-(doc, term) BM25 contribution breakdown for 'data stream' —
+    the serving API's explain=true table; summing contribution per doc
+    reproduces ftix_bm25 exactly (pinned in pytest)."""
+    idx = _docs_index(spark, sf_dir)
+    stats = bm25.get_bm25_stats(idx)
+    out = bm25.bm25_explain(idx, "data stream", stats=stats)
+    return out.select(
+        "doc_id", "term",
+        F.round("idf", 4).alias("idf"),
+        F.round("contribution", 4).alias("contribution"),
+    )
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """Filtered BM25 search: 'data stream' over lang='en' docs only —
+    the LEFT SEMI filter prunes the exchange before aggregation, not
+    just the output. Top-20 by (score desc, doc_id asc)."""
+    idx = _docs_index(spark, sf_dir)
+    stats = bm25.get_bm25_stats(idx)
+    flt = _documents(spark, sf_dir).where(F.col("lang") == "en")
+    return _round_score(
+        bm25.bm25_topk_filtered(idx, "data stream", flt, k=20, stats=stats)
+    )
+
+
 def q_bm25_wand(spark, sf_dir):
     idx = _docs_index(spark, sf_dir)
     stats = bm25.get_bm25_stats(idx)
@@ -3433,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_multifield": q_multifield,
         "ftix_max_combiner": q_max_combiner,
         "ftix_bm25": q_bm25,
+        "ftix_bm25_explain": q_bm25_explain,
+        "ftix_bm25_filtered": q_bm25_filtered,
         "ftix_bm25f": q_bm25f,
         "ftix_rrf": q_rrf,
         "ftix_hybrid": q_hybrid,
@@ -3874,12 +3902,21 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
 
 
-def _bm25_sql(topk=None) -> str:
+def _bm25_sql(topk=None, filter_lang=None, explain=False) -> str:
     """BM25 (k1=1.2, b=0.75, Lucene idf) for query 'data stream' — the
-    WAND variant adds the deterministic top-k cut; pruning must be
-    invisible in results, so both share one oracle."""
+    WAND variant adds the deterministic top-k cut (pruning must be
+    invisible in results, so both share one oracle); ``filter_lang``
+    restricts the scored docs to one language BEFORE aggregation (the
+    filtered-search twin); ``explain=True`` emits the per-(doc, term)
+    contribution table instead of the per-doc sum."""
     t1 = english_plurality_normalise("data")
     t2 = english_plurality_normalise("stream")
+    filt = (
+        f"  JOIN (SELECT doc_id FROM documents WHERE lang = "
+        f"'{filter_lang}') flt USING (doc_id)\n"
+        if filter_lang
+        else ""
+    )
     body = f"""
 WITH {TOK_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -3888,15 +3925,21 @@ stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*) AS df FROM tf
           WHERE term IN ('{t1}', '{t2}') GROUP BY term),
 contrib AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
          ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
          * (tf.tf * 2.2)
          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
   FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
-  CROSS JOIN stats s
+{filt}  CROSS JOIN stats s
 ),
 scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
 """
+    if explain:
+        return body + (
+            "SELECT doc_id, term, round(idf, 4) AS idf,"
+            " round(c, 4) AS contribution FROM contrib"
+        )
     if topk is None:
         return body + "SELECT doc_id, round(score, 4) AS score FROM scored"
     return body + f"""
@@ -4907,6 +4950,8 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
         "ftix_multifield": _multifield_sql(),
         "ftix_max_combiner": _max_combiner_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
+        "ftix_bm25_explain": _bm25_sql(explain=True),
+        "ftix_bm25_filtered": _bm25_sql(topk=20, filter_lang="en"),
         # RRF over two rounded rankings of 'data stream': BM25 and the
         # weighted or_sum — rank = row_number over (rounded score desc,
         # doc_id), fused = sum of 1/(60 + rank)

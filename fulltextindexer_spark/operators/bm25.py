@@ -481,8 +481,31 @@ def bm25_scores_terms(
     for callers whose query is already a term list (more-like-this,
     relevance-feedback expansion, programmatic queries). Terms are
     used as-is: no tokenisation or normalisation."""
-    if not terms:
+    prep = _prepare_query(index, terms, k1, b, stats)
+    if prep is None:
         return _empty(index)
+    idf_rows, avgdl = prep
+    matched = _matched(index, idf_rows)
+    contrib = _contribution_col(avgdl, k1, b)
+    return (
+        matched.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def _prepare_query(
+    index: InvertedIndex,
+    terms: list[str],
+    k1: float,
+    b: float,
+    stats: Optional[Bm25Stats],
+) -> Optional[tuple[list[tuple[str, float]], float]]:
+    """Shared query prep: resolve stats (cache lookup / parameter
+    check), corpus stats, and the per-term idf rows. None ⇒ the query
+    cannot match anything (empty result)."""
+    if not terms:
+        return None
     if stats is None:
         cache = getattr(index, "_bm25_stats_cache", None) or {}
         # exact (k1, b) lookup — any n_blocks works for the idf table
@@ -507,17 +530,73 @@ def bm25_scores_terms(
         else _cached_corpus_stats(index)
     )
     if n_docs == 0 or avgdl == 0.0:
-        return _empty(index)
+        return None
     idf_rows = _idf_rows(index, terms, n_docs, stats)
     if not idf_rows:
-        return _empty(index)
+        return None
+    return idf_rows, avgdl
+
+
+def bm25_explain(
+    index: InvertedIndex,
+    source: str,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """Per-(doc, term) BM25 score breakdown: (doc_id, term, idf,
+    contribution) — the pre-aggregation contribution table, i.e. what
+    ``explain=true`` shows in a serving API. Summing ``contribution``
+    per doc reproduces :func:`bm25_scores` exactly (pinned in pytest).
+    Same plan as scoring minus the final aggregation — term-pruned
+    posting reads joined to the broadcast idf rows."""
+    terms = _query_terms(index, source)
+    prep = _prepare_query(index, terms, k1, b, stats)
+    if prep is None:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, term string, idf double, contribution double"
+        )
+    idf_rows, avgdl = prep
     matched = _matched(index, idf_rows)
+    return matched.select(
+        "doc_id",
+        "term",
+        F.col("idf"),
+        _contribution_col(avgdl, k1, b).alias("contribution"),
+    )
+
+
+def bm25_topk_filtered(
+    index: InvertedIndex,
+    source: str,
+    filter_keys: DataFrame,
+    k: Optional[int] = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """BM25 over a metadata-filtered doc subset (search + filter, the
+    Lucene FilteredQuery shape): ``filter_keys`` is any frame with a
+    ``doc_id`` column (e.g. ``docs.where(lang == 'en')``); the
+    term-matched postings LEFT SEMI join it BEFORE the score
+    aggregation, so non-qualifying docs never enter the shuffle — at
+    100 TB the filter prunes the exchange, not just the output.
+    Returns (doc_id, score), top-k when ``k`` is set."""
+    terms = _query_terms(index, source)
+    prep = _prepare_query(index, terms, k1, b, stats)
+    if prep is None:
+        return _empty(index)
+    idf_rows, avgdl = prep
+    matched = _matched(index, idf_rows).join(
+        filter_keys.select("doc_id"), "doc_id", "left_semi"
+    )
     contrib = _contribution_col(avgdl, k1, b)
-    return (
+    scored = (
         matched.select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("score"))
     )
+    return _topk(scored, k)
 
 
 def bm25_topk(

@@ -489,3 +489,49 @@ def test_lm_dirichlet_empty_and_absent(index):
 def test_lm_dirichlet_invalid_mu_raises(index):
     with pytest.raises(ValueError, match="mu"):
         bm25.lm_dirichlet_scores(index, "dog", mu=0.0)
+
+
+def test_bm25_explain_sums_to_scores(index, spark):
+    """Per-term contributions aggregate exactly to bm25_scores."""
+    exp = bm25.bm25_explain(index, "hash join")
+    from pyspark.sql import functions as F
+
+    summed = {
+        r["doc_id"]: r["s"]
+        for r in exp.groupBy("doc_id")
+        .agg(F.sum("contribution").alias("s"))
+        .collect()
+    }
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_scores(index, "hash join").collect()
+    }
+    assert summed.keys() == scores.keys()
+    for d, s in scores.items():
+        assert abs(summed[d] - s) < 1e-9
+    # explain rows are (doc, term)-granular: every term is a query term
+    terms = {r["term"] for r in exp.collect()}
+    assert terms <= {
+        normalise_scalar("hash", CFG.normaliser),
+        normalise_scalar("join", CFG.normaliser),
+    }
+
+
+def test_bm25_filtered_prunes_docs(index, spark):
+    """Filtered search scores only the allowed key set; scores equal
+    the unfiltered scores on that subset (the filter must not perturb
+    idf/avgdl — corpus stats stay corpus-wide)."""
+    flt = spark.createDataFrame([(4,), (6,), (3,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_topk_filtered(
+            index, "hash join", flt, k=10
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25.bm25_scores(index, "hash join").collect()
+    }
+    assert set(got) == {4, 6}  # doc 3 has neither term
+    for d, s in got.items():
+        assert abs(full[d] - s) < 1e-9
