@@ -78,14 +78,25 @@ def word_counts(
     )
 
 
-def initial_state(words: DataFrame) -> DataFrame:
-    """(state, n): each word as its ``'|'``-joined character symbols."""
-    return words.select(
-        F.array_join(
-            F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
-        ).alias("state"),
-        "n",
+EOW = "</w>"
+
+
+def initial_state(words: DataFrame, eow: bool = False) -> DataFrame:
+    """(state, n): each word as its ``'|'``-joined character symbols.
+
+    ``eow=True`` appends the ``</w>`` end-of-word marker symbol (the
+    subword-nmt / GPT-2 convention): merges then distinguish word-final
+    contexts — 'er' inside a word and 'er</w>' ending one are separate
+    vocabulary entries, which is what lets the encoder re-join decoded
+    text unambiguously. The marker's characters never occur in words
+    (``[a-z]+`` runs), and '<' sorts before lowercase identically in
+    both engines, so tie-breaks stay cross-engine exact."""
+    state = F.array_join(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
     )
+    if eow:
+        state = F.concat(state, F.lit(SEP + EOW))
+    return words.select(state.alias("state"), "n")
 
 
 def pair_counts(state: DataFrame) -> DataFrame:
@@ -136,6 +147,7 @@ def learn_bpe(
     id_col: str = "doc_id",
     min_pair_count: int = 1,
     checkpoint_dir: Optional[str] = None,
+    eow: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -159,7 +171,9 @@ def learn_bpe(
         # checkpoint as a side effect — one job per iteration, not two
         return df.localCheckpoint(eager=False)
 
-    state = _cut(initial_state(word_counts(docs, text_col, id_col)))
+    state = _cut(
+        initial_state(word_counts(docs, text_col, id_col), eow=eow)
+    )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -197,6 +211,7 @@ def encode_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
     materialize_every: int = 2,
+    eow: bool = False,
 ) -> DataFrame:
     """Apply learned merges (in order) to a (word, ...) frame:
     returns the input plus ``tokens`` (array<string>) and ``n_tokens``.
@@ -210,10 +225,12 @@ def encode_words(
     both bounds the expression depth and truncates lineage; the same
     discipline :func:`learn_bpe`'s per-iteration persist applies.
     """
-    df = words.withColumn(
-        "state",
-        F.array_join(F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP),
+    state0 = F.array_join(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0), SEP
     )
+    if eow:
+        state0 = F.concat(state0, F.lit(SEP + EOW))
+    df = words.withColumn("state", state0)
     for i, (left, right) in enumerate(merges, start=1):
         df = df.withColumn(
             "state", merge_pair_col(F.col("state"), left, right)

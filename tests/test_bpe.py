@@ -224,3 +224,64 @@ def test_cli_bpe_train(spark, tmp_path, capsys):
     assert res["n_words"] == sum(
         1 for t in TEXTS for w in re.split("[^a-z]+", t) if w
     )
+
+
+def test_learn_bpe_eow_marker_reference_parity(spark):
+    """End-of-word-marker training (subword-nmt convention): merges
+    learned over char+</w> states match a reference BPE with the same
+    initialisation; word-final and word-internal contexts separate."""
+    def ref_eow(texts, k):
+        wc = Counter(
+            w for t in texts for w in re.split("[^a-z]+", t) if w
+        )
+        vocab = {tuple(w) + ("</w>",): n for w, n in wc.items()}
+        out = []
+        for step in range(1, k + 1):
+            pc = Counter()
+            for sym, n in vocab.items():
+                for i in range(len(sym) - 1):
+                    pc[(sym[i], sym[i + 1])] += n
+            if not pc:
+                break
+            m = max(pc.values())
+            best = sorted(p for p, c in pc.items() if c == m)[0]
+            out.append((step, best[0], best[1], m))
+            newv = {}
+            for sym, n in vocab.items():
+                merged, i = [], 0
+                while i < len(sym):
+                    if (
+                        i + 1 < len(sym)
+                        and sym[i] == best[0]
+                        and sym[i + 1] == best[1]
+                    ):
+                        merged.append(sym[i] + sym[i + 1])
+                        i += 2
+                    else:
+                        merged.append(sym[i])
+                        i += 1
+                key = tuple(merged)
+                newv[key] = newv.get(key, 0) + n
+            vocab = newv
+        return out, vocab
+
+    merges, state = bpe.learn_bpe(spark, _docs(spark), 8, eow=True)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    want, ref_vocab = ref_eow(TEXTS, 8)
+    assert got == want
+    got_vocab = {
+        tuple(r["state"].split(bpe.SEP)): r["n"] for r in state.collect()
+    }
+    assert got_vocab == ref_vocab
+    # some learned symbol is word-final-specific
+    assert any(l.endswith("</w>") or r == "</w>" or r.endswith("</w>")
+               for _s, l, r, _n in got)
+    # encode with eow round-trips after stripping the marker
+    pairs = [(l, r) for _s, l, r, _n in got]
+    words = spark.createDataFrame([("lowest",), ("new",)], "word string")
+    for r in bpe.encode_words(words, pairs, eow=True).collect():
+        joined = "".join(r["tokens"])
+        assert joined.endswith("</w>") and joined[:-4] == r["word"]
