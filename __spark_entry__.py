@@ -2478,6 +2478,36 @@ FROM pd
 """
 
 
+def _passage_text_sql() -> str:
+    """Oracle for the materialized-passage gate: the passage_rank
+    window selection joined to documents with the same 1-based
+    25-token array slice."""
+    return f"""
+WITH {{TOKP_CTE}},
+q(term) AS (VALUES ('{{t_hash}}'), ('{{t_join}}'), ('{{t_sort}}')),
+m AS (SELECT doc_id, (pos - 1) // 25 AS window_id, tokp.term
+      FROM tokp JOIN q ON tokp.term = q.term),
+a AS (SELECT doc_id, window_id,
+             count(DISTINCT term) AS n_terms, count(*) AS n_hits
+      FROM m GROUP BY doc_id, window_id),
+r AS (SELECT doc_id, window_id, n_terms, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_terms DESC, n_hits DESC, window_id) AS rn
+      FROM a)
+SELECT r.doc_id, r.window_id::BIGINT AS window_id,
+       r.n_terms::BIGINT AS n_terms,
+       array_to_string(
+           string_split(d.text, ' ')[(r.window_id * 25 + 1):(r.window_id * 25 + 25)],
+           ' ') AS passage
+FROM r JOIN documents d ON r.doc_id = d.doc_id WHERE rn <= 1
+""".format(
+        TOKP_CTE=TOKP_CTE,
+        t_hash=english_plurality_normalise("hash"),
+        t_join=english_plurality_normalise("join"),
+        t_sort=english_plurality_normalise("sort"),
+    )
+
+
 def q_passage_rank(spark, sf_dir):
     """RAG passage retrieval: per matching doc, the best 25-token
     aligned window for 'hash join sort' — distinct query terms
@@ -2495,6 +2525,17 @@ def q_bpe_doc_tokens(spark, sf_dir):
     budget every curation op currently proxies with."""
     pairs = [(l, r) for _s, l, r, _n in _bpe_gate_merges(spark, sf_dir)]
     return bpe.doc_token_counts(_documents(spark, sf_dir), pairs)
+
+
+def q_passage_text(spark, sf_dir):
+    """Materialized RAG passages: the ftix_passage_rank windows joined
+    back to the docs table and sliced to their 25-token text — what a
+    retrieval consumer actually feeds the model."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    spans = q.passage_rank(idx, "hash join sort", window=25, k=1)
+    return q.passage_texts(
+        _documents(spark, sf_dir), spans, window=25
+    ).select("doc_id", "window_id", "n_terms", "passage")
 
 
 def q_code_file_rank(spark, sf_dir):
@@ -3627,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_file_rank": q_code_file_rank,
         "curate_bpe_fertility": q_bpe_fertility,
         "ftix_passage_rank": q_passage_rank,
+        "ftix_passage_text": q_passage_text,
         "text_lang_mix": q_lang_mix,
         "curate_bpe_doc_tokens": q_bpe_doc_tokens,
     }
@@ -7547,6 +7589,7 @@ SELECT doc_id, CAST(0 AS BIGINT) AS field_idx,
 FROM r WHERE rn <= 1
 """,
         "text_lang_mix": _lang_mix_sql(),
+        "ftix_passage_text": _passage_text_sql(),
         "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
             BPE_GATE_MERGES
         ),

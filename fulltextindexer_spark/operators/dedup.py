@@ -562,8 +562,12 @@ def pagerank(
     try:
         n = edges_deg.select("u").distinct().count()
         if n == 0:
-            return pairs.sparkSession.createDataFrame(
-                [], "node long, rank double"
+            # empty result with the node type FOLLOWING the input key
+            # type (long doc ids, string-prefixed bipartite ids, ...)
+            return (
+                pairs.select(F.col(src_col).alias("node"))
+                .limit(0)
+                .withColumn("rank", F.lit(0.0).cast("double"))
             )
         ranks = (
             edges_deg.select(F.col("u").alias("node"))

@@ -1289,6 +1289,43 @@ def passage_rank(
     )
 
 
+def passage_texts(
+    docs: DataFrame,
+    passages: DataFrame,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the text of :func:`passage_rank` windows: join the
+    (doc_id, window_id, …) passage frame back to the docs table and
+    slice the whitespace token array — the string a RAG consumer
+    actually feeds the model.
+
+    Exact when the corpus tokenizes on single spaces (token ordinals
+    == split ordinals — true for the benchmark corpora); for richer
+    break-char configs the slice is the aligned approximation and a
+    caller needing byte-exact spans should use the location columns of
+    ``get_partial_matches_with_locations`` instead. One broadcast-able
+    join (passages are top-k-per-doc, orders smaller than the corpus)
+    + a scan-side slice; no shuffle beyond the join.
+    """
+    toks = F.split(F.col(text_col), " ")
+    start = (F.col("window_id") * window + 1).cast("int")
+    return (
+        passages.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col)
+            ),
+            "doc_id",
+        )
+        .withColumn(
+            "passage",
+            F.array_join(F.slice(toks, start, window), " "),
+        )
+        .drop(text_col)
+    )
+
+
 def phrase_prefix_matches(
     index: InvertedIndex,
     lead: str,
