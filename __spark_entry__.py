@@ -2569,6 +2569,90 @@ def q_code_file_rank(spark, sf_dir):
     return ranks.where(F.col("node").startswith("m:"))
 
 
+def q_code_near_dup_functions(spark, sf_dir):
+    """Function-level NEAR-dup candidates: each doc gains one function
+    whose body shares a group-keyed 6-word phrase (md5(doc_id%25)
+    substrings) with a doc-unique tail token — within-group bodies are near- but not
+    byte-identical, so exact dedup misses them and the banded MinHash
+    over function chunks finds them. Pairs are md5-deterministic,
+    hence cross-engine exact."""
+    h = F.md5((F.col("doc_id") % 25).cast("string"))
+    u = F.md5(F.col("doc_id").cast("string"))
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ndef a():\nv "),
+            F.substring(h, 1, 4),
+            F.lit(" "),
+            F.substring(h, 5, 4),
+            F.lit(" "),
+            F.substring(h, 9, 4),
+            F.lit(" "),
+            F.substring(h, 13, 4),
+            F.lit(" "),
+            F.substring(h, 17, 4),
+            F.lit(" "),
+            F.substring(h, 21, 4),
+            F.lit(" "),
+            F.substring(u, 1, 4),
+        ).alias("text"),
+    )
+    return codestats.near_dup_functions(docs)
+
+
+def _code_near_dup_sql() -> str:
+    """Oracle for the function-clone gate: the same injection, the
+    chunk split, SH3-style word 3-gram shingles over chunk text, the
+    8-hash/4-band signature bands (identical seeded-md5 expressions
+    to the document near-dup oracle), and the banded self-join."""
+    band_branches = "\n  UNION ALL\n".join(
+        f"  SELECT ck, {b} AS band_idx, "
+        f"min(md5('{2 * b}:' || shingle)) || min(md5('{2 * b + 1}:' || shingle)) "
+        f"AS band_value FROM shc GROUP BY ck"
+        for b in range(4)
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || chr(10) || 'def a():' || chr(10) || 'v '
+         || substr(md5((doc_id % 25)::VARCHAR), 1, 4) || ' '
+         || substr(md5((doc_id % 25)::VARCHAR), 5, 4) || ' '
+         || substr(md5((doc_id % 25)::VARCHAR), 9, 4) || ' '
+         || substr(md5((doc_id % 25)::VARCHAR), 13, 4) || ' '
+         || substr(md5((doc_id % 25)::VARCHAR), 17, 4) || ' '
+         || substr(md5((doc_id % 25)::VARCHAR), 21, 4) || ' '
+         || substr(md5(doc_id::VARCHAR), 1, 4) AS text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id::VARCHAR || ':' || cidx::VARCHAR AS ck, chunk
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(text,
+               '{codestats.FUNC_SPLIT_PATTERN}')[2:]) AS chunk,
+           generate_subscripts(string_split_regex(text,
+               '{codestats.FUNC_SPLIT_PATTERN}')[2:], 1) AS cidx
+    FROM injected)
+),
+t3 AS (SELECT ck, unnest(string_split(chunk, ' ')) AS tok,
+              generate_subscripts(string_split(chunk, ' '), 1) AS pos
+       FROM chunks),
+sh0 AS (SELECT ck,
+               tok || ' ' || lead(tok, 1) OVER w || ' '
+                   || lead(tok, 2) OVER w AS shingle
+        FROM t3 WINDOW w AS (PARTITION BY ck ORDER BY pos)),
+shc AS (SELECT DISTINCT ck, shingle FROM sh0 WHERE shingle IS NOT NULL),
+bandsf AS (
+{band_branches}
+)
+SELECT DISTINCT a.ck AS key_a, b.ck AS key_b
+FROM bandsf a JOIN bandsf b
+  ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+     AND a.ck < b.ck
+"""
+
+
 BPE_GATE_MERGES = 8
 
 
@@ -3666,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_phrase_slop": q_phrase_slop,
         "curate_temperature_mix": q_temperature_mix,
         "code_file_rank": q_code_file_rank,
+        "code_near_dup_functions": q_code_near_dup_functions,
         "curate_bpe_fertility": q_bpe_fertility,
         "ftix_passage_rank": q_passage_rank,
         "ftix_passage_text": q_passage_text,
@@ -7590,6 +7675,7 @@ FROM r WHERE rn <= 1
 """,
         "text_lang_mix": _lang_mix_sql(),
         "ftix_passage_text": _passage_text_sql(),
+        "code_near_dup_functions": _code_near_dup_sql(),
         "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
             BPE_GATE_MERGES
         ),

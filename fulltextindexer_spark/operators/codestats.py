@@ -361,6 +361,24 @@ def generated_scan(
 FUNC_SPLIT_PATTERN = r"(?m)^[ \t]*(def|function) "
 
 
+def _chunk_frame(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): one row per function-ish body —
+    split on :data:`FUNC_SPLIT_PATTERN`, pre-amble (index 0) dropped,
+    1-based chunk ordinals."""
+    chunks = F.split(F.col(text_col), FUNC_SPLIT_PATTERN)
+    bodies = F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(bodies).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_idx") + 1).cast("bigint").alias("chunk_idx"),
+        "chunk",
+    )
+
+
 def function_chunks(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -368,17 +386,50 @@ def function_chunks(
     n_chars). Splits each file on :data:`FUNC_SPLIT_PATTERN` and drops
     the pre-amble chunk (index 0); ``body_hash = md5(chunk)``. JVM
     split + explode, linear in matches."""
-    chunks = F.split(F.col(text_col), FUNC_SPLIT_PATTERN)
-    bodies = F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0)))
-    body = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(bodies).alias("chunk_idx", "chunk"),
-    )
-    return body.select(
+    return _chunk_frame(docs, text_col, id_col).select(
         "doc_id",
-        (F.col("chunk_idx") + 1).cast("bigint").alias("chunk_idx"),
+        "chunk_idx",
         F.md5(F.col("chunk")).alias("body_hash"),
         F.length(F.col("chunk")).cast("bigint").alias("n_chars"),
+    )
+
+
+def near_dup_functions(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate function candidates (clone detection tier 2 —
+    :func:`duplicated_functions` catches byte-identical bodies, this
+    catches renamed-variable / trailing-edit clones): each function
+    body becomes a unit keyed ``'<doc>:<chunk>'`` and flows through
+    the SAME MinHash-banded LSH as document near-dup
+    (``dedup.minhash_band_pairs``: word k-gram shingles → seeded md5
+    min-hashes → banded equi-join — never all-pairs).
+
+    Returns candidate pairs (key_a, key_b); verify with a Jaccard
+    pass over the candidate set exactly as the doc tier does. At
+    10^12 files the unit count is ~10× docs and the plan is the same
+    linear-signature + bucketed-join shape that scales there.
+    """
+    from . import dedup
+
+    ch = _chunk_frame(docs, text_col, id_col).select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_idx").cast("string"),
+        ).alias("chunk_key"),
+        "chunk",
+    )
+    pairs = dedup.minhash_band_pairs(
+        ch, n_hashes, bands, k, text_col="chunk", id_col="chunk_key"
+    )
+    return pairs.select(
+        F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b")
     )
 
 

@@ -197,3 +197,23 @@ def test_duplicated_functions_cross_file(spark):
         (r["doc_id"], r["chunk_idx"]) for r in chunks.collect()
     )
     assert idx == [(1, 1), (1, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_near_dup_functions_candidates(spark):
+    """Clone candidates: near-identical bodies (shared phrase, unique
+    tail) band-collide; unrelated bodies don't; exact dedup misses
+    them (bodies differ byte-wise)."""
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"def a():\nv {phrase} one\n"),
+        (2, f"def a():\nv {phrase} two\n"),
+        (3, "def b():\ncompletely different words entirely here now\n"),
+    ]
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in codestats.near_dup_functions(_docs(spark, rows)).collect()
+    }
+    assert ("1:1", "2:1") in pairs
+    assert not any("3:1" in p for p in pairs)
+    # byte-exact dedup does NOT flag them
+    assert codestats.duplicated_functions(_docs(spark, rows)).count() == 0
