@@ -1916,6 +1916,24 @@ def q_event_props(spark, sf_dir):
     )
 
 
+def q_events_topk_types(spark, sf_dir):
+    """Per-hour heavy hitters: top-3 event types per tumbling hour by
+    (count desc, type asc) — the rank window runs over the (hour,
+    type) aggregate, never the event stream."""
+    from fulltextindexer_spark.streaming.windows import hourly_topk_types
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = hourly_topk_types(events, k=3)
+    return out.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+        "n_events",
+        "rank",
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from fulltextindexer_spark.streaming.windows import hourly_event_stats
 
@@ -3638,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dup_spans,
         "dedup_spans_trim": q_dup_trim,
         "events_hourly": q_events_hourly,
+        "events_topk_types": q_events_topk_types,
         "events_trending": q_events_trending,
         "ftix_prune": q_prune_terms,
         "events_props": q_event_props,
@@ -6198,6 +6217,22 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        count(DISTINCT user_id) AS n_users,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "events_topk_types": """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT h, event_type, n_events,
+         row_number() OVER (PARTITION BY h
+             ORDER BY n_events DESC, event_type)::BIGINT AS rank
+  FROM agg
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, n_events, rank
+FROM r WHERE rank <= 3
 """,
         # each event belongs to exactly window/slide = 2 epoch-aligned
         # sliding windows: starts = time_bucket(slide) - i*slide for

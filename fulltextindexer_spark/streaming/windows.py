@@ -50,6 +50,37 @@ def hourly_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_topk_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-hour heavy hitters: the top-``k`` event types of each
+    tumbling hour by (count desc, type asc) — the dashboard tile a
+    monitoring pipeline publishes per window.
+
+    The rank window runs over the (hour, type) AGGREGATE — #hours ×
+    #types rows, never the event stream — so the per-hour partitions
+    are type-cardinality-sized at any input scale. Returns
+    (hour_start, event_type, n_events, rank), all-integer rank rule.
+    """
+    from pyspark.sql import Window as W
+
+    w = F.window(F.col("ts"), "1 hour")
+    agg = events.groupBy(w.alias("w"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    rank = W.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(rank).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+    )
+
+
 def sliding_event_counts(
     events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

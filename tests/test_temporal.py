@@ -261,3 +261,40 @@ def test_anomalous_hours_integer_z_gate(spark):
     flagged = anomalous_hours(events, z=2).collect()
     assert [(r["hod"], r["n_events"]) for r in flagged] == [(9, 30)]
     assert flagged[0]["hour_start"] == "2024-01-07 09:00:00"
+
+
+def test_hourly_topk_types(spark):
+    """Per-hour heavy hitters: rank by (count desc, type asc), cut at
+    k; hours independent."""
+    import datetime as dt
+
+    from fulltextindexer_spark.streaming.windows import hourly_topk_types
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: 3x click, 2x view, 1x error; hour 1: 2x view, 2x error
+    for i, t in enumerate(
+        ["click", "click", "click", "view", "view", "error"]
+    ):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, t, 1.0, "{}"))
+    for i, t in enumerate(["view", "view", "error", "error"]):
+        rows.append(
+            (10 + i, base + dt.timedelta(hours=1, minutes=i), 1, t, 1.0, "{}")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = [
+        (r["hour_start"].hour, r["event_type"], r["n_events"], r["rank"])
+        for r in hourly_topk_types(events, k=2)
+        .orderBy("hour_start", "rank")
+        .collect()
+    ]
+    assert got == [
+        (0, "click", 3, 1),
+        (0, "view", 2, 2),
+        (1, "error", 2, 1),  # tie with view: type asc
+        (1, "view", 2, 2),
+    ]
