@@ -1059,6 +1059,18 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_communities(spark, sf_dir):
+    """Label-propagation communities over the banded-minhash candidate
+    graph (4 synchronous rounds, mode-of-neighbours with count-desc /
+    label-asc ties): the DENSE-cluster view of the duplication graph —
+    unlike dedup_cluster's connected components, bridge edges do not
+    merge communities."""
+    pairs = dedup.minhash_band_pairs(
+        _documents(spark, sf_dir), n_hashes=8, bands=4, k=3
+    )
+    return dedup.label_propagation(pairs, n_iter=4)
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the banded-minhash candidate graph —
     which docs are the duplication hubs driving the dedup work. Fixed
@@ -3620,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pagerank": q_pagerank,
+        "dedup_communities": q_communities,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_lsh_recall": q_lsh_recall,
@@ -4818,6 +4831,27 @@ FROM agg JOIN ex USING (event_type)
 """
 
 
+def _labelprop_iter_ctes(n_iter: int) -> str:
+    """One CTE triple per synchronous label-propagation round —
+    neighbour labels, (node, label) counts, deterministic mode pick
+    (count desc, label asc) — identical to dedup.label_propagation."""
+    out = []
+    for i in range(1, n_iter + 1):
+        out.append(
+            f""",
+nb{i} AS (SELECT e.u AS node, l.label
+          FROM edges e JOIN l{i - 1} l ON e.v = l.node),
+c{i} AS (SELECT node, label, count(*) AS n
+         FROM nb{i} GROUP BY node, label),
+l{i} AS (SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node
+                      ORDER BY n DESC, label) AS rn
+           FROM c{i}) WHERE rn = 1)"""
+        )
+    return "".join(out)
+
+
 def _pagerank_iter_ctes(n_iter: int) -> str:
     """One CTE per PageRank power-method iteration — the rounded update
     rule identical to dedup.pagerank's."""
@@ -5399,6 +5433,23 @@ FROM bands a JOIN bands b
      AND a.doc_id < b.doc_id
 """,
         # the identical rounded power method, one CTE per iteration
+        "dedup_communities": f"""
+WITH {SH3_CTE},
+bands AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+       AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)
+{_labelprop_iter_ctes(4)}
+SELECT node, label FROM l4
+""",
         "dedup_pagerank": f"""
 WITH {SH3_CTE},
 bands AS (

@@ -26,7 +26,10 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fulltextindexer_spark.plans.cachereg import persist_tracked
+from fulltextindexer_spark.plans.cachereg import (
+    persist_tracked,
+    release_one,
+)
 
 
 def exact_duplicate_groups(
@@ -594,6 +597,67 @@ def pagerank(
     finally:
         edges_deg.unpersist()
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    n_iter: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected
+    edge list (Raghavan, Albert & Kumara 2007, the deterministic
+    synchronous variant): labels start as node ids; each round every
+    node adopts the MODE of its neighbours' labels, ties broken by the
+    smallest label. The fixed iteration count IS the contract (the
+    same reproducibility rule as :func:`pagerank`) — unlike connected
+    components this finds DENSE communities: two cliques joined by one
+    bridge edge stay separate communities while CC merges them.
+
+    Returns one ``(node, label)`` row per node in ``pairs``.
+
+    Scale shape per round: one keyed equi-join (edges ⋈ labels on the
+    neighbour end), one map-side-combinable (node, label) count, and a
+    per-node rank window whose partitions are bounded by a node's
+    distinct neighbour labels — never a global sort. Labels are
+    checkpointed per round (same ``checkpoint_dir=`` reliable-mode
+    switch as the CC loop).
+    """
+    from pyspark.sql import Window as W
+
+    e = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    edges = persist_tracked(edges, scope="query")
+    try:
+        labels = edges.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        labels = _iter_checkpoint(labels, checkpoint_dir, eager=True)
+        rank = W.partitionBy("node").orderBy(
+            F.desc("n"), F.asc("label")
+        )
+        for _ in range(n_iter):
+            nb = edges.join(
+                labels, edges["v"] == labels["node"]
+            ).select(edges["u"].alias("node"), "label")
+            counts = nb.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(rank))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+            )
+            labels = _iter_checkpoint(labels, checkpoint_dir, eager=False)
+        return labels
+    finally:
+        release_one(edges)
 
 
 def neardup_components(

@@ -103,3 +103,26 @@ def test_reliable_checkpoint_path(spark, tmp_path):
         for r in dedup.pagerank(pairs, checkpoint_dir=ck).collect()
     }
     assert pr_rel == pr_local
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two triangles joined by one bridge edge: CC merges them into
+    one component, LPA keeps two dense communities."""
+    from fulltextindexer_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    lpa = {
+        r["node"]: r["label"]
+        for r in dedup.label_propagation(pairs, n_iter=4).collect()
+    }
+    assert len(set(lpa.values())) == 2
+    assert lpa[1] == lpa[2] == lpa[3]
+    assert lpa[4] == lpa[5] == lpa[6]
+    assert lpa[1] != lpa[4]
+    comps = dedup.connected_components(pairs)
+    col = [c for c in comps.columns if c != "node"][0] if "node" in comps.columns else comps.columns[1]
+    vals = {r[col] for r in comps.collect()}
+    assert len(vals) == 1  # CC merges across the bridge
