@@ -740,6 +740,55 @@ def q_bm25(spark, sf_dir):
     return _round_score(bm25.bm25_scores(idx, "data stream", stats=stats))
 
 
+QPP_QUERIES = (
+    ("q1", "data stream"),
+    ("q2", "hash join sort"),
+    ("q3", "zzzmissing table"),
+    ("q4", "merge"),
+)
+
+
+def q_qpp(spark, sf_dir):
+    """Pre-retrieval query-performance prediction: per query the
+    idf-shape difficulty features (n_terms, out-of-vocabulary count,
+    sum/avg/max Lucene idf) — a broadcast join against the term-pruned
+    df read, no corpus scan."""
+    idx = _docs_index(spark, sf_dir)
+    stats = bm25.get_bm25_stats(idx)
+    return bm25.qpp_features(idx, dict(QPP_QUERIES), stats=stats)
+
+
+def _qpp_sql() -> str:
+    """Oracle for the QPP gate: per-query normalised distinct terms as
+    VALUES, LEFT JOIN to the df table, the same Lucene idf formula as
+    the BM25 oracle, NULL-skipping aggregates."""
+    vals = []
+    for qid, text in QPP_QUERIES:
+        terms = sorted(
+            {english_plurality_normalise(t) for t in text.split()} - {""}
+        )
+        vals.extend(f"('{qid}', '{t}')" for t in terms)
+    values = ", ".join(vals)
+    return f"""
+WITH {{TOK_CTE}},
+tfq AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+q(query_id, term) AS (SELECT * FROM (VALUES {values}) v(query_id, term)),
+j AS (SELECT q.query_id, q.term, d.df,
+             CASE WHEN d.df IS NULL THEN NULL
+                  ELSE ln(1 + ((SELECT n FROM nn) - d.df + 0.5)
+                          / (d.df + 0.5)) END AS idf
+      FROM q LEFT JOIN dfreq d USING (term))
+SELECT query_id, count(*)::BIGINT AS n_terms,
+       sum((df IS NULL)::INT)::BIGINT AS n_oov,
+       round(coalesce(sum(idf), 0), 4) AS sum_idf,
+       round(coalesce(avg(idf), 0), 4) AS avg_idf,
+       round(coalesce(max(idf), 0), 4) AS max_idf
+FROM j GROUP BY query_id
+""".format(TOK_CTE=TOK_CTE)
+
+
 def q_bm25_explain(spark, sf_dir):
     """Per-(doc, term) BM25 contribution breakdown for 'data stream' —
     the serving API's explain=true table; summing contribution per doc
@@ -3615,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_max_combiner": q_max_combiner,
         "ftix_bm25": q_bm25,
         "ftix_bm25_explain": q_bm25_explain,
+        "ftix_qpp": q_qpp,
         "ftix_bm25_filtered": q_bm25_filtered,
         "ftix_bm25f": q_bm25f,
         "ftix_rrf": q_rrf,
@@ -5131,6 +5181,7 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
         "ftix_max_combiner": _max_combiner_sql(),
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_explain": _bm25_sql(explain=True),
+        "ftix_qpp": _qpp_sql(),
         "ftix_bm25_filtered": _bm25_sql(topk=20, filter_lang="en"),
         # RRF over two rounded rankings of 'data stream': BM25 and the
         # weighted or_sum — rank = row_number over (rounded score desc,

@@ -599,6 +599,60 @@ def bm25_topk_filtered(
     return _topk(scored, k)
 
 
+def qpp_features(
+    index: InvertedIndex,
+    queries: dict,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """Pre-retrieval query-performance predictors (QPP): per query,
+    the idf-shape features that predict retrieval difficulty BEFORE
+    running the search (Cronen-Townsend et al.'s clarity family's
+    cheap cousins — avg/max/sum idf, specificity) — what a serving
+    tier uses to route hard queries to a heavier ranker.
+
+    ``queries`` maps query_id → text; terms are tokenised/normalised
+    on the driver (request-sized) and de-duplicated per query.
+    Returns (query_id, n_terms, n_oov, sum_idf, avg_idf, max_idf) —
+    idf aggregates over IN-VOCABULARY terms (Lucene idf, the same
+    formula the BM25 scorer uses), 4dp; ``n_oov`` counts query terms
+    absent from the dictionary (the strongest single difficulty
+    signal). One broadcast join against the term-pruned df read; no
+    corpus scan.
+    """
+    spark = index.postings.sparkSession
+    rows = []
+    for qid, text in sorted(queries.items()):
+        for t in sorted(set(_query_terms(index, text))):
+            rows.append((qid, t))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "query_id string, n_terms bigint, n_oov bigint,"
+            " sum_idf double, avg_idf double, max_idf double",
+        )
+    n_docs, _avgdl = (
+        (stats.n_docs, stats.avgdl)
+        if stats is not None
+        else _cached_corpus_stats(index)
+    )
+    all_terms = sorted({t for _, t in rows})
+    idf_rows = _idf_rows(index, all_terms, n_docs, stats)
+    qdf = spark.createDataFrame(rows, "query_id string, term string")
+    idf_df = spark.createDataFrame(
+        idf_rows or [("\x00none\x00", 0.0)], "term string, idf double"
+    )
+    joined = qdf.join(F.broadcast(idf_df), "term", "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("idf").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(F.coalesce(F.sum("idf"), F.lit(0.0)), 4).alias("sum_idf"),
+        F.round(F.coalesce(F.avg("idf"), F.lit(0.0)), 4).alias("avg_idf"),
+        F.round(F.coalesce(F.max("idf"), F.lit(0.0)), 4).alias("max_idf"),
+    )
+
+
 def bm25_topk(
     index: InvertedIndex,
     source: str,

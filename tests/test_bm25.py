@@ -535,3 +535,24 @@ def test_bm25_filtered_prunes_docs(index, spark):
     assert set(got) == {4, 6}  # doc 3 has neither term
     for d, s in got.items():
         assert abs(full[d] - s) < 1e-9
+
+
+def test_qpp_features_oov_and_idf(index):
+    """QPP: OOV counting, idf aggregates over in-vocab terms only,
+    empty-vocab query coalesces to 0."""
+    import math as m
+
+    out = {
+        r["query_id"]: r
+        for r in bm25.qpp_features(
+            index,
+            {"a": "hash join", "b": "qqqqq", "c": "dog qqqqq"},
+        ).collect()
+    }
+    assert out["a"]["n_terms"] == 2 and out["a"]["n_oov"] == 0
+    assert out["b"]["n_terms"] == 1 and out["b"]["n_oov"] == 1
+    assert out["b"]["sum_idf"] == 0.0 and out["b"]["max_idf"] == 0.0
+    assert out["c"]["n_oov"] == 1
+    # idf of 'dog' (df=3 of 6 docs): Lucene formula, 4dp
+    want = round(m.log(1 + (6 - 3 + 0.5) / (3 + 0.5)), 4)
+    assert out["c"]["max_idf"] == want
