@@ -921,6 +921,18 @@ def q_percolate(spark, sf_dir):
     return _resolve_percolate(qidx, percolate(idx, qidx))
 
 
+def q_percolate_min(spark, sf_dir):
+    """Percolation with relaxed coverage: a doc fires an alert when it
+    matches >= least(2, n_terms) of the alert's terms — the min-should
+    rule that lets 3-term alerts fire on 2-term evidence while 1-term
+    alerts stay exact."""
+    from fulltextindexer_spark.operators.percolate import percolate
+
+    idx = _docs_index(spark, sf_dir)
+    qidx = _percolate_query_index(spark)
+    return _resolve_percolate(qidx, percolate(idx, qidx, min_match=2))
+
+
 def _percolate_stream_store(spark, sf_dir):
     """Build-once two-micro-batch percolation store (the setup behind
     ``ftix_percolate_stream``): the corpus split at the median doc_id,
@@ -3821,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_lm_dirichlet": q_lm_dirichlet,
         "ftix_prf": q_prf,
         "ftix_percolate": q_percolate,
+        "ftix_percolate_min": q_percolate_min,
         "ftix_percolate_stream": q_percolate_stream,
         "text_distinctive": q_distinctive,
         "ftix_snapshot_diff": q_snapshot_diff,
@@ -4157,10 +4170,11 @@ SELECT doc_id, round(score, 4) AS score FROM
 """
 
 
-def _percolate_sql() -> str:
+def _percolate_sql(min_match=None) -> str:
     """Percolation oracle: the stored queries' stemmed distinct terms
-    inlined as VALUES, coverage-gated AND match against the distinct
-    (doc, term) pairs."""
+    inlined as VALUES, coverage-gated match against the distinct
+    (doc, term) pairs — AND when ``min_match`` is None, else
+    ``n_matched >= least(min_match, n_terms)``."""
     vals = []
     for qk, text in PERCOLATE_QUERIES:
         terms = []
@@ -4180,8 +4194,10 @@ m AS (SELECT q.query_key, t.doc_id, count(*) AS n_matched
 SELECT m.query_key, m.doc_id,
        CAST(m.n_matched AS BIGINT) AS n_matched,
        CAST(nt.n_terms AS BIGINT) AS n_terms
-FROM m JOIN nt USING (query_key) WHERE m.n_matched >= nt.n_terms
-"""
+FROM m JOIN nt USING (query_key)
+WHERE m.n_matched >= {{gate}}
+""".format(gate=("nt.n_terms" if min_match is None
+                 else f"least({int(min_match)}, nt.n_terms)"))
 
 
 def _prf_sql() -> str:
@@ -7534,6 +7550,7 @@ FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
         # reverse search: stored-alert coverage gate over distinct
         # (doc, term); AND semantics, never-matching probe included
         "ftix_percolate": _percolate_sql(),
+        "ftix_percolate_min": _percolate_sql(min_match=2),
         # streaming percolation must be invisible: two-micro-batch
         # ingestion ≡ one-shot, so the oracle is identical
         "ftix_percolate_stream": _percolate_sql(),
