@@ -789,6 +789,61 @@ FROM j GROUP BY query_id
 """.format(TOK_CTE=TOK_CTE)
 
 
+def q_qpp_post(spark, sf_dir):
+    """Post-retrieval QPP: per query the top-10 BM25 score-distribution
+    shape (n_matched, max, avg, population stddev) — all queries in
+    ONE broadcast-join job."""
+    idx = _docs_index(spark, sf_dir)
+    stats = bm25.get_bm25_stats(idx)
+    return bm25.qpp_post_features(idx, dict(QPP_QUERIES), k=10, stats=stats)
+
+
+def _qpp_post_sql() -> str:
+    """Oracle for the post-retrieval QPP gate: multi-query BM25 via a
+    (query_id, term) VALUES join on the same tf/dl/idf CTEs as the
+    BM25 oracle, then per-query top-10 shape aggregates."""
+    vals = []
+    for qid, text in QPP_QUERIES:
+        terms = sorted(
+            {english_plurality_normalise(t) for t in text.split()} - {""}
+        )
+        vals.extend(f"('{qid}', '{t}')" for t in terms)
+    values = ", ".join(vals)
+    return f"""
+WITH {{TOK_CTE}},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, term) AS (SELECT * FROM (VALUES {values}) v(query_id, term)),
+dfreq AS (SELECT term, count(*) AS df FROM tf
+          WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN dfreq d USING (term) JOIN q ON q.term = tf.term
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+totals AS (SELECT query_id, count(*)::BIGINT AS n_matched,
+                  round(max(score), 4) AS max_score
+           FROM scored GROUP BY query_id),
+topk AS (SELECT query_id, score FROM (
+           SELECT query_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rn
+           FROM scored) WHERE rn <= 10),
+shape AS (SELECT query_id, round(avg(score), 4) AS avg_topk,
+                 round(coalesce(stddev_pop(score), 0), 4) AS std_topk
+          FROM topk GROUP BY query_id)
+SELECT query_id, n_matched, max_score, avg_topk, std_topk
+FROM totals JOIN shape USING (query_id)
+""".format(TOK_CTE=TOK_CTE)
+
+
 def q_bm25_explain(spark, sf_dir):
     """Per-(doc, term) BM25 contribution breakdown for 'data stream' —
     the serving API's explain=true table; summing contribution per doc
@@ -3677,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_bm25": q_bm25,
         "ftix_bm25_explain": q_bm25_explain,
         "ftix_qpp": q_qpp,
+        "ftix_qpp_post": q_qpp_post,
         "ftix_bm25_filtered": q_bm25_filtered,
         "ftix_bm25f": q_bm25f,
         "ftix_rrf": q_rrf,
@@ -5198,6 +5254,7 @@ GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
         "ftix_bm25": _bm25_sql(topk=None),
         "ftix_bm25_explain": _bm25_sql(explain=True),
         "ftix_qpp": _qpp_sql(),
+        "ftix_qpp_post": _qpp_post_sql(),
         "ftix_bm25_filtered": _bm25_sql(topk=20, filter_lang="en"),
         # RRF over two rounded rankings of 'data stream': BM25 and the
         # weighted or_sum — rank = row_number over (rounded score desc,

@@ -653,6 +653,98 @@ def qpp_features(
     )
 
 
+def qpp_post_features(
+    index: InvertedIndex,
+    queries: dict,
+    k: int = 10,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stats: Optional[Bm25Stats] = None,
+) -> DataFrame:
+    """Post-retrieval query-performance predictors: per query, the
+    top-``k`` BM25 score-distribution shape (NQC family — Shtok et
+    al.: high dispersion among top scores predicts an effective
+    query; a flat list predicts a drifting one).
+
+    ALL queries score in ONE job: a broadcast (query, term, idf)
+    frame joins the postings once, one (query, doc) aggregation, a
+    per-query rank window over the matched set, then two group-sized
+    rollups. Returns (query_id, n_matched, max_score, avg_topk,
+    std_topk) — scores 4dp, ``std_topk`` population stddev over the
+    top-k scores. Queries with no matching terms are omitted (same
+    contract as scoring).
+    """
+    from pyspark.sql import Window as W
+
+    spark = index.postings.sparkSession
+    per_q: list[tuple[str, str]] = []
+    for qid, text in sorted(queries.items()):
+        for t in sorted(set(_query_terms(index, text))):
+            per_q.append((qid, t))
+    if not per_q:
+        return spark.createDataFrame(
+            [],
+            "query_id string, n_matched bigint, max_score double,"
+            " avg_topk double, std_topk double",
+        )
+    n_docs, avgdl = (
+        (stats.n_docs, stats.avgdl)
+        if stats is not None
+        else _cached_corpus_stats(index)
+    )
+    idf_rows = _idf_rows(
+        index, sorted({t for _, t in per_q}), n_docs, stats
+    )
+    if not idf_rows:
+        return spark.createDataFrame(
+            [],
+            "query_id string, n_matched bigint, max_score double,"
+            " avg_topk double, std_topk double",
+        )
+    qdf = spark.createDataFrame(per_q, "query_id string, term string")
+    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+    q_idf = qdf.join(idf_df, "term")
+    matched = index.postings.join(F.broadcast(q_idf), "term")
+    scored = (
+        matched.select(
+            "query_id",
+            "doc_id",
+            _contribution_col(avgdl, k1, b).alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    from ..plans.cachereg import persist_tracked, release_one
+
+    scored = persist_tracked(scored, scope="query")
+    try:
+        totals = scored.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.round(F.max("score"), 4).alias("max_score"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+        shape = topk.groupBy("query_id").agg(
+            F.round(F.avg("score"), 4).alias("avg_topk"),
+            F.round(
+                F.coalesce(F.stddev_pop("score"), F.lit(0.0)), 4
+            ).alias("std_topk"),
+        )
+        out = totals.join(shape, "query_id")
+        out = out.select(
+            "query_id", "n_matched", "max_score", "avg_topk", "std_topk"
+        )
+        # materialize before releasing the shared scored frame
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        release_one(scored)
+
+
 def bm25_topk(
     index: InvertedIndex,
     source: str,

@@ -556,3 +556,25 @@ def test_qpp_features_oov_and_idf(index):
     # idf of 'dog' (df=3 of 6 docs): Lucene formula, 4dp
     want = round(m.log(1 + (6 - 3 + 0.5) / (3 + 0.5)), 4)
     assert out["c"]["max_idf"] == want
+
+
+def test_qpp_post_matches_single_query_scores(index):
+    """Batched post-retrieval QPP equals per-query BM25 score stats."""
+    import statistics as st
+
+    out = {
+        r["query_id"]: r
+        for r in bm25.qpp_post_features(
+            index, {"a": "hash join", "b": "dog"}, k=3
+        ).collect()
+    }
+    for qid, q in (("a", "hash join"), ("b", "dog")):
+        scores = sorted(
+            (r["score"] for r in bm25.bm25_scores(index, q).collect()),
+            reverse=True,
+        )
+        top = scores[:3]
+        assert out[qid]["n_matched"] == len(scores)
+        assert out[qid]["max_score"] == round(max(scores), 4)
+        assert out[qid]["avg_topk"] == round(sum(top) / len(top), 4)
+        assert out[qid]["std_topk"] == round(st.pstdev(top), 4)
