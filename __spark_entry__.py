@@ -3055,6 +3055,52 @@ def q_spell(spark, sf_dir):
     return spell.suggest_spelling(_docs_index(spark, sf_dir), "tabl", k=5)
 
 
+DYM_QUERY = "mergz sortt table zzzzz"
+
+
+def q_dym(spark, sf_dir):
+    """Full-query 'did you mean': one correction per token of
+    'mergz sortt table zzzzz' — typos fix to the highest-df distance-1
+    vocabulary term, in-vocab tokens self-correct at dist 0,
+    unfixable tokens report df=0/dist=-1. One deletion-index join for
+    the whole query."""
+    return spell.rewrite_query(_docs_index(spark, sf_dir), DYM_QUERY)
+
+
+def _dym_sql() -> str:
+    """Oracle for the query-rewrite gate: normalised tokens as VALUES,
+    best distance<=1 vocabulary term per token by (dist asc, df desc,
+    term asc) via a rank over the levenshtein-filtered dictionary,
+    unfixable tokens filled with (self, 0, -1)."""
+    toks = []
+    for t in DYM_QUERY.split():
+        n = english_plurality_normalise(t)
+        if n and n not in [x[1] for x in toks]:
+            toks.append((len(toks), n))
+    values = ", ".join(f"({i}, '{t}')" for i, t in toks)
+    return f"""
+WITH {{TOK_CTE}}, {{POST_CTE}},
+td AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+q(token_idx, term) AS (SELECT * FROM (VALUES {values}) v(a, b)),
+cand AS (
+  SELECT q.token_idx, q.term AS qterm, td.term, td.df,
+         levenshtein(td.term, q.term)::INT AS dist
+  FROM q JOIN td ON levenshtein(td.term, q.term) <= 1
+),
+best AS (
+  SELECT token_idx, term AS correction, df, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY token_idx
+        ORDER BY dist ASC, df DESC, term ASC) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT q.token_idx::BIGINT AS token_idx, q.term,
+       coalesce(b.correction, q.term) AS correction,
+       coalesce(b.df, 0)::BIGINT AS df,
+       coalesce(b.dist, -1)::INT AS dist
+FROM q LEFT JOIN best b USING (token_idx)
+""".format(TOK_CTE=TOK_CTE, POST_CTE=POST_CTE)
+
+
 def q_suggest(spark, sf_dir):
     """Autocomplete: top-10 's'-prefixed vocabulary terms by df."""
     return spell.suggest_prefix(_docs_index(spark, sf_dir), "s", k=10)
@@ -3852,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate": q_boilerplate,
         "ftix_spell": q_spell,
         "ftix_suggest": q_suggest,
+        "ftix_dym": q_dym,
         "ftix_wildcard": q_wildcard,
         "ftix_regex": q_regex,
         "ftix_fuzzy": q_fuzzy,
@@ -7137,6 +7184,7 @@ FROM td
 WHERE levenshtein(term, '{english_plurality_normalise("tabl")}') <= 1
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """,
+        "ftix_dym": _dym_sql(),
         "ftix_suggest": f"""
 WITH {TOK_CTE}, {POST_CTE},
 td AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)

@@ -99,6 +99,86 @@ def suggest_spelling(
     )
 
 
+def rewrite_query(
+    index: InvertedIndex,
+    source: str,
+    max_edits: int = 1,
+    deletions: DataFrame | None = None,
+) -> DataFrame:
+    """Full-query 'did you mean': one correction per query token — the
+    vocabulary term within ``max_edits`` ranked (dist asc, df desc,
+    term asc); in-vocabulary tokens correct to themselves at dist 0,
+    unfixable tokens (no candidate in range) keep themselves with
+    ``df = 0, dist = -1`` so the caller can render "no results for
+    <term>" per slot.
+
+    ALL tokens resolve in ONE job: the driver-tiny (token_idx, term,
+    variant) frame joins the SymSpell deletion index once, then a
+    per-token rank window (partitions bounded by a token's candidate
+    count). Candidate-complete at ``max_edits = 1`` (the deletion
+    neighbourhood property); higher values under-recall, same caveat
+    as :func:`fuzzy_candidates`. Returns (token_idx, term,
+    correction, df, dist).
+    """
+    spark = index.postings.sparkSession
+    toks = break_tokens(source, index.config.break_chars)
+    terms: list[str] = []
+    for tok, _, _, _ in toks:
+        t = normalise_scalar(tok, index.config.normaliser)
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "token_idx bigint, term string, correction string,"
+            " df bigint, dist int",
+        )
+    var_rows = []
+    for i, t in enumerate(terms):
+        vs = {t}
+        for j in range(len(t)):
+            vs.add(t[: j] + t[j + 1 :])
+        var_rows.extend((i, t, v) for v in sorted(vs))
+    qv = spark.createDataFrame(
+        var_rows, "token_idx bigint, qterm string, variant string"
+    )
+    dele = deletions if deletions is not None else build_deletion_index(index)
+    from pyspark.sql import Window as W
+
+    cand = (
+        dele.join(F.broadcast(qv), "variant")
+        .select("token_idx", "qterm", "term", "df")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("qterm"))
+        )
+        .where(F.col("dist") <= max_edits)
+    )
+    rank = W.partitionBy("token_idx").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "token_idx",
+            F.col("term").alias("correction"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+    base = spark.createDataFrame(
+        list(enumerate(terms)), "token_idx bigint, term string"
+    )
+    return base.join(best, "token_idx", "left").select(
+        "token_idx",
+        "term",
+        F.coalesce(F.col("correction"), F.col("term")).alias("correction"),
+        F.coalesce(F.col("df"), F.lit(0)).cast("bigint").alias("df"),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("dist"),
+    )
+
+
 def fuzzy_candidates(
     index: InvertedIndex,
     source: str,

@@ -72,3 +72,18 @@ def test_suggest_prefix_ranked_by_df(index):
     # df ordering: 'sort~' appears in 1 doc twice -> df 1; 'scan~' in
     # docs 1,2 -> df 2 and must rank first among the s-terms
     assert rows[0]["term"] == normalise_scalar("scan", CFG.normaliser)
+
+
+def test_rewrite_query_per_token(spark, index):
+    """Full-query rewrite: typo fixes to the best dist-1 term,
+    in-vocab self-corrects at 0, unfixable keeps itself at -1."""
+    out = {
+        r["token_idx"]: (r["term"], r["correction"], r["dist"])
+        for r in spell.rewrite_query(index, "buckt sort zzzzzz").collect()
+    }
+    bucket = normalise_scalar("bucket", CFG.normaliser)
+    sort = normalise_scalar("sort", CFG.normaliser)
+    zzz = normalise_scalar("zzzzzz", CFG.normaliser)
+    assert out[0][1] == bucket and out[0][2] == 1
+    assert out[1] == (sort, sort, 0)
+    assert out[2] == (zzz, zzz, -1)
