@@ -3038,6 +3038,15 @@ def q_phrase_prefix(spark, sf_dir):
     return q.phrase_prefix_matches(idx, "hash", "j")
 
 
+def q_highlight_merged(spark, sf_dir):
+    """Coalesced highlight regions for 'hash join': every occurrence
+    range of both terms per doc, overlapping/touching char intervals
+    merged (classic interval merge via two per-doc windows) — the
+    <mark> regions a result page renders."""
+    idx = _docs_index(spark, sf_dir, DOCS_CONFIG_POS)
+    return q.merged_highlight_spans(idx, "hash join", pad=0)
+
+
 def q_phrase_slop(spark, sf_dir):
     """Ordered sloppy phrase: 'hash … join' with at most 2 intervening
     tokens (Lucene sloppy-PhraseQuery's ordered tier) — distinct
@@ -3946,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_bpe_merges": q_bpe_merges,
         "curate_bpe_vocab": q_bpe_vocab,
         "ftix_phrase_slop": q_phrase_slop,
+        "ftix_highlight_merged": q_highlight_merged,
         "curate_temperature_mix": q_temperature_mix,
         "code_file_rank": q_code_file_rank,
         "code_near_dup_functions": q_code_near_dup_functions,
@@ -7934,6 +7944,39 @@ FROM r WHERE rn <= 1
 """,
         "text_lang_mix": _lang_mix_sql(),
         "ftix_passage_text": _passage_text_sql(),
+        "ftix_highlight_merged": f"""
+WITH {{TOKL_CTE}},
+r AS (
+  SELECT DISTINCT doc_id, src_idx AS s, src_idx + src_len AS e
+  FROM tokl
+  WHERE term IN ('{{t_hash}}', '{{t_join}}')
+),
+f AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_region
+  FROM r
+),
+g AS (
+  SELECT doc_id, s, e,
+         sum(new_region) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS span_idx
+  FROM f
+)
+SELECT doc_id, span_idx::BIGINT AS span_idx,
+       min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_hits
+FROM g GROUP BY doc_id, span_idx
+""".format(
+            TOKL_CTE=TOKL_CTE,
+            t_hash=english_plurality_normalise("hash"),
+            t_join=english_plurality_normalise("join"),
+        ),
         "code_near_dup_functions": _code_near_dup_sql(),
         "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
             BPE_GATE_MERGES

@@ -1289,6 +1289,78 @@ def passage_rank(
     )
 
 
+def merged_highlight_spans(
+    index: InvertedIndex, source: str, pad: int = 0
+) -> DataFrame:
+    """ALL query-term occurrence ranges per doc, coalesced into
+    non-overlapping highlight regions (classic interval merge): two
+    char ranges join when the later one starts within ``pad`` chars of
+    the earlier one's end — the <mark> regions a result page renders,
+    where :func:`get_highlight_spans` gives only the single
+    first-occurrence window.
+
+    Returns (doc_id, span_idx, span_start, span_end, n_hits) — all
+    integers; ``span_idx`` is the 1-based region ordinal in char
+    order, ``n_hits`` the merged occurrence count.
+
+    Plan shape: broadcast term join → bounded explode of matched
+    location arrays → DISTINCT ranges → two per-doc windows (running
+    max end marks region starts, a running sum numbers them) → one
+    (doc, region) aggregation. The windows partition per doc and never
+    sort the corpus.
+    """
+    if not index.config.capture_positions:
+        raise ValueError(
+            "index must record source locations to compute spans"
+        )
+    from pyspark.sql import Window as W
+
+    rows, n_tokens = _query_terms_df(index, source)
+    spark = index.postings.sparkSession
+    if n_tokens == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, span_idx long, span_start long,"
+            " span_end long, n_hits long",
+        )
+    qdf = spark.createDataFrame(rows, "term string, qti int")
+    ranges = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select("doc_id", F.explode("positions").alias("loc"))
+        .select(
+            "doc_id",
+            F.col("loc.src_idx").cast("long").alias("s"),
+            (F.col("loc.src_idx") + F.col("loc.src_len"))
+            .cast("long")
+            .alias("e"),
+        )
+        .distinct()
+    )
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cur = (
+        W.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = ranges.withColumn(
+        "new_region",
+        F.when(
+            F.max("e").over(prev).isNull()
+            | (F.col("s") > F.max("e").over(prev) + pad),
+            1,
+        ).otherwise(0),
+    ).withColumn("span_idx", F.sum("new_region").over(cur))
+    return flagged.groupBy("doc_id", "span_idx").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+
+
 def passage_texts(
     docs: DataFrame,
     passages: DataFrame,

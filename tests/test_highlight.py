@@ -66,3 +66,43 @@ def test_requires_positions(spark):
 
 def test_empty_query_returns_empty(spark, idx):
     assert q.get_highlight_spans(idx, "  ").count() == 0
+
+
+def test_merged_highlight_spans_interval_merge(spark):
+    """Overlapping/adjacent occurrence ranges coalesce; disjoint ones
+    stay separate regions; pad widens the join rule."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators import query as q
+    from fulltextindexer_spark.operators.index_build import build_index
+
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=True,
+    )
+    #         0123456789012345678901234
+    docs = [(1, "hash join x y z hash a"),
+            (2, "hash x join")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    idx = build_index(df, cfg)
+    got = {
+        (r["doc_id"], r["span_idx"]): (
+            r["span_start"], r["span_end"], r["n_hits"]
+        )
+        for r in q.merged_highlight_spans(idx, "hash join").collect()
+    }
+    # doc 1: 'hash'[0,4) + 'join'[5,9) are separate (gap of 1 char);
+    # second 'hash'[16,20) its own region
+    assert got[(1, 1)] == (0, 4, 1)
+    assert got[(1, 2)] == (5, 9, 1)
+    assert got[(1, 3)] == (16, 20, 1)
+    # pad=1 joins ranges separated by one char
+    padded = {
+        (r["doc_id"], r["span_idx"]): (
+            r["span_start"], r["span_end"], r["n_hits"]
+        )
+        for r in q.merged_highlight_spans(idx, "hash join", pad=1).collect()
+    }
+    assert padded[(1, 1)] == (0, 9, 2)
+    assert padded[(1, 2)] == (16, 20, 1)
+    assert padded[(2, 1)] == (0, 4, 1) and padded[(2, 2)] == (7, 11, 1)
