@@ -2044,6 +2044,16 @@ def q_event_props(spark, sf_dir):
     )
 
 
+def q_events_gap_stats(spark, sf_dir):
+    """Per-user inter-event gap profile in integer microseconds — the
+    diagnostic that picks the sessionization gap threshold. One
+    per-user lag window + a group rollup."""
+    from fulltextindexer_spark.operators.temporal import event_gap_stats
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return event_gap_stats(events)
+
+
 def q_events_topk_types(spark, sf_dir):
     """Per-hour heavy hitters: top-3 event types per tumbling hour by
     (count desc, type asc) — the rank window runs over the (hour,
@@ -3843,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_trim": q_dup_trim,
         "events_hourly": q_events_hourly,
         "events_topk_types": q_events_topk_types,
+        "events_gap_stats": q_events_gap_stats,
         "events_trending": q_events_trending,
         "ftix_prune": q_prune_terms,
         "events_props": q_event_props,
@@ -6449,6 +6460,20 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        count(DISTINCT user_id) AS n_users,
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "events_gap_stats": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       count(gap_us)::BIGINT AS n_gaps,
+       coalesce(max(gap_us), 0)::BIGINT AS max_gap_us,
+       (coalesce(sum(gap_us), 0) // greatest(count(gap_us), 1))::BIGINT
+           AS avg_gap_us
+FROM g GROUP BY user_id
 """,
         "events_topk_types": """
 WITH agg AS (

@@ -272,3 +272,52 @@ def anomalous_hours(
         F.col("hod").cast("long").alias("hod"),
         "n_events",
     )
+
+
+def event_gap_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-event gap profile: the sessionization diagnostic
+    that picks a gap threshold BEFORE running sessionize (look at the
+    max/avg gap distribution, put the session cut in the valley).
+
+    Gaps are integer MICROSECONDS (``unix_micros`` / ``epoch_us`` —
+    no float drift), consecutive events ordered (ts, event_id) so
+    same-timestamp rows are deterministic. Returns (user_id, n_events,
+    n_gaps, max_gap_us, avg_gap_us) with ``avg`` floor-integer.
+    Single-event users report 0 gaps and zeroed stats.
+
+    One per-user lag window (partitions are per-user event counts) +
+    one group-sized rollup; no corpus-wide sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # NTZ-safe: cast to TIMESTAMP for unix_micros; gaps are
+    # differences, so any fixed session-zone offset cancels exactly
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = events.select(
+        F.col(user_col).alias("user_id"),
+        (t - F.lag(t).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.coalesce(F.max("gap_us"), F.lit(0))
+            .cast("bigint")
+            .alias("max_gap_us"),
+            F.coalesce(F.sum("gap_us"), F.lit(0))
+            .cast("bigint")
+            .alias("_sum_gap"),
+        )
+        .withColumn(
+            "avg_gap_us",
+            F.expr("_sum_gap DIV greatest(n_gaps, 1)").cast("bigint"),
+        )
+        .drop("_sum_gap")
+    )

@@ -298,3 +298,32 @@ def test_hourly_topk_types(spark):
         (1, "error", 2, 1),  # tie with view: type asc
         (1, "view", 2, 2),
     ]
+
+
+def test_event_gap_stats_integer_micros(spark):
+    """Gap stats: per-user lag in integer microseconds, single-event
+    users zeroed, floor-integer average."""
+    import datetime as dt
+
+    from fulltextindexer_spark.operators.temporal import event_gap_stats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "a", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=1), 7, "a", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=4), 7, "a", 1.0, "{}"),
+        (4, base, 9, "a", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["n_gaps"], r["max_gap_us"], r["avg_gap_us"]
+        )
+        for r in event_gap_stats(events).collect()
+    }
+    assert got[7] == (3, 2, 3_000_000, 2_000_000)
+    assert got[9] == (1, 0, 0, 0)
