@@ -1175,6 +1175,13 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty: the share of a doc's distinct shingles
+    owned by no other doc — integer ppm, the inverse templated-text
+    signal a curation pass thresholds on."""
+    return dedup.ngram_novelty(_documents(spark, sf_dir), k=3)
+
+
 def q_communities(spark, sf_dir):
     """Label-propagation communities over the banded-minhash candidate
     graph (4 synchronous rounds, mode-of-neighbours with count-desc /
@@ -3816,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_minhash_pairs,
         "dedup_pagerank": q_pagerank,
         "dedup_communities": q_communities,
+        "text_ngram_novelty": q_ngram_novelty,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
         "dedup_lsh_recall": q_lsh_recall,
@@ -5625,6 +5633,14 @@ FROM bands a JOIN bands b
      AND a.doc_id < b.doc_id
 """,
         # the identical rounded power method, one CTE per iteration
+        "text_ngram_novelty": f"""
+WITH {SH3_CTE},
+sdf AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum((sdf = 1)::INT)::BIGINT AS n_unique,
+       (sum((sdf = 1)::INT) * 1000000 // count(*))::BIGINT AS novelty_ppm
+FROM sh JOIN sdf USING (shingle) GROUP BY doc_id
+""",
         "dedup_communities": f"""
 WITH {SH3_CTE},
 bands AS (

@@ -165,6 +165,49 @@ def ngram_jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold)
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Per-doc n-gram novelty: the share of a doc's distinct k-gram
+    shingles that occur in NO other document — the inverse of the
+    templated-text signal (boilerplate-heavy docs share most of their
+    shingles; novel prose owns them). Returns (doc_id, n_shingles,
+    n_unique, novelty_ppm) with ``novelty_ppm = n_unique × 1e6 div
+    n_shingles`` — integer-exact.
+
+    One distinct-shingle frame feeds both the corpus df count and the
+    per-doc rollup (persist it or pass ``shingles=`` to share across a
+    pipeline); the join is keyed by shingle — uniform at scale, and
+    docs shorter than k shingle to nothing and are omitted (callers
+    treat absent as undefined, the same contract as the Jaccard tier).
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else persist_tracked(word_shingles(docs, k, text_col, id_col))
+    )
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("sdf")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("sdf") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("n_unique * 1000000L DIV n_shingles")
+        )
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     k: int = 3,

@@ -2088,3 +2088,25 @@ def test_assemble_corpus_semantics(spark):
         ev_df = spark.createDataFrame(ev)
         bad = decontam.contaminated_ids(tr_df, ev_df, k=5).count()
         assert bad == 0
+
+
+def test_ngram_novelty_unique_share(spark):
+    """Novelty: shared shingles lower the ppm; fully-unique docs hit
+    1e6; short docs (< k words) are omitted."""
+    from fulltextindexer_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d"),          # shingles: 'a b c','b c d' (shared w/ 2)
+        (2, "a b c d e"),        # 'a b c','b c d','c d e'
+        (3, "x y z w"),          # all unique
+        (4, "hi"),               # too short: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty_ppm"])
+        for r in dedup.ngram_novelty(df, k=3).collect()
+    }
+    assert got[1] == (2, 0, 0)
+    assert got[2] == (3, 1, 1_000_000 // 3)
+    assert got[3] == (2, 2, 1_000_000)
+    assert 4 not in got
