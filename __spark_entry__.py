@@ -2447,6 +2447,21 @@ def q_code_secrets(spark, sf_dir):
     return codestats.secret_scan(docs)
 
 
+def q_code_symbol_pop(spark, sf_dir):
+    """Corpus-wide symbol popularity: per (kind, symbol) the distinct
+    defining files and total definition count over the same injected
+    code corpus as code_symbols — the duplicate-utility radar."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("class Widget "))
+            .otherwise(F.lit("")),
+            F.regexp_replace("text", "([a-z]+) ([a-z]+)", "def $1_$2():"),
+        ).alias("text"),
+    )
+    return codestats.symbol_popularity(codestats.extract_symbols(docs))
+
+
 def q_code_symbols(spark, sf_dir):
     """Definition-symbol extraction over a code-shaped corpus: adjacent
     word pairs rewrite to `def a_b():` heads (the ftix_code_ids
@@ -3978,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_temperature_mix": q_temperature_mix,
         "code_file_rank": q_code_file_rank,
         "code_near_dup_functions": q_code_near_dup_functions,
+        "code_symbol_pop": q_code_symbol_pop,
         "curate_bpe_fertility": q_bpe_fertility,
         "ftix_passage_rank": q_passage_rank,
         "ftix_passage_text": q_passage_text,
@@ -4662,6 +4678,18 @@ SELECT module, count(DISTINCT doc_id)::BIGINT AS n_docs,
        sum(n)::BIGINT AS n_total
 FROM agg GROUP BY module
 """
+
+
+def _code_symbol_pop_sql() -> str:
+    """Oracle for the symbol-popularity gate: the code_symbols oracle's
+    per-(doc, kind, symbol) counts rolled up per (kind, symbol)."""
+    inner = _code_symbols_sql()
+    return (
+        "WITH per_doc AS (" + inner + ")\n"
+        "SELECT kind, symbol, count(DISTINCT doc_id)::BIGINT AS n_docs,\n"
+        "       sum(n)::BIGINT AS n_total\n"
+        "FROM per_doc GROUP BY kind, symbol"
+    )
 
 
 def _code_symbols_sql() -> str:
@@ -8019,6 +8047,7 @@ FROM g GROUP BY doc_id, span_idx
             t_join=english_plurality_normalise("join"),
         ),
         "code_near_dup_functions": _code_near_dup_sql(),
+        "code_symbol_pop": _code_symbol_pop_sql(),
         "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
             BPE_GATE_MERGES
         ),

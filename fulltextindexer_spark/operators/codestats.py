@@ -459,6 +459,20 @@ def duplicated_functions(
     )
 
 
+def symbol_popularity(symbols: DataFrame) -> DataFrame:
+    """Corpus-wide definition-name rollup from :func:`extract_symbols`
+    output: per (kind, symbol), distinct defining files and total
+    definition count — the duplicate-utility radar (the same helper
+    defined in hundreds of files is vendoring the dedup tier should
+    see) and the weighting signal for a definition-boosted index
+    field. Group key is (kind, symbol) — distributed, never a single
+    reducer."""
+    return symbols.groupBy("kind", "symbol").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+
+
 def module_popularity(imports: DataFrame) -> DataFrame:
     """Library-popularity table from :func:`extract_imports` output:
     per module, the number of distinct importing files and the total

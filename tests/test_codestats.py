@@ -217,3 +217,19 @@ def test_near_dup_functions_candidates(spark):
     assert not any("3:1" in p for p in pairs)
     # byte-exact dedup does NOT flag them
     assert codestats.duplicated_functions(_docs(spark, rows)).count() == 0
+
+
+def test_symbol_popularity_rollup(spark):
+    rows = [
+        (1, "def util():\ndef util():\ndef local():"),
+        (2, "def util():\nfunction util() {}"),
+    ]
+    pop = {
+        (r["kind"], r["symbol"]): (r["n_docs"], r["n_total"])
+        for r in codestats.symbol_popularity(
+            codestats.extract_symbols(_docs(spark, rows))
+        ).collect()
+    }
+    assert pop[("def", "util")] == (2, 3)
+    assert pop[("function", "util")] == (1, 1)
+    assert pop[("def", "local")] == (1, 1)
