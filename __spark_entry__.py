@@ -3237,18 +3237,21 @@ def q_zipf(spark, sf_dir):
     """Zipf diagnostic: OLS slope/intercept/R² of ln(occurrences) on
     ln(rank) over the vocabulary — the sanity plot behind stop-word,
     champion-list and salting decisions, via the sufficient-stats
-    probe. The rank window is VOCABULARY-sized (never the corpus);
-    logs are 4dp-rounded before the fit so both engines sum identical
+    probe. Ranking uses the two-pass partition-offset pattern
+    (``plans.ranking.global_row_number``) — at 100 TB a code-corpus
+    vocabulary is 10^8–10^9 terms, so an unpartitioned row_number
+    window would single-task the whole dictionary; logs are
+    4dp-rounded before the fit so both engines sum identical
     doubles."""
-    from pyspark.sql import Window
+    from fulltextindexer_spark.plans.ranking import global_row_number
 
     idx = _docs_index(spark, sf_dir)
     occ = idx.postings.groupBy("term").agg(F.sum("tf").alias("occ"))
-    w = Window.orderBy(F.desc("occ"), F.asc("term"))
-    feat = occ.select(
-        F.round(
-            F.log(F.row_number().over(w).cast("double")), 4
-        ).alias("log_rank"),
+    ranked = global_row_number(
+        occ, [F.desc("occ"), F.asc("term")], out_col="rank"
+    )
+    feat = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 4).alias("log_rank"),
         F.round(F.log(F.col("occ").cast("double")), 4).alias("log_occ"),
     )
     return textstats.fit_linear_probe(feat, ["log_rank"], "log_occ")

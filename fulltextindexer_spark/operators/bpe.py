@@ -139,6 +139,90 @@ def merge_pair_col(state: Column, left: str, right: str) -> Column:
     )
 
 
+def _apply_merge_py(sym: list, left: str, right: str) -> list:
+    """Greedy left-to-right non-overlapping merge on a symbol list —
+    byte-for-byte the :func:`merge_pair_col` fold semantics
+    (``a a a a`` + merge(a,a) → ``aa aa``)."""
+    out: list = []
+    i, n, merged = 0, len(sym), left + right
+    while i < n:
+        if i < n - 1 and sym[i] == left and sym[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_inprocess(
+    states: list, n_merges: int, min_pair_count: int
+) -> list:
+    """In-process BPE merge learning over a collected (symbols, n)
+    vocabulary — MUTATES ``states`` in place to the final states and
+    returns ``[(step, left, right, pair_count), ...]``.
+
+    The subword-nmt incremental structure: a pair→count table, a
+    pair→{word index} inverted index, and a lazy-deletion heap for the
+    arg-max — each merge touches only the words containing the winning
+    pair, and stale heap entries are skipped on pop (an entry is live
+    iff its count matches the table). Arg-max tie-break is identical
+    to the distributed path: (count desc, left asc, right asc) —
+    symbols are ASCII, so Python's code-point compare and Spark's
+    UTF-16 compare agree.
+    """
+    import heapq
+    from collections import Counter
+
+    pair_n: dict = Counter()
+    pair_words: dict = {}
+    for idx, (sym, n) in enumerate(states):
+        for p in zip(sym, sym[1:]):
+            pair_n[p] += n
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-n, p[0], p[1]) for p, n in pair_n.items()]
+    heapq.heapify(heap)
+
+    merges: list = []
+    for step in range(1, n_merges + 1):
+        best = None
+        while heap:
+            neg_n, left, right = heap[0]
+            if pair_n.get((left, right), 0) != -neg_n or neg_n == 0:
+                heapq.heappop(heap)  # stale or dead entry
+                continue
+            best = (left, right, -neg_n)
+            break
+        if best is None or best[2] < min_pair_count:
+            break
+        left, right, cnt = best
+        merges.append((step, left, right, cnt))
+
+        touched: dict = Counter()
+        for idx in list(pair_words.get((left, right), ())):
+            sym, n = states[idx]
+            new_sym = _apply_merge_py(sym, left, right)
+            old_c = Counter(zip(sym, sym[1:]))
+            new_c = Counter(zip(new_sym, new_sym[1:]))
+            for p in old_c.keys() | new_c.keys():
+                d = new_c[p] - old_c[p]
+                if d:
+                    pair_n[p] += d * n
+                    touched[p] = pair_n[p]
+                if new_c[p] == 0:
+                    pair_words.get(p, set()).discard(idx)
+                elif old_c[p] == 0:
+                    pair_words.setdefault(p, set()).add(idx)
+            states[idx][0] = new_sym
+        for p, c in touched.items():
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_n.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
 def learn_bpe(
     spark: SparkSession,
     docs: DataFrame,
@@ -148,6 +232,7 @@ def learn_bpe(
     min_pair_count: int = 1,
     checkpoint_dir: Optional[str] = None,
     eow: bool = False,
+    driver_loop_threshold: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -162,7 +247,38 @@ def learn_bpe(
     pass ``checkpoint_dir`` for a reliable on-disk checkpoint instead
     (survives executor loss — the production choice on real clusters,
     same caveat as the CC loop in ``dedup.py``).
+
+    **Merge-loop placement.** Each distributed iteration costs one
+    Spark job (a vocabulary-sized shuffle + a 1-row collect). At the
+    gate's 8–20 merges that is the right shape; at a production 32k–
+    50k-merge vocabulary it is tens of thousands of *sequential*
+    driver round-trips — days of wall regardless of cluster size. The
+    word-frequency table is vocabulary-sized BY CONSTRUCTION (it fits
+    wherever the term dictionary fits), so when ``n_merges >
+    driver_loop_threshold`` the table is collected ONCE and the merge
+    loop runs in-process (:func:`_learn_bpe_inprocess` — subword-nmt's
+    incremental-count structure, identical merge sequence); the
+    corpus scan, ``encode_words`` and the fertility/vocab audits stay
+    distributed. Set the threshold to 0 to force the driver loop, or
+    very large to force the per-merge Spark loop.
     """
+    if n_merges > driver_loop_threshold:
+        rows = word_counts(docs, text_col, id_col).collect()
+        states = [
+            [list(r["word"]) + ([EOW] if eow else []), int(r["n"])]
+            for r in rows
+        ]
+        merges = _learn_bpe_inprocess(states, n_merges, min_pair_count)
+        merges_df = spark.createDataFrame(
+            merges,
+            "step bigint, left_sym string, right_sym string,"
+            " pair_count bigint",
+        )
+        final_state = spark.createDataFrame(
+            [(SEP.join(sym), n) for sym, n in states],
+            "state string, n bigint",
+        )
+        return merges_df, final_state
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -419,16 +535,22 @@ def _bpe_ctes(
             f"t{k} AS (SELECT left_sym, right_sym, n FROM p{k}\n"
             f"  ORDER BY n DESC, left_sym, right_sym LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when t{k} is empty (the
+        # vocabulary merged dry before n_merges — learn_bpe's early
+        # stop), a cross join would silently empty every later state
+        # CTE; the left join degrades s{k} to s{k-1} instead, exactly
+        # mirroring the engine's break.
         ctes.append(
             f"""s{k} AS (
-  SELECT list_reduce(string_split(state, '|'), (acc, x) ->
+  SELECT CASE WHEN left_sym IS NULL THEN state
+         ELSE list_reduce(string_split(state, '|'), (acc, x) ->
       CASE WHEN regexp_extract(acc, '([^|]*)$', 1) = left_sym
                 AND x = right_sym
            THEN regexp_replace(acc, '[^|]*$', '')
                 || left_sym || right_sym
-           ELSE acc || '|' || x END) AS state,
+           ELSE acc || '|' || x END) END AS state,
          {prev}.word AS word, {prev}.n AS n
-  FROM {prev} CROSS JOIN t{k}
+  FROM {prev} LEFT JOIN t{k} ON TRUE
 )"""
         )
     return ctes

@@ -1,0 +1,75 @@
+"""Physical-plan linting: detect unpartitioned Window nodes.
+
+``row_number()/sum() OVER (ORDER BY ...)`` with no ``PARTITION BY``
+funnels the whole input through one task — the classic plan shape that
+passes at sf0.1 and OOMs an executor at 100×. The engine's house rule:
+every ``WindowExec`` either has partition keys or operates on a frame
+whose size is BOUNDED by something other than the corpus (a top-k
+list, histogram bins, the distinct-source count) and is annotated on
+the allow-list in ``tests/test_plans.py``.
+
+Catalyst's ``TreeNode.argString`` OMITS empty argument lists, so an
+unpartitioned node doesn't print ``[]`` — the partition group is just
+absent. The parser therefore classifies the bracket groups: a sort
+spec contains ``ASC/DESC NULLS``; a partition spec is plain
+expressions.
+"""
+
+from __future__ import annotations
+
+
+def bracket_groups(body: str) -> list:
+    """Top-level ``[...]`` argument groups of a plan-node line."""
+    groups: list = []
+    depth = 0
+    cur: list = []
+    for ch in body:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _is_sort_spec(group: str) -> bool:
+    return " ASC NULLS " in group or " DESC NULLS " in group
+
+
+def unpartitioned_windows(plan: str) -> list:
+    """Window-node lines of a physical-plan string whose partition
+    spec is empty.
+
+    - ``Window [exprs], [partSpec], [orderSpec]``: with 2 printed
+      groups the second is either a partition spec (plain exprs, ok)
+      or an order spec (unpartitioned); 1 group = global frame,
+      unpartitioned.
+    - ``WindowGroupLimit [partSpec], [orderSpec], fn, k, mode``: if
+      the first group is a sort spec, the partition spec was dropped.
+      (Still k-bounded per "partition", but flagged so the allow-list
+      documents the global bound.)
+    """
+    out = []
+    for raw in plan.splitlines():
+        line = raw.lstrip(" :+-*")
+        bad = False
+        if line.startswith("Window "):
+            groups = bracket_groups(line[len("Window "):])
+            if len(groups) <= 1:
+                bad = True
+            elif len(groups) == 2 and _is_sort_spec(groups[1]):
+                bad = True
+        elif line.startswith("WindowGroupLimit "):
+            groups = bracket_groups(line[len("WindowGroupLimit "):])
+            bad = bool(groups) and _is_sort_spec(groups[0])
+        if bad:
+            out.append(raw.strip())
+    return out

@@ -1,0 +1,114 @@
+"""Scale-safe global ordering utilities.
+
+``row_number() OVER (ORDER BY ...)`` with no ``PARTITION BY`` funnels
+the whole input through ONE task — fine for a k-bounded top-k list,
+fatal for an unbounded set (a 100 TB code corpus's vocabulary is
+10^8–10^9 terms). :func:`global_row_number` provides the same dense
+1-based global ordering with the two-pass partition-offset pattern the
+engine already uses for term-id assignment
+(``operators/index_build.py`` ``build_term_dictionary``):
+
+1. range-repartition + sort-within-partitions on the order columns
+   (persisted once, via the tracked-cache registry);
+2. count rows per partition (a JVM aggregation over
+   ``spark_partition_id()``), cumulative offsets broadcast to the
+   executors;
+3. a narrow Arrow kernel adds ``offset[pid] + within-partition
+   position`` — no global sort on one task, no pickled Python rows.
+
+Reference behaviour being preserved: the caller-side ordering the
+reference applies to weighted matches (README.md:49 — consumers sort
+``GetPartialMatches`` results themselves); this helper is the
+distributed equivalent of "number the whole sorted list".
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from fulltextindexer_spark.plans.cachereg import persist_tracked
+
+_PID = "__grn_pid"
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    out_col: str = "rn",
+    scope: str = "artefact",
+) -> DataFrame:
+    """Attach a dense 1-based global ``row_number`` over ``order``
+    without a single-partition window.
+
+    ``order`` is a sequence of Column sort expressions
+    (``F.desc("occ"), F.asc("term")``) that MUST be a total order
+    (break ties explicitly) — with ties the assignment within a tie
+    group would depend on partitioning.
+
+    The sorted frame is persisted through the tracked-cache registry
+    (``scope`` as in :mod:`fulltextindexer_spark.plans.cachereg`) and
+    MUST stay cached until the result is materialised: the partition
+    offsets were counted against one concrete range partitioning, and
+    a recompute would re-sample the range bounds. ``release_all()`` /
+    ``release_caches()`` after consumption, as for every engine
+    artefact.
+    """
+    order = list(order)
+    if not order:
+        raise ValueError("order must name at least one sort expression")
+
+    sorted_df = persist_tracked(
+        df.repartitionByRange(*order).sortWithinPartitions(*order),
+        scope=scope,
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in sorted_df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    offsets_b = df.sparkSession.sparkContext.broadcast(offsets)
+    src_cols = list(df.columns)
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, LongType())]
+    )
+
+    # pid computed in the same narrow stage; every row a task sees
+    # shares one pid, and batch order preserves the partition sort
+    with_pid = sorted_df.withColumn(_PID, F.spark_partition_id())
+
+    def assign(batches: "Iterator"):
+        import numpy as np
+        import pyarrow as pa
+
+        base = None
+        seen = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if base is None:
+                base = offsets_b.value[rb.column(_PID)[0].as_py()]
+            rn = (
+                np.arange(seen, seen + rb.num_rows, dtype=np.int64)
+                + base
+                + 1
+            )
+            seen += rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(c) for c in src_cols]
+                + [pa.array(rn, pa.int64())],
+                src_cols + [out_col],
+            )
+
+    return with_pid.mapInArrow(assign, out_schema)

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Sweep every ``__spark_entry__.queries()`` gate's physical plan for
+unpartitioned Window nodes (the single-task-sorts-the-world anti-
+pattern). Prints one line per offender: gate name + the window line.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("LINT_SF_DIR", "/root/testdata/sf0.001")
+ONLY = sys.argv[1:] or None
+
+
+from fulltextindexer_spark.plans.lint import unpartitioned_windows  # noqa: E402
+
+
+def main() -> int:
+    from fulltextindexer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="window_lint", master="local[16]", shuffle_partitions=16
+    )
+    import __spark_entry__ as e
+
+    offenders = {}
+    qs = e.queries()
+    names = ONLY or list(qs)
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name:28s} ERR {type(ex).__name__}: {ex}")
+            continue
+        bad = unpartitioned_windows(plan)
+        flag = f"BAD x{len(bad)}" if bad else "ok"
+        print(f"{name:28s} {flag:8s} {time.time()-t0:5.1f}s")
+        if bad:
+            offenders[name] = bad
+    print()
+    for name, lines in offenders.items():
+        for ln in lines:
+            print(f"{name}: {ln[:200]}")
+    print(f"\n{len(offenders)} offending gates / {len(names)} swept")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

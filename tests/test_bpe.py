@@ -285,3 +285,89 @@ def test_learn_bpe_eow_marker_reference_parity(spark):
     for r in bpe.encode_words(words, pairs, eow=True).collect():
         joined = "".join(r["tokens"])
         assert joined.endswith("</w>") and joined[:-4] == r["word"]
+
+
+def test_driver_loop_parity_with_distributed(spark):
+    """The in-process merge loop (driver_loop_threshold exceeded) and
+    the per-merge Spark loop learn the IDENTICAL merge sequence and
+    final vocabulary — the contract that lets learn_bpe switch on
+    n_merges without changing results."""
+    import itertools
+
+    syll = ["ka", "to", "mi", "ren", "bu", "sol"]
+    words = [
+        "".join(p)
+        for n in (2, 3)
+        for p in itertools.product(syll, repeat=n)
+    ][:90]
+    text = " ".join(w for i, w in enumerate(words) for _ in range(i % 7 + 1))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def run(threshold):
+        m, s = bpe.learn_bpe(
+            spark, df, 20, driver_loop_threshold=threshold
+        )
+        seq = [
+            (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in m.orderBy("step").collect()
+        ]
+        vocab = {r["state"]: r["n"] for r in s.collect()}
+        return seq, vocab
+
+    dist_seq, dist_vocab = run(10**9)  # force per-merge Spark loop
+    drv_seq, drv_vocab = run(0)        # force in-process loop
+    assert drv_seq == dist_seq
+    assert drv_vocab == dist_vocab
+    # and both match the pure-Python reference
+    want, _ = _ref_bpe([text], 20)
+    assert drv_seq == want
+
+
+def test_driver_loop_eow_and_early_stop(spark):
+    """Driver loop honours the </w> convention and the min-pair-count
+    early stop exactly as the distributed loop does."""
+    merges, state = bpe.learn_bpe(
+        spark, _docs(spark), 8, eow=True, driver_loop_threshold=0
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    dm, ds = bpe.learn_bpe(
+        spark, _docs(spark), 8, eow=True, driver_loop_threshold=10**9
+    )
+    want = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in dm.orderBy("step").collect()
+    ]
+    assert got == want
+    # exhaustion: single word 'ab' has one learnable merge
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    m, s = bpe.learn_bpe(spark, df, 10, driver_loop_threshold=0)
+    assert m.count() == 1
+    assert [r["state"] for r in s.collect()] == ["ab"]
+
+
+def test_oracle_sql_survives_merge_exhaustion(spark):
+    """bpe_merges_oracle_sql asked for MORE merges than the vocabulary
+    can yield must degrade per-step (LEFT JOIN guard), matching the
+    engine's early stop — not silently empty every later CTE."""
+    texts = ["ab ab cd"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [texts[0]])
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe.bpe_merges_oracle_sql(6) + " ORDER BY step"
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    m, _ = bpe.learn_bpe(spark, df, 6)
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in m.orderBy("step").collect()
+    ]
+    # only 2 learnable merges exist: (a,b) then (c,d)
+    assert len(got) == 2
+    assert got == want

@@ -624,3 +624,83 @@ def test_interleave_order_rank_window_is_partitioned(spark):
     assert "hashpartitioning(source" in plan, plan[:3000]
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, (marker, plan[:2000])
+
+
+def test_global_row_number_matches_window(spark):
+    """plans.ranking.global_row_number == the single-partition
+    row_number window it replaces, on a multi-partition frame with
+    ties broken by the secondary key."""
+    from pyspark.sql import Window
+
+    from fulltextindexer_spark.plans import cachereg
+    from fulltextindexer_spark.plans.ranking import global_row_number
+
+    rows = [(i, f"t{i % 37:03d}", (i * 7) % 11) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "id long, term string, occ long"
+    ).repartition(8)
+    order = [F.desc("occ"), F.asc("term"), F.asc("id")]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(df, order, out_col="rank").collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rank")
+        ).collect()
+    }
+    assert got == want
+    cachereg.release_all()
+    # and the replacement plan itself contains no unpartitioned window
+    from fulltextindexer_spark.plans.lint import unpartitioned_windows
+
+    plan = _plan(global_row_number(df, order, out_col="rank"))
+    assert unpartitioned_windows(plan) == []
+    cachereg.release_all()
+
+
+# Unpartitioned-window allow-list: every entry is a gate whose ONLY
+# unpartitioned Window operates on a frame bounded by something other
+# than the corpus. Bound documented per entry; anything NOT listed
+# that grows an unpartitioned window fails the sweep below.
+WINDOW_ALLOW = {
+    # RRF fuse ranks two already-top-k match lists (k<=20 rows each)
+    "ftix_rrf": "k-bounded: ranks two top-k result lists",
+    # global share-of-total over per-source token sums
+    "curate_mix_plan": "group-bounded: one row per distinct source",
+    "curate_temperature_mix": "group-bounded: one row per source",
+    # cumulative TPR/FPR over fixed score buckets
+    "curate_quality_auc": "bins-bounded: 20 score buckets",
+    # cumulative counts over fixed char-length histogram bins
+    "text_chars_quantiles": "bins-bounded: char-length histogram",
+    # gidx numbering over the DISTINCT-source frame
+    "curate_interleave": "group-bounded: distinct sources only",
+}
+
+
+def test_no_gate_plan_has_unbounded_unpartitioned_window(spark):
+    """Sweep EVERY __spark_entry__ gate's physical plan: any Window /
+    WindowGroupLimit without partition keys must be on the annotated
+    allow-list above (the single-task-sorts-the-world lint — the
+    q_zipf regression class)."""
+    import __spark_entry__ as e
+    from fulltextindexer_spark.plans.lint import unpartitioned_windows
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, qfn in e.queries().items():
+        df = qfn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = unpartitioned_windows(plan)
+        if bad:
+            offenders[name] = bad
+    unexplained = {
+        n: lines for n, lines in offenders.items() if n not in WINDOW_ALLOW
+    }
+    assert unexplained == {}, (
+        "unpartitioned Window outside the allow-list — partition it or "
+        f"document its bound: {unexplained}"
+    )
+    stale = set(WINDOW_ALLOW) - set(offenders)
+    assert not stale, f"allow-list entries no longer needed: {stale}"
