@@ -7966,8 +7966,10 @@ tot AS (SELECT sum(n_tokens)::DOUBLE AS total,
 SELECT source, n_docs, n_tokens,
        CAST(floor(1000000.0 * n_tokens / tot.total) AS BIGINT) AS share_ppm,
        round(pow(n_tokens::DOUBLE, 0.7) / tot.pow_total, 4) AS temp_share,
-       round((pow(n_tokens::DOUBLE, 0.7) / tot.pow_total)
-             / (n_tokens / tot.total), 4) AS weight
+       CASE WHEN n_tokens > 0
+            THEN round((pow(n_tokens::DOUBLE, 0.7) / tot.pow_total)
+                       / (n_tokens / tot.total), 4)
+            ELSE 0.0 END AS weight
 FROM agg CROSS JOIN tot
 """,
         # PageRank over the bipartite file<->module import graph,

@@ -120,10 +120,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: Optional[DataFrame] = None,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
     Returns (doc_a, doc_b, jaccard rounded to 4dp) for pairs ≥ threshold.
+
+    **Scale warning — this is the EXACT tier.** The shingle self-join
+    is quadratic in the posting list of any hot shingle: one license
+    header or shebang line shared by 10^6 docs is 10^12 candidate
+    pairs from that shingle alone. At corpus scale use the banded
+    MinHash path (:func:`minhash_band_pairs` /
+    :func:`lsh_verified_pairs`), or set ``max_shingle_df`` here: any
+    shingle occurring in more than that many documents is dropped from
+    the representation BEFORE the join (the stop-word idea applied to
+    shingles — boilerplate n-grams carry no near-dup signal), bounding
+    per-shingle join fan-out at ``max_shingle_df²``. Jaccard is then
+    exact over the filtered shingle universe: doc sizes are counted
+    AFTER the cap, so dropped shingles don't deflate the similarity of
+    the docs that contained them.
 
     The shingle frame feeds three lineages (sizes + both join sides);
     when self-computed it is persisted (tracked — release via
@@ -138,6 +153,14 @@ def ngram_jaccard_pairs(
         if shingles is not None
         else persist_tracked(word_shingles(docs, k, text_col, id_col))
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = persist_tracked(sh.join(hot, "shingle", "left_anti"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -685,7 +708,7 @@ def label_propagation(
         rank = W.partitionBy("node").orderBy(
             F.desc("n"), F.asc("label")
         )
-        for _ in range(n_iter):
+        for i in range(n_iter):
             nb = edges.join(
                 labels, edges["v"] == labels["node"]
             ).select(edges["u"].alias("node"), "label")
@@ -697,7 +720,13 @@ def label_propagation(
                 .where(F.col("rn") == 1)
                 .select("node", "label")
             )
-            labels = _iter_checkpoint(labels, checkpoint_dir, eager=False)
+            # final round is EAGER: the finally block drops the edges
+            # cache, so a lazily-checkpointed result would recompute
+            # the whole candidate-pair lineage once per iteration on
+            # the caller's first action
+            labels = _iter_checkpoint(
+                labels, checkpoint_dir, eager=(i == n_iter - 1)
+            )
         return labels
     finally:
         release_one(edges)

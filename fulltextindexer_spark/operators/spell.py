@@ -105,12 +105,16 @@ def rewrite_query(
     max_edits: int = 1,
     deletions: DataFrame | None = None,
 ) -> DataFrame:
-    """Full-query 'did you mean': one correction per query token — the
-    vocabulary term within ``max_edits`` ranked (dist asc, df desc,
-    term asc); in-vocabulary tokens correct to themselves at dist 0,
-    unfixable tokens (no candidate in range) keep themselves with
-    ``df = 0, dist = -1`` so the caller can render "no results for
-    <term>" per slot.
+    """Full-query 'did you mean': one correction per DISTINCT
+    normalised query term — repeated tokens ('data data') collapse to
+    one row, and ``token_idx`` numbers the distinct terms in first-
+    appearance order, NOT the original token positions (callers
+    rendering per-slot messages should join on ``term``). Each term
+    gets the vocabulary term within ``max_edits`` ranked (dist asc,
+    df desc, term asc); in-vocabulary terms correct to themselves at
+    dist 0, unfixable terms (no candidate in range) keep themselves
+    with ``df = 0, dist = -1`` so the caller can render "no results
+    for <term>".
 
     ALL tokens resolve in ONE job: the driver-tiny (token_idx, term,
     variant) frame joins the SymSpell deletion index once, then a

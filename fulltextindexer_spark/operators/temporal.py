@@ -20,8 +20,40 @@ standard scalable rewrites:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def epoch_micros(df: DataFrame, col_name: str) -> Column:
+    """Exact integer epoch-microseconds for a timestamp column,
+    independent of ``spark.sql.session.timeZone``.
+
+    A bare ``unix_micros(cast(c AS TIMESTAMP))`` routes a
+    TIMESTAMP_NTZ column through the session zone; two NTZ values that
+    straddle a DST transition in that zone then differ by an extra
+    hour versus the naive-as-UTC reading every SQL oracle
+    (``epoch_us``) uses — "any fixed session-zone offset cancels in a
+    difference" is false across a DST change. NTZ columns are
+    therefore decomposed arithmetically (epoch days + wall-clock
+    time-of-day; ``date_part('SECOND')`` keeps the fractional part as
+    an exact decimal) — no zone ever enters. Instant (TIMESTAMP_LTZ)
+    columns keep the direct ``unix_micros`` read, which is already
+    zone-independent for instants.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    c = F.col(col_name)
+    if isinstance(df.schema[col_name].dataType, TimestampNTZType):
+        return (
+            F.unix_date(c.cast("date")).cast("long")
+            * F.lit(86_400_000_000)
+            + F.hour(c).cast("long") * F.lit(3_600_000_000)
+            + F.minute(c).cast("long") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast(
+                "long"
+            )
+        )
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -61,6 +93,7 @@ def asof_join(
         F.col(right_id).cast("long").alias("_rid"),
     )
     u = l.unionByName(r)
+    u = u.withColumn("_us", epoch_micros(u, "_ts"))
     w = (
         Window.partitionBy("_by")
         .orderBy(
@@ -73,7 +106,11 @@ def asof_join(
     anchor = F.last(
         F.when(
             F.col("_rid").isNotNull(),
-            F.struct(F.col("_ts").alias("a_ts"), F.col("_rid").alias("a_id")),
+            F.struct(
+                F.col("_ts").alias("a_ts"),
+                F.col("_us").alias("a_us"),
+                F.col("_rid").alias("a_id"),
+            ),
         ),
         ignorenulls=True,
     ).over(w)
@@ -86,10 +123,7 @@ def asof_join(
         F.col("_ts").alias(ts_col),
         F.col("_a.a_id").alias(f"matched_{right_id}"),
         F.col("_a.a_ts").alias("matched_ts"),
-        (
-            F.unix_micros(F.col("_ts").cast("timestamp"))
-            - F.unix_micros(F.col("_a.a_ts").cast("timestamp"))
-        ).alias("gap_us"),
+        (F.col("_us") - F.col("_a.a_us")).alias("gap_us"),
     )
 
 
@@ -116,16 +150,18 @@ def range_join_binned(
     """
     us = 1_000_000
 
-    def _bin(c):
-        return F.floor(
-            F.unix_micros(F.col(c).cast("timestamp"))
-            / F.lit(bin_seconds * us)
-        )
+    def _bin(df, c):
+        return F.floor(epoch_micros(df, c) / F.lit(bin_seconds * us))
 
     iv = intervals.withColumn(
-        "_bin", F.explode(F.sequence(_bin(start_col), _bin(end_col)))
+        "_bin",
+        F.explode(
+            F.sequence(
+                _bin(intervals, start_col), _bin(intervals, end_col)
+            )
+        ),
     )
-    pt = points.withColumn("_bin", _bin(ts_col))
+    pt = points.withColumn("_bin", _bin(points, ts_col))
     return (
         pt.join(iv, [by, "_bin"])
         .where(
@@ -198,7 +234,7 @@ def retention_cohorts(
     Returns (cohort_period, period_offset, n_active), all-integer.
     """
     period = F.floor(
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        epoch_micros(events, ts_col)
         / F.lit(period_days * 86400 * 1_000_000)
     ).cast("long")
     pe = events.select(F.col(by), period.alias("_p"))
@@ -296,9 +332,9 @@ def event_gap_stats(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    # NTZ-safe: cast to TIMESTAMP for unix_micros; gaps are
-    # differences, so any fixed session-zone offset cancels exactly
-    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # zone-free epoch read: a session-zone cast would shift gaps that
+    # straddle a DST transition by an hour vs the naive-as-UTC oracle
+    t = epoch_micros(events, ts_col)
     gaps = events.select(
         F.col(user_col).alias("user_id"),
         (t - F.lag(t).over(w)).alias("gap_us"),

@@ -1370,7 +1370,15 @@ def temperature_mix(
         .cast("long")
         .alias("share_ppm"),
         F.round(temp_share, 4).alias("temp_share"),
-        F.round(temp_share / natural_share, 4).alias("weight"),
+        # zero-token groups (empty-text sources) would hit 0/0 here —
+        # NULL in Spark, engine-dependent in SQL oracles; their
+        # sampling weight is 0 by contract
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(temp_share / natural_share, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
     )
 
 

@@ -2110,3 +2110,44 @@ def test_ngram_novelty_unique_share(spark):
     assert got[2] == (3, 1, 1_000_000 // 3)
     assert got[3] == (2, 2, 1_000_000)
     assert 4 not in got
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df drops boilerplate shingles BEFORE the self-join:
+    on a corpus where every doc shares one license-header shingle, the
+    uncapped exact tier pairs everything with everything through that
+    shingle; the capped path removes it from the representation (and
+    from doc sizes), bounding candidate fan-out, while genuinely
+    near-dup docs still pair."""
+    from fulltextindexer_spark.operators import dedup
+    from fulltextindexer_spark.plans import cachereg
+
+    header = "copyright acme corp all rights reserved"
+    rows = [
+        (i, f"{header} unique{i} body{i} text{i} filler{i}")
+        for i in range(12)
+    ]
+    # docs 100/101: true near-dups beyond the header
+    rows += [
+        (100, f"{header} shared payload appears verbatim here"),
+        (101, f"{header} shared payload appears verbatim here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, max_shingle_df=5
+    )
+    un_pairs = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    cachereg.release_all()
+    # uncapped: the shared header links every doc pair at low threshold
+    assert (0, 1) in un_pairs and len(un_pairs) > 50
+    # capped: header shingles (df=14 > 5) dropped; only the true dup
+    # pair survives, at jaccard 1.0 over the filtered universe
+    assert cap_pairs == {(100, 101)}
+    j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()
+    }
+    cachereg.release_all()
+    assert j[(100, 101)] == 1.0

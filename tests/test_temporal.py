@@ -327,3 +327,45 @@ def test_event_gap_stats_integer_micros(spark):
     }
     assert got[7] == (3, 2, 3_000_000, 2_000_000)
     assert got[9] == (1, 0, 0, 0)
+
+
+def test_epoch_micros_is_session_zone_independent(spark):
+    """NTZ timestamps straddling a DST spring-forward must yield the
+    same naive-as-UTC gap under ANY session zone: with the session set
+    to America/New_York (2024-03-10 02:00 does not exist on the wall
+    clock), a session-zone cast would stretch the 01:30->03:30 gap to
+    3h; the zone-free epoch read keeps it 2h, matching epoch_us in
+    every SQL oracle."""
+    from fulltextindexer_spark.operators.temporal import (
+        epoch_micros,
+        event_gap_stats,
+    )
+
+    rows = [
+        (1, 1, "2024-03-10 01:30:00"),
+        (2, 1, "2024-03-10 03:30:00.250000"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, s string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("s").cast("timestamp_ntz").alias("ts"),
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            micros = {
+                r["event_id"]: r["us"]
+                for r in df.select(
+                    "event_id", epoch_micros(df, "ts").alias("us")
+                ).collect()
+            }
+            # naive-as-UTC epoch values, fraction preserved exactly
+            assert micros[1] == 1710034200000000, tz
+            assert micros[2] == 1710041400250000, tz
+            stats = event_gap_stats(df).collect()[0]
+            assert stats["max_gap_us"] == 7200250000, tz  # 2h + 250ms
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

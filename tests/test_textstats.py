@@ -86,3 +86,58 @@ def test_lang_mix_windowed_votes(spark):
     assert got[1] == (2, 2, "de", 500000)
     assert got[2] == (2, 1, "en", 1000000)
     assert got[3][1:] == (1, "und", 1000000)
+
+
+def test_temperature_mix_zero_token_group(spark):
+    """A source whose every doc is empty text has 0 tokens: its weight
+    is 0.0 by contract (not the NULL a raw 0/0 would produce), and the
+    DuckDB rendering of the same CASE agrees."""
+    import duckdb
+    import pytest
+
+    from fulltextindexer_spark.operators import textstats
+
+    rows = [
+        (1, "a", "three token doc"),
+        (2, "a", "two tokens"),
+        (3, "empty", ""),
+        (4, "empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["temp_share"], r["weight"])
+        for r in textstats.temperature_mix(df, alpha=0.7).collect()
+    }
+    assert got["empty"][0] == 0
+    assert got["empty"][2] == 0.0
+    assert got["a"][2] is not None and got["a"][2] > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+    want = {
+        r[0]: (r[2], r[4], r[5])
+        for r in con.execute(
+            """
+WITH tok AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents),
+agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS n_tokens FROM tok GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total,
+               sum(pow(n_tokens::DOUBLE, 0.7)) AS pow_total FROM agg)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(1000000.0 * n_tokens / tot.total) AS BIGINT) AS share_ppm,
+       round(pow(n_tokens::DOUBLE, 0.7) / tot.pow_total, 4) AS temp_share,
+       CASE WHEN n_tokens > 0
+            THEN round((pow(n_tokens::DOUBLE, 0.7) / tot.pow_total)
+                       / (n_tokens / tot.total), 4)
+            ELSE 0.0 END AS weight
+FROM agg CROSS JOIN tot
+"""
+        ).fetchall()
+    }
+    for src in got:
+        assert got[src] == pytest.approx(want[src])
