@@ -3789,11 +3789,46 @@ FROM post
 """
 
 
+# The driver samples the FIRST ~50 queries() entries for its
+# CORRECTNESS record. The lead block is therefore chosen, not
+# incidental: the 21 SURVEY §2-mapped core gates (always sampled —
+# pinned by tests/test_entry_contract.py::
+# test_section2_gates_lead_queries_order) plus a per-round ROTATION of
+# gates the driver has never verified (r1–r4 covered 77 of 207; this
+# round rotates in 29 from the events/curation/code/sim/text tiers so
+# the driver record, not just the local sweep, accumulates coverage).
+_DRIVER_LEAD = [
+    # —— SURVEY §2 core (fixed every round) ——
+    "ftix_string_keys", "ftix_multifield", "ftix_field_scoped",
+    "ftix_compact_search", "ftix_prefix", "ftix_contains",
+    "ftix_prefix_prop", "ftix_code_ids", "ftix_combined_tokens",
+    "ftix_search_and", "ftix_max_combiner", "ftix_combine",
+    "ftix_remove", "ftix_top_terms", "ftix_search_or_sum",
+    "ftix_phrase", "ftix_phrase_locations", "ftix_search_or",
+    "ftix_search_not", "ftix_querier_max", "ftix_query_locations",
+    # —— round-5 rotation: never driver-verified before ——
+    "events_gap_stats", "events_asof", "events_range",
+    "events_funnel", "events_retention", "events_anomaly",
+    "curate_temperature_mix", "curate_mix_plan", "curate_gopher",
+    "curate_pack", "curate_dsir", "curate_quantile",
+    "curate_interleave", "curate_quality_auc",
+    "code_license", "code_secrets", "code_symbols", "code_imports",
+    "code_file_rank",
+    "sim_mmr", "sim_semantic_keep", "sim_pq_topk", "sim_knn_label",
+    "text_lm_score", "text_entropy", "text_pii_mask",
+    "text_chars_quantiles",
+    "curate_bpe_merges", "ftix_zipf",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver samples the FIRST ~50 entries for its
-    # correctness record, so the SURVEY §2-mapped ftix core stays at
-    # the top; add new gates after the ftix block (pinned by
-    # tests/test_entry_contract.py::test_section2_gates_lead_queries_order)
+    q = _queries_all()
+    lead = [k for k in _DRIVER_LEAD if k in q]
+    lead_set = set(lead)
+    return {k: q[k] for k in lead + [k for k in q if k not in lead_set]}
+
+
+def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ftix_top_terms": q_top_terms,
         "ftix_search_and": q_search_and,

@@ -106,3 +106,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_driver_lead_block_is_wellformed():
+    """_DRIVER_LEAD is the driver's 50-entry correctness sample: 50
+    unique existing gates, every §2 gate included, and every lead gate
+    has a DuckDB oracle (the sample must never regress to rows-only)."""
+    lead = entry_mod._DRIVER_LEAD
+    assert len(lead) == 50 and len(set(lead)) == 50
+    qs = entry_mod.queries()
+    assert list(qs)[:50] == lead
+    missing = [g for g in SECTION2_GATES if g not in lead]
+    assert not missing
+    osql = entry_mod.oracle_sql()
+    assert [g for g in lead if g not in osql] == []
