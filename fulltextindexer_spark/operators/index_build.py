@@ -1002,7 +1002,18 @@ def _map_natural_key(
     return with_id, None, key_map
 
 
-def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
+#: named key-normaliser presets for :func:`build_index`'s
+#: ``key_normaliser`` hook (the custom ``IEqualityComparer<TKey>``
+#: envelope — see the docstring there)
+KEY_NORMALISERS = {
+    "casefold": F.lower,
+    "trim_casefold": lambda c: F.lower(F.trim(c)),
+}
+
+
+def build_index(
+    docs: DataFrame, config: IndexConfig, key_normaliser=None
+) -> InvertedIndex:
     """Build an index; string key columns are supported transparently.
 
     The reference's ``IndexGenerator<TSource, TKey>`` is generic over
@@ -1011,11 +1022,36 @@ def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
     to an internal ``doc_id = xxhash64(key)`` and the (doc_id, doc_key)
     map rides on the returned index — ``resolve_keys`` maps results
     back after top-k.
+
+    ``key_normaliser`` is the engine's envelope for the reference's
+    pluggable key equality (``IndexGenerator.cs:28`` takes any
+    ``IEqualityComparer<TKey>``; keys are conventionally ``Key``/``Id``
+    properties, AutomatedIndexGeneratorFactoryBuilder.cs:388-407): a
+    preset name from :data:`KEY_NORMALISERS` (``"casefold"``,
+    ``"trim_casefold"``) or a ``Column -> Column`` callable, applied to
+    the key column BEFORE id assignment, so keys equal under the
+    comparer collapse to one document key. Where the .NET comparer
+    keeps the first-encountered representative of an equivalence
+    class, the distributed equivalent (order has no meaning across
+    partitions) keeps the CANONICAL form — the normalised key itself
+    appears in ``key_map``/``resolve_keys`` output. Arbitrary
+    non-canonicalisable comparers (equality without a computable
+    canonical form) are out of envelope, by design: they don't
+    distribute.
     """
     from dataclasses import replace
 
     from pyspark.sql.types import StringType
 
+    if key_normaliser is not None:
+        fn = (
+            KEY_NORMALISERS[key_normaliser]
+            if isinstance(key_normaliser, str)
+            else key_normaliser
+        )
+        docs = docs.withColumn(
+            config.key_column, fn(F.col(config.key_column))
+        )
     key_type = docs.schema[config.key_column].dataType
     if isinstance(key_type, StringType):
         with_id, _, key_map = _map_natural_key(docs, config.key_column)

@@ -1,0 +1,1033 @@
+"""Interop with the reference's sectioned binary index format.
+
+The reference serialises an ``IndexData<TKey>`` as four marked
+sections (``FullTextIndexer.Core/Indexes/IndexDataSerialiser.cs``):
+
+    "INDEXDATA\\n"
+    "KEYCOMPARER\\n"       int32 length + BinaryFormatter blob
+    "STRINGNORMALISER\\n"  int32 length + BinaryFormatter blob
+    "KEYS\\n"              int32 length + BinaryFormatter blob
+                           (an ImmutableList<TKey> object graph)
+    "MATCHES\\n"           int32 tokenCount, then per token:
+                             string token            (7-bit len + UTF-8)
+                             int32 matchCount, per match:
+                               int32 keyIndex        (into KEYS)
+                               float32 weight
+                               int32 locationCount, per location:
+                                 int32 sourceFieldIndex
+                                 int32 tokenIndex
+                                 int32 sourceIndex
+                                 int32 sourceTokenLength
+                                 float32 matchWeightContribution
+
+(write path ``IndexDataSerialiser.cs:190-238``, read path ``:119-188``;
+section envelope ``:20-54``/``:60-117``). Strings use .NET
+``BinaryWriter`` framing (LEB128 byte-length prefix + UTF-8); all
+integers are little-endian; weights are float32.
+
+The three item blobs are .NET ``BinaryFormatter`` payloads — the
+public [MS-NRBF] .NET Remoting Binary Format. :func:`load_dotnet`
+parses the KEYS graph with a tolerant NRBF-subset reader (class
+records, member/forward references, primitive + string members,
+primitive/string/object arrays — everything ``ImmutableList<int>`` /
+``ImmutableList<string>`` graphs contain) and records only the root
+CLASS NAMES of the comparer/normaliser blobs (their behaviour is
+reconstructed by engine config, not by deserialising .NET objects —
+deserialising arbitrary BinaryFormatter types is neither possible nor
+desirable outside .NET).
+
+Scale note: this format is a single-stream, single-node file by
+construction (the reference is an in-process library), so one file is
+parsed on the driver and handed to Spark as rows. A fleet migration
+maps :func:`load_dotnet` over many index files and unions the results;
+the per-file cost is bounded by what a single .NET process could have
+held in memory when it wrote the file.
+
+Validation caveat (stated, not hidden): this sandbox has no .NET
+runtime, so the pytest fixtures are authored by :func:`save_dotnet`
+against the documented layout rather than by the reference itself; the
+envelope/MATCHES layout is fully specified by the C# above, while the
+NRBF subset follows the public [MS-NRBF] record definitions.
+"""
+
+from __future__ import annotations
+
+
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# .NET BinaryReader/BinaryWriter primitive framing
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.o = 0
+
+    def bytes(self, n: int) -> bytes:
+        if self.o + n > len(self.b):
+            raise ValueError("truncated .NET index stream")
+        out = self.b[self.o : self.o + n]
+        self.o += n
+        return out
+
+    def u8(self) -> int:
+        return self.bytes(1)[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.bytes(4))[0]
+
+    def f32(self) -> float:
+        return struct.unpack("<f", self.bytes(4))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.bytes(8))[0]
+
+    def i16(self) -> int:
+        return struct.unpack("<h", self.bytes(2))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("<q", self.bytes(8))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.bytes(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.bytes(8))[0]
+
+    def read_7bit(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            byte = self.u8()
+            out |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return out
+            shift += 7
+            if shift > 35:
+                raise ValueError("bad 7-bit encoded int")
+
+    def string(self) -> str:
+        n = self.read_7bit()
+        return self.bytes(n).decode("utf-8")
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def u8(self, v: int):
+        self.raw(bytes([v]))
+
+    def i32(self, v: int):
+        self.raw(struct.pack("<i", v))
+
+    def f32(self, v: float):
+        self.raw(struct.pack("<f", v))
+
+    def w7bit(self, v: int):
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.raw(bytes([b | 0x80]))
+            else:
+                self.raw(bytes([b]))
+                return
+
+    def string(self, s: str):
+        enc = s.encode("utf-8")
+        self.w7bit(len(enc))
+        self.raw(enc)
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
+# ---------------------------------------------------------------------------
+# [MS-NRBF] subset: the BinaryFormatter wire format
+# ---------------------------------------------------------------------------
+
+# RecordTypeEnumeration ([MS-NRBF] 2.1.2.1)
+_REC_HEADER = 0
+_REC_CLASS_WITH_ID = 1
+_REC_SYSTEM_CLASS_TYPED = 4
+_REC_CLASS_TYPED = 5
+_REC_STRING = 6
+_REC_BINARY_ARRAY = 7
+_REC_PRIM_TYPED = 8
+_REC_REFERENCE = 9
+_REC_NULL = 10
+_REC_END = 11
+_REC_LIBRARY = 12
+_REC_NULL_MULTI_256 = 13
+_REC_NULL_MULTI = 14
+_REC_ARRAY_PRIM = 15
+_REC_ARRAY_OBJECT = 16
+_REC_ARRAY_STRING = 17
+
+# BinaryTypeEnumeration ([MS-NRBF] 2.1.2.2)
+_BT_PRIMITIVE = 0
+_BT_STRING = 1
+_BT_OBJECT = 2
+_BT_SYSTEM_CLASS = 3
+_BT_CLASS = 4
+_BT_OBJECT_ARRAY = 5
+_BT_STRING_ARRAY = 6
+_BT_PRIMITIVE_ARRAY = 7
+
+# PrimitiveTypeEnumeration ([MS-NRBF] 2.1.2.3), subset
+_PRIM_READERS = {
+    1: lambda r: r.u8() != 0,  # Boolean
+    2: lambda r: r.u8(),  # Byte
+    6: lambda r: r.f64(),  # Double
+    7: lambda r: r.i16(),  # Int16
+    8: lambda r: r.i32(),  # Int32
+    9: lambda r: r.i64(),  # Int64
+    11: lambda r: r.f32(),  # Single
+    15: lambda r: r.u32(),  # UInt32
+    16: lambda r: r.u64(),  # UInt64
+    18: lambda r: r.string(),  # String (length-prefixed)
+}
+
+
+@dataclass
+class _NrbfObject:
+    cls: str
+    members: dict = field(default_factory=dict)
+
+
+class _Ref:
+    __slots__ = ("id",)
+
+    def __init__(self, obj_id: int):
+        self.id = obj_id
+
+
+class _NullRun:
+    __slots__ = ("count",)
+
+    def __init__(self, count: int):
+        self.count = count
+
+
+@dataclass
+class _ClassMeta:
+    name: str
+    member_names: list
+    member_btypes: list
+    member_extra: list
+
+
+class _NrbfReader:
+    """Tolerant reader for the NRBF subset BinaryFormatter emits for
+    plain [Serializable] object graphs (class records, references,
+    strings, primitive members, single-dimension arrays)."""
+
+    def __init__(self, buf: bytes):
+        self.r = _Reader(buf)
+        self.objects: dict[int, object] = {}
+        self.meta: dict[int, _ClassMeta] = {}
+        self.root_id: Optional[int] = None
+
+    # -- record stream ------------------------------------------------------
+
+    def parse(self):
+        rec = self.r.u8()
+        if rec != _REC_HEADER:
+            raise ValueError("NRBF: missing SerializedStreamHeader")
+        self.root_id = self.r.i32()
+        self.r.i32()  # headerId
+        self.r.i32()  # major
+        self.r.i32()  # minor
+        while True:
+            rec = self.r.u8()
+            if rec == _REC_END:
+                break
+            self._read_record(rec)
+        return self._resolve(self.objects.get(self.root_id))
+
+    def _read_record(self, rec: int):
+        if rec == _REC_LIBRARY:
+            self.r.i32()
+            self.r.string()
+            return None
+        if rec == _REC_NULL:
+            return None
+        if rec == _REC_NULL_MULTI_256:
+            return _NullRun(self.r.u8())
+        if rec == _REC_NULL_MULTI:
+            return _NullRun(self.r.i32())
+        if rec == _REC_REFERENCE:
+            return _Ref(self.r.i32())
+        if rec == _REC_STRING:
+            obj_id = self.r.i32()
+            s = self.r.string()
+            self.objects[obj_id] = s
+            return s
+        if rec == _REC_PRIM_TYPED:
+            prim = self.r.u8()
+            return self._read_prim(prim)
+        if rec in (_REC_CLASS_TYPED, _REC_SYSTEM_CLASS_TYPED):
+            return self._read_class_typed(system=rec == _REC_SYSTEM_CLASS_TYPED)
+        if rec == _REC_CLASS_WITH_ID:
+            obj_id = self.r.i32()
+            meta_id = self.r.i32()
+            meta = self.meta[meta_id]
+            return self._read_members(obj_id, meta)
+        if rec == _REC_ARRAY_PRIM:
+            obj_id = self.r.i32()
+            length = self.r.i32()
+            prim = self.r.u8()
+            vals = [self._read_prim(prim) for _ in range(length)]
+            self.objects[obj_id] = vals
+            return vals
+        if rec == _REC_ARRAY_STRING or rec == _REC_ARRAY_OBJECT:
+            obj_id = self.r.i32()
+            length = self.r.i32()
+            vals = self._read_array_items(length)
+            self.objects[obj_id] = vals
+            return vals
+        if rec == _REC_BINARY_ARRAY:
+            return self._read_binary_array()
+        raise ValueError(f"NRBF: unsupported record type {rec}")
+
+    def _read_prim(self, prim: int):
+        fn = _PRIM_READERS.get(prim)
+        if fn is None:
+            raise ValueError(f"NRBF: unsupported primitive type {prim}")
+        return fn(self.r)
+
+    def _read_array_items(self, length: int) -> list:
+        vals: list = []
+        while len(vals) < length:
+            item = self._read_record(self.r.u8())
+            if isinstance(item, _NullRun):
+                vals.extend([None] * item.count)
+            else:
+                vals.append(item)
+        return vals
+
+    def _read_binary_array(self):
+        obj_id = self.r.i32()
+        array_type = self.r.u8()  # 0 = Single supported
+        rank = self.r.i32()
+        lengths = [self.r.i32() for _ in range(rank)]
+        if array_type != 0 or rank != 1:
+            raise ValueError("NRBF: only single-dimension arrays supported")
+        btype = self.r.u8()
+        extra = self._read_type_extra(btype)
+        if btype == _BT_PRIMITIVE:
+            vals = [self._read_prim(extra) for _ in range(lengths[0])]
+        else:
+            vals = self._read_array_items(lengths[0])
+        self.objects[obj_id] = vals
+        return vals
+
+    def _read_type_extra(self, btype: int):
+        if btype == _BT_PRIMITIVE or btype == _BT_PRIMITIVE_ARRAY:
+            return self.r.u8()
+        if btype == _BT_SYSTEM_CLASS:
+            return self.r.string()
+        if btype == _BT_CLASS:
+            name = self.r.string()
+            self.r.i32()  # library id
+            return name
+        return None
+
+    def _read_class_typed(self, system: bool):
+        obj_id = self.r.i32()
+        name = self.r.string()
+        n = self.r.i32()
+        names = [self.r.string() for _ in range(n)]
+        btypes = [self.r.u8() for _ in range(n)]
+        extra = [self._read_type_extra(bt) for bt in btypes]
+        if not system:
+            self.r.i32()  # library id
+        meta = _ClassMeta(name, names, btypes, extra)
+        self.meta[obj_id] = meta
+        return self._read_members(obj_id, meta)
+
+    def _read_members(self, obj_id: int, meta: _ClassMeta):
+        obj = _NrbfObject(meta.name)
+        self.objects[obj_id] = obj  # register BEFORE reading (cycles)
+        for mname, btype, extra in zip(
+            meta.member_names, meta.member_btypes, meta.member_extra
+        ):
+            if btype == _BT_PRIMITIVE:
+                val = self._read_prim(extra)
+            else:
+                # a BinaryLibrary record may precede the actual value
+                while True:
+                    rec = self.r.u8()
+                    if rec == _REC_LIBRARY:
+                        self.r.i32()
+                        self.r.string()
+                        continue
+                    val = self._read_record(rec)
+                    break
+            obj.members[_clean_member(mname)] = val
+        return obj
+
+    # -- reference resolution ----------------------------------------------
+
+    def _resolve(self, value):
+        seen: dict[int, object] = {}
+
+        def go(v):
+            if isinstance(v, _Ref):
+                if v.id in seen:
+                    return seen[v.id]
+                target = self.objects.get(v.id)
+                resolved = go(target)
+                seen[v.id] = resolved
+                return resolved
+            if isinstance(v, _NrbfObject):
+                oid = id(v)
+                if oid in seen:
+                    return v
+                seen[oid] = v
+                for k, mv in list(v.members.items()):
+                    v.members[k] = go(mv)
+                return v
+            if isinstance(v, list):
+                return [go(x) for x in v]
+            return v
+
+        return go(value)
+
+
+def _clean_member(name: str) -> str:
+    # auto-property backing fields serialise as "<Prop>k__BackingField"
+    if name.startswith("<") and name.endswith(">k__BackingField"):
+        return name[1 : -len(">k__BackingField")]
+    return name
+
+
+def nrbf_root_class(blob: bytes) -> Optional[str]:
+    """Best-effort root class name of a BinaryFormatter blob (used to
+    report which comparer/normaliser a reference index was built
+    with); None if the blob isn't parseable by the subset reader."""
+    try:
+        root = _NrbfReader(blob).parse()
+    except Exception:  # noqa: BLE001 - diagnostic only
+        return None
+    if isinstance(root, _NrbfObject):
+        return root.cls
+    return None
+
+
+def _immutable_list_values(root) -> list:
+    """Extract the element sequence from a deserialised
+    ``ImmutableList<T>`` graph: prefer the ``_allValues`` cache array
+    when populated, else walk the ``_tail``→``Previous`` node chain
+    (tail holds the LAST element) and reverse."""
+    if isinstance(root, list):
+        return root
+    if not isinstance(root, _NrbfObject):
+        raise ValueError("NRBF KEYS root is not an object graph")
+    all_values = root.members.get("_allValues")
+    if isinstance(all_values, list):
+        return all_values
+    out = []
+    node = root.members.get("_tail")
+    while node is not None:
+        if not isinstance(node, _NrbfObject):
+            raise ValueError("NRBF KEYS node chain is malformed")
+        out.append(node.members.get("Value"))
+        node = node.members.get("Previous")
+    out.reverse()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# envelope read
+# ---------------------------------------------------------------------------
+
+_SECTIONS = ("INDEXDATA\n", "KEYCOMPARER\n", "STRINGNORMALISER\n",
+             "KEYS\n", "MATCHES\n")
+
+_NORMALISER_MAP = {
+    "DefaultStringNormaliser": "default",
+    "EnglishPluralityStringNormaliser": "english_plurality",
+}
+
+
+@dataclass
+class DotnetIndexFile:
+    """Driver-side parse of one reference binary index file."""
+
+    keys: list
+    # (token, key_index, weight_f32, locations or None); locations are
+    # (field_idx, token_idx, src_idx, src_len, contribution) tuples
+    postings: list
+    key_comparer_class: Optional[str]
+    normaliser_class: Optional[str]
+
+    @property
+    def has_locations(self) -> bool:
+        return any(p[3] for p in self.postings)
+
+    @property
+    def engine_normaliser(self) -> str:
+        name = (self.normaliser_class or "").rsplit(".", 1)[-1]
+        name = name.split("`", 1)[0]
+        return _NORMALISER_MAP.get(name, "default")
+
+
+def read_dotnet_index(data: bytes) -> DotnetIndexFile:
+    """Parse the sectioned binary format (IndexDataSerialiser.cs
+    ``Deserialise``, :119-188) from bytes."""
+    r = _Reader(data)
+    if r.string() != _SECTIONS[0]:
+        raise ValueError("not a FullTextIndexer binary index (bad header)")
+    if r.string() != _SECTIONS[1]:
+        raise ValueError("missing KEYCOMPARER section")
+    kc_blob = r.bytes(r.i32())
+    if r.string() != _SECTIONS[2]:
+        raise ValueError("missing STRINGNORMALISER section")
+    sn_blob = r.bytes(r.i32())
+    if r.string() != _SECTIONS[3]:
+        raise ValueError("missing KEYS section")
+    keys_blob = r.bytes(r.i32())
+    if r.string() != _SECTIONS[4]:
+        raise ValueError("missing MATCHES section")
+
+    keys = _immutable_list_values(_NrbfReader(keys_blob).parse())
+
+    postings = []
+    n_tokens = r.i32()
+    for _ in range(n_tokens):
+        token = r.string()
+        n_matches = r.i32()
+        for _ in range(n_matches):
+            key_idx = r.i32()
+            if key_idx < 0 or key_idx >= len(keys):
+                raise ValueError(f"invalid keyIndex {key_idx}")
+            weight = r.f32()
+            n_loc = r.i32()
+            locs = None
+            if n_loc:
+                locs = [
+                    (r.i32(), r.i32(), r.i32(), r.i32(), r.f32())
+                    for _ in range(n_loc)
+                ]
+            postings.append((token, key_idx, weight, locs))
+    return DotnetIndexFile(
+        keys=keys,
+        postings=postings,
+        key_comparer_class=nrbf_root_class(kc_blob),
+        normaliser_class=nrbf_root_class(sn_blob),
+    )
+
+
+def load_dotnet(
+    spark: SparkSession,
+    path: str,
+    config=None,
+):
+    """Load a reference-serialised binary index into an engine
+    :class:`~fulltextindexer_spark.operators.index_build.InvertedIndex`.
+
+    Mapping onto the engine's postings schema:
+
+    - ``term``      ← the serialised token (already normalised by the
+      reference at build time — the engine must be configured with the
+      matching normaliser for QUERY-side tokenisation; the loader maps
+      the STRINGNORMALISER class name to the engine name and records it
+      in the returned config).
+    - ``doc_id``    ← integer keys directly; string keys hash with
+      ``xxhash64`` (the engine's natural-key convention) and a
+      ``key_map`` carries (doc_id, doc_key).
+    - ``weight``    ← float32 match weight, bit-preserved.
+    - ``positions`` ← SourceFieldLocation runs, field-for-field
+      (field_idx, token_idx, src_idx, src_len, contribution).
+    - ``tf``        ← location count when recorded (= occurrence count
+      by construction), else 1.
+    - ``dl``        ← per-doc Σtf. When locations were recorded this
+      is exactly the reference's total token count for the doc; for a
+      weights-only index it is a lower bound (documented, affects only
+      BM25-style scoring — weight-fold queries are unaffected).
+    """
+    with open(path, "rb") as fh:
+        parsed = read_dotnet_index(fh.read())
+    entries = [
+        (token, parsed.keys[key_idx], weight, locs)
+        for token, key_idx, weight, locs in parsed.postings
+    ]
+    return _index_from_entries(
+        spark, entries, parsed.engine_normaliser, config
+    )
+
+
+def _index_from_entries(
+    spark: SparkSession, entries: list, engine_normaliser: str, config
+):
+    """Shared builder for both interop loaders: ``entries`` is
+    [(term, key, weight_f32, locations|None)] with locations as
+    (field_idx, token_idx, src_idx, src_len, contribution) tuples."""
+    from fulltextindexer_spark.config import FieldConfig, IndexConfig
+    from fulltextindexer_spark.operators.index_build import InvertedIndex
+
+    int_keys = all(isinstance(k, int) for _, k, _, _ in entries)
+    has_locations = any(locs for _, _, _, locs in entries)
+    rows = [
+        (
+            term,
+            key,
+            float(weight),
+            len(locs) if locs else 1,
+            [tuple(loc) for loc in locs] if locs else None,
+        )
+        for term, key, weight, locs in entries
+    ]
+    key_type = "long" if int_keys else "string"
+    raw = spark.createDataFrame(
+        rows,
+        f"term string, doc_key {key_type}, weight float, tf int, "
+        "positions array<struct<field_idx:int,token_idx:int,src_idx:int,"
+        "src_len:int,contribution:float>>",
+    )
+    if int_keys:
+        raw = raw.withColumn("doc_id", F.col("doc_key").cast("long"))
+        key_map = None
+    else:
+        raw = raw.withColumn("doc_id", F.xxhash64("doc_key"))
+        key_map = raw.select(
+            "doc_id", F.col("doc_key").alias("doc_key")
+        ).distinct()
+    dl = raw.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+    postings = (
+        raw.join(dl, "doc_id")
+        .select("term", "doc_id", "weight", "tf", "dl", "positions")
+    )
+    if config is None:
+        config = IndexConfig(
+            key_column="doc_id",
+            fields=(FieldConfig("text", 1.0),),
+            normaliser=engine_normaliser,
+            capture_positions=has_locations,
+        )
+    return InvertedIndex(
+        postings=postings,
+        config=config,
+        key_map=key_map,
+        natural_key=None if int_keys else "doc_key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# envelope write (fixture authoring + single-node export)
+# ---------------------------------------------------------------------------
+
+
+class _NrbfWriter:
+    def __init__(self):
+        self.w = _Writer()
+        self.next_id = 1
+
+    def alloc(self) -> int:
+        self.next_id += 1
+        return self.next_id - 1
+
+    def header(self, root_id: int):
+        self.w.u8(_REC_HEADER)
+        self.w.i32(root_id)
+        self.w.i32(-1)
+        self.w.i32(1)
+        self.w.i32(0)
+
+    def library(self, lib_id: int, name: str):
+        self.w.u8(_REC_LIBRARY)
+        self.w.i32(lib_id)
+        self.w.string(name)
+
+    def end(self) -> bytes:
+        self.w.u8(_REC_END)
+        return self.w.getvalue()
+
+
+_LIB_NAME = (
+    "FullTextIndexer.Common, Version=1.4.1.0, Culture=neutral,"
+    " PublicKeyToken=null"
+)
+_CORE_LIB_NAME = (
+    "FullTextIndexer.Core, Version=1.4.1.0, Culture=neutral,"
+    " PublicKeyToken=null"
+)
+
+
+def _write_marker_class(class_name: str, lib_name: str) -> bytes:
+    """NRBF blob for a field-less [Serializable] class instance (the
+    shape BinaryFormatter emits for the stateless comparers /
+    DefaultStringNormaliser)."""
+    n = _NrbfWriter()
+    root = n.alloc()
+    lib = n.alloc()
+    n.header(root)
+    n.library(lib, lib_name)
+    n.w.u8(_REC_CLASS_TYPED)
+    n.w.i32(root)
+    n.w.string(class_name)
+    n.w.i32(0)  # no members
+    n.w.i32(lib)
+    return n.end()
+
+
+def _write_keys_blob(keys: list) -> bytes:
+    """NRBF blob for ``ImmutableList<TKey>`` with the ``_tail`` node
+    chain populated (the state a freshly built list serialises with:
+    ``_allValues`` null). Node ``Previous`` members are forward
+    MemberReferences; the referenced node records follow at the top
+    level — both placements are valid [MS-NRBF] object graphs."""
+    int_keys = all(isinstance(k, int) for k in keys)
+    t_arg = "System.Int32" if int_keys else "System.String"
+    list_cls = (
+        "FullTextIndexer.Common.Lists.ImmutableList`1[["
+        f"{t_arg}, mscorlib]]"
+    )
+    node_cls = (
+        "FullTextIndexer.Common.Lists.ImmutableList`1+Node[["
+        f"{t_arg}, mscorlib]]"
+    )
+    n = _NrbfWriter()
+    root = n.alloc()
+    lib = n.alloc()
+    node_ids = [n.alloc() for _ in keys]
+    n.header(root)
+    n.library(lib, _LIB_NAME)
+    # root: ImmutableList { _tail, _optionalValueValidator, _allValues }
+    n.w.u8(_REC_CLASS_TYPED)
+    n.w.i32(root)
+    n.w.string(list_cls)
+    n.w.i32(3)
+    for m in ("_tail", "_optionalValueValidator", "_allValues"):
+        n.w.string(m)
+    n.w.u8(_BT_CLASS)
+    n.w.u8(_BT_OBJECT)
+    n.w.u8(_BT_PRIMITIVE_ARRAY if int_keys else _BT_STRING_ARRAY)
+    # extra infos, in member order
+    n.w.string(node_cls)
+    n.w.i32(lib)
+    if int_keys:
+        n.w.u8(8)  # Int32 element type
+    n.w.i32(lib)
+    # member values: _tail ref (last node) | null | null
+    if keys:
+        n.w.u8(_REC_REFERENCE)
+        n.w.i32(node_ids[-1])
+    else:
+        n.w.u8(_REC_NULL)
+    n.w.u8(_REC_NULL)
+    n.w.u8(_REC_NULL)
+    # node records, tail (last key) first; Previous points at the
+    # node holding the preceding key
+    first_meta_id = None
+    for pos in range(len(keys) - 1, -1, -1):
+        obj_id = node_ids[pos]
+        if first_meta_id is None:
+            first_meta_id = obj_id
+            n.w.u8(_REC_CLASS_TYPED)
+            n.w.i32(obj_id)
+            n.w.string(node_cls)
+            n.w.i32(3)
+            for m in (
+                "<Value>k__BackingField",
+                "<Previous>k__BackingField",
+                "<Count>k__BackingField",
+            ):
+                n.w.string(m)
+            n.w.u8(_BT_PRIMITIVE if int_keys else _BT_STRING)
+            n.w.u8(_BT_CLASS)
+            n.w.u8(_BT_PRIMITIVE)
+            if int_keys:
+                n.w.u8(8)  # Value: Int32
+            n.w.string(node_cls)
+            n.w.i32(lib)
+            n.w.u8(8)  # Count: Int32
+            n.w.i32(lib)
+        else:
+            n.w.u8(_REC_CLASS_WITH_ID)
+            n.w.i32(obj_id)
+            n.w.i32(first_meta_id)
+        # Value
+        if int_keys:
+            n.w.i32(keys[pos])
+        else:
+            sid = n.alloc()
+            n.w.u8(_REC_STRING)
+            n.w.i32(sid)
+            n.w.string(keys[pos])
+        # Previous
+        if pos == 0:
+            n.w.u8(_REC_NULL)
+        else:
+            n.w.u8(_REC_REFERENCE)
+            n.w.i32(node_ids[pos - 1])
+        # Count (1-based position in the chain)
+        n.w.i32(pos + 1)
+    return n.end()
+
+
+_NORMALISER_EXPORT = {
+    "default": (
+        "FullTextIndexer.Core.Indexes.TernarySearchTree."
+        "DefaultStringNormaliser"
+    ),
+    "english_plurality": (
+        "FullTextIndexer.Core.Indexes.TernarySearchTree."
+        "EnglishPluralityStringNormaliser"
+    ),
+}
+
+
+def save_dotnet(index, path: str) -> int:
+    """Export an engine index to the reference's sectioned binary
+    format (write path of ``IndexDataSerialiser.cs:20-54``/``:190-238``).
+
+    The postings are collected to the driver — by definition of the
+    target format, which is a single .NET process's in-memory index in
+    one stream; refuse the temptation to use this as a distributed
+    sink (that's the compact parquet tier). Locations export
+    field-for-field when the index captured positions. Returns the
+    number of (term, doc) entries written.
+
+    Keys serialise as the ``ImmutableList<TKey>`` node-chain graph;
+    the comparer/normaliser sections carry field-less marker instances
+    of the matching reference types (``DefaultEqualityComparer`` /
+    the configured normaliser class).
+    """
+    rows = (
+        index.postings.select("term", "doc_id", "weight", "positions")
+        if "positions" in index.postings.columns
+        else index.postings.select(
+            "term", "doc_id", "weight", F.lit(None).alias("positions")
+        )
+    )
+    if index.key_map is not None:
+        rows = (
+            rows.join(index.key_map, "doc_id")
+            .select("term", F.col("doc_key").alias("key"), "weight",
+                    "positions")
+        )
+    else:
+        rows = rows.select(
+            "term", F.col("doc_id").alias("key"), "weight", "positions"
+        )
+    data = rows.orderBy("term", "key").collect()
+
+    by_term: dict[str, list] = {}
+    keys: list = []
+    key_index: dict = {}
+    for r in data:
+        k = r["key"]
+        if k not in key_index:
+            key_index[k] = len(keys)
+            keys.append(k)
+        by_term.setdefault(r["term"], []).append(
+            (key_index[k], r["weight"], r["positions"])
+        )
+
+    int_keys = all(isinstance(k, int) for k in keys)
+    comparer_cls = (
+        "FullTextIndexer.Common.Lists.DefaultEqualityComparer`1[["
+        + ("System.Int32" if int_keys else "System.String")
+        + ", mscorlib]]"
+    )
+    normaliser_cls = _NORMALISER_EXPORT.get(
+        index.config.normaliser, _NORMALISER_EXPORT["default"]
+    )
+
+    w = _Writer()
+    w.string(_SECTIONS[0])
+    w.string(_SECTIONS[1])
+    kc = _write_marker_class(comparer_cls, _LIB_NAME)
+    w.i32(len(kc))
+    w.raw(kc)
+    w.string(_SECTIONS[2])
+    sn = _write_marker_class(normaliser_cls, _CORE_LIB_NAME)
+    w.i32(len(sn))
+    w.raw(sn)
+    w.string(_SECTIONS[3])
+    kb = _write_keys_blob(keys)
+    w.i32(len(kb))
+    w.raw(kb)
+    w.string(_SECTIONS[4])
+    w.i32(len(by_term))
+    n_entries = 0
+    for term in sorted(by_term):
+        w.string(term)
+        matches = by_term[term]
+        w.i32(len(matches))
+        for key_idx, weight, positions in matches:
+            w.i32(key_idx)
+            w.f32(weight)
+            if not positions:
+                w.i32(0)
+            else:
+                w.i32(len(positions))
+                for loc in positions:
+                    w.i32(loc["field_idx"])
+                    w.i32(loc["token_idx"])
+                    w.i32(loc["src_idx"])
+                    w.i32(loc["src_len"])
+                    w.f32(loc["contribution"])
+            n_entries += 1
+    with open(path, "wb") as fh:
+        fh.write(w.getvalue())
+    return n_entries
+
+
+# ---------------------------------------------------------------------------
+# JSON.NET dialect (IndexDataJsonSerialiser)
+# ---------------------------------------------------------------------------
+
+_NORMALISER_AQN = {
+    "default": (
+        "FullTextIndexer.Core.Indexes.TernarySearchTree."
+        "DefaultStringNormaliser, FullTextIndexer.Core,"
+        " Version=1.4.1.0, Culture=neutral, PublicKeyToken=null"
+    ),
+    "english_plurality": (
+        "FullTextIndexer.Core.Indexes.TernarySearchTree."
+        "EnglishPluralityStringNormaliser, FullTextIndexer.Core,"
+        " Version=1.4.1.0, Culture=neutral, PublicKeyToken=null"
+    ),
+}
+
+
+def save_reference_json(index, path: str) -> int:
+    """Export an engine index in the reference's JSON.NET dialect
+    (``Serialisation.Json/IndexDataJsonSerialiser.cs:17-47``): the
+    ``IndexDataConverter`` object shape {MatchData, DataKeyComparer}
+    with the TST rendered as the pair list
+    ``TernarySearchTreeConverter.cs`` writes —
+    ``NormalisedKeysWithValues`` [{Key: normalised term, Value:
+    [WeightedEntry...]}] plus ``KeyNormaliser`` — and the
+    ``EnhancedDetailContractResolver``'s ``$$type``
+    AssemblyQualifiedName marker on normaliser/comparer objects.
+    WeightedEntry fields are {Key, Weight, SourceLocationsIfRecorded}
+    with SourceFieldLocation property names field-for-field
+    (``WeightedEntry.cs:26-36``, ``SourceFieldLocation.cs:22-38``);
+    nulls are written explicitly (NullValueHandling.Include).
+
+    Same single-node contract as :func:`save_dotnet` (driver collect
+    by design of the target format). Returns entry count.
+    """
+    import json
+
+    rows = (
+        index.postings.select("term", "doc_id", "weight", "positions")
+        if "positions" in index.postings.columns
+        else index.postings.select(
+            "term", "doc_id", "weight", F.lit(None).alias("positions")
+        )
+    )
+    if index.key_map is not None:
+        rows = rows.join(index.key_map, "doc_id").select(
+            "term", F.col("doc_key").alias("key"), "weight", "positions"
+        )
+    else:
+        rows = rows.select(
+            "term", F.col("doc_id").alias("key"), "weight", "positions"
+        )
+    data = rows.orderBy("term", "key").collect()
+
+    by_term: dict[str, list] = {}
+    n_entries = 0
+    for r in data:
+        locs = None
+        if r["positions"]:
+            locs = [
+                {
+                    "SourceFieldIndex": p["field_idx"],
+                    "TokenIndex": p["token_idx"],
+                    "SourceIndex": p["src_idx"],
+                    "SourceTokenLength": p["src_len"],
+                    "MatchWeightContribution": round(
+                        float(p["contribution"]), 9
+                    ),
+                }
+                for p in r["positions"]
+            ]
+        by_term.setdefault(r["term"], []).append(
+            {
+                "Key": r["key"],
+                "Weight": round(float(r["weight"]), 9),
+                "SourceLocationsIfRecorded": locs,
+            }
+        )
+        n_entries += 1
+
+    int_keys = all(
+        isinstance(e["Key"], int) for es in by_term.values() for e in es
+    )
+    comparer_aqn = (
+        "FullTextIndexer.Common.Lists.DefaultEqualityComparer`1[["
+        + ("System.Int32" if int_keys else "System.String")
+        + ", mscorlib]], FullTextIndexer.Common, Version=1.4.1.0,"
+        " Culture=neutral, PublicKeyToken=null"
+    )
+    doc = {
+        "MatchData": {
+            "NormalisedKeysWithValues": [
+                {"Key": term, "Value": by_term[term]}
+                for term in sorted(by_term)
+            ],
+            "KeyNormaliser": {
+                "$$type": _NORMALISER_AQN.get(
+                    index.config.normaliser, _NORMALISER_AQN["default"]
+                )
+            },
+        },
+        "DataKeyComparer": {"$$type": comparer_aqn},
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=2)
+    return n_entries
+
+
+def load_reference_json(spark: SparkSession, path: str, config=None):
+    """Load a reference JSON.NET-serialised index (the
+    :func:`save_reference_json` dialect) into an engine
+    :class:`InvertedIndex` — same postings mapping as
+    :func:`load_dotnet` (tf from location counts, per-doc Σtf as dl,
+    string keys hashed via the xxhash64 natural-key convention)."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    match_data = doc.get("MatchData") or {}
+    pairs = match_data.get("NormalisedKeysWithValues") or []
+    entries = []
+    for pair in pairs:
+        term = pair["Key"]
+        for e in pair["Value"]:
+            locs = None
+            if e.get("SourceLocationsIfRecorded"):
+                locs = [
+                    (
+                        loc["SourceFieldIndex"],
+                        loc["TokenIndex"],
+                        loc["SourceIndex"],
+                        loc["SourceTokenLength"],
+                        float(loc["MatchWeightContribution"]),
+                    )
+                    for loc in e["SourceLocationsIfRecorded"]
+                ]
+            entries.append((term, e["Key"], float(e["Weight"]), locs))
+    normaliser_aqn = (match_data.get("KeyNormaliser") or {}).get(
+        "$$type", ""
+    )
+    cls = normaliser_aqn.split(",", 1)[0].rsplit(".", 1)[-1]
+    engine_normaliser = _NORMALISER_MAP.get(cls, "default")
+    return _index_from_entries(spark, entries, engine_normaliser, config)

@@ -1,0 +1,273 @@
+"""Reference binary-format interop (sources/dotnet.py): the sectioned
+IndexDataSerialiser layout (IndexDataSerialiser.cs:20-54 envelope,
+:119-188 read, :190-238 write) round-trips through the engine, and the
+NRBF KEYS graph (ImmutableList node chain) parses both populated and
+chained forms. No .NET runtime exists in this sandbox, so fixtures are
+authored by save_dotnet against the documented layout (caveat stated in
+the module docstring)."""
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fulltextindexer_spark.config import FieldConfig, IndexConfig
+from fulltextindexer_spark.operators import query as q
+from fulltextindexer_spark.operators.index_build import build_index
+from fulltextindexer_spark.sources import dotnet
+
+CFG = IndexConfig(
+    key_column="id",
+    fields=(FieldConfig("title", 5.0), FieldConfig("text", 1.0)),
+    capture_positions=True,
+)
+
+DOCS = [
+    (1, "spark index", "the quick brown fox builds an inverted index"),
+    (2, "merge sort", "sort merge join hash join index scan"),
+    (3, "empty-ish", "zebra"),
+]
+
+
+def _postings_set(idx):
+    rows = idx.postings.select(
+        "term", "doc_id", "weight", "tf", "positions"
+    ).collect()
+    out = set()
+    for r in rows:
+        locs = (
+            tuple(
+                (p["field_idx"], p["token_idx"], p["src_idx"],
+                 p["src_len"], round(p["contribution"], 6))
+                for p in r["positions"]
+            )
+            if r["positions"]
+            else None
+        )
+        out.add((r["term"], r["doc_id"], round(r["weight"], 6),
+                 r["tf"], locs))
+    return out
+
+
+def test_roundtrip_int_keys_with_locations(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "id long, title string, text string")
+    idx = build_index(docs, CFG)
+    path = str(tmp_path / "index.bin")
+    n = dotnet.save_dotnet(idx, path)
+    assert n == idx.postings.count()
+    loaded = dotnet.load_dotnet(spark, path)
+    # postings identical: term, key, f32 weight, tf (= location count),
+    # and every SourceFieldLocation field-for-field
+    assert _postings_set(loaded) == _postings_set(idx)
+    # dl recomputed from locations equals the build's dl exactly
+    dls = {
+        (r["doc_id"], r["dl"])
+        for r in loaded.postings.select("doc_id", "dl").distinct().collect()
+    }
+    want = {
+        (r["doc_id"], r["dl"])
+        for r in idx.postings.select("doc_id", "dl").distinct().collect()
+    }
+    assert dls == want
+    # the loaded index answers weight-fold queries identically
+    got = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in q.get_partial_matches(loaded, "index merge").collect()
+    }
+    ref = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in q.get_partial_matches(idx, "index merge").collect()
+    }
+    assert got == ref
+    # config metadata carried over
+    assert loaded.config.normaliser == idx.config.normaliser
+    assert loaded.config.capture_positions
+
+
+def test_roundtrip_string_keys(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", t, x) for i, t, x in DOCS],
+        "id string, title string, text string",
+    )
+    idx = build_index(docs, CFG)
+    path = str(tmp_path / "index.bin")
+    dotnet.save_dotnet(idx, path)
+    loaded = dotnet.load_dotnet(spark, path)
+    assert loaded.natural_key == "doc_key"
+    res = loaded.resolve_keys(
+        q.get_partial_matches(loaded, "index merge")
+    )
+    got = {(r["doc_key"], round(r["score"], 5)) for r in res.collect()}
+    ref = {
+        (r["doc_key"], round(r["score"], 5))
+        for r in idx.resolve_keys(
+            q.get_partial_matches(idx, "index merge")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_weights_only_index_tf_fallback(spark, tmp_path):
+    from dataclasses import replace
+
+    docs = spark.createDataFrame(DOCS, "id long, title string, text string")
+    idx = build_index(docs, replace(CFG, capture_positions=False))
+    path = str(tmp_path / "np.bin")
+    dotnet.save_dotnet(idx, path)
+    loaded = dotnet.load_dotnet(spark, path)
+    assert not loaded.config.capture_positions
+    # tf falls back to 1 per (term, doc); dl = number of distinct terms
+    assert {r["tf"] for r in loaded.postings.select("tf").collect()} == {1}
+
+
+def test_nrbf_keys_blob_forms():
+    # node-chain form (what save_dotnet writes)
+    blob = dotnet._write_keys_blob([10, 20, 30])
+    assert dotnet._immutable_list_values(
+        dotnet._NrbfReader(blob).parse()
+    ) == [10, 20, 30]
+    blob_s = dotnet._write_keys_blob(["a", "bee", "sea"])
+    assert dotnet._immutable_list_values(
+        dotnet._NrbfReader(blob_s).parse()
+    ) == ["a", "bee", "sea"]
+    # empty list: _tail null
+    assert dotnet._immutable_list_values(
+        dotnet._NrbfReader(dotnet._write_keys_blob([])).parse()
+    ) == []
+    # marker classes parse to their reference type names
+    kc = dotnet._write_marker_class("Some.Comparer", dotnet._LIB_NAME)
+    assert dotnet.nrbf_root_class(kc) == "Some.Comparer"
+
+
+def test_section_markers_and_errors(tmp_path):
+    # the envelope validates section markers exactly as the reference
+    # reader does (IndexDataSerialiser.cs:67-107)
+    with pytest.raises(ValueError, match="bad header"):
+        dotnet.read_dotnet_index(b"\x03abc")
+    w = dotnet._Writer()
+    w.string("INDEXDATA\n")
+    w.string("WRONG\n")
+    with pytest.raises(ValueError, match="KEYCOMPARER"):
+        dotnet.read_dotnet_index(w.getvalue())
+
+
+def test_normaliser_class_mapping(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, "id long, title string, text string")
+    from dataclasses import replace
+
+    idx = build_index(docs, replace(CFG, normaliser="default"))
+    path = str(tmp_path / "d.bin")
+    dotnet.save_dotnet(idx, path)
+    with open(path, "rb") as fh:
+        parsed = dotnet.read_dotnet_index(fh.read())
+    assert parsed.normaliser_class.endswith("DefaultStringNormaliser")
+    assert parsed.engine_normaliser == "default"
+
+
+def test_reference_json_roundtrip(spark, tmp_path):
+    """The JSON.NET dialect (IndexDataJsonSerialiser /
+    TernarySearchTreeConverter pair-list layout) round-trips: terms,
+    keys, f32 weights, SourceFieldLocation fields, $$type markers."""
+    import json
+
+    docs = spark.createDataFrame(DOCS, "id long, title string, text string")
+    idx = build_index(docs, CFG)
+    path = str(tmp_path / "index.json")
+    n = dotnet.save_reference_json(idx, path)
+    assert n == idx.postings.count()
+    doc = json.load(open(path))
+    # reference layout properties present
+    assert set(doc) == {"MatchData", "DataKeyComparer"}
+    assert set(doc["MatchData"]) == {
+        "NormalisedKeysWithValues", "KeyNormaliser"
+    }
+    assert doc["MatchData"]["KeyNormaliser"]["$$type"].startswith(
+        "FullTextIndexer.Core.Indexes.TernarySearchTree."
+    )
+    entry = doc["MatchData"]["NormalisedKeysWithValues"][0]["Value"][0]
+    assert set(entry) == {"Key", "Weight", "SourceLocationsIfRecorded"}
+    assert set(entry["SourceLocationsIfRecorded"][0]) == {
+        "SourceFieldIndex", "TokenIndex", "SourceIndex",
+        "SourceTokenLength", "MatchWeightContribution",
+    }
+    loaded = dotnet.load_reference_json(spark, path)
+    assert _postings_set(loaded) == _postings_set(idx)
+    got = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in q.get_partial_matches(loaded, "index merge").collect()
+    }
+    ref = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in q.get_partial_matches(idx, "index merge").collect()
+    }
+    assert got == ref
+
+
+def test_reference_json_string_keys_and_nulls(spark, tmp_path):
+    """String keys + a weights-only index: nulls written explicitly
+    (NullValueHandling.Include), keys re-hash on load."""
+    import json
+    from dataclasses import replace
+
+    docs = spark.createDataFrame(
+        [(f"k{i}", t, x) for i, t, x in DOCS],
+        "id string, title string, text string",
+    )
+    idx = build_index(docs, replace(CFG, capture_positions=False))
+    path = str(tmp_path / "s.json")
+    dotnet.save_reference_json(idx, path)
+    doc = json.load(open(path))
+    entry = doc["MatchData"]["NormalisedKeysWithValues"][0]["Value"][0]
+    assert entry["SourceLocationsIfRecorded"] is None
+    assert isinstance(entry["Key"], str)
+    loaded = dotnet.load_reference_json(spark, path)
+    assert loaded.natural_key == "doc_key"
+    got = {
+        (r["doc_key"], round(r["score"], 5))
+        for r in loaded.resolve_keys(
+            q.get_partial_matches(loaded, "index")
+        ).collect()
+    }
+    ref = {
+        (r["doc_key"], round(r["score"], 5))
+        for r in idx.resolve_keys(
+            q.get_partial_matches(idx, "index")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_key_normaliser_envelope(spark):
+    """build_index(key_normaliser=...): keys equal under the comparer
+    collapse to ONE document (the reference's pluggable
+    IEqualityComparer<TKey>, IndexGenerator.cs:28) — case-variant keys
+    merge, their weights combine per the entry combiner, and
+    resolve_keys reports the canonical form."""
+    docs = spark.createDataFrame(
+        [
+            ("Doc-1", "alpha beta"),
+            ("doc-1", "beta gamma"),
+            (" DOC-2 ", "alpha"),
+        ],
+        "id string, text string",
+    )
+    cfg = IndexConfig(
+        key_column="id",
+        fields=(FieldConfig("text", 1.0),),
+        capture_positions=False,
+    )
+    idx = build_index(docs, cfg, key_normaliser="trim_casefold")
+    keys = {r["doc_key"] for r in idx.key_map.collect()}
+    assert keys == {"doc-1", "doc-2"}
+    res = idx.resolve_keys(q.get_partial_matches(idx, "beta"))
+    got = {(r["doc_key"], r["score"]) for r in res.collect()}
+    # 'beta' appears once in each Doc-1 variant -> combined weight 2
+    assert got == {("doc-1", 2.0)}
+    # callable form: custom canonicalisation
+    idx2 = build_index(
+        docs, cfg, key_normaliser=lambda c: F.upper(F.trim(c))
+    )
+    assert {r["doc_key"] for r in idx2.key_map.collect()} == {
+        "DOC-1", "DOC-2"
+    }
