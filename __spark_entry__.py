@@ -668,6 +668,44 @@ def q_compact_search(spark, sf_dir):
     )
 
 
+def _dotnet_index(spark, sf_dir):
+    """Build-once reference-binary tier: export through the sectioned
+    .NET format (IndexDataSerialiser.cs layout), reload with the
+    NRBF/MATCHES parser (cached per session/corpus)."""
+    import os
+    import tempfile
+
+    from fulltextindexer_spark.sources.dotnet import (
+        load_dotnet,
+        save_dotnet,
+    )
+
+    key = ("dotnet", id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = _docs_index(spark, sf_dir)
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="ftix_gate_dotnet_"), "index.bin"
+        )
+        save_dotnet(idx, out)
+        loaded = load_dotnet(spark, out, config=idx.config)
+        cachereg.persist_tracked(loaded.postings)
+        _INDEX_CACHE[key] = loaded
+    return _INDEX_CACHE[key]
+
+
+def q_dotnet_roundtrip(spark, sf_dir):
+    """Reference binary-format interop end-to-end: export the index in
+    the reference's sectioned INDEXDATA layout
+    (IndexDataSerialiser.cs:20-54), reload it through the NRBF KEYS +
+    MATCHES parser, and run the AND-sum scoring query on the reloaded
+    postings — must equal the same DuckDB oracle as ftix_search_and /
+    ftix_compact_search (f32 weights bit-preserved through the f32
+    file fields)."""
+    return _round_score(
+        q.get_partial_matches(_dotnet_index(spark, sf_dir), "sort table")
+    )
+
+
 def q_contains(spark, sf_dir):
     """Contains-search over the all-offsets substring expansion index
     (the reference PartialMatchingTokenBreaker's default mode,
@@ -4037,6 +4075,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ftix_passage_text": q_passage_text,
         "text_lang_mix": q_lang_mix,
         "curate_bpe_doc_tokens": q_bpe_doc_tokens,
+        "ftix_dotnet_roundtrip": q_dotnet_roundtrip,
     }
 
 
@@ -8091,4 +8130,14 @@ FROM g GROUP BY doc_id, span_idx
         "curate_bpe_doc_tokens": bpe.bpe_doc_tokens_oracle_sql(
             BPE_GATE_MERGES
         ),
+        # same scoring oracle as ftix_compact_search: the .NET
+        # round-trip must be lossless for terms/keys/f32 weights
+        "ftix_dotnet_roundtrip": f"""
+WITH {TOK_CTE}, {POST_CTE},
+q(term, token_idx) AS (VALUES ('{english_plurality_normalise("sort")}', 0),
+                              ('{english_plurality_normalise("table")}', 1)),
+m AS (SELECT p.doc_id, q.token_idx, p.w FROM post p JOIN q ON p.term = q.term)
+SELECT doc_id, round(sum(w), 4) AS score FROM m
+GROUP BY doc_id HAVING count(DISTINCT token_idx) = 2
+""",
     }

@@ -57,7 +57,7 @@ import struct
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -813,6 +813,11 @@ def save_dotnet(index, path: str) -> int:
             "term", "doc_id", "weight", F.lit(None).alias("positions")
         )
     )
+    from fulltextindexer_spark.plans.cachereg import (
+        persist_tracked,
+        release_one,
+    )
+
     if index.key_map is not None:
         rows = (
             rows.join(index.key_map, "doc_id")
@@ -823,67 +828,88 @@ def save_dotnet(index, path: str) -> int:
         rows = rows.select(
             "term", F.col("doc_id").alias("key"), "weight", "positions"
         )
-    data = rows.orderBy("term", "key").collect()
+    # three reads share one lineage: the key dictionary, the term
+    # count, and the streamed match walk
+    rows = persist_tracked(rows, scope="query")
+    try:
+        # key dictionary first (the KEYS section precedes MATCHES in
+        # the file): sorted distinct doc keys — any consistent
+        # index assignment is a valid file, sorted is deterministic
+        keys = [
+            r["key"]
+            for r in rows.select("key").distinct().orderBy("key").collect()
+        ]
+        key_index = {k: i for i, k in enumerate(keys)}
+        n_terms = rows.select("term").distinct().count()
 
-    by_term: dict[str, list] = {}
-    keys: list = []
-    key_index: dict = {}
-    for r in data:
-        k = r["key"]
-        if k not in key_index:
-            key_index[k] = len(keys)
-            keys.append(k)
-        by_term.setdefault(r["term"], []).append(
-            (key_index[k], r["weight"], r["positions"])
+        int_keys = all(isinstance(k, int) for k in keys)
+        comparer_cls = (
+            "FullTextIndexer.Common.Lists.DefaultEqualityComparer`1[["
+            + ("System.Int32" if int_keys else "System.String")
+            + ", mscorlib]]"
+        )
+        normaliser_cls = _NORMALISER_EXPORT.get(
+            index.config.normaliser, _NORMALISER_EXPORT["default"]
         )
 
-    int_keys = all(isinstance(k, int) for k in keys)
-    comparer_cls = (
-        "FullTextIndexer.Common.Lists.DefaultEqualityComparer`1[["
-        + ("System.Int32" if int_keys else "System.String")
-        + ", mscorlib]]"
-    )
-    normaliser_cls = _NORMALISER_EXPORT.get(
-        index.config.normaliser, _NORMALISER_EXPORT["default"]
-    )
+        n_entries = 0
+        with open(path, "wb") as fh:
+            w = _Writer()
+            w.string(_SECTIONS[0])
+            w.string(_SECTIONS[1])
+            kc = _write_marker_class(comparer_cls, _LIB_NAME)
+            w.i32(len(kc))
+            w.raw(kc)
+            w.string(_SECTIONS[2])
+            sn = _write_marker_class(normaliser_cls, _CORE_LIB_NAME)
+            w.i32(len(sn))
+            w.raw(sn)
+            w.string(_SECTIONS[3])
+            kb = _write_keys_blob(keys)
+            w.i32(len(kb))
+            w.raw(kb)
+            w.string(_SECTIONS[4])
+            w.i32(n_terms)
+            fh.write(w.getvalue())
 
-    w = _Writer()
-    w.string(_SECTIONS[0])
-    w.string(_SECTIONS[1])
-    kc = _write_marker_class(comparer_cls, _LIB_NAME)
-    w.i32(len(kc))
-    w.raw(kc)
-    w.string(_SECTIONS[2])
-    sn = _write_marker_class(normaliser_cls, _CORE_LIB_NAME)
-    w.i32(len(sn))
-    w.raw(sn)
-    w.string(_SECTIONS[3])
-    kb = _write_keys_blob(keys)
-    w.i32(len(kb))
-    w.raw(kb)
-    w.string(_SECTIONS[4])
-    w.i32(len(by_term))
-    n_entries = 0
-    for term in sorted(by_term):
-        w.string(term)
-        matches = by_term[term]
-        w.i32(len(matches))
-        for key_idx, weight, positions in matches:
-            w.i32(key_idx)
-            w.f32(weight)
-            if not positions:
-                w.i32(0)
-            else:
-                w.i32(len(positions))
-                for loc in positions:
-                    w.i32(loc["field_idx"])
-                    w.i32(loc["token_idx"])
-                    w.i32(loc["src_idx"])
-                    w.i32(loc["src_len"])
-                    w.f32(loc["contribution"])
-            n_entries += 1
-    with open(path, "wb") as fh:
-        fh.write(w.getvalue())
+            def flush(term: str, matches: list):
+                tw = _Writer()
+                tw.string(term)
+                tw.i32(len(matches))
+                for key_idx, weight, positions in matches:
+                    tw.i32(key_idx)
+                    tw.f32(weight)
+                    if not positions:
+                        tw.i32(0)
+                    else:
+                        tw.i32(len(positions))
+                        for loc in positions:
+                            tw.i32(loc["field_idx"])
+                            tw.i32(loc["token_idx"])
+                            tw.i32(loc["src_idx"])
+                            tw.i32(loc["src_len"])
+                            tw.f32(loc["contribution"])
+                fh.write(tw.getvalue())
+
+            # stream the term-sorted walk: resident driver state is one
+            # term's posting list + the doc-key dictionary, never the
+            # whole postings set
+            cur_term = None
+            cur: list = []
+            for r in rows.orderBy("term", "key").toLocalIterator():
+                if r["term"] != cur_term:
+                    if cur_term is not None:
+                        flush(cur_term, cur)
+                        n_entries += len(cur)
+                    cur_term = r["term"]
+                    cur = []
+                cur.append((key_index[r["key"]], r["weight"],
+                            r["positions"]))
+            if cur_term is not None:
+                flush(cur_term, cur)
+                n_entries += len(cur)
+    finally:
+        release_one(rows)
     return n_entries
 
 
@@ -1031,3 +1057,22 @@ def load_reference_json(spark: SparkSession, path: str, config=None):
     cls = normaliser_aqn.split(",", 1)[0].rsplit(".", 1)[-1]
     engine_normaliser = _NORMALISER_MAP.get(cls, "default")
     return _index_from_entries(spark, entries, engine_normaliser, config)
+
+
+def load_dotnet_many(spark: SparkSession, paths: list, config=None):
+    """Fleet migration: load MANY reference binary index files and
+    merge them into one engine index (``IndexData.Combine`` semantics
+    — union + per-(term, doc) re-combine, ``IndexData.cs:69-116``).
+
+    Each file parses on the driver (single-node-sized by the format's
+    construction); the unions and the combine fold are distributed.
+    All files must share a key mode (all int or all string keys) —
+    :meth:`InvertedIndex.combine` enforces this loudly.
+    """
+    if not paths:
+        raise ValueError("no index files given")
+    indexes = [load_dotnet(spark, p, config=config) for p in paths]
+    out = indexes[0]
+    for nxt in indexes[1:]:
+        out = out.combine(nxt)
+    return out

@@ -271,3 +271,41 @@ def test_key_normaliser_envelope(spark):
     assert {r["doc_key"] for r in idx2.key_map.collect()} == {
         "DOC-1", "DOC-2"
     }
+
+
+def test_load_dotnet_many_combines(spark, tmp_path):
+    """Fleet migration: two reference binary files merge with
+    IndexData.Combine semantics — union + per-(term, doc) re-combine."""
+    docs_a = spark.createDataFrame(DOCS[:2], "id long, title string, text string")
+    docs_b = spark.createDataFrame(DOCS[2:], "id long, title string, text string")
+    idx_a = build_index(docs_a, CFG)
+    idx_b = build_index(docs_b, CFG)
+    pa = str(tmp_path / "a.bin")
+    pb = str(tmp_path / "b.bin")
+    dotnet.save_dotnet(idx_a, pa)
+    dotnet.save_dotnet(idx_b, pb)
+    merged = dotnet.load_dotnet_many(spark, [pa, pb])
+    whole = build_index(
+        spark.createDataFrame(DOCS, "id long, title string, text string"),
+        CFG,
+    )
+    got = {
+        (r["term"], r["doc_id"], round(r["weight"], 5))
+        for r in merged.postings.select("term", "doc_id", "weight").collect()
+    }
+    ref = {
+        (r["term"], r["doc_id"], round(r["weight"], 5))
+        for r in whole.postings.select("term", "doc_id", "weight").collect()
+    }
+    assert got == ref and got
+    # and a query spanning both shards answers identically
+    for query in ("zebra", "index"):
+        g = {
+            (r["doc_id"], round(r["score"], 5))
+            for r in q.get_partial_matches(merged, query).collect()
+        }
+        w = {
+            (r["doc_id"], round(r["score"], 5))
+            for r in q.get_partial_matches(whole, query).collect()
+        }
+        assert g == w and g
