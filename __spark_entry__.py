@@ -7737,7 +7737,7 @@ SELECT doc_id,
        round(score * pow(0.5, floor((doc_id % 365) / 30)), 4) AS score
 FROM s
 """,
-        "text_html_strip": """
+        "text_html_strip": r"""
 WITH w AS (
   SELECT doc_id,
          '<html><head><style>p{color:red}</style><!-- nav --></head>'
@@ -7764,7 +7764,7 @@ s5 AS (SELECT doc_id,
                   '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
                   '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS h
        FROM s4)
-SELECT doc_id, trim(regexp_replace(h, '\\s+', ' ', 'g'), ' ') AS clean
+SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g'), ' ') AS clean
 FROM s5
 """,
         "ftix_time_travel": f"""
