@@ -309,3 +309,32 @@ def test_load_dotnet_many_combines(spark, tmp_path):
             for r in q.get_partial_matches(whole, query).collect()
         }
         assert g == w and g
+
+
+def test_binarywriter_framing_edges():
+    """7-bit length framing and primitive layout match .NET
+    BinaryWriter: multi-byte LEB128 lengths, UTF-8, LE numerics."""
+    w = dotnet._Writer()
+    long_s = "x" * 300  # length needs two LEB128 bytes (0xAC 0x02)
+    w.string(long_s)
+    w.i32(-7)
+    w.f32(1.5)
+    buf = w.getvalue()
+    assert buf[0] == 0xAC and buf[1] == 0x02
+    r = dotnet._Reader(buf)
+    assert r.string() == long_s
+    assert r.i32() == -7
+    assert r.f32() == 1.5
+    # truncation raises, not silently misparses
+    with pytest.raises(ValueError, match="truncated"):
+        dotnet._Reader(buf[:5]).string()
+
+
+def test_nrbf_reader_rejects_unknown_record():
+    w = dotnet._Writer()
+    w.u8(0)  # SerializedStreamHeader
+    for v in (1, -1, 1, 0):
+        w.i32(v)
+    w.u8(99)  # bogus record type
+    with pytest.raises(ValueError, match="unsupported record"):
+        dotnet._NrbfReader(w.getvalue()).parse()

@@ -704,3 +704,56 @@ def test_no_gate_plan_has_unbounded_unpartitioned_window(spark):
     )
     stale = set(WINDOW_ALLOW) - set(offenders)
     assert not stale, f"allow-list entries no longer needed: {stale}"
+
+
+def test_window_lint_parser_classifies_node_lines():
+    """plans.lint parses Catalyst's argString conventions: empty arg
+    lists are OMITTED from node strings, so partitionedness is read
+    from bracket-group shape + sort-spec markers."""
+    from fulltextindexer_spark.plans.lint import unpartitioned_windows
+
+    partitioned = (
+        "+- Window [sum(n#1L) windowspecdefinition(src#2, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS t#3L], [src#2]"
+    )
+    unpart_ordered = (
+        "+- Window [row_number() windowspecdefinition(occ#1L DESC "
+        "NULLS LAST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#2], "
+        "[occ#1L DESC NULLS LAST]"
+    )
+    unpart_global = (
+        "+- Window [sum(n#1L) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS t#3L]"
+    )
+    wgl_part = (
+        "+- WindowGroupLimit [q#1], [c#2 DESC NULLS LAST], "
+        "row_number(), 5, Final"
+    )
+    wgl_unpart = (
+        "+- WindowGroupLimit [c#2 DESC NULLS LAST], row_number(), "
+        "5, Final"
+    )
+    plan = "\n".join(
+        [partitioned, unpart_ordered, unpart_global, wgl_part, wgl_unpart]
+    )
+    bad = unpartitioned_windows(plan)
+    assert unpart_ordered.lstrip("+- ") in [b for b in bad][0] or len(bad) == 3
+    assert len(bad) == 3
+    assert partitioned.strip("+- ") not in "\n".join(bad)
+
+
+def test_global_row_number_empty_and_single(spark):
+    from fulltextindexer_spark.plans import cachereg
+    from fulltextindexer_spark.plans.ranking import global_row_number
+
+    empty = spark.createDataFrame([], "v long")
+    assert global_row_number(empty, [F.asc("v")]).count() == 0
+    one = spark.createDataFrame([(42,)], "v long")
+    assert [
+        (r["v"], r["rn"])
+        for r in global_row_number(one, [F.asc("v")]).collect()
+    ] == [(42, 1)]
+    cachereg.release_all()
