@@ -381,29 +381,31 @@ class _NrbfReader:
     # -- reference resolution ----------------------------------------------
 
     def _resolve(self, value):
-        seen: dict[int, object] = {}
-
-        def go(v):
-            if isinstance(v, _Ref):
-                if v.id in seen:
-                    return seen[v.id]
-                target = self.objects.get(v.id)
-                resolved = go(target)
-                seen[v.id] = resolved
-                return resolved
-            if isinstance(v, _NrbfObject):
-                oid = id(v)
-                if oid in seen:
-                    return v
-                seen[oid] = v
-                for k, mv in list(v.members.items()):
-                    v.members[k] = go(mv)
-                return v
-            if isinstance(v, list):
-                return [go(x) for x in v]
+        # ITERATIVE by necessity: an ImmutableList<TKey> serialises as
+        # a node CHAIN one link per key — a corpus-sized key list is a
+        # reference chain 10^4-10^6 deep, and a recursive walk blows
+        # the Python stack (found by the sf0.1 bench, n_docs ≈ 5k).
+        # Every referable object is registered in self.objects, so one
+        # flat pass replacing _Ref members/items closes the graph.
+        def deref(v):
+            hops = 0
+            while isinstance(v, _Ref):
+                v = self.objects.get(v.id)
+                hops += 1
+                if hops > len(self.objects) + 1:
+                    raise ValueError("NRBF: reference cycle of refs")
             return v
 
-        return go(value)
+        for obj in self.objects.values():
+            if isinstance(obj, _NrbfObject):
+                for k, mv in obj.members.items():
+                    if isinstance(mv, _Ref):
+                        obj.members[k] = deref(mv)
+            elif isinstance(obj, list):
+                for i, item in enumerate(obj):
+                    if isinstance(item, _Ref):
+                        obj[i] = deref(item)
+        return deref(value)
 
 
 def _clean_member(name: str) -> str:

@@ -338,3 +338,18 @@ def test_nrbf_reader_rejects_unknown_record():
     w.u8(99)  # bogus record type
     with pytest.raises(ValueError, match="unsupported record"):
         dotnet._NrbfReader(w.getvalue()).parse()
+
+
+def test_nrbf_deep_key_chain_resolves_iteratively():
+    """Corpus-sized key lists serialise as reference chains one node
+    per key; the resolver must not recurse (regression: RecursionError
+    at ~1000 keys, found by the sf0.1 bench)."""
+    keys = list(range(50_000))
+    blob = dotnet._write_keys_blob(keys)
+    got = dotnet._immutable_list_values(dotnet._NrbfReader(blob).parse())
+    assert got == keys
+    skeys = [f"k{i}" for i in range(20_000)]
+    got_s = dotnet._immutable_list_values(
+        dotnet._NrbfReader(dotnet._write_keys_blob(skeys)).parse()
+    )
+    assert got_s == skeys
