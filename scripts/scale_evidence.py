@@ -128,12 +128,41 @@ def build_sf1(force: bool = False) -> str:
         pa.Table.from_pandas(bige, preserve_index=False),
         os.path.join(SF1, "embeddings.parquet"),
     )
+    _build_sf1_events(pa, pq)
+
     with open(marker, "w") as fh:
         fh.write("ok")
     return SF1
 
 
-def run_sf(sf_dir: str, cpus: int = 32) -> dict:
+def _build_sf1_events(pa, pq) -> None:
+    """10x events: replicas shift user_id/event_id into disjoint
+    ranges and keep timestamps as-is — per-user event structure (and
+    therefore gap/session/funnel behaviour per key) is identical to
+    sf0.1, so the measured decade isolates input volume."""
+    import os as _os
+
+    import pandas as pd
+
+    out_path = _os.path.join(SF1, "events.parquet")
+    if _os.path.exists(out_path):
+        return
+    ev = pq.read_table(_os.path.join(SF01, "events.parquet")).to_pandas()
+    out = []
+    for rep in range(N_REPS):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + rep * 1_000_000_000
+        e["user_id"] = e["user_id"] + rep * 1_000_000
+        out.append(e)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        ),
+        out_path,
+    )
+
+
+def run_sf(sf_dir: str, cpus: int = 32, gates=None) -> dict:
     from fulltextindexer_spark.plans import cachereg
 
     probe_before = bench.quota_probe(cpus)
@@ -162,7 +191,7 @@ def run_sf(sf_dir: str, cpus: int = 32) -> dict:
         )
 
         qs = entrymod.queries()
-        for name in TIER_GATES:
+        for name in (gates or TIER_GATES):
             t0 = time.perf_counter()
             bench._materialize(qs[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -190,11 +219,17 @@ def main() -> None:
     ap.add_argument("--out", default="scale_result.json")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--gates",
+        default=None,
+        help="comma-separated gate names overriding the default tier",
+    )
     args = ap.parse_args()
+    gates = args.gates.split(",") if args.gates else None
 
     build_sf1(force=args.rebuild)
-    r_small = run_sf(SF01, args.cpus)
-    r_big = run_sf(SF1, args.cpus)
+    r_small = run_sf(SF01, args.cpus, gates=gates)
+    r_big = run_sf(SF1, args.cpus, gates=gates)
     ratios = {
         k: (
             round(r_big["timings"][k] / r_small["timings"][k], 2)
