@@ -255,6 +255,60 @@ def cmd_prune(args) -> dict:
     }
 
 
+def cmd_import_dotnet(args) -> dict:
+    """Migrate reference-serialised index file(s) into a compact-tier
+    index that ``query`` can serve: parse the sectioned binary (or
+    JSON.NET dialect) on the driver, merge multiple files with
+    ``IndexData.Combine`` semantics, write the compact parquet tier
+    under ``<output>/index`` (the pipeline layout ``query`` loads)."""
+    import os
+
+    from fulltextindexer_spark.operators.compact import save_compact
+    from fulltextindexer_spark.sources.dotnet import (
+        load_dotnet,
+        load_reference_json,
+    )
+
+    spark = _get_spark("ftix-import-dotnet")
+    loader = load_reference_json if args.format == "json" else load_dotnet
+    indexes = [loader(spark, p) for p in args.input]
+    idx = indexes[0]
+    for nxt in indexes[1:]:
+        idx = idx.combine(nxt)
+    out = os.path.join(args.output, "index")
+    save_compact(idx, out)
+    return {
+        "files": len(args.input),
+        "format": args.format,
+        "output": args.output,
+        "n_entries": idx.postings.count(),
+    }
+
+
+def cmd_export_dotnet(args) -> dict:
+    """Export a built index back to the reference's serialised form
+    (binary ``IndexDataSerialiser`` layout or the JSON.NET dialect) —
+    the reverse migration path. Single-node by the target format's
+    construction (the export streams per term, but the file is one
+    stream)."""
+    from fulltextindexer_spark.plans.pipeline import load_pipeline_index
+    from fulltextindexer_spark.sources.dotnet import (
+        save_dotnet,
+        save_reference_json,
+    )
+
+    spark = _get_spark("ftix-export-dotnet")
+    idx = load_pipeline_index(spark, args.index)
+    saver = save_reference_json if args.format == "json" else save_dotnet
+    n = saver(idx, args.output)
+    return {
+        "index": args.index,
+        "format": args.format,
+        "output": args.output,
+        "n_entries": n,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="fulltextindexer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -371,6 +425,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", required=True, help="snapshot index dir")
     p.add_argument("--keep-last", type=int, default=2)
     p.set_defaults(fn=cmd_prune)
+
+    imp = sub.add_parser(
+        "import-dotnet",
+        help="migrate reference-serialised index file(s) into a "
+             "query-servable compact index (IndexDataSerialiser "
+             "binary or JSON.NET dialect)",
+    )
+    imp.add_argument("--input", required=True, nargs="+",
+                     help="one or more serialised index files")
+    imp.add_argument("--output", required=True,
+                     help="pipeline out dir (compact tier under /index)")
+    imp.add_argument("--format", choices=("binary", "json"),
+                     default="binary")
+    imp.set_defaults(fn=cmd_import_dotnet)
+
+    exp = sub.add_parser(
+        "export-dotnet",
+        help="export a built index to the reference's serialised form",
+    )
+    exp.add_argument("--index", required=True,
+                     help="pipeline out dir (as produced by build)")
+    exp.add_argument("--output", required=True, help="output file")
+    exp.add_argument("--format", choices=("binary", "json"),
+                     default="binary")
+    exp.set_defaults(fn=cmd_export_dotnet)
     return ap
 
 

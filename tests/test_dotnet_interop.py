@@ -353,3 +353,83 @@ def test_nrbf_deep_key_chain_resolves_iteratively():
         dotnet._NrbfReader(dotnet._write_keys_blob(skeys)).parse()
     )
     assert got_s == skeys
+
+
+def test_cli_import_export_dotnet(spark, tmp_path, capsys):
+    """Full migration loop through the CLI: build a .NET fixture,
+    import-dotnet -> compact tier, query it, export-dotnet -> binary
+    again, reload and compare."""
+    import json as _json
+
+    from fulltextindexer_spark import cli
+
+    docs = spark.createDataFrame(DOCS, "id long, title string, text string")
+    idx = build_index(docs, CFG)
+    src = str(tmp_path / "legacy.bin")
+    dotnet.save_dotnet(idx, src)
+
+    out = str(tmp_path / "migrated")
+    rc = cli.main(["import-dotnet", "--input", src, "--output", out])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    assert rep["n_entries"] == idx.postings.count()
+
+    rc = cli.main([
+        "query", "--index", out, "--query", "index merge", "--k", "10",
+    ])
+    assert rc == 0
+    qrep = _json.loads(capsys.readouterr().out.strip().split("\n")[-1])
+    ref = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in q.get_partial_matches(idx, "index merge").collect()
+    }
+    got = {
+        (r["doc_id"], round(r["score"], 4)) for r in qrep["results"]
+    }
+    assert got == ref and got
+
+    back = str(tmp_path / "back.bin")
+    rc = cli.main([
+        "export-dotnet", "--index", out, "--output", back,
+    ])
+    assert rc == 0
+    reloaded = dotnet.load_dotnet(spark, back)
+    got2 = {
+        (r["term"], r["doc_id"], round(r["weight"], 5))
+        for r in reloaded.postings.select(
+            "term", "doc_id", "weight"
+        ).collect()
+    }
+    want = {
+        (r["term"], r["doc_id"], round(r["weight"], 5))
+        for r in idx.postings.select("term", "doc_id", "weight").collect()
+    }
+    assert got2 == want
+
+
+def test_bm25_rank_identity_through_dotnet_roundtrip(spark, tmp_path):
+    """BM25 top-k is rank-identical (doc ids AND scores) between the
+    directly built index and its .NET-binary round-trip: tf comes back
+    from location counts and dl from the per-doc location sum, so the
+    sufficient statistics are bit-equal."""
+    from fulltextindexer_spark.operators import bm25
+
+    rows = [
+        (i, f"doc title {i%3}",
+         " ".join(f"tok{(i*j) % 17}" for j in range(1, 20)) + " hash join")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "id long, title string, text string")
+    idx = build_index(docs, CFG)
+    path = str(tmp_path / "b.bin")
+    dotnet.save_dotnet(idx, path)
+    loaded = dotnet.load_dotnet(spark, path, config=idx.config)
+
+    def topk(i):
+        return [
+            (r["doc_id"], round(r["score"], 6))
+            for r in bm25.bm25_topk(i, "hash join tok3", k=10).collect()
+        ]
+
+    a, b = topk(idx), topk(loaded)
+    assert a == b and len(a) == 10
