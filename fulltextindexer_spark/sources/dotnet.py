@@ -692,7 +692,17 @@ def _write_keys_blob(keys: list) -> bytes:
     MemberReferences; the referenced node records follow at the top
     level — both placements are valid [MS-NRBF] object graphs."""
     int_keys = all(isinstance(k, int) for k in keys)
-    t_arg = "System.Int32" if int_keys else "System.String"
+    # engine doc ids are int64; use the Int32 envelope only when every
+    # key fits (the reference's common TKey), else Int64 (prim 9)
+    int32_ok = int_keys and all(
+        -(2**31) <= k < 2**31 for k in keys
+    )
+    prim = 8 if int32_ok else 9
+    t_arg = (
+        ("System.Int32" if int32_ok else "System.Int64")
+        if int_keys
+        else "System.String"
+    )
     list_cls = (
         "FullTextIndexer.Common.Lists.ImmutableList`1[["
         f"{t_arg}, mscorlib]]"
@@ -721,7 +731,7 @@ def _write_keys_blob(keys: list) -> bytes:
     n.w.string(node_cls)
     n.w.i32(lib)
     if int_keys:
-        n.w.u8(8)  # Int32 element type
+        n.w.u8(prim)  # Int32/Int64 element type
     n.w.i32(lib)
     # member values: _tail ref (last node) | null | null
     if keys:
@@ -752,7 +762,7 @@ def _write_keys_blob(keys: list) -> bytes:
             n.w.u8(_BT_CLASS)
             n.w.u8(_BT_PRIMITIVE)
             if int_keys:
-                n.w.u8(8)  # Value: Int32
+                n.w.u8(prim)  # Value: Int32/Int64
             n.w.string(node_cls)
             n.w.i32(lib)
             n.w.u8(8)  # Count: Int32
@@ -763,7 +773,10 @@ def _write_keys_blob(keys: list) -> bytes:
             n.w.i32(first_meta_id)
         # Value
         if int_keys:
-            n.w.i32(keys[pos])
+            if prim == 8:
+                n.w.i32(keys[pos])
+            else:
+                n.w.raw(__import__("struct").pack("<q", keys[pos]))
         else:
             sid = n.alloc()
             n.w.u8(_REC_STRING)
@@ -847,7 +860,15 @@ def save_dotnet(index, path: str) -> int:
         int_keys = all(isinstance(k, int) for k in keys)
         comparer_cls = (
             "FullTextIndexer.Common.Lists.DefaultEqualityComparer`1[["
-            + ("System.Int32" if int_keys else "System.String")
+            + (
+                (
+                    "System.Int32"
+                    if all(-(2**31) <= k < 2**31 for k in keys)
+                    else "System.Int64"
+                )
+                if int_keys
+                else "System.String"
+            )
             + ", mscorlib]]"
         )
         normaliser_cls = _NORMALISER_EXPORT.get(

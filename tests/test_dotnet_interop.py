@@ -433,3 +433,60 @@ def test_bm25_rank_identity_through_dotnet_roundtrip(spark, tmp_path):
 
     a, b = topk(idx), topk(loaded)
     assert a == b and len(a) == 10
+
+
+def test_int64_keys_use_int64_envelope(spark, tmp_path):
+    """Engine doc ids are int64: keys beyond Int32 must round-trip
+    through the Int64 NRBF envelope (prim 9), not crash struct.pack."""
+    big = 3_000_000_000  # > 2^31
+    keys = [1, big, -big]
+    blob = dotnet._write_keys_blob(keys)
+    assert dotnet._immutable_list_values(
+        dotnet._NrbfReader(blob).parse()
+    ) == keys
+    docs = spark.createDataFrame(
+        [(big + i, f"title {i}", f"text tok{i} hash join")
+         for i in range(3)],
+        "id long, title string, text string",
+    )
+    idx = build_index(docs, CFG)
+    path = str(tmp_path / "big.bin")
+    dotnet.save_dotnet(idx, path)
+    loaded = dotnet.load_dotnet(spark, path)
+    assert _postings_set(loaded) == _postings_set(idx)
+    with open(path, "rb") as fh:
+        parsed = dotnet.read_dotnet_index(fh.read())
+    assert "System.Int64" in parsed.key_comparer_class
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    keys=st.one_of(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), unique=True
+        ),
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",)  # no lone surrogates
+                ),
+                max_size=40,
+            ),
+            unique=True,
+        ),
+    )
+)
+def test_nrbf_keys_blob_roundtrip_property(keys):
+    """Property: ANY unique int64/unicode key list survives the NRBF
+    node-chain round-trip byte-exactly (order, values, count)."""
+    blob = dotnet._write_keys_blob(keys)
+    got = dotnet._immutable_list_values(dotnet._NrbfReader(blob).parse())
+    assert got == keys
