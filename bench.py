@@ -424,10 +424,18 @@ def run_default() -> dict:
 
         from fulltextindexer_spark.plans import cachereg
 
+        query_errors: dict[str, str] = {}
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                _materialize(fn(spark, SF_DIR))
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                # one failing gate must not void the other 200+ timed
+                # lines (learned the hard way: a RecursionError in one
+                # new gate aborted an entire bench run) — record it
+                # loudly and keep timing the rest
+                query_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             # the serving-loop contract (plans/cachereg.py): free each
             # gate's per-query intermediates, keep warm artefacts — a
             # 100+-gate run otherwise accumulates dozens of persisted
@@ -449,6 +457,7 @@ def run_default() -> dict:
             "build_docs_per_sec": round(n_docs / build_sec, 1),
             "n_docs": n_docs,
             "cpus": CPUS,
+            "query_errors": query_errors,
         }
     finally:
         spark.stop()
